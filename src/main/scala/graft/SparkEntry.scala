@@ -1,13 +1,587 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Combinators
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is a self-contained Spark job over the
+  * testdata tables; [[oracleSql]] carries a DuckDB-runnable ANSI SQL
+  * equivalent with identical column names, types, and row order.
+  *
+  * Determinism rules used throughout (so Spark and the DuckDB oracle
+  * hash-match bit-for-bit):
+  *   - floating-point SUMs go through an exact DECIMAL cast and come back
+  *     as DOUBLE (addition order then cannot change the result);
+  *   - AVG is expressed as exact-decimal SUM cast to double, divided by a
+  *     COUNT — a single IEEE division, identical in both engines;
+  *   - every result is fully ordered by a unique key combination;
+  *   - integer COUNT/SUM results are cast to BIGINT (DuckDB's native
+  *     HUGEINT for SUM(int) would diverge from Spark's BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Exact-arithmetic SUM of a double column/expression: round to cents,
+    * then sum exactly. Scale MUST stay small (2): the coarser the decimal
+    * grid, the lower the odds that Spark's shortest-string double→decimal
+    * rounding and DuckDB's exact-binary-expansion rounding disagree near a
+    * grid midpoint (measured: scale 10 diverges on this data, scale 2 is
+    * ~1e-11/row).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirrors the reference's committed example (run_main_example.py:14-23):
+    * filter + group + count + having, but over the star schema with a
+    * broadcast dimension join.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .filter(col("n_orders") > 10)
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Query inventory. One entry per implemented operator (SURVEY.md §2).
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B1+B3: projection + filter; predicate/column pushdown reach the scan.
+    "q01_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-01-01").cast(TimestampType)
+          && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // B4+B5+B6: grouped count + HAVING (the reference's flagship shape,
+    // run_main_example.py:20-23).
+    "q02_agg_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 100)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q1 shape: multi-key group, exact-decimal sums, derived avg.
+    "q03_group_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          // exact decimal product: operands are clean 2-dec values, so
+          // cast BEFORE multiplying — rounding a computed double product
+          // hits .xx5 ties where Spark and DuckDB round differently.
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))
+              * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+          "sum_disc_price", "avg_qty", "count_order")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Broadcast dimension joins: customer ⋈ nation ⋈ region (both dims
+    // broadcast — no shuffle of the fact side beyond the final agg).
+    "q04_join_broadcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Left outer join preserving customers without orders.
+    "q05_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Semi join (EXISTS).
+    "q06_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti join (NOT EXISTS).
+    "q07_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // DISTINCT aggregate alongside plain aggregates.
+    "q08_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // GROUP_CONCAT parity: ordered string aggregation (SQLite
+    // group_concat → sorted array_join for determinism).
+    "q09_string_agg" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("suppliers"),
+          count(lit(1)).as("n_supp"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Window: top-3 per group via row_number, deterministic tie-break.
+    "q10_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // Window: lag — days between consecutive orders per customer.
+    "q11_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_date",
+          lag(col("o_orderdate").cast(DateType), 1).over(w))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate").cast(DateType), col("prev_date")))
+        .select("o_custkey", "o_orderkey", "gap_days")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Window: running frame sum (ROWS UNBOUNDED PRECEDING..CURRENT ROW).
+    "q12_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .withColumn("run_qty",
+          sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Global top-k: ORDER BY ... LIMIT (TakeOrderedAndProject).
+    "q13_topk_global" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    }),
+
+    // Set op: EXCEPT.
+    "q14_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val bld = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_nationkey")
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_nationkey")
+      bld.except(auto).orderBy(col("c_nationkey"))
+    }),
+
+    // Set op: INTERSECT.
+    "q15_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.intersect(oo).orderBy(col("o_custkey"))
+    }),
+
+    // Scalar subquery via the SQL pass-through surface (SURVEY.md §2.C).
+    "q16_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    // CTE + join + agg via SQL pass-through (TPC-H Q15 shape).
+    "q17_cte_revenue" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        ORDER BY total_revenue DESC, s_suppkey
+        LIMIT 10""")
+    }),
+
+    // CASE WHEN / COALESCE / NULLIF / CAST.
+    "q18_case_null" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small"))
+        .withColumn("status_or_open",
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")))
+        .groupBy(col("bucket"), col("status_or_open"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"), col("status_or_open"))
+    }),
+
+    // String function battery.
+    "q19_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pre"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          instr(col("p_type"), "BRASS").as("brass_pos"),
+          trim(concat(lit("  "), col("p_brand"), lit(" "))).as("brand_trim"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time function battery.
+    "q20_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderdate").cast(DateType)).as("first_day"),
+          max(col("o_orderdate").cast(DateType)).as("last_day"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // Math battery — integer-exact arithmetic.
+    "q21_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") % 7).as("mod7"),
+          abs(col("l_partkey") - col("l_suppkey")).as("absdiff"),
+          least(col("l_partkey"), col("l_suppkey")).as("lo"),
+          greatest(col("l_partkey"), col("l_suppkey")).as("hi"),
+          (col("l_quantity").cast(DecimalType(18, 2)) * 3)
+            .cast(DoubleType).as("qty3"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ROLLUP (Spark-native superset of the SQLite surface).
+    "q22_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
+    // A11 pivot stack: union per-source results + `index` provenance col
+    // (reference query_iterator.py:141-158), via Combinators.pivotStack.
+    "q23_pivot_stack" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def counts(status: String): DataFrame =
+        o.filter(col("o_orderstatus") === status)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+      Combinators
+        .pivotStack(Seq("orders_F" -> counts("F"), "orders_O" -> counts("O")))
+        .orderBy(col("index"), col("o_orderpriority"))
+    }),
+
+    // A12 positional concat: align two results by row position, NULL-pad
+    // ragged lengths (reference query_iterator.py:180-181), via
+    // Combinators.positionalConcat.
+    "q24_positional_concat" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val b = li.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+      Combinators.positionalConcat(Seq(
+        ("a", a, Seq(col("l_returnflag"))),
+        ("b", b, Seq(col("l_linestatus")))))
+    }),
+
+    // A10 prefix rename over a query result
+    // (reference query_iterator.py:111-119).
+    "q25_prefix_rename" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      Combinators.prefixColumns(base, "orders.xlsx")
+        .orderBy(col("`orders.xlsx_o_orderpriority`"))
+    }),
+
+    // LIMIT + OFFSET pagination.
+    "q26_limit_offset" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus")
+        .offset(10)
+        .limit(20)
+    }),
+
+    // DISTINCT.
+    "q27_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — identical column names & ordering per query.
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_agg_having" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority
+         HAVING count(*) > 100
+         ORDER BY o_orderpriority""",
+
+    "q03_group_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q04_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q05_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+
+    "q08_distinct_agg" ->
+      """SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q09_string_agg" ->
+      """SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           count(*) AS n_supp
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q10_window_topk" ->
+      """SELECT c_mktsegment, CAST(rn AS INT) AS rn, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) t
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+
+    "q11_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+             lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey),
+             CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+         FROM orders
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q12_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS run_qty
+         FROM lineitem WHERE l_suppkey <= 10
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q13_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q14_except" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         ORDER BY c_nationkey""",
+
+    "q15_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+
+    "q16_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q17_cte_revenue" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         ORDER BY total_revenue DESC, s_suppkey
+         LIMIT 10""",
+
+    "q18_case_null" ->
+      """SELECT
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           count(*) AS n
+         FROM orders
+         GROUP BY 1, 2 ORDER BY bucket, status_or_open""",
+
+    "q19_string_funcs" ->
+      """SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_lo,
+           CAST(length(p_name) AS INT) AS name_len,
+           substr(p_name, 1, 5) AS name_pre,
+           replace(p_type, ' ', '_') AS type_us,
+           CAST(instr(p_type, 'BRASS') AS INT) AS brass_pos,
+           trim('  ' || p_brand || ' ') AS brand_trim
+         FROM part WHERE p_name LIKE '%a%'
+         ORDER BY p_partkey""",
+
+    "q20_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           count(*) AS n,
+           min(CAST(o_orderdate AS DATE)) AS first_day,
+           max(CAST(o_orderdate AS DATE)) AS last_day
+         FROM orders GROUP BY 1, 2 ORDER BY yr, mo""",
+
+    "q21_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_orderkey % 7 AS mod7,
+           abs(l_partkey - l_suppkey) AS absdiff,
+           least(l_partkey, l_suppkey) AS lo,
+           greatest(l_partkey, l_suppkey) AS hi,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 3 AS DOUBLE) AS qty3
+         FROM lineitem WHERE l_orderkey <= 500
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q23_pivot_stack" ->
+      """SELECT 'orders_F' AS "index", o_orderpriority, count(*) AS n
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+         UNION ALL
+         SELECT 'orders_O' AS "index", o_orderpriority, count(*) AS n
+         FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+         ORDER BY "index", o_orderpriority""",
+
+    "q24_positional_concat" ->
+      """WITH a AS (
+           SELECT row_number() OVER (ORDER BY l_returnflag) AS row_id,
+                  l_returnflag AS a_l_returnflag, n AS a_n
+           FROM (SELECT l_returnflag, count(*) AS n FROM lineitem
+                 GROUP BY l_returnflag)),
+         b AS (
+           SELECT row_number() OVER (ORDER BY l_linestatus) AS row_id,
+                  l_linestatus AS b_l_linestatus, n AS b_n
+           FROM (SELECT l_linestatus, count(*) AS n FROM lineitem
+                 GROUP BY l_linestatus))
+         SELECT CAST(coalesce(a.row_id, b.row_id) AS INT) AS row_id,
+                a_l_returnflag, a_n, b_l_linestatus, b_n
+         FROM a FULL OUTER JOIN b ON a.row_id = b.row_id
+         ORDER BY row_id""",
+
+    "q25_prefix_rename" ->
+      """SELECT o_orderpriority AS "orders.xlsx_o_orderpriority",
+                count(*) AS "orders.xlsx_n_orders"
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY "orders.xlsx_o_orderpriority"""",
+
+    "q26_limit_offset" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         ORDER BY o_orderkey LIMIT 20 OFFSET 10""",
+
+    "q27_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority"""
+  )
 }

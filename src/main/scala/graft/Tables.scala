@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every query function in [[SparkEntry]] is self-contained: it loads
+  * exactly the tables it needs from the given scale-factor directory, so
+  * Catalyst sees one lazily-composed plan per query and pushes
+  * filters/column pruning into the parquet scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects. Read the nanos as a long (legacy flag)
+      // and convert to a microsecond timestamp (the data is µs-precision,
+      // so the truncation is lossless).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(raw.columns.map(col): _*)
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Register all tables as temp views (for the spark.sql pass-through
+    * surface — the reference's entire query language is SQL strings fed
+    * to an engine, see SURVEY.md §2.C / reference query_iterator.py:131).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference engine's own dataflow combinators, re-expressed as pure
+  * DataFrame transformations (SURVEY.md §2.A A10–A12).
+  *
+  * All three operate on per-source *query results* — in the reference these
+  * are small aggregates (≤ a few thousand rows), so driver-side orchestration
+  * plus narrow Spark plans is the right scale design: the heavy lifting
+  * (scan/filter/agg/join over the big tables) happens before these
+  * combinators ever see the data.
+  */
+object Combinators {
+
+  /** A10 — rename every column to `{prefix}_{column}`.
+    * Reference: query_iterator.py:111-119 (format_column_names).
+    * Pure metadata operation: zero shuffle, zero compute.
+    */
+  def prefixColumns(df: DataFrame, prefix: String): DataFrame =
+    df.toDF(df.columns.map(c => s"${prefix}_$c").toIndexedSeq: _*)
+
+  /** A11 — vertical "pivot" stack: union per-source results and prepend an
+    * `index` provenance column holding the source name.
+    * Reference: query_iterator.py:141-158 (_pivot_df).
+    *
+    * Schema contract (Q12 decision): every result must expose exactly the
+    * first result's column set — we fail fast with a clear error instead of
+    * the reference's KeyError/ragged-dict crash. Implemented with
+    * `unionByName`, which is shuffle-free (pure plan concatenation).
+    */
+  def pivotStack(results: Seq[(String, DataFrame)]): DataFrame = {
+    require(results.nonEmpty, "pivotStack: no results to stack")
+    val cols = results.head._2.columns.toSeq
+    results.foreach { case (src, d) =>
+      require(
+        d.columns.toSeq.sorted == cols.sorted,
+        s"pivotStack: schema mismatch for source '$src': " +
+          s"expected ${cols.mkString(",")} got ${d.columns.mkString(",")}")
+    }
+    results
+      .map { case (src, d) =>
+        d.select(lit(src).as("index") +: cols.map(col): _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** A12 — positional horizontal concat: align per-source results by row
+    * position (pandas `concat(axis=1)`), pad ragged lengths with NULL.
+    * Reference: query_iterator.py:180-181, 207-208.
+    *
+    * Row position is only meaningful under an explicit order (Q6 decision:
+    * the reference inherits whatever order SQLite emitted, which is
+    * undefined; we require the caller to say what "position" means).
+    * Each part is given a stable `row_id` via `row_number` over its
+    * `orderBy` columns, then parts are full-outer joined on `row_id`.
+    *
+    * Scale note: an unpartitioned `row_number` funnels each part through a
+    * single task — correct here because concat inputs are small per-source
+    * aggregates by construction (as in the reference); never use this on a
+    * raw fact table.
+    */
+  def positionalConcat(parts: Seq[(String, DataFrame, Seq[Column])]): DataFrame = {
+    require(parts.nonEmpty, "positionalConcat: no parts")
+    val withIds = parts.map { case (prefix, d, order) =>
+      // row_number over the caller's order, computed BEFORE the prefix
+      // rename so the order columns still resolve.
+      d.withColumn("row_id", row_number().over(Window.orderBy(order: _*)))
+        .select(
+          col("row_id") +:
+            d.columns.toIndexedSeq.map(c => col(c).as(s"${prefix}_$c")): _*)
+    }
+    withIds
+      .reduce { (l, r) => l.join(r, Seq("row_id"), "full_outer") }
+      .orderBy(col("row_id"))
+  }
+}
