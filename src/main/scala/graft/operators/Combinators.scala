@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Combinators {
 
+  /** Column ref by literal name (backtick-quoted so dots in names — e.g.
+    * `consumer_complaints.xlsx_company` — don't parse as struct access).
+    */
+  private def qcol(name: String): Column = col(s"`$name`")
+
   /** A10 — rename every column to `{prefix}_{column}`.
     * Reference: query_iterator.py:111-119 (format_column_names).
     * Pure metadata operation: zero shuffle, zero compute.
@@ -42,7 +47,7 @@ object Combinators {
     }
     results
       .map { case (src, d) =>
-        d.select(lit(src).as("index") +: cols.map(col): _*)
+        d.select(lit(src).as("index") +: cols.map(qcol): _*)
       }
       .reduce(_ unionByName _)
   }
@@ -70,7 +75,8 @@ object Combinators {
       d.withColumn("row_id", row_number().over(Window.orderBy(order: _*)))
         .select(
           col("row_id") +:
-            d.columns.toIndexedSeq.map(c => col(c).as(s"${prefix}_$c")): _*)
+            d.columns.toIndexedSeq.map(c =>
+              if (prefix.isEmpty) qcol(c) else qcol(c).as(s"${prefix}_$c")): _*)
     }
     withIds
       .reduce { (l, r) => l.join(r, Seq("row_id"), "full_outer") }

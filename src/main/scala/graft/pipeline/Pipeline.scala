@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Combinators
+import graft.sinks.{HyperEquivalentSink, HyperSink}
+import graft.sources.excel.XlsxWriter
+
+/** The reference's QueryIterator orchestration (query_iterator.py:32-55),
+  * Spark-first: Excel sheets become cached temp views (no SQLite staging
+  * copy — A6 collapses into view registration), queries run through the
+  * full Catalyst pipeline, and each output table is one lazily-composed
+  * DAG that only executes at the sink.
+  *
+  * Deliberate non-replications (SURVEY.md §2.F): Q1 (broken cleanup call
+  * — views are dropped once, after all bundles), Q2 (unconditional
+  * `.hyper` suffix — we suffix by actual format), Q7 (substring format
+  * dispatch — exact enum).
+  */
+class Pipeline(
+    spark: SparkSession,
+    workingDir: String,
+    hyperSink: HyperSink = null) {
+
+  private val sink: HyperSink =
+    if (hyperSink != null) hyperSink else new HyperEquivalentSink()
+
+  /** A4 — directory matcher (query_iterator.py:58-86): list Excel files,
+    * resolve each match substring to the first file containing it.
+    */
+  def matchDirectoryFiles(matches: Seq[String]): Map[String, String] = {
+    val files = Files.list(Paths.get(workingDir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".xlsx") || f.endsWith(".xls"))
+      .toSeq.sorted
+    require(files.nonEmpty,
+      s"No Excel files found in working directory $workingDir")
+    matches.map { m =>
+      val hit = files.find(_.contains(m)).getOrElse(
+        throw new IllegalArgumentException(
+          s"No Excel file in $workingDir matches '$m' (files: ${files.mkString(", ")})"))
+      m -> hit
+    }.toMap
+  }
+
+  /** A5 — distinct (file, sheet) pairs across all bundles, so each sheet
+    * is scanned exactly once (query_iterator.py:88-99). Scan sharing is
+    * made real with `.cache()`: every query over the same sheet hits the
+    * cached columnar batches instead of re-parsing XML.
+    */
+  def distinctFsheets(
+      bundles: Seq[QueryBundle], matched: Map[String, String]): Seq[Fsheet] =
+    (for {
+      b <- bundles
+      m <- b.fileMatches
+      s <- b.sheets
+    } yield Fsheet(matched(m), s)).distinct
+
+  /** A6 — "table load": register each sheet as a cached temp view under
+    * its derived name. Replaces the reference's SQLite materialization
+    * (query_iterator.py:101-107) with zero data movement.
+    */
+  def registerViews(fsheets: Seq[Fsheet]): Unit =
+    fsheets.foreach { fs =>
+      val df = spark.read.format("excel")
+        .option("sheet", fs.sheet)
+        .load(Paths.get(workingDir, fs.fileName).toString)
+        .cache()
+      df.createOrReplaceTempView(fs.sqlTableName)
+    }
+
+  def dropViews(fsheets: Seq[Fsheet]): Unit =
+    fsheets.foreach(fs => spark.catalog.dropTempView(fs.sqlTableName))
+
+  /** A7+A8+A9 — per (query, match) fan-out: rewrite `.sheet` tokens for
+    * the matched file, run through Catalyst, post-process per pivot flag
+    * (query_iterator.py:109-139).
+    */
+  def queryDataFrames(
+      bundle: QueryBundle, matched: Map[String, String])
+      : Map[String, Seq[(String, DataFrame)]] =
+    bundle.queries.map { q =>
+      q.name -> bundle.fileMatches.map { m =>
+        val file = matched(m)
+        val df = spark.sql(q.formatQuery(file))
+        // A10: non-pivot results get match-prefixed columns
+        // (query_iterator.py:111-119,133-134)
+        val out = if (q.pivotTable) df else Combinators.prefixColumns(df, m)
+        file -> out
+      }
+    }.toMap
+
+  /** A11/A12 combine + A14/A15 export for one bundle. */
+  def exportBundle(
+      bundle: QueryBundle, matched: Map[String, String]): String = {
+    val perQuery = queryDataFrames(bundle, matched)
+    val combined: Seq[(String, DataFrame)] = bundle.queries.map { q =>
+      val results = perQuery(q.name)
+      val df =
+        if (q.pivotTable)
+          Combinators.pivotStack(results.map { case (f, d) =>
+            Fsheet(f, "").baseName -> d
+          })
+        else if (results.length == 1) results.head._2
+        else
+          Combinators.positionalConcat(results.map { case (_, d) =>
+            // position = the query's own output order; results are
+            // small per-file aggregates (Q6 decision, SURVEY.md §2.F)
+            ("", d, d.columns.toSeq.map(c => col(s"`$c`")))
+          }).drop("row_id")
+      q.name -> df
+    }
+    bundle.format match {
+      case ExportFormat.Hyper =>
+        val out = Paths.get(workingDir, bundle.exportFileName + ".hyper").toString
+        sink.write(out, combined)
+        out
+      case ExportFormat.Excel =>
+        val out = Paths.get(workingDir, bundle.exportFileName + ".xlsx").toString
+        XlsxWriter.write(out, combined)
+        out
+    }
+  }
+
+  /** A17 — full run: match → dedup → views → query → combine → export
+    * (query_iterator.py:32-55). Returns the written output paths.
+    */
+  def run(bundles: Seq[QueryBundle]): Seq[String] = {
+    val allMatches = bundles.flatMap(_.fileMatches).distinct
+    val matched = matchDirectoryFiles(allMatches)
+    val fsheets = distinctFsheets(bundles, matched)
+    registerViews(fsheets)
+    try bundles.map(b => exportBundle(b, matched))
+    finally dropViews(fsheets)
+  }
+}

@@ -1,0 +1,247 @@
+package graft.sources.excel
+
+import java.util.zip.ZipFile
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("excel")` — a DataSource V2 Excel source.
+  *
+  * Replaces the reference's pandas `read_excel` (reference fsheet.py:33-36)
+  * with a distributed scan: one input partition per (file, sheet), so a
+  * directory of workbooks reads in parallel across executors. Column
+  * pruning is pushed into the reader (pruned columns are parsed but not
+  * converted/emitted; the XML itself must be streamed regardless — xlsx
+  * is not a splittable columnar format, which is exactly why the pipeline
+  * converts to parquet/views before heavy queries).
+  *
+  * Options:
+  *   - `path`  (or `.load(path)`): one workbook
+  *   - `sheet`: sheet name (default: first sheet)
+  *   - `header`: first row is column names (default true)
+  *   - `inferSchema`: numeric-vs-string per-column inference mirroring
+  *     pandas' behavior on the reference data (default true; SURVEY.md
+  *     §1.2: integers → long, decimals → double, everything else —
+  *     including dates — stays string)
+  *   - `sampleRows`: rows to sample for inference (default 1000)
+  */
+class ExcelDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "excel"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def opt(m: CaseInsensitiveStringMap, k: String, d: String) =
+    Option(m.get(k)).getOrElse(d)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("excel: 'path' option required"))
+    val sheet = Option(options.get("sheet"))
+    val header = opt(options, "header", "true").toBoolean
+    val infer = opt(options, "inferSchema", "true").toBoolean
+    val sample = opt(options, "sampleRows", "1000").toInt
+    ExcelSchema.infer(path, sheet, header, infer, sample)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ExcelTable(schema, properties.asScala.toMap)
+}
+
+private[excel] object ExcelSchema {
+
+  private val IntRe = "[+-]?\\d{1,18}".r
+  private val NumRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+
+  def isIntegral(s: String): Boolean = IntRe.matches(s.trim)
+  def isNumeric(s: String): Boolean = NumRe.matches(s.trim)
+
+  /** Header names + per-column type from a bounded sample of the sheet.
+    * Mirrors pandas inference as characterized in SURVEY.md §1.2: a
+    * column whose non-empty sampled cells are all numeric-typed cells
+    * becomes long (all integral) or double; anything else is string.
+    */
+  def infer(path: String, sheetOpt: Option[String], header: Boolean,
+      inferTypes: Boolean, sampleRows: Int): StructType = {
+    val zip = new ZipFile(path)
+    try {
+      val entries = XlsxParser.sheetEntries(zip)
+      val (sheetName, entry) = sheetOpt match {
+        case Some(s) => entries.find(_._1 == s).getOrElse(
+          throw new IllegalArgumentException(
+            s"excel: sheet '$s' not found in $path; has: ${entries.map(_._1).mkString(", ")}"))
+        case None => entries.head
+      }
+      val _ = sheetName
+      val shared = XlsxParser.sharedStrings(zip)
+      var names: IndexedSeq[String] = IndexedSeq.empty
+      val seenNumeric = mutable.ArrayBuffer.empty[Boolean] // all numeric so far
+      val seenIntegral = mutable.ArrayBuffer.empty[Boolean]
+      val seenAny = mutable.ArrayBuffer.empty[Boolean]
+      var width = 0
+      var visited = 0
+      // bounded streaming scan; throws to abort early once sample is met
+      object Done extends RuntimeException
+      try {
+        XlsxParser.foreachRow(zip, entry, shared) { (rowIdx, cells) =>
+          if (rowIdx == 0 && header) {
+            val w = if (cells.isEmpty) 0 else cells.map(_.col).max + 1
+            val arr = Array.fill(w)("")
+            cells.foreach(c => if (c.col < w) arr(c.col) = c.value)
+            names = arr.toIndexedSeq.zipWithIndex.map { case (n, i) =>
+              if (n.nonEmpty) n else s"_c$i"
+            }
+            width = w
+          } else {
+            val w = if (cells.isEmpty) 0 else cells.map(_.col).max + 1
+            if (w > width) width = w
+            while (seenNumeric.length < width) {
+              seenNumeric += true; seenIntegral += true; seenAny += false
+            }
+            cells.foreach { c =>
+              if (c.value.nonEmpty && c.col < seenNumeric.length) {
+                seenAny(c.col) = true
+                if (!(c.isNumeric || isNumeric(c.value)))
+                  seenNumeric(c.col) = false
+                if (!isIntegral(c.value)) seenIntegral(c.col) = false
+              }
+            }
+            visited += 1
+            if (visited >= sampleRows) throw Done
+          }
+        }
+      } catch { case Done => }
+      while (names.length < width) names = names :+ s"_c${names.length}"
+      val fields = names.zipWithIndex.map { case (n, i) =>
+        val dt: DataType =
+          if (!inferTypes) StringType
+          else if (i < seenAny.length && seenAny(i) && seenNumeric(i))
+            if (seenIntegral(i)) LongType else DoubleType
+          else StringType
+        StructField(n, dt, nullable = true)
+      }
+      StructType(fields)
+    } finally zip.close()
+  }
+}
+
+private[excel] class ExcelTable(schema0: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"excel:${props.getOrElse("path", "?")}#${props.getOrElse("sheet", "<first>")}"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ExcelScanBuilder(schema0, options)
+}
+
+private[excel] class ExcelScanBuilder(
+    fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ExcelScan(fullSchema, required,
+    options.get("path"),
+    Option(options.get("sheet")),
+    Option(options.get("header")).forall(_.toBoolean))
+}
+
+private[excel] class ExcelScan(
+    fullSchema: StructType, required: StructType,
+    path: String, sheet: Option[String], header: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ExcelInputPartition(path, sheet, header))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExcelPartitionReaderFactory(fullSchema, required)
+}
+
+private[excel] case class ExcelInputPartition(
+    path: String, sheet: Option[String], header: Boolean)
+    extends InputPartition
+
+private[excel] class ExcelPartitionReaderFactory(
+    fullSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ep = p.asInstanceOf[ExcelInputPartition]
+    new ExcelPartitionReader(ep, fullSchema, required)
+  }
+}
+
+/** Materializes one sheet's rows as InternalRows. The worksheet XML is
+  * parsed up front into a row buffer for the partition (bounded by sheet
+  * size — xlsx sheets cap at ~1M rows; true big data enters through
+  * parquet, this source is the ingest edge).
+  */
+private[excel] class ExcelPartitionReader(
+    part: ExcelInputPartition, fullSchema: StructType, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val fieldIdx: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val rows: Iterator[InternalRow] = readAll()
+  private var current: InternalRow = _
+
+  private def readAll(): Iterator[InternalRow] = {
+    val zip = new ZipFile(part.path)
+    try {
+      val entries = XlsxParser.sheetEntries(zip)
+      val entry = part.sheet match {
+        case Some(s) => entries.find(_._1 == s).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"excel: sheet '$s' not found"))
+        case None => entries.head._2
+      }
+      val shared = XlsxParser.sharedStrings(zip)
+      val buf = mutable.ArrayBuffer.empty[InternalRow]
+      val width = fullSchema.length
+      XlsxParser.foreachRow(zip, entry, shared) { (rowIdx, cells) =>
+        if (!(part.header && rowIdx == 0)) {
+          val full = Array.fill[String](width)(null)
+          cells.foreach(c => if (c.col < width && c.value.nonEmpty)
+            full(c.col) = c.value)
+          val vals = new Array[Any](fieldIdx.length)
+          var i = 0
+          while (i < fieldIdx.length) {
+            val raw = full(fieldIdx(i))
+            vals(i) =
+              if (raw == null) null
+              else required.fields(i).dataType match {
+                case LongType =>
+                  try java.lang.Long.valueOf(raw.trim.toDouble.toLong)
+                  catch { case _: NumberFormatException => null }
+                case DoubleType =>
+                  try java.lang.Double.valueOf(raw.trim.toDouble)
+                  catch { case _: NumberFormatException => null }
+                case BooleanType =>
+                  java.lang.Boolean.valueOf(raw.trim == "true" || raw.trim == "1")
+                case _ => UTF8String.fromString(raw)
+              }
+            i += 1
+          }
+          buf += InternalRow.fromSeq(vals.toIndexedSeq)
+        }
+      }
+      buf.iterator
+    } finally zip.close()
+  }
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
