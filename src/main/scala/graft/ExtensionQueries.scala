@@ -1,0 +1,381 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Dedup, Similarity, TextFunctions}
+
+/** Training-data-pipeline operators over `documents` / `embeddings` /
+  * `events` (the scale extensions beyond the reference's own surface):
+  * dedup (exact, fingerprint, n-gram Jaccard, MinHash+LSH, SimHash),
+  * similarity search (brute-force and LSH ANN), text analysis (tokens,
+  * quality, language-ID), JSON extraction, windowed event aggregation and
+  * sessionization. Every query has a DuckDB oracle built from the same
+  * constants, so the two engines compute bit-identical results.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // ---- shared oracle fragments -----------------------------------------
+
+  /** Distinct word-3-gram shingles per doc (DuckDB side; mirrors
+    * TextFunctions.wordShingles + Dedup.shingleRows).
+    */
+  private val ShingleCte =
+    """sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+      |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)))""".stripMargin
+
+  private val JaccardCtes =
+    s"""$ShingleCte,
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT id_a, id_b,
+      |         CAST(common AS DOUBLE)/(ca.n + cb.n - common) AS jaccard
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b)""".stripMargin
+
+  /** DuckDB quantized-int expression for one embedding component
+    * (mirrors Similarity.quantize).
+    */
+  private def q(e: String) =
+    s"CAST(floor(CAST($e AS DOUBLE)*1000+0.5) AS BIGINT)"
+
+  /** DuckDB exact integer dot product of two embedding columns. */
+  private def dotQ(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ${q(s"$a[i]")} * ${q(s"$b[i]")})) AS BIGINT)"
+
+  // ---- queries ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: duplicate groups on the text hash (hash-groupBy; one
+    // shuffle, map-side combined).
+    "d01_dedup_exact" -> ((s, dir) => {
+      Dedup.duplicateGroups(t(s, dir, "documents"), md5(col("text")), col("doc_id"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // Fingerprint dedup key: formatting-robust md5 over normalized text.
+    "d02_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via the inverted shingle index.
+    "d03_jaccard_pairs" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      Dedup.jaccardPairs(sh, 0.8).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash signatures + LSH banding -> candidates -> exact verify.
+    // The scale path: near-linear candidate generation, exact Jaccard
+    // only on candidates.
+    "d04_minhash_lsh" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh, 8), 4, 2)
+      cands.join(Dedup.jaccardPairs(sh, 0.8), Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash signatures (16-bit here so the oracle stays readable;
+    // the library supports up to 56).
+    "d05_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), col("doc_id"), col("text"), 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace + BPE-ish subword chunks.
+    "t01_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring from length/stopword/punctuation features.
+    "t02_quality" -> ((s, dir) => {
+      val f = TextFunctions.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          f.getField("avg_word_len").as("avg_word_len"),
+          f.getField("stopword_ratio").as("stopword_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic vs the labeled lang column.
+    "t03_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tumbling-window event aggregation (batch form of the streaming
+    // windowed agg; same grouping the Structured Streaming path uses).
+    "s01_event_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user (lag + windowed
+    // cumulative sum — single shuffle on user_id).
+    "s02_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // JSON property extraction + aggregation over the events props blob.
+    "j01_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast(LongType)).as("k_total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Exact ANN baseline: brute-force quantized cosine top-5 for the
+    // first 10 vectors against the rest of the corpus.
+    "e01_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBrute(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Approximate ANN: random-hyperplane LSH buckets + exact re-rank
+    // within buckets — the path that scales past brute force.
+    "e02_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLsh(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          5, planes = 8, dims = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multimodal metadata projection + frame-sample plan: binary payload
+    // column stays pruned out of the scan (metadata-only stage).
+    "m01_media_meta" -> ((s, dir) => {
+      val media = functions.Multimodal.syntheticMedia(t(s, dir, "documents"))
+      val frames = functions.Multimodal.frameSamplePlan(media)
+      media.select(col("media_id"), col("kind"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"),
+          col("meta.duration_ms").as("duration_ms"))
+        .join(frames.select(col("media_id"), col("n_frames")),
+          Seq("media_id"), "left")
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS dup_key, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+         FROM documents GROUP BY text HAVING count(*) > 1
+         ORDER BY keep_id""",
+
+    "d02_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "d03_jaccard_pairs" ->
+      s"""WITH $JaccardCtes
+         SELECT id_a, id_b, jaccard FROM jac
+         WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+
+    "d04_minhash_lsh" -> {
+      val sigCols = (0 until 8).map(j => s"min(md5('$j:'||s)) AS mh$j").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${b * 2}||'|'||mh${b * 2 + 1} AS key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $JaccardCtes,
+         sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         buckets AS ($bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT c.id_a, c.id_b, j.jaccard
+         FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         WHERE j.jaccard >= 0.8
+         ORDER BY c.id_a, c.id_b"""
+    },
+
+    "d05_simhash" -> {
+      val votes = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      val sig = (0 until 16).map(j =>
+        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH wr AS (SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+         h AS (SELECT doc_id, CAST(('0x'||substr(md5(w),1,14)) AS BIGINT) AS h FROM wr),
+         votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+         SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes
+         ORDER BY doc_id"""
+    },
+
+    "t01_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+             r -> CAST(ceil(length(r)/4.0) AS BIGINT))) AS BIGINT) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
+
+    "t02_quality" ->
+      """SELECT doc_id,
+           CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len,
+           CAST(len(list_filter(string_split(text,' '),
+             w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             / len(string_split(text,' ')) AS stopword_ratio,
+           least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+             + least(CAST(len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                 / len(string_split(text,' ')) * 5.0, 1.0) * 0.3
+             + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+                 / length(text) * 10.0, 1.0)) * 0.2 AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "t03_langid" -> {
+      val markerSelects = TextFunctions.langMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"""SELECT doc_id, lang, '$lang' AS l,
+            CAST(len(list_filter(string_split(text,' '), w -> w IN ($inList))) AS BIGINT) AS hits
+            FROM documents"""
+      }.mkString(" UNION ALL ")
+      s"""WITH scores AS ($markerSelects),
+         ranked AS (
+           SELECT doc_id, lang, l, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, l DESC) AS rn
+           FROM scores)
+         SELECT doc_id, lang,
+           CASE WHEN hits > 0 THEN l ELSE 'und' END AS lang_pred
+         FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+    },
+
+    "s01_event_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    "s02_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "j01_json_extract" ->
+      """SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "e01_knn_brute" ->
+      s"""WITH qv AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         cv AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             CAST(${dotQ("qv.embedding", "cv.embedding")} AS DOUBLE)
+               / (sqrt(CAST(${dotQ("qv.embedding", "qv.embedding")} AS DOUBLE))
+                  * sqrt(CAST(${dotQ("cv.embedding", "cv.embedding")} AS DOUBLE))) AS cos
+           FROM qv CROSS JOIN cv),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+
+    "e02_knn_lsh" -> {
+      // bucket expression with the hyperplane sign literals embedded —
+      // generated from the same planeSigns the Spark plan uses
+      val signs = Similarity.planeSigns(8, 64)
+      val bucket = (0 until 8).map { p =>
+        val lst = signs(p).mkString("[", ",", "]")
+        s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(embedding)+1),
+           i -> ${q("embedding[i]")} * ($lst)[i])) AS BIGINT) > 0
+           THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""WITH qv AS (SELECT vec_id, embedding, $bucket AS bucket
+             FROM embeddings WHERE vec_id < 10),
+         cv AS (SELECT vec_id, embedding, $bucket AS bucket
+             FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             CAST(${dotQ("qv.embedding", "cv.embedding")} AS DOUBLE)
+               / (sqrt(CAST(${dotQ("qv.embedding", "qv.embedding")} AS DOUBLE))
+                  * sqrt(CAST(${dotQ("cv.embedding", "cv.embedding")} AS DOUBLE))) AS cos
+           FROM qv JOIN cv ON qv.bucket = cv.bucket),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+    },
+
+    "m01_media_meta" ->
+      """SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 AS INT)+1] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) * 100 AS duration_ms,
+           CASE WHEN doc_id % 3 = 2 THEN
+             CAST(least(floor(CAST(octet_length(encode(text)) AS DOUBLE) * 100 / 1000) + 1, 16) AS INT)
+           END AS n_frames
+         FROM documents ORDER BY media_id"""
+  )
+}

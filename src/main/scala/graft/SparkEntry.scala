@@ -59,7 +59,10 @@ object SparkEntry {
   // Query inventory. One entry per implemented operator (SURVEY.md §2).
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ExtensionQueries.queries ++ relationalQueries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // B1+B3: projection + filter; predicate/column pushdown reach the scan.
     "q01_filter_project" -> ((s, dir) => {
@@ -377,7 +380,10 @@ object SparkEntry {
   // DuckDB oracle SQL — identical column names & ordering per query.
   // ---------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    ExtensionQueries.oracleSql ++ relationalOracleSql
+
+  private def relationalOracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
          FROM lineitem

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for 100 TB-scale corpora. Four tiers, from
+  * exact to fuzzy, each expressed as shuffle-minimal DataFrame plans:
+  *
+  *   - exact:     one hash-aggregate on the dedup key
+  *   - fingerprint: exact over a normalization hash ([[TextFunctions.fingerprint]])
+  *   - MinHash+LSH: shingle → k minhashes (ONE aggregate produces all k)
+  *                  → banded bucket join → candidate pairs, O(n·shingles)
+  *                  instead of O(n²)
+  *   - n-gram Jaccard: exact pair scores via an inverted shingle index —
+  *                  the verification stage behind MinHash candidates
+  *
+  * SimHash gives a complementary hamming-distance signature.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum-id row per key. Single shuffle on the
+    * key; at scale this is the cheapest possible dedup (map-side partial
+    * aggregation halves the shuffle volume).
+    */
+  def dedupExact(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate groups: key → representative id + multiplicity (> 1). */
+  def duplicateGroups(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Distinct word-shingle set per document, exploded to
+    * (id, shingle) rows — the inverted-index base for Jaccard/MinHash.
+    */
+  def shingleRows(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(id.as("doc_id"),
+        explode(TextFunctions.wordShingles(text, n)).as("shingle"))
+      .distinct()
+
+  /** k MinHash signature values per document, computed in ONE aggregate
+    * pass (k min() columns over the exploded shingles) — no per-seed
+    * re-shuffle. Portable hash: md5 of `seed:shingle`, hex-string min —
+    * a uniform permutation surrogate any engine reproduces.
+    */
+  def minhashSignatures(shingles: DataFrame, k: Int = 8): DataFrame =
+    shingles.groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
+        (1 until k).map(j =>
+          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")): _*)
+
+  /** LSH banding: (bands × rowsPerBand) signature values → one bucket key
+    * per band; docs sharing any bucket become candidate pairs. Candidate
+    * generation is a self-join per bucket — with b·r = k small and
+    * buckets well-distributed this is near-linear, the core trick that
+    * makes fuzzy dedup feasible at 100 TB.
+    */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("key"))
+    }
+    val buckets = sigs.select(col("doc_id"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over the inverted shingle index: join on
+    * shingle, count common, |A∪B| = |A|+|B|−common. Only emits pairs
+    * with ≥ 1 shared shingle — the index prunes the O(n²) space.
+    */
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val common = a.join(b,
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast(DoubleType) /
+          (col("ca.n") + col("cb.n") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: `bits`-wide signature; bit j is the sign of the sum of
+    * ±1 votes from each distinct word's portable hash bit j. Near-dups
+    * land within small hamming distance (`bit_count(xor)`).
+    */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
+    val wordRows = df.select(id.as("doc_id"),
+        explode(TextFunctions.words(text)).as("w"))
+      .distinct()
+      .withColumn("h", TextFunctions.portableHash64(col("w")))
+    val bitVotes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val sums = wordRows.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+}

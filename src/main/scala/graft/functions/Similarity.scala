@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * All scores use *quantized* arithmetic: each component is scaled to an
+  * integer (`floor(x·1000 + 0.5)`), so dot products and norms are exact
+  * integer sums — order-independent, bit-identical in every engine, and
+  * still accurate to ~1e-3 relative. This sidesteps float-summation
+  * nondeterminism entirely (a real concern when partial aggregates run
+  * in nondeterministic partition order on a cluster).
+  *
+  * Two tiers:
+  *   - [[knnBrute]]: exact top-k via broadcast cross-score — the baseline,
+  *     right whenever |queries| is small (score matrix streams, never
+  *     materializes).
+  *   - [[lshBuckets]] / [[knnLsh]]: random-hyperplane LSH — the scale
+  *     path: candidates share a sign-pattern bucket, then exact re-rank
+  *     within buckets. Hyperplanes are derived from a portable hash, so
+  *     the index is reproducible anywhere with no stored model.
+  */
+object Similarity {
+
+  /** Quantize a float vector to exact longs: floor(x·1000 + 0.5). */
+  def quantize(vec: Column): Column =
+    transform(vec, x =>
+      floor(x.cast(DoubleType) * 1000.0 + 0.5).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized cosine similarity: exact integer dot / exact integer
+    * norms, one IEEE division+sqrt at the end (deterministic).
+    */
+  def cosineQ(a: Column, b: Column): Column = {
+    val qa = quantize(a); val qb = quantize(b)
+    dotQ(qa, qb).cast(DoubleType) /
+      (sqrt(dotQ(qa, qa).cast(DoubleType)) * sqrt(dotQ(qb, qb).cast(DoubleType)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` is broadcast (it is the small side by contract); the
+    * score matrix is a streamed nested-loop join — no shuffle of the
+    * corpus, one final window per query id.
+    */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(queries.as("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosineQ(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane components: plane p, dimension d gets
+    * the parity of a string hash of `p:d`. Exposed so oracle SQL can
+    * embed the identical literals — the "model" is pure code.
+    */
+  def planeSigns(planes: Int, dims: Int): Seq[Seq[Long]] =
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"$p:$d")
+        if ((h & 1) == 1) 1L else -1L
+      }
+    }
+
+  /** Sign-pattern bucket id from `planes` pseudo-random hyperplanes.
+    * The bucket is the integer of sign bits of vec·plane (quantized, so
+    * exact). No stored model — reproducible anywhere.
+    */
+  def lshBuckets(vec: Column, planes: Int, dims: Int): Column = {
+    val q = quantize(vec)
+    val signsPerPlane = planeSigns(planes, dims)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(q, array(signsPerPlane(p).map(lit): _*), (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates = same LSH bucket in ANY of `tables`
+    * independent hash tables (OR-amplification — the standard recall
+    * lever: P(candidate) = 1−(1−p^planes)^tables), exact re-rank inside.
+    * At corpus scale the bucket joins replace the O(|corpus|·|queries|)
+    * score matrix with ~tables·|corpus| bucketed comparisons.
+    *
+    * Table t uses plane indices [t·planes, (t+1)·planes) of the shared
+    * deterministic sign matrix, so every table is independent and still
+    * model-free.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dims: Int = 64, tables: Int = 1): DataFrame = {
+    def withBuckets(df: DataFrame): DataFrame =
+      (0 until tables).foldLeft(df) { (d, t) =>
+        d.withColumn(s"bucket$t",
+          lshBucketsOffset(col("embedding"), planes, dims, t * planes))
+      }
+    val cb = withBuckets(corpus)
+    val qb = withBuckets(queries)
+    val candidates = (0 until tables).map { t =>
+        cb.as("c")
+          .join(broadcast(qb.as("q")),
+            col(s"c.bucket$t") === col(s"q.bucket$t"))
+          .filter(col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("query_id"),
+            col("c.vec_id").as("neighbor_id"),
+            col("q.embedding").as("q_emb"), col("c.embedding").as("c_emb"))
+      }.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.select(
+      col("query_id"), col("neighbor_id"),
+      cosineQ(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[lshBuckets]] with the sign matrix offset by `planeOffset` rows —
+    * the per-table slice for multi-table LSH.
+    */
+  private def lshBucketsOffset(vec: Column, planes: Int, dims: Int,
+      planeOffset: Int): Column = {
+    val q = quantize(vec)
+    val all = planeSigns(planeOffset + planes, dims)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(q, array(all(planeOffset + p).map(lit): _*), (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines —
+  * all built from codegen'd `org.apache.spark.sql.functions` (no UDFs in
+  * the hot path), so whole-stage codegen spans the full expression tree
+  * and every operator scales embarrassingly parallel over partitions.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-gram shingles (the unit set for Jaccard/MinHash dedup).
+    * Empty result for docs shorter than n words.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    val idx = sequence(lit(1), greatest(size(w) - (n - 1), lit(0)))
+    transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+  }
+
+  /** Deterministic 56-bit hash, identical in any engine with md5:
+    * first 14 hex digits of md5 as a big-endian integer. Used wherever a
+    * portable (oracle-reproducible) hash is needed; for pure-Spark paths
+    * prefer the codegen'd built-in `xxhash64`.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword token count: alphabetic runs are split into ≤4-char
+    * chunks (a cheap stand-in for byte-pair merges), digits and other
+    * symbols count singly. Portable: regex run extraction + arithmetic.
+    */
+  def bpeishTokenCount(text: Column): Column = {
+    val runs = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    aggregate(runs, lit(0L),
+      (acc, r) => acc + ceil(length(r).cast(DoubleType) / 4.0).cast(LongType))
+  }
+
+  /** Quality heuristics (length / punctuation / stopword ratios), packed
+    * into one struct column. All ratios are int/int divisions in double —
+    * bit-identical across engines.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text)
+    val toks = words(text)
+    val nWords = size(toks)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val nStop = size(filter(toks, w => w.isInCollection(stop)))
+    val nPunct = length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+    struct(
+      nChars.cast(LongType).as("n_chars"),
+      nWords.cast(LongType).as("n_words"),
+      (nChars.cast(DoubleType) / nWords).as("avg_word_len"),
+      (nStop.cast(DoubleType) / nWords).as("stopword_ratio"),
+      (nPunct.cast(DoubleType) / nChars).as("punct_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: rewards mid-length docs with a sane
+    * stopword rate, penalizes punctuation soup.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f("n_words").cast(DoubleType) / 50.0, lit(1.0))
+    val stopScore = least(f("stopword_ratio") * 5.0, lit(1.0))
+    val punctPenalty = least(f("punct_ratio") * 10.0, lit(1.0))
+    (lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2)
+  }
+
+  /** Language-marker table for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "nicht"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "que", "los"),
+    "zh" -> Seq("的", "是", "不"))
+
+  /** Heuristic language ID: argmax over marker-word hit counts, with a
+    * deterministic tie-break on language code ("und" = undetermined when
+    * nothing matches). Pure expression — no dictionary shuffle, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val toks = words(text)
+    val scored = langMarkers.map { case (lang, markers) =>
+      val hits = size(filter(toks, w => w.isInCollection(markers)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // struct comparison is lexicographic: max by (hits, then lang), so
+    // equal-hit languages deterministically pick the last alphabetically;
+    // all-zero → "und"
+    val best = greatest(scored: _*)
+    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 over the whitespace-normalized, lowercased,
+    * punctuation-stripped text — the canonical exact-dedup key that is
+    * robust to formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+}

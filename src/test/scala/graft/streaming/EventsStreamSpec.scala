@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Structured Streaming drives: file-source stream → watermark + window →
+  * memory sink, checked against the equivalent batch plan; stateful
+  * sessionization via flatMapGroupsWithState checked against the batch
+  * sessionize query logic.
+  */
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDir: String = {
+    // stage the events table as a streaming source directory
+    val dir = Files.createTempDirectory("events-stream").toString
+    Tables.df(spark, sf(), "events").coalesce(2).write
+      .mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts: stream result equals batch result") {
+    val dir = eventsDir
+    val stream = EventsStream.windowedCounts(
+      EventsStream.readEvents(spark, dir))
+    // complete mode: append would hold back windows newer than the
+    // watermark (they stay in state until later data advances it), so a
+    // bounded file replay would under-report the trailing windows.
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("win_out")
+      .select("win_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val expected = spark.read.parquet(dir)
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(got == expected,
+      s"stream/batch divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
+  test("stateful sessionization matches the batch session count") {
+    import EventsStream._
+    val ev = Tables.df(spark, sf(), "events").as[Event]
+    // batch truth: count sessions per user via the lag+cumsum plan
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batchSessions = Tables.df(spark, sf(), "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .agg(sum(col("new_session"))).as[Long].head()
+
+    // streaming path (single batch = all closed sessions + open per user)
+    val closed = sessionize(ev).collect()
+    val openPerUser = ev.select(col("user_id")).distinct().count()
+    assert(closed.length + openPerUser == batchSessions,
+      s"closed=${closed.length} + open=$openPerUser != batch=$batchSessions")
+    // sanity on a closed session's invariants
+    closed.headOption.foreach { s =>
+      assert(s.n_events > 0 &&
+        !s.session_end.before(s.session_start))
+    }
+  }
+
+  test("multimodal: partition-batched feature extraction is deterministic") {
+    import graft.functions.Multimodal
+    val media = Multimodal.syntheticMedia(Tables.df(spark, sf(), "documents"))
+    val rows = media.select("media_id", "kind", "content")
+      .as[Multimodal.MediaRow]
+    val f1 = Multimodal.extractFeatures(rows).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(rows.repartition(7))
+      .orderBy("media_id").collect()
+    assert(f1.length == 500)
+    // determinism across partitionings (the decode stub is pure)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.head.features.length == 8)
+    // binary pruning: metadata-only projection must not read `content`
+    val metaOnly = media.select("media_id", "kind")
+    assert(!metaOnly.queryExecution.executedPlan.toString.contains("content"))
+  }
+}
