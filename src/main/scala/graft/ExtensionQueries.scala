@@ -88,7 +88,9 @@ object ExtensionQueries {
     "d04_minhash_lsh" -> ((s, dir) => {
       val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
       val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh, 8), 4, 2)
-      cands.join(Dedup.jaccardPairs(sh, 0.8), Seq("id_a", "id_b"))
+      // verify exact Jaccard ONLY on the LSH candidates (that selectivity
+      // is the whole point of LSH at scale)
+      Dedup.jaccardForPairs(sh, cands, 0.8)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -40,8 +40,9 @@ object Dedup {
     * (id, shingle) rows — the inverted-index base for Jaccard/MinHash.
     */
   def shingleRows(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
-    df.select(id.as("doc_id"),
-        explode(TextFunctions.wordShingles(text, n)).as("shingle"))
+    df.select(id.as("doc_id"), TextFunctions.words(text).as("__w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("__w"), n)).as("shingle"))
       .distinct()
 
   /** k MinHash signature values per document, computed in ONE aggregate
@@ -82,16 +83,46 @@ object Dedup {
   /** Exact pairwise Jaccard over the inverted shingle index: join on
     * shingle, count common, |A∪B| = |A|+|B|−common. Only emits pairs
     * with ≥ 1 shared shingle — the index prunes the O(n²) space.
+    *
+    * The join key is `xxhash64(shingle)` — a fixed-width long compares
+    * and shuffles far cheaper than the shingle text (collision odds for
+    * a v-shingle vocabulary are ~v²/2⁶⁴; at any realistic vocabulary
+    * that is < 1e-9, and a collision only perturbs one pair's count
+    * by 1).
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
+    val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = hs.as("a")
+    val b = hs.as("b")
     val common = a.join(b,
-        col("a.shingle") === col("b.shingle")
+        col("a.h") === col("b.h")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
+    jaccardFromCommon(common, counts, threshold)
+  }
+
+  /** Exact Jaccard for an explicit (small) candidate pair set — the
+    * verification stage after LSH. The pair list is broadcast against
+    * the shingle index twice, so cost is O(|pairs|·avg-shingles), never
+    * the full pairwise join.
+    */
+  def jaccardForPairs(shingles: DataFrame, pairs: DataFrame,
+      threshold: Double): DataFrame = {
+    val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = broadcast(pairs.select(col("id_a"), col("id_b")))
+      .join(hs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(hs.as("sb"),
+        col("id_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardFromCommon(common, counts, threshold)
+  }
+
+  private def jaccardFromCommon(common: DataFrame, counts: DataFrame,
+      threshold: Double): DataFrame =
     common
       .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
@@ -99,7 +130,6 @@ object Dedup {
         (col("common").cast(DoubleType) /
           (col("ca.n") + col("cb.n") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** SimHash: `bits`-wide signature; bit j is the sign of the sum of
     * ±1 votes from each distinct word's portable hash bit j. Near-dups

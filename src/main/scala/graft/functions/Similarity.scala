@@ -35,12 +35,16 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Quantized cosine similarity: exact integer dot / exact integer
-    * norms, one IEEE division+sqrt at the end (deterministic).
+    * norms, one IEEE division+sqrt at the end (deterministic). The three
+    * dot products are fused native codegen expressions
+    * ([[graft.functions.expressions.QuantizedDot]]) — one primitive loop
+    * each inside whole-stage codegen, no intermediate quantized arrays.
     */
   def cosineQ(a: Column, b: Column): Column = {
-    val qa = quantize(a); val qb = quantize(b)
-    dotQ(qa, qb).cast(DoubleType) /
-      (sqrt(dotQ(qa, qa).cast(DoubleType)) * sqrt(dotQ(qb, qb).cast(DoubleType)))
+    import graft.functions.expressions.QuantizedDot
+    QuantizedDot(a, b).cast(DoubleType) /
+      (sqrt(QuantizedDot(a, a).cast(DoubleType)) *
+        sqrt(QuantizedDot(b, b).cast(DoubleType)))
   }
 
   /** Exact top-k cosine neighbors for each query vector.

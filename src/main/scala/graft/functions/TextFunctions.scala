@@ -16,12 +16,18 @@ object TextFunctions {
 
   /** Word n-gram shingles (the unit set for Jaccard/MinHash dedup).
     * Empty result for docs shorter than n words.
+    *
+    * PERFORMANCE: pass a *materialized array column* (e.g. project
+    * `words(text).as("w")` first and pass `col("w")`), not `words(text)`
+    * directly. Higher-order-function lambdas re-evaluate captured
+    * non-attribute expressions per element — an inlined split() turns
+    * O(words) into O(words²) per document. [[Dedup.shingleRows]] does
+    * this correctly.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    val idx = sequence(lit(1), greatest(size(w) - (n - 1), lit(0)))
+  def wordShingles(wordArray: Column, n: Int = 3): Column = {
+    val idx = sequence(lit(1), greatest(size(wordArray) - (n - 1), lit(0)))
     transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+      concat_ws(" ", (0 until n).map(k => element_at(wordArray, i + k)): _*))
   }
 
   /** Deterministic 56-bit hash, identical in any engine with md5:

@@ -1,0 +1,83 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: quantized integer dot product of two
+  * `array<float>` embeddings in a single fused pass —
+  * `Σ floor(a[i]·scale + 0.5) · floor(b[i]·scale + 0.5)` as a long.
+  *
+  * Semantically identical to the composable
+  * `aggregate(zip_with(quantize(a), quantize(b), _*_), 0L, _+_)` built-in
+  * pipeline, but: (a) no intermediate quantized arrays are materialized,
+  * and (b) `doGenCode` emits a tight primitive loop that participates in
+  * whole-stage codegen, where the higher-order-function chain falls back
+  * to interpreted lambda evaluation per element. On the ANN hot path
+  * (|corpus|·|queries| score evaluations) this is the difference between
+  * a codegen'd scan and a per-element virtual call storm.
+  */
+case class QuantizedDot(left: Expression, right: Expression, scale: Double = 1000.0)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantized_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val qa = math.floor(x.getFloat(i) * scale + 0.5).toLong
+      val qb = math.floor(y.getFloat(i) * scale + 0.5).toLong
+      sum += qa * qb
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $qa = (long) java.lang.Math.floor($a.getFloat($i) * $scale + 0.5);
+         |  long $qb = (long) java.lang.Math.floor($b.getFloat($i) * $scale + 0.5);
+         |  $sum += $qa * $qb;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDot {
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(QuantizedDot(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}
