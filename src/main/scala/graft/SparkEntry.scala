@@ -373,6 +373,103 @@ object SparkEntry {
         .select("o_orderstatus", "o_orderpriority")
         .distinct()
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // Full window-function suite: rank/dense_rank/percent_rank/cume_dist/
+    // ntile/lead/first_value/nth_value over a tie-rich bucket ordering.
+    "q28_window_suite" -> ((s, dir) => {
+      val base = t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast(IntegerType))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("bucket"), col("o_orderkey"))
+      val wTies = Window.partitionBy(col("o_orderstatus")).orderBy(col("bucket"))
+      base.select(
+          col("o_orderstatus"), col("o_orderkey"), col("bucket"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          cume_dist().over(wTies).as("cdist"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first_value(col("o_orderkey")).over(w).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy(col("o_orderstatus"), col("bucket"), col("o_orderkey"))
+    }),
+
+    // CUBE (strict superset of the SQLite surface, like ROLLUP).
+    "q29_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
+    // GROUPING SETS via the SQL surface.
+    "q30_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    // Explicit CROSS JOIN.
+    "q31_cross_join" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      r.crossJoin(n).select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // UNION (distinct) vs UNION ALL (q23 covers ALL).
+    "q32_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+        .union(c.filter(col("c_mktsegment") === "MACHINERY").select("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL.
+    "q33_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "A").select("l_suppkey")
+      val n = li.filter(col("l_returnflag") === "N").select("l_suppkey")
+      a.exceptAll(n).orderBy(col("l_suppkey"))
+    }),
+
+    // IN (subquery) — decorrelated into a semi join by Catalyst.
+    "q34_in_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        ORDER BY o_orderkey""")
+    }),
+
+    // Correlated scalar subquery in the select list.
+    "q35_correlated_scalar" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        ORDER BY c_custkey""")
+    }),
+
+    // Date arithmetic battery: day offsets, quarter, day-of-year, last_day.
+    "q36_date_arith" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          last_day(col("o_orderdate").cast(DateType)).as("month_end"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -588,6 +685,72 @@ object SparkEntry {
 
     "q27_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-         ORDER BY o_orderstatus, o_orderpriority"""
+         ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q28_window_suite" ->
+      """SELECT o_orderstatus, o_orderkey, bucket,
+           CAST(rank() OVER wt AS INT) AS rnk,
+           CAST(dense_rank() OVER wt AS INT) AS drnk,
+           percent_rank() OVER wt AS prnk,
+           cume_dist() OVER wt AS cdist,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           lead(o_orderkey, 1) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+         FROM (SELECT o_orderstatus, o_orderkey,
+                 CAST(floor(o_totalprice / 50000) AS INT) AS bucket
+               FROM orders WHERE o_custkey < 100) t
+         WINDOW
+           wt AS (PARTITION BY o_orderstatus ORDER BY bucket),
+           w AS (PARTITION BY o_orderstatus ORDER BY bucket, o_orderkey)
+         ORDER BY o_orderstatus, bucket, o_orderkey""",
+
+    "q29_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q30_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q31_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "q32_union_distinct" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         ORDER BY c_nationkey""",
+
+    "q33_except_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+         EXCEPT ALL
+         SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N'
+         ORDER BY l_suppkey""",
+
+    "q34_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+         ORDER BY o_orderkey""",
+
+    "q35_correlated_scalar" ->
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         ORDER BY c_custkey""",
+
+    "q36_date_arith" ->
+      """SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+         FROM orders WHERE o_orderkey <= 1000
+         ORDER BY o_orderkey"""
   )
 }
