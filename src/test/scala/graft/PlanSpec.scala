@@ -1,0 +1,79 @@
+package graft
+
+/** Physical-plan assertions: the properties that make these queries scale
+  * are pinned here so a regression (lost pushdown, un-broadcast join,
+  * codegen fallback) fails CI, not a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val f = formatted("q01_filter_project")
+    assert(f.contains("PushedFilters:") &&
+      (f.contains("LessThan(l_shipdate") || f.contains("GreaterThan(l_quantity")),
+      s"filters not pushed:\n$f")
+    // pruned read schema: no l_partkey/l_suppkey/l_tax in the scan
+    assert(!f.contains("l_partkey"), "scan reads pruned column l_partkey")
+  }
+
+  test("q04: dimension joins are broadcast, fact side not shuffled for the join") {
+    val p = plan("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+  }
+
+  test("q03: hash aggregate with map-side partial aggregation") {
+    val p = plan("q03_group_multi")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q13: global top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("q13_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plans a full sort:\n$p")
+  }
+
+  test("q06: EXISTS semantics plan as a semi join (no row explosion)") {
+    val p = plan("q06_join_semi")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("whole-stage codegen spans the scan→filter→project pipeline") {
+    // AQE materializes the final plan lazily — execute first, then the
+    // WholeStageCodegen spans are visible in executedPlan. (q03, not q01:
+    // q01 selects zero rows at sf0.001 and AQE rewrites the whole plan to
+    // EmptyRelation.)
+    val df = SparkEntry.queries("q03_group_multi")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as `*(n)` in the compact plan form
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
+
+  test("e01: corpus side is streamed against a broadcast of the queries") {
+    val p = plan("e01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ANN scoring shuffles the corpus:\n$p")
+  }
+
+  test("excel scan plans as a DSv2 BatchScan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-xlsx").toString
+    graft.sources.excel.XlsxWriter.write(s"$dir/t.xlsx",
+      Seq("Sheet1" -> Seq((1L, "a")).toDF("k", "v")))
+    val p = spark.read.format("excel").load(s"$dir/t.xlsx")
+      .select("v").queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+  }
+}
