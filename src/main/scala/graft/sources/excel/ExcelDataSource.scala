@@ -48,7 +48,10 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
     val header = opt(options, "header", "true").toBoolean
     val infer = opt(options, "inferSchema", "true").toBoolean
     val sample = opt(options, "sampleRows", "1000").toInt
-    ExcelSchema.infer(path, sheet, header, infer, sample)
+    // schema from the first matching workbook (files in one load share a
+    // schema by contract, as with Spark's built-in file sources)
+    ExcelSchema.infer(ExcelSchema.resolvePaths(path).head, sheet, header,
+      infer, sample)
   }
 
   override def getTable(
@@ -59,6 +62,34 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[excel] object ExcelSchema {
+
+  /** Expand a path option to concrete workbook files: a single file, a
+    * directory (all .xlsx/.xls inside, sorted), or a glob in the last
+    * path segment. Each file becomes its own input partition, so a
+    * directory of workbooks scans in parallel across executors.
+    */
+  def resolvePaths(path: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    def excel(f: java.nio.file.Path) = {
+      val n = f.getFileName.toString
+      n.endsWith(".xlsx") || n.endsWith(".xls")
+    }
+    val out =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.filter(excel).map(_.toString).toSeq.sorted
+      else if (path.contains("*")) {
+        val dir = Option(p.getParent).getOrElse(Paths.get("."))
+        val matcher = dir.getFileSystem.getPathMatcher(
+          "glob:" + p.getFileName.toString)
+        Files.list(dir).iterator().asScala
+          .filter(f => matcher.matches(f.getFileName))
+          .map(_.toString).toSeq.sorted
+      } else Seq(path)
+    require(out.nonEmpty, s"excel: no workbooks match '$path'")
+    out
+  }
 
   private val IntRe = "[+-]?\\d{1,18}".r
   private val NumRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
@@ -165,7 +196,9 @@ private[excel] class ExcelScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ExcelInputPartition(path, sheet, header))
+    ExcelSchema.resolvePaths(path)
+      .map(p => ExcelInputPartition(p, sheet, header): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ExcelPartitionReaderFactory(fullSchema, required)
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.operators.Combinators
+import graft.sources.excel.XlsxWriter
+
+/** Property-based invariants (SURVEY.md §5.2 tier 4): generated inputs,
+  * structural laws that must hold for any data.
+  */
+class PropertySpec extends SparkSpec {
+
+  // scalatestplus bridge is not on the offline classpath — drive
+  // ScalaCheck generators directly, a few samples per property (each
+  // sample round-trips through real Spark jobs)
+  private def forAllSampled[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(body)
+
+  private def forAllSampled2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)(
+      body: (A, B) => Unit): Unit =
+    forAllSampled(ga, n)(a => forAllSampled(gb, 1)(b => body(a, b)))
+
+  private val cellGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.choose(-999999L, 999999L).map(_.toString),
+    Gen.choose(-1e6, 1e6).map(d => f"$d%.3f"),
+    Gen.const(""))
+
+  private val tableGen: Gen[List[(String, String, String)]] =
+    Gen.nonEmptyListOf(for {
+      a <- cellGen; b <- cellGen; c <- cellGen
+    } yield (a, b, c)).map(_.take(30))
+
+  test("pivotStack: |stack| = Σ|parts| and provenance partitions the rows") {
+    import spark.implicits._
+    forAllSampled2(tableGen, tableGen) { (rowsA, rowsB) =>
+      val a = rowsA.toDF("x", "y", "z")
+      val b = rowsB.toDF("x", "y", "z")
+      val stacked = Combinators.pivotStack(Seq("sa" -> a, "sb" -> b))
+      assert(stacked.count() == rowsA.length + rowsB.length)
+      assert(stacked.filter(col("index") === "sa").count() == rowsA.length)
+      assert(stacked.columns.head == "index")
+    }
+  }
+
+  test("positionalConcat: width = Σ widths + row_id; length = max length") {
+    import spark.implicits._
+    forAllSampled2(tableGen, tableGen) { (rowsA, rowsB) =>
+      val a = rowsA.map(t => (t._1, t._2)).toDF("x", "y")
+      val b = rowsB.map(_._1).toDF("v")
+      val out = Combinators.positionalConcat(Seq(
+        ("l", a, Seq(col("x"), col("y"))), ("r", b, Seq(col("v")))))
+      assert(out.columns.length == 2 + 1 + 1)
+      assert(out.count() == math.max(rowsA.length, rowsB.length))
+    }
+  }
+
+  test("prefixColumns is a bijection on column names") {
+    import spark.implicits._
+    forAllSampled(Gen.nonEmptyListOf(Gen.alphaStr.map(_.take(6)).suchThat(_.nonEmpty))
+        .map(_.distinct.take(5))) { names =>
+      if (names.nonEmpty) {
+        val df = spark.range(1).toDF(names.head)
+          .select(names.map(n => lit(1).as(n)): _*)
+        val out = Combinators.prefixColumns(df, "p.x")
+        assert(out.columns.toSeq == names.map(n => s"p.x_$n"))
+      }
+    }
+  }
+
+  test("xlsx write→read round-trip is identity on string tables") {
+    import spark.implicits._
+    forAllSampled(tableGen) { rows =>
+      // strings only: numeric-looking cells would legitimately re-infer
+      val data = rows.map(t => (s"s${t._1}", s"s${t._2}", s"s${t._3}"))
+      val df = data.toDF("c1", "c2", "c3")
+      val path = java.nio.file.Files
+        .createTempDirectory("prop-xlsx").resolve("t.xlsx").toString
+      XlsxWriter.write(path, Seq("Sheet1" -> df))
+      val back = spark.read.format("excel").load(path)
+      assert(back.schema.fields.forall(_.dataType == StringType))
+      assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet == data.toSet)
+      assert(back.count() == data.length)
+    }
+  }
+
+  test("multi-file excel scan: directory load = union of per-file loads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("glob-xlsx").toString
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b = Seq((3L, "c")).toDF("k", "v")
+    XlsxWriter.write(s"$dir/part1.xlsx", Seq("Sheet1" -> a))
+    XlsxWriter.write(s"$dir/part2.xlsx", Seq("Sheet1" -> b))
+    val all = spark.read.format("excel").load(dir)
+    assert(all.rdd.getNumPartitions == 2, "one partition per workbook")
+    assert(all.orderBy("k").collect() ===
+      Array(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    val glob = spark.read.format("excel").load(s"$dir/part*.xlsx")
+    assert(glob.count() == 3)
+  }
+}
