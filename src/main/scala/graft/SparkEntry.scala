@@ -470,6 +470,24 @@ object SparkEntry {
           dayofyear(col("o_orderdate")).as("doy"),
           last_day(col("o_orderdate").cast(DateType)).as("month_end"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // String-function battery 2: printf/pad/reverse/repeat/translate/
+    // split_part/left/right (SQLite printf + common scalar surface).
+    "q37_string_funcs2" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          format_string("%s-%03d", col("s_name"), col("s_nationkey")).as("tagged"),
+          lpad(col("s_name"), 25, "*").as("padded_l"),
+          rpad(substring(col("s_name"), 1, 10), 12, ".").as("padded_r"),
+          reverse(col("s_name")).as("rev"),
+          repeat(lit("ab"), 3).as("rep"),
+          translate(col("s_name"), "S#", "s_").as("trans"),
+          split_part(col("s_name"), lit("#"), lit(2)).as("num_part"),
+          substring(col("s_name"), 1, 3).as("left3"),
+          col("s_name").substr(length(col("s_name")) - 2, lit(3)).as("right3"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -751,6 +769,19 @@ object SparkEntry {
            CAST(dayofyear(o_orderdate) AS INT) AS doy,
            last_day(CAST(o_orderdate AS DATE)) AS month_end
          FROM orders WHERE o_orderkey <= 1000
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    "q37_string_funcs2" ->
+      """SELECT s_suppkey,
+           printf('%s-%03d', s_name, s_nationkey) AS tagged,
+           lpad(s_name, 25, '*') AS padded_l,
+           rpad(substr(s_name, 1, 10), 12, '.') AS padded_r,
+           reverse(s_name) AS rev,
+           repeat('ab', 3) AS rep,
+           translate(s_name, 'S#', 's_') AS trans,
+           split_part(s_name, '#', 2) AS num_part,
+           left(s_name, 3) AS left3,
+           right(s_name, 3) AS right3
+         FROM supplier ORDER BY s_suppkey"""
   )
 }
