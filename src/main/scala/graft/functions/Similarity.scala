@@ -132,6 +132,98 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  /** Train a deterministic coarse quantizer: k centroids via Lloyd's
+    * iterations over the quantized corpus. Seeds are the first k vectors
+    * by id (deterministic — no RNG), `iters` fixed sweeps. Returns
+    * (centroid_id, centroid) with centroids as quantized long arrays.
+    *
+    * Each sweep is one broadcast-join + one aggregation over the corpus —
+    * O(iters · |corpus| · k) distance evaluations, embarrassingly
+    * parallel, no shuffle of the corpus itself.
+    */
+  def ivfTrain(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    import corpus.sparkSession.implicits._
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(col("vec_id")).limit(k)
+      .select(quantize(col("embedding")).as("q")).as[Seq[Long]]
+      .collect().toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.map(_.toDouble)) }
+    val qcorpus = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .cache()
+    try {
+      for (_ <- 0 until iters) {
+        val cdf = centroids.toDF("centroid_id", "c")
+        val assigned = qcorpus.crossJoin(broadcast(cdf))
+          .withColumn("dist",
+            aggregate(zip_with(col("q"), col("c"),
+              (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+              lit(0.0), (acc, v) => acc + v))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("dist"), col("centroid_id"))))
+          .filter(col("rn") === 1)
+        centroids = assigned
+          .select(col("centroid_id"), posexplode(col("q")))
+          .groupBy(col("centroid_id"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .orderBy(col("centroid_id"), col("pos"))
+          .as[(Int, Int, Double)].collect().toSeq
+          .groupBy(_._1).toSeq
+          .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+      }
+    } finally qcorpus.unpersist()
+    centroids.toDF("centroid_id", "centroid")
+  }
+
+  /** Assign each corpus vector to its nearest centroid (the inverted
+    * lists). One broadcast join — corpus never shuffles.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+        quantize(col("embedding")).as("q"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        aggregate(zip_with(col("q"), col("centroid"),
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+
+  /** IVF search: probe the `nprobe` nearest inverted lists per query,
+    * exact-rerank within them. At scale this reads |corpus|·nprobe/k of
+    * the data per query instead of all of it.
+    */
+  def knnIvf(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        quantize(col("embedding")).as("qq"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        aggregate(zip_with(col("qq"), col("centroid"),
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** [[lshBuckets]] with the sign matrix offset by `planeOffset` rows —
     * the per-table slice for multi-table LSH.
     */

@@ -79,6 +79,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("IVF ANN: deterministic training, good recall at moderate nprobe") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val cents = Similarity.ivfTrain(corpus, k = 8, iters = 2).cache()
+    assert(cents.count() == 8)
+    // determinism: retraining yields identical centroids
+    val again = Similarity.ivfTrain(corpus, k = 8, iters = 2)
+    assert(cents.orderBy("centroid_id").collect().toSeq ==
+      again.orderBy("centroid_id").collect().toSeq)
+
+    val assigned = Similarity.ivfAssign(corpus, cents).cache()
+    assert(assigned.count() == corpus.count()) // every vector in one list
+    val exact = Similarity.knnBrute(corpus, queries, 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(assigned, cents, queries, 3, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low at nprobe=4 of 8 lists")
+  }
+
   test("quantized cosine is within 1e-2 of float cosine") {
     val rows = emb.limit(2).select("embedding").as[Array[Float]].collect()
     val (a, b) = (rows(0), rows(1))

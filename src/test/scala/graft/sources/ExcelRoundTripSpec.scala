@@ -95,6 +95,38 @@ class ExcelRoundTripSpec extends SparkSpec {
     assert(back.collect() === Array(Row("Yes", "a&b <c>", 511074L)))
   }
 
+  test("reads sharedStrings workbooks (the format Excel/pandas write)") {
+    // our writer emits inline strings (like the reference's committed
+    // workbook); craft a sharedStrings-style file by hand to cover the
+    // other on-disk profile
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = tmp("shared.xlsx")
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4"><si><t>name</t></si><si><t>qty</t></si><si><t>rich </t><r><t>text run</t></r></si><si><t>plain</t></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>5</v></c></row><row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>7</v></c></row></sheetData></worksheet>""")
+    zos.close()
+
+    val back = spark.read.format("excel").load(path)
+    assert(back.columns.toSeq == Seq("name", "qty"))
+    assert(back.schema("qty").dataType == LongType)
+    val rows = back.orderBy("qty").collect()
+    assert(rows(0) == Row("rich text run", 5L)) // rich runs concatenate
+    assert(rows(1) == Row("plain", 7L))
+  }
+
   test("column pruning pushes into the scan") {
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k", "s", "d")
     val path = tmp("prune.xlsx")
