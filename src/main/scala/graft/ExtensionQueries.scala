@@ -102,6 +102,33 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Embedding-cosine near-dup detection: exact quantized-cosine over
+    // all pairs (QuantizedDot keeps this a codegen'd primitive loop; at
+    // corpus scale the LSH/IVF candidate paths replace the cross join).
+    "d06_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosineQ(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.95)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs: hamming distance <= 3 on 16-bit signatures.
+    "d07_simhash_pairs" -> ((s, dir) => {
+      val sig = Dedup.simhash(t(s, dir, "documents"), col("doc_id"), col("text"), 16)
+      val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+      val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Token counting: whitespace + BPE-ish subword chunks.
     "t01_token_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -253,6 +280,34 @@ object ExtensionQueries {
          votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
          SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes
          ORDER BY doc_id"""
+    },
+
+    "d06_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
+               / (sqrt(CAST(${dotQ("a.embedding", "a.embedding")} AS DOUBLE))
+                  * sqrt(CAST(${dotQ("b.embedding", "b.embedding")} AS DOUBLE))) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.95
+         ORDER BY id_a, id_b""",
+
+    "d07_simhash_pairs" -> {
+      val votes = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      val sig = (0 until 16).map(j =>
+        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH wr AS (SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+         h AS (SELECT doc_id, CAST(('0x'||substr(md5(w),1,14)) AS BIGINT) AS h FROM wr),
+         votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+         sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY id_a, id_b"""
     },
 
     "t01_token_stats" ->
