@@ -218,6 +218,21 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Multimodal decode/feature-extract stage: partition-batched kernel
+    // over binary payloads (deterministic stub decoder). The per-JVM
+    // checksum is not SQL-expressible — no oracle; the driver records a
+    // rows-only check (output cardinality = corpus size).
+    "m02_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = functions.Multimodal.syntheticMedia(t(s, dir, "documents"))
+      functions.Multimodal
+        .extractFeatures(media.select("media_id", "kind", "content")
+          .as[functions.Multimodal.MediaRow])
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // Multimodal metadata projection + frame-sample plan: binary payload
     // column stays pruned out of the scan (metadata-only stage).
     "m01_media_meta" -> ((s, dir) => {

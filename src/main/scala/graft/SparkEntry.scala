@@ -488,6 +488,23 @@ object SparkEntry {
           substring(col("s_name"), 1, 3).as("left3"),
           col("s_name").substr(length(col("s_name")) - 2, lit(3)).as("right3"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // RANGE window frames (value-based, tie-stable) + ILIKE, via the SQL
+    // surface.
+    "q38_range_frame" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus, price_bucket,
+          CAST(count(*) OVER (
+            PARTITION BY o_orderstatus ORDER BY price_bucket
+            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_in_band
+        FROM (SELECT o_orderkey, o_orderstatus,
+                CAST(floor(o_totalprice) AS BIGINT) AS price_bucket
+              FROM orders
+              WHERE o_orderpriority ILIKE '%urgent%' AND o_orderkey <= 3000) t
+        ORDER BY o_orderstatus, price_bucket, o_orderkey""")
     })
   )
 
@@ -782,6 +799,18 @@ object SparkEntry {
            split_part(s_name, '#', 2) AS num_part,
            left(s_name, 3) AS left3,
            right(s_name, 3) AS right3
-         FROM supplier ORDER BY s_suppkey"""
+         FROM supplier ORDER BY s_suppkey""",
+
+    "q38_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, price_bucket,
+           CAST(count(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY price_bucket
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_in_band
+         FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(floor(o_totalprice) AS BIGINT) AS price_bucket
+               FROM orders
+               WHERE o_orderpriority ILIKE '%urgent%' AND o_orderkey <= 3000) t
+         ORDER BY o_orderstatus, price_bucket, o_orderkey"""
   )
 }

@@ -46,6 +46,42 @@ class EventsStreamSpec extends SparkSpec {
       s"stream/batch divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
   }
 
+  test("watermark drops late events in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import EventsStream.Event
+    def ev(id: Long, ts: String): Event =
+      Event(id, java.sql.Timestamp.valueOf(ts), 1L, "click", 1.0, "{}")
+
+    val input = MemoryStream[Event]
+    val agg = EventsStream.windowedCounts(input.toDF(),
+      window_ = "1 hour", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: events in hour 10 and hour 12 — watermark advances to
+      // 12:50, closing the hour-10 and hour-11 windows
+      input.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"),
+        ev(3, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      // batch 2: a straggler for hour 10 — beyond the watermark, dropped
+      input.addData(ev(4, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // batch 3: advance far enough to flush every window
+      input.addData(ev(5, "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_out")
+      .select("win_start", "n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the late event 4 must NOT be counted: hour-10 window stays at 2
+    assert(out("2024-01-01 10:00:00.0") == 2L,
+      s"late event leaked into a closed window: $out")
+  }
+
   test("stateful sessionization matches the batch session count") {
     import EventsStream._
     val ev = Tables.df(spark, sf(), "events").as[Event]
