@@ -188,6 +188,19 @@ object ExtensionQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // As-of join: each event enriched with the user's most recent signup
+    // at or before the event time (union+window composition — one
+    // shuffle, no range-join explosion; see operators.AsOf).
+    "a01_asof_join" -> ((s, dir) => {
+      operators.AsOf.asofSelf(
+          t(s, dir, "events"),
+          partition = "user_id", time = "ts",
+          marker = col("event_type") === "signup",
+          asOfName = "prior_signup")
+        .select("event_id", "user_id", "prior_signup")
+        .orderBy(col("event_id"))
+    }),
+
     // JSON property extraction + aggregation over the events props blob.
     "j01_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -387,6 +400,13 @@ object ExtensionQueries {
            min(ts) AS session_start, max(ts) AS session_end
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "a01_asof_join" ->
+      """WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+         SELECT e.event_id, e.user_id, max(s.ts) AS prior_signup
+         FROM events e LEFT JOIN s ON s.user_id = e.user_id AND s.ts <= e.ts
+         GROUP BY e.event_id, e.user_id
+         ORDER BY e.event_id""",
 
     "j01_json_extract" ->
       """SELECT event_type,

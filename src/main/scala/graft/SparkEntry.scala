@@ -505,6 +505,19 @@ object SparkEntry {
               FROM orders
               WHERE o_orderpriority ILIKE '%urgent%' AND o_orderkey <= 3000) t
         ORDER BY o_orderstatus, price_bucket, o_orderkey""")
+    }),
+
+    // Exact interpolated percentiles (over an integer-valued measure, so
+    // linear interpolation is float-exact in any engine).
+    "q39_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -811,6 +824,14 @@ object SparkEntry {
                  CAST(floor(o_totalprice) AS BIGINT) AS price_bucket
                FROM orders
                WHERE o_orderpriority ILIKE '%urgent%' AND o_orderkey <= 3000) t
-         ORDER BY o_orderstatus, price_bucket, o_orderkey"""
+         ORDER BY o_orderstatus, price_bucket, o_orderkey""",
+
+    "q39_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
