@@ -25,9 +25,13 @@ object TextFunctions {
     * this correctly.
     */
   def wordShingles(wordArray: Column, n: Int = 3): Column = {
-    val idx = sequence(lit(1), greatest(size(wordArray) - (n - 1), lit(0)))
-    transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(wordArray, i + k)): _*))
+    val cnt = size(wordArray) - (n - 1)
+    // guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+    // empty array — short docs must short-circuit to [] explicitly
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(wordArray, i + k)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
   }
 
   /** Deterministic 56-bit hash, identical in any engine with md5:
