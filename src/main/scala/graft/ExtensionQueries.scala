@@ -102,30 +102,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Embedding-cosine near-dup detection: exact quantized-cosine over
-    // all pairs (QuantizedDot keeps this a codegen'd primitive loop; at
-    // corpus scale the LSH/IVF candidate paths replace the cross join).
+    // Embedding-cosine near-dup detection, scale-shaped: 2-table
+    // random-hyperplane LSH self-joins for candidates (OR-amplified),
+    // exact quantized-cosine verify on candidates only — no cartesian
+    // product in the plan (Similarity.cosineNearDupPairs).
     "d06_embedding_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.cosineQ(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.95)
-        .select(col("id_a"), col("id_b"), col("cos"))
+      Similarity.cosineNearDupPairs(
+          t(s, dir, "embeddings"), 0.95, planes = 8, dims = 64, tables = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs: hamming distance <= 3 on 16-bit signatures.
+    // SimHash near-dup pairs (hamming <= 3, 16-bit signatures),
+    // scale-shaped: pigeonhole banding — 4 bit-bands; any pair within
+    // hamming 3 agrees exactly on >= 1 band, so a (band, chunk) hash
+    // self-join yields a COMPLETE candidate set, exact bit_count(xor)
+    // verify prunes false positives. Identical result to the all-pairs
+    // scan, no cartesian product (Dedup.simhashPairs).
     "d07_simhash_pairs" -> ((s, dir) => {
       val sig = Dedup.simhash(t(s, dir, "documents"), col("doc_id"), col("text"), 16)
-      val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
-      val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("hamming",
-          bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
-        .filter(col("hamming") <= 3)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      Dedup.simhashPairs(sig, bits = 16, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -232,9 +227,10 @@ object ExtensionQueries {
     }),
 
     // Multimodal decode/feature-extract stage: partition-batched kernel
-    // over binary payloads (deterministic stub decoder). The per-JVM
-    // checksum is not SQL-expressible — no oracle; the driver records a
-    // rows-only check (output cardinality = corpus size).
+    // over binary payloads (deterministic stub decoder). The gated
+    // projection (media_id, kind, n_bytes) is deterministic SQL over
+    // `documents`, so it carries a full DuckDB oracle; the non-SQL
+    // checksum/features stay out of the gated columns.
     "m02_media_features" -> ((s, dir) => {
       import s.implicits._
       val media = functions.Multimodal.syntheticMedia(t(s, dir, "documents"))
@@ -459,6 +455,12 @@ object ExtensionQueries {
          SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
     },
+
+    "m02_media_features" ->
+      """SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 AS INT)+1] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
 
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -131,6 +131,48 @@ object Dedup {
           (col("ca.n") + col("cb.n") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** SimHash near-dup pairs within `maxHamming`, scale-shaped via
+    * pigeonhole banding: split the `bits`-wide signature into
+    * `maxHamming + 1` contiguous bit bands — a pair within hamming
+    * distance `maxHamming` has differing bits in at most `maxHamming`
+    * bands, so it agrees EXACTLY on at least one band. A self-join on
+    * (band, band-chunk) therefore yields a complete candidate set
+    * (zero false negatives) with no cartesian product; exact
+    * `bit_count(xor)` verification on candidates removes the false
+    * positives. Result is identical to the all-pairs scan, but the
+    * plan is a hash self-join + filter — the shape that survives 100 TB
+    * (with 64-bit signatures the per-band chunks are 16 bits wide and
+    * the buckets are sharply selective; the 16-bit gate configuration
+    * keeps the oracle readable).
+    */
+  def simhashPairs(sigs: DataFrame, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    // even-as-possible contiguous bit ranges: band b covers [lo, hi)
+    val bounds = (0 to bands).map(b => b * bits / bands)
+    val bandCols = (0 until bands).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SimHash: `bits`-wide signature; bit j is the sign of the sum of
     * ±1 votes from each distinct word's portable hash bit j. Near-dups
     * land within small hamming distance (`bit_count(xor)`).

@@ -224,12 +224,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** All-pairs cosine near-dup detection above `threshold`, scale-shaped:
+    * multi-table random-hyperplane LSH self-joins generate candidates
+    * (OR-amplification across `tables` independent tables — the recall
+    * lever), then exact quantized-cosine verification runs on candidates
+    * only. No cartesian product anywhere in the plan: each table is a
+    * hash self-join on its bucket id. Candidate recall per true pair is
+    * 1−(1−p^planes)^tables with p = 1−θ/π; verification keeps precision
+    * exact, so the output is the LSH-recalled subset of the all-pairs
+    * result (complete whenever every near-dup shares ≥ 1 bucket —
+    * overwhelmingly likely for the tight clusters dedup targets).
+    *
+    * The quantized vector is materialized as a real column ONCE before
+    * the per-plane dot products: HOF lambdas re-evaluate captured
+    * expression trees per element, so feeding `quantize(vec)` straight
+    * into `tables × planes` aggregates would re-quantize per plane.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+      planes: Int = 8, dims: Int = 64, tables: Int = 2): DataFrame = {
+    val withQ = emb.select(col("vec_id"), col("embedding"),
+      quantize(col("embedding")).as("__q"))
+    val withB = (0 until tables).foldLeft(withQ) { (d, t) =>
+      d.withColumn(s"bucket$t",
+        lshBucketsFromQuantized(col("__q"), planes, dims, t * planes))
+    }.drop("__q")
+    val candidates = (0 until tables).map { t =>
+        val a = withB.select(col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col(s"bucket$t").as("__bk"))
+        val b = withB.select(col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col(s"bucket$t").as("__bk"))
+        a.join(b, Seq("__bk")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      }.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("cos", cosineQ(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** [[lshBuckets]] with the sign matrix offset by `planeOffset` rows —
     * the per-table slice for multi-table LSH.
     */
   private def lshBucketsOffset(vec: Column, planes: Int, dims: Int,
+      planeOffset: Int): Column =
+    lshBucketsFromQuantized(quantize(vec), planes, dims, planeOffset)
+
+  /** Bucket id from an ALREADY-quantized vector column — callers that
+    * compute many buckets should materialize the quantized array first
+    * (see [[cosineNearDupPairs]]) so each plane's aggregate reads a
+    * column, not a re-evaluated transform.
+    */
+  def lshBucketsFromQuantized(q: Column, planes: Int, dims: Int,
       planeOffset: Int): Column = {
-    val q = quantize(vec)
     val all = planeSigns(planeOffset + planes, dims)
     val bits = (0 until planes).map { p =>
       val dot = aggregate(

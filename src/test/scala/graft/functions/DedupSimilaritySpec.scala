@@ -57,6 +57,46 @@ class DedupSimilaritySpec extends SparkSpec {
       s"near-dup hamming distances too large: ${joined.mkString(",")}")
   }
 
+  test("simhashPairs: banded candidates reproduce the all-pairs result, no cartesian") {
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"), 16).cache()
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashPairs(sig, 16, 3)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "banded simhash pair plan must not contain a cartesian product")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole banding is COMPLETE for hamming <= maxHamming: identical sets
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+  }
+
+  test("cosineNearDupPairs: full recall on planted duplicates, no cartesian") {
+    // plant exact duplicates (p = 1 per plane -> same bucket in every table,
+    // so LSH recall is deterministic for them)
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.limit(5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(planted)
+    val out = Similarity.cosineNearDupPairs(corpus, 0.999, planes = 8, dims = 64, tables = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH near-dup plan must not contain a cartesian product")
+    val got = out.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.limit(5).select("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(expected.subsetOf(got),
+      s"planted duplicate pairs missed: ${expected.diff(got)}")
+    // precision is exact: nothing below the threshold survives verification
+    val lowCos = out.filter(col("cos") < 0.999).count()
+    assert(lowCos == 0)
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 20)
     val corpus = emb.filter(col("vec_id") >= 20)
