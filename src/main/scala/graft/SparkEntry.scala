@@ -518,6 +518,36 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.75)").as("p75"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Raw SQLite-dialect SQL through the integrated rewrite
+    // (pipeline.SqliteDialect.rewrite): GLOB → LIKE, strftime →
+    // date_format (argument swap), double-quoted identifier → backticks.
+    // This is the reference's pass-through contract end to end
+    // (reference query.py:13-27 / query_iterator.py:131): the string
+    // below is exactly what a SQLite user would have written.
+    "q40_sqlite_dialect" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val sqliteSql = """
+        SELECT o_orderkey, strftime('%Y-%m', o_orderdate) AS ym,
+               "o_totalprice" AS price
+        FROM orders
+        WHERE o_orderpriority GLOB '*URGENT*' AND o_orderkey <= 2000
+        ORDER BY o_orderkey"""
+      s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
+    }),
+
+    // Native recursive CTE (Spark 4.1 WITH RECURSIVE — formerly listed
+    // as a dialect gap; it is fully supported): month generator joined
+    // against orders.
+    "q41_recursive_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+        SELECT m, count(o_orderkey) AS n
+        FROM months LEFT JOIN orders ON month(o_orderdate) = m
+        GROUP BY m ORDER BY m""")
     })
   )
 
@@ -832,6 +862,20 @@ object SparkEntry {
            quantile_cont(l_quantity, 0.5) AS median,
            quantile_cont(l_quantity, 0.75) AS p75,
            count(*) AS n
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q40_sqlite_dialect" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+           o_totalprice AS price
+         FROM orders
+         WHERE o_orderpriority LIKE '%URGENT%' AND o_orderkey <= 2000
+         ORDER BY o_orderkey""",
+
+    "q41_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+           SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+         SELECT m, count(o_orderkey) AS n
+         FROM months LEFT JOIN orders ON month(o_orderdate) = m
+         GROUP BY m ORDER BY m"""
   )
 }

@@ -82,17 +82,24 @@ class Pipeline(
     */
   def queryDataFrames(
       bundle: QueryBundle, matched: Map[String, String])
-      : Map[String, Seq[(String, DataFrame)]] =
+      : Map[String, Seq[(String, DataFrame)]] = {
+    val sqliteDialect =
+      spark.conf.get(SqliteDialect.ConfKey, "false").toBoolean
     bundle.queries.map { q =>
       q.name -> bundle.fileMatches.map { m =>
         val file = matched(m)
-        val df = spark.sql(q.formatQuery(file))
+        val formatted = q.formatQuery(file, sqliteDialect)
+        // always preflight: features Spark lacks (GROUPS frames) fail
+        // with a friendly one-liner, not a raw Catalyst parse error
+        SqliteDialect.preflight(formatted)
+        val df = spark.sql(formatted)
         // A10: non-pivot results get match-prefixed columns
         // (query_iterator.py:111-119,133-134)
         val out = if (q.pivotTable) df else Combinators.prefixColumns(df, m)
         file -> out
       }
     }.toMap
+  }
 
   /** A11/A12 combine + A14/A15 export for one bundle. */
   def exportBundle(

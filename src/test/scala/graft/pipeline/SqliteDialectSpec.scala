@@ -21,6 +21,56 @@ class SqliteDialectSpec extends SparkSpec {
     assert(hits == Set("forest green", "green")) // case-sensitive
   }
 
+  test("rewrite: integrated GLOB / strftime / quoted-identifier translation") {
+    val in = """SELECT "order id", strftime('%Y-%m', order_ts) AS ym
+      FROM t WHERE name GLOB 'A*' AND note GLOB '?_x'"""
+    val out = SqliteDialect.rewrite(in)
+    assert(out.contains("`order id`"))
+    assert(out.contains("date_format(order_ts, 'yyyy-MM') AS ym"))
+    assert(out.contains("LIKE 'A%'"))
+    assert(out.contains("LIKE '_\\\\_x'")) // _ wildcard + escaped literal _
+    assert(!out.toLowerCase.contains("glob") && !out.toLowerCase.contains("strftime"))
+  }
+
+  test("rewrite: literals untouched, nested strftime, runnable end-to-end") {
+    // 'GLOB' and 'strftime(' inside string literals must survive verbatim
+    val lit = "SELECT 'uses GLOB and strftime(x) inside' AS s FROM t"
+    assert(SqliteDialect.rewrite(lit) == lit)
+    // nested call in the expression argument
+    val nested = SqliteDialect.rewrite(
+      "SELECT strftime('%Y', strftime('%Y-%m-%d', ts)) AS y FROM t")
+    assert(nested ==
+      "SELECT date_format(date_format(ts, 'yyyy-MM-dd'), 'yyyy') AS y FROM t")
+    // end-to-end through spark.sql
+    Seq(("Alpha", java.sql.Timestamp.valueOf("2024-03-05 07:08:09")))
+      .toDF("name", "order_ts").createOrReplaceTempView("sqlite_dialect_t")
+    val row = spark.sql(SqliteDialect.rewrite(
+      """SELECT "name", strftime('%Y-%m', order_ts) AS ym
+         FROM sqlite_dialect_t WHERE name GLOB 'Al*'"""))
+      .collect()
+    assert(row.length == 1 && row(0).getString(1) == "2024-03")
+  }
+
+  test("preflight: friendly errors for GROUPS frames and dialect edges") {
+    val e = intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.preflight(
+        "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    }
+    assert(e.getMessage.startsWith("unsupported: GROUPS window frames"))
+    // GROUPS as an identifier must NOT trip the check
+    SqliteDialect.preflight("SELECT groups FROM t WHERE groups > 3")
+    // and not inside string literals
+    SqliteDialect.preflight("SELECT 'GROUPS BETWEEN here' FROM t")
+    val g = intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.rewrite("SELECT * FROM t WHERE s GLOB '[abc]*'")
+    }
+    assert(g.getMessage.startsWith("unsupported: GLOB character classes"))
+    val m = intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.rewrite("SELECT strftime('%Y', ts, '+1 day') FROM t")
+    }
+    assert(m.getMessage.startsWith("unsupported: strftime modifiers"))
+  }
+
   test("strftime directives map to Spark date_format patterns") {
     assert(SqliteDialect.strftimeToSpark("%Y-%m-%d") == "yyyy-MM-dd")
     assert(SqliteDialect.strftimeToSpark("%H:%M:%S") == "HH:mm:ss")
