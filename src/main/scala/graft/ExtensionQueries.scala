@@ -226,6 +226,21 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN end to end: deterministic Lloyd's training (integer-
+    // rounded centroid means, exact integer distances), inverted-list
+    // assignment, nprobe=2 probing, exact quantized-cosine re-rank.
+    // Fully oracle-gated: the DuckDB SQL unrolls the identical 3 sweeps.
+    "e03_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8, iters = 3)
+      val assigned = Similarity.ivfAssign(corpus, cents)
+      Similarity.knnIvf(assigned, cents, queries, 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Multimodal decode/feature-extract stage: partition-batched kernel
     // over binary payloads (deterministic stub decoder). The gated
     // projection (media_id, kind, n_bytes) is deterministic SQL over
@@ -447,6 +462,62 @@ object ExtensionQueries {
                / (sqrt(CAST(${dotQ("qv.embedding", "qv.embedding")} AS DOUBLE))
                   * sqrt(CAST(${dotQ("cv.embedding", "cv.embedding")} AS DOUBLE))) AS cos
            FROM qv JOIN cv ON qv.bucket = cv.bucket),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+    },
+
+    "e03_knn_ivf" -> {
+      // mirrors Similarity.ivfTrain/ivfAssign/knnIvf exactly: quantized
+      // long vectors, integer sq-distance, floor(sum/count + 0.5)
+      // centroid means, (dist, centroid_id) tie-break — all exact
+      // arithmetic, so the 3 unrolled Lloyd sweeps reproduce Spark's
+      // training bit-for-bit.
+      val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      def sweep(n: Int, prev: String) = s"""
+        a$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc CROSS JOIN $prev),
+        c$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id)"""
+      s"""WITH qc AS (SELECT vec_id, embedding, $qv AS q
+             FROM embeddings WHERE vec_id >= 10),
+         qq AS (SELECT vec_id, embedding, $qv AS q
+             FROM embeddings WHERE vec_id < 10),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
+             FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
+         ${sweep(1, "c0")}, ${sweep(2, "c1")}, ${sweep(3, "c2")},
+         assigned AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, q_emb, centroid_id FROM (
+             SELECT v.vec_id AS query_id, v.embedding AS q_emb, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM qq v CROSS JOIN c3 c) WHERE rn <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(${dotQ("p.q_emb", "a.embedding")} AS DOUBLE)
+               / (sqrt(CAST(${dotQ("p.q_emb", "p.q_emb")} AS DOUBLE))
+                  * sqrt(CAST(${dotQ("a.embedding", "a.embedding")} AS DOUBLE))) AS cos
+           FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+           WHERE p.query_id <> a.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id

@@ -134,32 +134,44 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
 
+  /** Exact integer squared euclidean distance between two quantized
+    * (long-array) vectors — the IVF assignment metric. Pure integer
+    * arithmetic, so assignments are bit-identical in every engine (the
+    * property the e03 oracle gate relies on).
+    */
+  def sqDistQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
   /** Train a deterministic coarse quantizer: k centroids via Lloyd's
     * iterations over the quantized corpus. Seeds are the first k vectors
     * by id (deterministic — no RNG), `iters` fixed sweeps. Returns
-    * (centroid_id, centroid) with centroids as quantized long arrays.
+    * (centroid_id, centroid) with centroids as quantized long arrays:
+    * each updated component is the INTEGER-ROUNDED mean
+    * `floor(sum/count + 0.5)` — sums of quantized components stay far
+    * below 2^53, so the double division and floor are IEEE-exact and any
+    * engine reproduces the training bit-for-bit (the e03 oracle unrolls
+    * these sweeps in DuckDB SQL).
     *
     * Each sweep is one broadcast-join + one aggregation over the corpus —
     * O(iters · |corpus| · k) distance evaluations, embarrassingly
-    * parallel, no shuffle of the corpus itself.
+    * parallel, no shuffle of the corpus itself; driver state is bounded
+    * by k·dims.
     */
   def ivfTrain(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     import corpus.sparkSession.implicits._
-    var centroids: Seq[(Int, Seq[Double])] = corpus
+    var centroids: Seq[(Int, Seq[Long])] = corpus
       .orderBy(col("vec_id")).limit(k)
       .select(quantize(col("embedding")).as("q")).as[Seq[Long]]
       .collect().toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.map(_.toDouble)) }
+      .map { case (v, i) => (i, v) }
     val qcorpus = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .cache()
     try {
       for (_ <- 0 until iters) {
         val cdf = centroids.toDF("centroid_id", "c")
         val assigned = qcorpus.crossJoin(broadcast(cdf))
-          .withColumn("dist",
-            aggregate(zip_with(col("q"), col("c"),
-              (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-              lit(0.0), (acc, v) => acc + v))
+          .withColumn("dist", sqDistQ(col("q"), col("c")))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("vec_id"))
               .orderBy(col("dist"), col("centroid_id"))))
@@ -167,11 +179,14 @@ object Similarity {
         centroids = assigned
           .select(col("centroid_id"), posexplode(col("q")))
           .groupBy(col("centroid_id"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .orderBy(col("centroid_id"), col("pos"))
-          .as[(Int, Int, Double)].collect().toSeq
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .select(col("centroid_id"), col("pos"),
+            floor(col("s").cast(DoubleType) / col("n") + 0.5)
+              .cast(LongType).as("comp"))
+          .as[(Int, Int, Long)].collect().toSeq
           .groupBy(_._1).toSeq
           .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+          .sortBy(_._1)
       }
     } finally qcorpus.unpersist()
     centroids.toDF("centroid_id", "centroid")
@@ -184,10 +199,7 @@ object Similarity {
     corpus.select(col("vec_id"), col("embedding"),
         quantize(col("embedding")).as("q"))
       .crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        aggregate(zip_with(col("q"), col("centroid"),
-          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-          lit(0.0), (acc, v) => acc + v))
+      .withColumn("dist", sqDistQ(col("q"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("centroid_id"))))
@@ -204,10 +216,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         quantize(col("embedding")).as("qq"))
       .crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        aggregate(zip_with(col("qq"), col("centroid"),
-          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-          lit(0.0), (acc, v) => acc + v))
+      .withColumn("dist", sqDistQ(col("qq"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("dist"), col("centroid_id"))))
