@@ -20,9 +20,18 @@ object Tables {
       // events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
       // vectorized reader rejects. Read the nanos as a long (legacy flag)
       // and convert to a microsecond timestamp (the data is µs-precision,
-      // so the truncation is lossless).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // so the truncation is lossless). The flag is only consulted while
+      // the relation is being resolved, so it is saved/restored around
+      // the read — later parquet reads in the session are unaffected.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      val raw =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .select(raw.columns.map(col): _*)
     } else {

@@ -36,10 +36,20 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double = 100
 
   override def dataType: DataType = LongType
 
+  // null on ragged inputs (see nullSafeEval), independent of child nullability
+  override def nullable: Boolean = true
+
+  /** Length-mismatched inputs yield NULL — the same result as the
+    * `aggregate(zip_with(...))` built-in pipeline, whose `zip_with`
+    * null-pads the shorter array and so poisons the sum to NULL. A
+    * ragged pair is a data error; a silent partial dot product would
+    * hide it.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var sum = 0L
     var i = 0
     while (i < n) {
@@ -59,14 +69,18 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double = 100
       val qa = ctx.freshName("qa")
       val qb = ctx.freshName("qb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $sum = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $qa = (long) java.lang.Math.floor($a.getFloat($i) * $scale + 0.5);
-         |  long $qb = (long) java.lang.Math.floor($b.getFloat($i) * $scale + 0.5);
-         |  $sum += $qa * $qb;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sum = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $qa = (long) java.lang.Math.floor($a.getFloat($i) * $scale + 0.5);
+         |    long $qb = (long) java.lang.Math.floor($b.getFloat($i) * $scale + 0.5);
+         |    $sum += $qa * $qb;
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

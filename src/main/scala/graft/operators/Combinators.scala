@@ -56,11 +56,13 @@ object Combinators {
     * position (pandas `concat(axis=1)`), pad ragged lengths with NULL.
     * Reference: query_iterator.py:180-181, 207-208.
     *
-    * Row position is only meaningful under an explicit order (Q6 decision:
-    * the reference inherits whatever order SQLite emitted, which is
-    * undefined; we require the caller to say what "position" means).
-    * Each part is given a stable `row_id` via `row_number` over its
-    * `orderBy` columns, then parts are full-outer joined on `row_id`.
+    * "Position" per part is either the caller's explicit `orderBy`
+    * columns (deterministic, oracle-friendly) or — with an EMPTY order —
+    * the part's own emitted row order, which is the reference's pandas
+    * semantics: it concatenates rows exactly as each query produced them
+    * (query_iterator.py:180-181), so a query's own ORDER BY survives.
+    * Each part is given a stable `row_id` either way, then parts are
+    * full-outer joined on `row_id`.
     *
     * Scale note: an unpartitioned `row_number` funnels each part through a
     * single task — correct here because concat inputs are small per-source
@@ -71,9 +73,20 @@ object Combinators {
     require(parts.nonEmpty, "positionalConcat: no parts")
     val withIds = parts.map { case (prefix, d, order) =>
       // row_number over the caller's order, computed BEFORE the prefix
-      // rename so the order columns still resolve.
-      d.withColumn("row_id", row_number().over(Window.orderBy(order: _*)))
-        .select(
+      // rename so the order columns still resolve. An EMPTY order means
+      // "the query's own emitted order" — the reference's pandas
+      // positional-concat semantics (it numbers rows exactly as the
+      // query produced them): funnel to one partition (inputs are small
+      // per-source aggregates by contract — see scale note above) and
+      // number rows in iteration order, which after an ORDER BY query
+      // IS that query's output order.
+      val withId =
+        if (order.nonEmpty)
+          d.withColumn("row_id", row_number().over(Window.orderBy(order: _*)))
+        else
+          d.coalesce(1).withColumn("row_id",
+            (monotonically_increasing_id() + 1).cast("int"))
+      withId.select(
           col("row_id") +:
             d.columns.toIndexedSeq.map(c =>
               if (prefix.isEmpty) qcol(c) else qcol(c).as(s"${prefix}_$c")): _*)

@@ -115,9 +115,11 @@ class Pipeline(
         else if (results.length == 1) results.head._2
         else
           Combinators.positionalConcat(results.map { case (_, d) =>
-            // position = the query's own output order; results are
-            // small per-file aggregates (Q6 decision, SURVEY.md §2.F)
-            ("", d, d.columns.toSeq.map(c => col(s"`$c`")))
+            // empty order = the query's own emitted order, matching the
+            // reference's pandas positional row alignment (a query with
+            // its own ORDER BY keeps it); results are small per-file
+            // aggregates (Q6 decision, SURVEY.md §2.F)
+            ("", d, Nil)
           }).drop("row_id")
       q.name -> df
     }

@@ -255,8 +255,16 @@ private[excel] class ExcelPartitionReader(
               if (raw == null) null
               else required.fields(i).dataType match {
                 case LongType =>
-                  try java.lang.Long.valueOf(raw.trim.toDouble.toLong)
-                  catch { case _: NumberFormatException => null }
+                  // exact integer parse first: toDouble.toLong silently
+                  // corrupts integers above 2^53, and XlsxWriter emits
+                  // longs as exact text, so round-trips must be lossless.
+                  // The double path remains for decimal/exponent forms
+                  // ("3.0", "1e4") that schema inference typed integral.
+                  try java.lang.Long.valueOf(raw.trim.toLong)
+                  catch { case _: NumberFormatException =>
+                    try java.lang.Long.valueOf(raw.trim.toDouble.toLong)
+                    catch { case _: NumberFormatException => null }
+                  }
                 case DoubleType =>
                   try java.lang.Double.valueOf(raw.trim.toDouble)
                   catch { case _: NumberFormatException => null }

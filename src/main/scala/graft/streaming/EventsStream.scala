@@ -88,13 +88,22 @@ object EventsStream {
       }
   }
 
-  /** Close any still-open sessions (end-of-stream flush for the
-    * AvailableNow batch-parity runs).
+  /** [[sessionize]] plus an end-of-stream flush: appends one sentinel
+    * event per user just past that user's last activity + gap, which
+    * forces the state machine to close (and therefore EMIT) the final,
+    * still-open session of every user. The sentinel's own one-event
+    * session stays in state and is never emitted. With the flush, the
+    * batch/AvailableNow output matches the batch s02 sessionization
+    * exactly — every session appears, including each user's last.
     */
-  def openSessionsAsFinal(events: Dataset[Event], gapSeconds: Long = 1800)
-      : DataFrame = {
+  def sessionizeWithFinalFlush(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val closed = sessionize(events, gapSeconds)
-    closed.toDF()
+    val sentinels = events.groupByKey(_.user_id).mapGroups { (uid, it) =>
+      val last = it.map(_.ts.getTime).max
+      Event(-1L, new Timestamp(last + gapSeconds * 1000L + 1L), uid,
+        "__flush", 0.0, null)
+    }
+    sessionize(events.unionByName(sentinels), gapSeconds)
   }
 }
