@@ -42,7 +42,13 @@ object EventsStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal-summed value: exact, order-independent arithmetic, so the
+      // incremental stream aggregation is bit-identical to the batch
+      // (and DuckDB-oracle-gated) s01 plan — a float sum would drift by
+      // ulps with partial-aggregation order
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total_value"))
@@ -51,14 +57,32 @@ object EventsStream {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
-  case class SessionState(sessionId: Long, start: Long, last: Long, n: Long)
+  case class SessionState(sessionId: Long, start: Option[Timestamp],
+      last: Option[Timestamp], n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
+
+  /** `unix_timestamp` semantics: floor of the epoch second. Gap checks
+    * use this so the state machine agrees with the batch s02 plan
+    * (`unix_timestamp(ts) - unix_timestamp(prev) > gap`) on every
+    * borderline sub-second case.
+    */
+  private def epochSec(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+
+  /** Full-precision ordering key: epoch millis plus the complete
+    * sub-second nano field (events carry microsecond timestamps — an
+    * ms-truncated sort would mis-order same-millisecond events relative
+    * to the batch `ORDER BY ts, event_id`).
+    */
+  private def orderKey(e: Event): (Long, Int, Long) =
+    (e.ts.getTime, e.ts.getNanos, e.event_id)
 
   /** Custom state machine via flatMapGroupsWithState: a session closes
     * after `gapSeconds` of inactivity (or on state timeout in continuous
     * operation). Emits closed sessions — the streaming dual of the batch
-    * s02_sessionize query.
+    * s02_sessionize query, with identical arithmetic: floor-second gap
+    * comparison, full-precision event ordering, and original (µs)
+    * timestamps in the emitted session bounds.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
       : Dataset[SessionOut] = {
@@ -68,19 +92,20 @@ object EventsStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+          val sorted = it.toSeq.sortBy(orderKey)
+          var st = state.getOption.getOrElse(SessionState(0L, None, None, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.start < 0) {
-              st = SessionState(st.sessionId + 1, t, t, 1L)
-            } else if (t - st.last > gapSeconds * 1000L) {
-              out += SessionOut(userId, st.sessionId, st.n,
-                new Timestamp(st.start), new Timestamp(st.last))
-              st = SessionState(st.sessionId + 1, t, t, 1L)
-            } else {
-              st = st.copy(last = math.max(st.last, t), n = st.n + 1)
+            st.last match {
+              case None =>
+                st = SessionState(st.sessionId + 1, Some(e.ts), Some(e.ts), 1L)
+              case Some(last) if epochSec(e.ts) - epochSec(last) > gapSeconds =>
+                out += SessionOut(userId, st.sessionId, st.n, st.start.get, last)
+                st = SessionState(st.sessionId + 1, Some(e.ts), Some(e.ts), 1L)
+              case Some(last) =>
+                st = st.copy(
+                  last = Some(if (e.ts.after(last)) e.ts else last),
+                  n = st.n + 1)
             }
           }
           state.update(st)
@@ -100,8 +125,9 @@ object EventsStream {
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val sentinels = events.groupByKey(_.user_id).mapGroups { (uid, it) =>
-      val last = it.map(_.ts.getTime).max
-      Event(-1L, new Timestamp(last + gapSeconds * 1000L + 1L), uid,
+      val lastSec = it.map(e => epochSec(e.ts)).max
+      // strictly beyond the gap in floor-second arithmetic
+      Event(-1L, new Timestamp((lastSec + gapSeconds + 1L) * 1000L), uid,
         "__flush", 0.0, null)
     }
     sessionize(events.unionByName(sentinels), gapSeconds)

@@ -108,6 +108,48 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("ORACLE PARITY: AvailableNow streaming duals == gated s01/s02 results, exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    import EventsStream.Event
+    // These two comparisons are against the *driver-gated* batch queries
+    // (s01_event_window / s02_sessionize hash-match their DuckDB oracles
+    // every round), so equality here is transitively oracle parity for
+    // the streaming path itself — full rows, every column, exact doubles.
+    val dir = eventsDir
+
+    // s01 dual: file stream -> watermarked windowed agg, AvailableNow
+    val q = EventsStream.windowedCounts(EventsStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s01_parity")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val gotWin = spark.table("s01_parity")
+      .select("win_start", "event_type", "n", "total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val wantWin = graft.ExtensionQueries.queries("s01_event_window")(spark, sf())
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(gotWin == wantWin,
+      s"s01 stream/oracle divergence: ${gotWin.diff(wantWin).take(3)} vs ${wantWin.diff(gotWin).take(3)}")
+
+    // s02 dual: stateful sessionization + end-of-stream flush
+    val gotSes = EventsStream
+      .sessionizeWithFinalFlush(Tables.df(spark, sf(), "events").as[Event])
+      .collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.session_start, s.session_end))
+      .toSet
+    val wantSes = graft.ExtensionQueries.queries("s02_sessionize")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+      .toSet
+    assert(gotSes == wantSes,
+      s"s02 stream/oracle divergence: ${gotSes.diff(wantSes).take(3)} vs ${wantSes.diff(gotSes).take(3)}")
+  }
+
   test("multimodal: partition-batched feature extraction is deterministic") {
     import graft.functions.Multimodal
     val media = Multimodal.syntheticMedia(Tables.df(spark, sf(), "documents"))
