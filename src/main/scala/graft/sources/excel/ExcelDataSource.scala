@@ -102,19 +102,31 @@ private[excel] object ExcelSchema {
     * column whose non-empty sampled cells are all numeric-typed cells
     * becomes long (all integral) or double; anything else is string.
     */
+  /** Iterate a sheet's rows regardless of container format: BIFF8 via
+    * [[XlsParser]] for `.xls`, zip/XML via [[XlsxParser]] for `.xlsx`.
+    */
+  def foreachSheetRow(path: String, sheetOpt: Option[String])(
+      f: (Int, Seq[XlsxParser.Cell]) => Unit): Unit =
+    if (XlsParser.isXls(path)) {
+      XlsParser.foreachRow(path, sheetOpt)(f)
+    } else {
+      val zip = new ZipFile(path)
+      try {
+        val entries = XlsxParser.sheetEntries(zip)
+        val entry = sheetOpt match {
+          case Some(s) => entries.find(_._1 == s).map(_._2).getOrElse(
+            throw new IllegalArgumentException(
+              s"excel: sheet '$s' not found in $path; has: ${entries.map(_._1).mkString(", ")}"))
+          case None => entries.head._2
+        }
+        val shared = XlsxParser.sharedStrings(zip)
+        XlsxParser.foreachRow(zip, entry, shared)(f)
+      } finally zip.close()
+    }
+
   def infer(path: String, sheetOpt: Option[String], header: Boolean,
       inferTypes: Boolean, sampleRows: Int): StructType = {
-    val zip = new ZipFile(path)
-    try {
-      val entries = XlsxParser.sheetEntries(zip)
-      val (sheetName, entry) = sheetOpt match {
-        case Some(s) => entries.find(_._1 == s).getOrElse(
-          throw new IllegalArgumentException(
-            s"excel: sheet '$s' not found in $path; has: ${entries.map(_._1).mkString(", ")}"))
-        case None => entries.head
-      }
-      val _ = sheetName
-      val shared = XlsxParser.sharedStrings(zip)
+    {
       var names: IndexedSeq[String] = IndexedSeq.empty
       val seenNumeric = mutable.ArrayBuffer.empty[Boolean] // all numeric so far
       val seenIntegral = mutable.ArrayBuffer.empty[Boolean]
@@ -124,7 +136,7 @@ private[excel] object ExcelSchema {
       // bounded streaming scan; throws to abort early once sample is met
       object Done extends RuntimeException
       try {
-        XlsxParser.foreachRow(zip, entry, shared) { (rowIdx, cells) =>
+        foreachSheetRow(path, sheetOpt) { (rowIdx, cells) =>
           if (rowIdx == 0 && header) {
             val w = if (cells.isEmpty) 0 else cells.map(_.col).max + 1
             val arr = Array.fill(w)("")
@@ -162,7 +174,7 @@ private[excel] object ExcelSchema {
         StructField(n, dt, nullable = true)
       }
       StructType(fields)
-    } finally zip.close()
+    }
   }
 }
 
@@ -231,18 +243,10 @@ private[excel] class ExcelPartitionReader(
   private var current: InternalRow = _
 
   private def readAll(): Iterator[InternalRow] = {
-    val zip = new ZipFile(part.path)
-    try {
-      val entries = XlsxParser.sheetEntries(zip)
-      val entry = part.sheet match {
-        case Some(s) => entries.find(_._1 == s).map(_._2).getOrElse(
-          throw new IllegalArgumentException(s"excel: sheet '$s' not found"))
-        case None => entries.head._2
-      }
-      val shared = XlsxParser.sharedStrings(zip)
+    {
       val buf = mutable.ArrayBuffer.empty[InternalRow]
       val width = fullSchema.length
-      XlsxParser.foreachRow(zip, entry, shared) { (rowIdx, cells) =>
+      ExcelSchema.foreachSheetRow(part.path, part.sheet) { (rowIdx, cells) =>
         if (!(part.header && rowIdx == 0)) {
           val full = Array.fill[String](width)(null)
           cells.foreach(c => if (c.col < width && c.value.nonEmpty)
@@ -278,7 +282,7 @@ private[excel] class ExcelPartitionReader(
         }
       }
       buf.iterator
-    } finally zip.close()
+    }
   }
 
   override def next(): Boolean =
