@@ -124,6 +124,28 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Duplicate clusters: connected components over the exact-Jaccard
+    // near-dup pair graph, canonical id = min reachable doc id
+    // (min-label propagation, O(diameter) shuffle rounds).
+    "d08_dup_clusters" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      val pairs = Dedup.jaccardPairs(sh, 0.8)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (k=5 char grams, w=4 windows): the
+    // guaranteed-coverage near-copy detection primitive; zero-shuffle
+    // projection + explode.
+    "t04_winnowing" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.gramHashes(col("text"), 5).as("__g"))
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFromGrams(col("__g"), 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // Token counting: whitespace + BPE-ish subword chunks.
     "t01_token_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -348,6 +370,36 @@ object ExtensionQueries {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id_a, id_b"""
     },
+
+    // transitive closure of the near-dup pair graph: min reachable id
+    // per node — DuckDB's recursive CTE mirrors the label-propagation
+    // fixpoint exactly
+    "d08_dup_clusters" ->
+      s"""WITH RECURSIVE $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         SELECT id AS doc_id, min(r) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "t04_winnowing" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CASE WHEN length(text) < 5 THEN []::BIGINT[]
+                  ELSE list_transform(range(1, length(text) - 3),
+                    i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 14)) AS BIGINT))
+             END AS grams
+           FROM documents),
+         w AS (
+           SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(grams) - 3, 1) + 1),
+               j -> list_min(grams[j:j+3]))) AS fp
+           FROM g WHERE len(grams) > 0)
+         SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
 
     "t01_token_stats" ->
       """SELECT doc_id,

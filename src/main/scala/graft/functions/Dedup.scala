@@ -161,16 +161,76 @@ object Dedup {
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
     val a = buckets.as("a")
     val b = buckets.as("b")
+    // first-matching-band dedup: a pair sharing several bands is emitted
+    // only at its lowest shared band — a codegen'd filter over the
+    // signatures already on the row, replacing a dropDuplicates SHUFFLE
+    // of the (large) candidate set with zero data movement
+    def chunkOf(sig: org.apache.spark.sql.Column, band: Int) = {
+      val lo = bounds(band)
+      val mask = (1L << (bounds(band + 1) - lo)) - 1
+      shiftright(sig, lo).bitwiseAND(lit(mask))
+    }
+    val firstMatch = (0 until bands).map { bnd =>
+      (0 until bnd).foldLeft(col("a.band") === bnd) { (acc, earlier) =>
+        acc && !(chunkOf(col("a.simhash"), earlier) ===
+          chunkOf(col("b.simhash"), earlier))
+      }
+    }.reduce(_ || _)
     a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
           && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstMatch)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming",
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Duplicate clusters from a near-dup pair list: connected components
+    * over the undirected pair graph, each node labeled with the minimum
+    * doc id reachable from it (the cluster's canonical representative —
+    * the id exact dedup would keep). Returns (doc_id, cluster_id) for
+    * every doc that appears in at least one pair.
+    *
+    * Min-label propagation: each round joins current labels across the
+    * edge list and takes the elementwise minimum, converging in
+    * O(component diameter) rounds — near-dup clusters are tight, so a
+    * handful. Per round: one shuffle join + one aggregate; lineage is
+    * truncated with `localCheckpoint` so long chains never build up (on
+    * a cluster, set a checkpoint dir and swap in `checkpoint`). This is
+    * the simple member of the MapReduce-CC family (Kiveris et al.'s
+    * large-star/small-star being the heavy-duty sibling for
+    * billion-edge graphs); the fixpoint test is one count per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** SimHash: `bits`-wide signature; bit j is the sign of the sum of

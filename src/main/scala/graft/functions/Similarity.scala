@@ -257,15 +257,24 @@ object Similarity {
       d.withColumn(s"bucket$t",
         lshBucketsFromQuantized(col("__q"), planes, dims, t * planes))
     }.drop("__q")
+    // first-matching-table dedup: a pair colliding in several tables is
+    // emitted only by its lowest-index colliding table — a codegen'd
+    // filter over bucket ids already on the row, not a dropDuplicates
+    // shuffle of the candidate set
     val candidates = (0 until tables).map { t =>
-        val a = withB.select(col("vec_id").as("id_a"),
-          col("embedding").as("ea"), col(s"bucket$t").as("__bk"))
-        val b = withB.select(col("vec_id").as("id_b"),
-          col("embedding").as("eb"), col(s"bucket$t").as("__bk"))
-        a.join(b, Seq("__bk")).filter(col("id_a") < col("id_b"))
+        val aCols = col("vec_id").as("id_a") +: col("embedding").as("ea") +:
+          (0 to t).map(k => col(s"bucket$k").as(s"a_bk$k"))
+        val bCols = col("vec_id").as("id_b") +: col("embedding").as("eb") +:
+          (0 to t).map(k => col(s"bucket$k").as(s"b_bk$k"))
+        val a = withB.select(aCols: _*)
+        val b = withB.select(bCols: _*)
+        val earlierAllDiffer = (0 until t).foldLeft(lit(true)) { (acc, k) =>
+          acc && !(col(s"a_bk$k") === col(s"b_bk$k"))
+        }
+        a.join(b, col(s"a_bk$t") === col(s"b_bk$t"))
+          .filter(col("id_a") < col("id_b") && earlierAllDiffer)
           .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
       }.reduce(_ unionByName _)
-      .dropDuplicates("id_a", "id_b")
     candidates
       .withColumn("cos", cosineQ(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)

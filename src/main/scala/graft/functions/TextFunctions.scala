@@ -42,6 +42,37 @@ object TextFunctions {
   def portableHash64(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
 
+  /** Rolling `k`-char gram hashes for winnowing: position i gets the
+    * portable 64-bit hash of `text[i, i+k)`. Empty array for texts
+    * shorter than `k`. MATERIALIZE the result as a column before
+    * passing it to [[winnowFromGrams]] — the HOF-lambda re-evaluation
+    * rule (see [[wordShingles]]) otherwise re-hashes the whole text
+    * once per window.
+    */
+  def gramHashes(text: Column, k: Int = 5): Column =
+    when(length(text) < k, array().cast(ArrayType(LongType)))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => portableHash64(text.substr(i, lit(k)))))
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    * slide a window of `w` gram hashes over a MATERIALIZED
+    * [[gramHashes]] column, keep each window's minimum, dedupe.
+    * Winnowing guarantees a fingerprint in every `w`-gram stretch, so
+    * any shared substring of length ≥ k + w − 1 yields a shared
+    * fingerprint — the standard plagiarism/near-copy detection
+    * primitive. Documents with fewer than `w` grams yield their single
+    * global minimum; empty gram arrays fingerprint to empty.
+    *
+    * Pure codegen'd projection — zero shuffle, O(grams·w) per document.
+    */
+  def winnowFromGrams(grams: Column, w: Int = 4): Column =
+    array_distinct(
+      when(size(grams) === 0, array().cast(ArrayType(LongType)))
+        .otherwise(transform(
+          sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+          j => array_min(slice(grams, j, lit(w))))))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 

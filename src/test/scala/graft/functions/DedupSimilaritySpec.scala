@@ -97,6 +97,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lowCos == 0)
   }
 
+  test("connectedComponents: min-label clusters over a pair graph") {
+    // chain 1-2-3 (transitively one cluster), pair 5-6, node 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // long chain exercises multi-round propagation to the fixpoint
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 9 && labels.forall(_._2 == 1L))
+  }
+
+  test("winnowing: shared substrings fingerprint; guarantees + edge cases") {
+    val common = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"AAAA $common BBBB"),
+      (2L, s"XYZW $common QRST"),
+      (3L, "completely unrelated content here"),
+      (4L, "abc"), // shorter than k=5: no fingerprints
+      (5L, "abcdef")) // 2 grams < w=4: single global-min fingerprint
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 5).as("g"))
+      .select(col("doc_id"), TextFunctions.winnowFromGrams(col("g"), 4).as("fps"))
+    val fps = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: a shared run of length >= k+w-1 shares a print
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    assert(fps(4L).isEmpty)
+    assert(fps(5L).size == 1)
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 20)
     val corpus = emb.filter(col("vec_id") >= 20)
