@@ -218,6 +218,44 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Generic two-table as-of join: each order enriched with the
+    // customer's most recent event at or before the order date — one
+    // shuffle on the key, no range-join explosion (operators.AsOf).
+    "a02_asof_two_table" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_orderdate"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("custkey"), col("ts"))
+      operators.AsOf.asofLatest(orders, ev,
+          partition = "custkey", leftTime = "o_orderdate", rightTime = "ts",
+          asOfName = "last_event_ts")
+        .select(col("o_orderkey"), col("custkey"), col("last_event_ts"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Two-phase (salted) aggregation for hot keys: result-identical to
+    // the direct groupBy by COUNT/SUM decomposition — the oracle IS the
+    // direct aggregation.
+    "x01_skew_twophase" -> ((s, dir) => {
+      operators.Skew.twoPhaseCountSum(t(s, dir, "events"),
+          col("event_type"), salt = 8,
+          sums = Seq((col("value").cast(DecimalType(18, 2)), "total_value")))
+        .select(col("__k").as("event_type"), col("n"),
+          col("total_value").cast(DoubleType).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Salted fact⋈dim equi-join for broadcast-ineligible skewed joins:
+    // result-identical to the plain join (the salt only re-deals rows).
+    "x02_skew_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      operators.Skew.saltedJoin(o, c, o("o_custkey"), c("c_custkey"), salt = 4)
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // JSON property extraction + aggregation over the events props blob.
     "j01_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -470,6 +508,22 @@ object ExtensionQueries {
          FROM events e LEFT JOIN s ON s.user_id = e.user_id AND s.ts <= e.ts
          GROUP BY e.event_id, e.user_id
          ORDER BY e.event_id""",
+
+    "a02_asof_two_table" ->
+      """SELECT o.o_orderkey, o.o_custkey AS custkey, max(e.ts) AS last_event_ts
+         FROM orders o LEFT JOIN events e
+           ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+         GROUP BY 1, 2 ORDER BY o_orderkey""",
+
+    "x01_skew_twophase" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "x02_skew_salted_join" ->
+      """SELECT o_orderkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
 
     "j01_json_extract" ->
       """SELECT event_type,
