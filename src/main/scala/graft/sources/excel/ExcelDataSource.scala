@@ -91,10 +91,20 @@ private[excel] object ExcelSchema {
     out
   }
 
-  private val IntRe = "[+-]?\\d{1,18}".r
+  private val IntRe = "[+-]?\\d{1,19}".r
   private val NumRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
 
-  def isIntegral(s: String): Boolean = IntRe.matches(s.trim)
+  /** Integral iff the text is a base-10 integer that fits a Long —
+    * 19-digit values are checked by an exact parse (Long.MaxValue is 19
+    * digits, so a regex length cap alone either rejects valid ids or
+    * admits overflows).
+    */
+  def isIntegral(s: String): Boolean = {
+    val t = s.trim
+    IntRe.matches(t) &&
+      (t.length < 19 + (if (t.startsWith("-") || t.startsWith("+")) 1 else 0) ||
+        scala.util.Try(t.toLong).isSuccess)
+  }
   def isNumeric(s: String): Boolean = NumRe.matches(s.trim)
 
   /** Header names + per-column type from a bounded sample of the sheet.

@@ -174,6 +174,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low at nprobe=4 of 8 lists")
   }
 
+  test("QuantizedDot: NULL on ragged arrays, same as the HOF pipeline") {
+    import graft.functions.expressions.QuantizedDot
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (2L, Array(1.0f, 2.0f), Array(3.0f))).toDF("id", "a", "b")
+    val got = df.select(col("id"), QuantizedDot(col("a"), col("b")).as("dot"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 1000L * 3000L + 2000L * 4000L)
+    assert(got(1).isNullAt(1), "ragged pair must yield NULL, not a partial dot")
+    // parity with the composable built-in pipeline (zip_with null-pads)
+    val hof = df.filter(col("id") === 2).select(
+      aggregate(zip_with(Similarity.quantize(col("a")),
+        Similarity.quantize(col("b")), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)).collect()
+    assert(hof(0).isNullAt(0))
+  }
+
   test("quantized cosine is within 1e-2 of float cosine") {
     val rows = emb.limit(2).select("embedding").as[Array[Float]].collect()
     val (a, b) = (rows(0), rows(1))

@@ -45,6 +45,18 @@ class ExcelRoundTripSpec extends SparkSpec {
     assert(rows(2) == Row(3L, 3.0, "gamma, with comma", "z", "not a date"))
   }
 
+  test("longs above 2^53 round-trip exactly (no double truncation)") {
+    val big = 9007199254740993L // 2^53 + 1: unrepresentable as a double
+    val df = Seq((big, "a"), (Long.MaxValue - 1, "b"), (7L, "c"))
+      .toDF("id", "tag")
+    val path = tmp("biglong.xlsx")
+    XlsxWriter.write(path, Seq("Sheet1" -> df))
+    val back = spark.read.format("excel").load(path)
+    assert(back.schema("id").dataType == LongType)
+    assert(back.orderBy("tag").collect().map(_.getLong(0)).toSeq ==
+      Seq(big, Long.MaxValue - 1, 7L))
+  }
+
   test("mixed numeric+string column degrades to string") {
     val df = Seq(("1", "a"), ("2.5", "b"), ("three", "c")).toDF("mixed", "tag")
     val path = tmp("mixed.xlsx")
