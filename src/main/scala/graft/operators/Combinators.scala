@@ -82,7 +82,12 @@ object Combinators {
       // IS that query's output order.
       val withId =
         if (order.nonEmpty)
-          d.withColumn("row_id", row_number().over(Window.orderBy(order: _*)))
+          // constant partition key: execution is identical to an
+          // unpartitioned window (one partition either way — fine for
+          // the small-aggregate contract) but Spark skips the "moving
+          // all data to a single partition" warning for the defined spec
+          d.withColumn("row_id", row_number().over(
+            Window.partitionBy(lit(0)).orderBy(order: _*)))
         else
           d.coalesce(1).withColumn("row_id",
             (monotonically_increasing_id() + 1).cast("int"))

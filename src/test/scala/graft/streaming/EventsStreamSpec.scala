@@ -150,6 +150,54 @@ class EventsStreamSpec extends SparkSpec {
       s"s02 stream/oracle divergence: ${gotSes.diff(wantSes).take(3)} vs ${wantSes.diff(gotSes).take(3)}")
   }
 
+  test("sessionization state carries across micro-batches (incremental == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import EventsStream.Event
+
+    // chronological thirds, so per-user order holds across batches — the
+    // state machine must stitch sessions that SPAN batch boundaries
+    val all = Tables.df(spark, sf(), "events").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val cut1 = all(all.length / 3).ts
+    val cut2 = all(2 * all.length / 3).ts
+    val b1 = all.filter(e => e.ts.before(cut1))
+    val b2 = all.filter(e => !e.ts.before(cut1) && e.ts.before(cut2))
+    val b3 = all.filter(e => !e.ts.before(cut2))
+    // per-user flush sentinels (same construction as sessionizeWithFinalFlush)
+    val sentinels = all.groupBy(_.user_id).map { case (uid, evs) =>
+      val lastSec = evs.map(e => Math.floorDiv(e.ts.getTime, 1000L)).max
+      Event(-1L, new java.sql.Timestamp((lastSec + 1801L) * 1000L), uid,
+        "__flush", 0.0, null)
+    }.toSeq
+
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xbatch_sessions")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      Seq(b1.toSeq, b2.toSeq, b3.toSeq, sentinels).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.table("xbatch_sessions")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+      .toSet
+    val want = graft.ExtensionQueries.queries("s02_sessionize")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+      .toSet
+    assert(got == want,
+      s"cross-batch sessionization diverged: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+  }
+
   test("multimodal: partition-batched feature extraction is deterministic") {
     import graft.functions.Multimodal
     val media = Multimodal.syntheticMedia(Tables.df(spark, sf(), "documents"))
