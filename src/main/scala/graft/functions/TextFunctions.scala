@@ -43,17 +43,23 @@ object TextFunctions {
     conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
 
   /** Rolling `k`-char gram hashes for winnowing: position i gets the
-    * portable 64-bit hash of `text[i, i+k)`. Empty array for texts
-    * shorter than `k`. MATERIALIZE the result as a column before
-    * passing it to [[winnowFromGrams]] — the HOF-lambda re-evaluation
-    * rule (see [[wordShingles]]) otherwise re-hashes the whole text
-    * once per window.
+    * 64-bit hash of `text[i, i+k)`. Empty array for texts shorter than
+    * `k`. MATERIALIZE the result as a column before passing it to
+    * [[winnowFromGrams]] — the HOF-lambda re-evaluation rule (see
+    * [[wordShingles]]) otherwise re-hashes the whole text once per
+    * window.
+    *
+    * `hashFn` defaults to the md5-based [[portableHash64]] so fingerprints
+    * are reproducible in any engine (the t04 oracle); production runs
+    * that only need self-consistency should pass `xxhash64(_)` — one
+    * codegen'd hash instead of an md5 per gram.
     */
-  def gramHashes(text: Column, k: Int = 5): Column =
+  def gramHashes(text: Column, k: Int = 5,
+      hashFn: Column => Column = portableHash64): Column =
     when(length(text) < k, array().cast(ArrayType(LongType)))
       .otherwise(transform(
         sequence(lit(1), length(text) - (k - 1)),
-        i => portableHash64(text.substr(i, lit(k)))))
+        i => hashFn(text.substr(i, lit(k)))))
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     * slide a window of `w` gram hashes over a MATERIALIZED

@@ -266,6 +266,56 @@ class XlsSourceSpec extends SparkSpec {
     assert(sheets(1).rows.toMap.apply(1).map(_.value) == Seq("-5"))
   }
 
+  test("SST unicode strings: UTF-16 segments + mixed-compression CONTINUE split") {
+    // one sheet, three strings: ascii, unicode (uncompressed UTF-16LE),
+    // and a string split across CONTINUE where the head is written
+    // uncompressed and the tail re-flags as compressed — the exact
+    // boundary case the per-segment flag byte exists for
+    val uni = "prix café ±±"
+    val split = "héllo-wörld-123"
+    val headChars = 6 // "héllo-" uncompressed, "wörld-123" re-flagged
+    def wb(): Array[Byte] = {
+      def sheet: Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(bof(0x0010))
+        b.write(record(0x00FD, w => w.u16(0).u16(0).u16(0).u32(0)))
+        b.write(record(0x00FD, w => w.u16(1).u16(0).u16(0).u32(1)))
+        b.write(record(0x00FD, w => w.u16(2).u16(0).u16(0).u32(2)))
+        b.write(eof)
+        b.toByteArray
+      }
+      def globals(s1: Int): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(bof(0x0005))
+        b.write(record(0x0085, w => w.u32(s1).u16(0)
+          .u8(4).u8(0).ascii("Data")))
+        b.write(record(0x00FC, w => {
+          w.u32(3).u32(3)
+          w.u16(5).u8(0).ascii("title") // ascii, compressed
+          w.u16(uni.length).u8(1).bytes(uni.getBytes("UTF-16LE"))
+          w.u16(split.length).u8(1) // starts uncompressed…
+            .bytes(split.substring(0, headChars).getBytes("UTF-16LE"))
+        }))
+        b.write(record(0x003C, w =>
+          // …tail re-flagged compressed: wörld has ö > 0x7F? no — ö IS
+          // > 0x7F but fits one byte in the 0-255 range BIFF uses
+          w.u8(0).bytes(split.substring(headChars)
+            .map(c => c.toByte).toArray)))
+        b.write(eof)
+        b.toByteArray
+      }
+      val gLen = globals(0).length
+      globals(gLen) ++ sheet
+    }
+    val dir = Files.createTempDirectory("xls-uni")
+    val f = dir.resolve("uni.xls")
+    Files.write(f, cfb(wb()))
+    val rows = XlsParser.read(f.toString).head.rows.toMap
+    assert(rows(0).head.value == "title")
+    assert(rows(1).head.value == uni)
+    assert(rows(2).head.value == split)
+  }
+
   test("mini-stream container: small workbooks chained through the mini FAT") {
     val dir = Files.createTempDirectory("xls-mini")
     val f = dir.resolve("mini_book.xls")
