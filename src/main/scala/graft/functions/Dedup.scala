@@ -230,6 +230,12 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // no silent caps: an unconverged label set is NOT a component
+    // labeling — fail loudly rather than return plausible-looking
+    // partial clusters (raise maxIters for graphs of larger diameter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds " +
+        "(component diameter exceeds maxIters); raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -106,11 +106,16 @@ object Similarity {
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, dims: Int = 64, tables: Int = 1): DataFrame = {
+    // quantize ONCE per row into a real column before the tables×planes
+    // bucket dots (HOF lambdas re-evaluate captured expression trees per
+    // element — feeding quantize(embedding) straight in re-quantizes per
+    // plane)
     def withBuckets(df: DataFrame): DataFrame =
-      (0 until tables).foldLeft(df) { (d, t) =>
+      (0 until tables).foldLeft(
+          df.withColumn("__q", quantize(col("embedding")))) { (d, t) =>
         d.withColumn(s"bucket$t",
-          lshBucketsOffset(col("embedding"), planes, dims, t * planes))
-      }
+          lshBucketsFromQuantized(col("__q"), planes, dims, t * planes))
+      }.drop("__q")
     val cb = withBuckets(corpus)
     val qb = withBuckets(queries)
     val candidates = (0 until tables).map { t =>
