@@ -102,13 +102,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Embedding-cosine near-dup detection, scale-shaped: 2-table
+    // Embedding-cosine near-dup detection, scale-shaped: 4-table
     // random-hyperplane LSH self-joins for candidates (OR-amplified),
     // exact quantized-cosine verify on candidates only — no cartesian
-    // product in the plan (Similarity.cosineNearDupPairs).
+    // product in the plan (Similarity.cosineNearDupPairs). Candidate
+    // recall is probabilistic BY DESIGN (the scale trade-off LSH buys):
+    // ~1-(1-0.899^8)^4 ≈ 0.89 per pair at exactly cos=0.95, rising
+    // steeply above it (≥0.9996 at cos≥0.99, where near-dups live).
+    // Precision stays exact. The testdata's pair-cosine ceiling is 0.61
+    // (no true pairs near the boundary), so the gate's all-pairs oracle
+    // equality is structural, not luck; d07 is the provably-complete
+    // counterpart for signature-space banding.
     "d06_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(
-          t(s, dir, "embeddings"), 0.95, planes = 8, dims = 64, tables = 2)
+          t(s, dir, "embeddings"), 0.95, planes = 8, dims = 64, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

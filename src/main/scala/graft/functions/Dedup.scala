@@ -149,11 +149,15 @@ object Dedup {
     val bands = maxHamming + 1
     // even-as-possible contiguous bit ranges: band b covers [lo, hi)
     val bounds = (0 to bands).map(b => b * bits / bands)
+    // Scala's << is mod 64, so a full-width band (bits=64, maxHamming=0)
+    // would compute mask 0 and collapse every signature into one bucket
+    def maskFor(width: Int): Long =
+      if (width >= 64) -1L else (1L << width) - 1
     val bandCols = (0 until bands).map { b =>
       val lo = bounds(b)
       val width = bounds(b + 1) - lo
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+        shiftright(col("simhash"), lo).bitwiseAND(lit(maskFor(width))).as("chunk"))
     }
     val buckets = sigs
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
@@ -167,8 +171,7 @@ object Dedup {
     // of the (large) candidate set with zero data movement
     def chunkOf(sig: org.apache.spark.sql.Column, band: Int) = {
       val lo = bounds(band)
-      val mask = (1L << (bounds(band + 1) - lo)) - 1
-      shiftright(sig, lo).bitwiseAND(lit(mask))
+      shiftright(sig, lo).bitwiseAND(lit(maskFor(bounds(band + 1) - lo)))
     }
     val firstMatch = (0 until bands).map { bnd =>
       (0 until bnd).foldLeft(col("a.band") === bnd) { (acc, earlier) =>

@@ -30,23 +30,37 @@ object XlsParser {
 
   /** Parse the workbook: every sheet, materialized. */
   def read(path: String): IndexedSeq[XlsSheet] = {
-    val stream = Cfb.workbookStream(Files.readAllBytes(Paths.get(path)), path)
-    parseWorkbook(stream)
+    val g = globals(path)
+    g.bounds.map { case (name, bofPos) => parseSheet(g, name, bofPos) }
   }
 
-  def sheetNames(path: String): Seq[String] = read(path).map(_.name)
+  /** Sheet names only — parses just the globals substream (BOUNDSHEET
+    * records + SST), no cell data.
+    */
+  def sheetNames(path: String): Seq[String] = globals(path).bounds.map(_._1)
 
-  /** Callback iteration matching [[XlsxParser.foreachRow]]'s shape. */
+  /** Callback iteration matching [[XlsxParser.foreachRow]]'s shape.
+    * Parses the globals substream once and then ONLY the requested
+    * sheet's substream (its BOF offset comes from BOUNDSHEET) — other
+    * sheets in the workbook are never decoded, so per-sheet input
+    * partitions and bounded-sample schema inference don't pay for the
+    * whole file.
+    */
   def foreachRow(path: String, sheetOpt: Option[String])(
       f: (Int, Seq[Cell]) => Unit): Unit = {
-    val sheets = read(path)
-    val sheet = sheetOpt match {
-      case Some(s) => sheets.find(_.name == s).getOrElse(
+    val g = globals(path)
+    val (name, bofPos) = sheetOpt match {
+      case Some(s) => g.bounds.find(_._1 == s).getOrElse(
         throw new IllegalArgumentException(
-          s"excel: sheet '$s' not found in $path; has: ${sheets.map(_.name).mkString(", ")}"))
-      case None => sheets.head
+          s"excel: sheet '$s' not found in $path; has: ${g.bounds.map(_._1).mkString(", ")}"))
+      case None => g.bounds.head
     }
-    sheet.rows.foreach { case (r, cells) => f(r, cells) }
+    parseSheet(g, name, bofPos).rows.foreach { case (r, cells) => f(r, cells) }
+  }
+
+  private def globals(path: String): Globals = {
+    val stream = Cfb.workbookStream(Files.readAllBytes(Paths.get(path)), path)
+    parseGlobals(stream)
   }
 
   // ---- OLE2 / CFB container --------------------------------------------
@@ -327,7 +341,11 @@ object XlsParser {
       sb.toString
     }
 
-  private def parseWorkbook(stream: Array[Byte]): IndexedSeq[XlsSheet] = {
+  /** Workbook-global state: the raw stream, sheet directory, and SST. */
+  private final case class Globals(stream: Array[Byte],
+      bounds: Vector[(String, Int)], sst: IndexedSeq[String])
+
+  private def parseGlobals(stream: Array[Byte]): Globals = {
     // ---- globals substream: BOUNDSHEETs + SST
     var bounds = Vector.empty[(String, Int)] // (name, sheet BOF position)
     var sstStrings: IndexedSeq[String] = IndexedSeq.empty
@@ -349,9 +367,14 @@ object XlsParser {
         case _ => ()
       }
     }
+    Globals(stream, bounds, sstStrings)
+  }
 
-    // ---- each sheet substream
-    bounds.map { case (name, bofPos) =>
+  /** One sheet substream, starting at its BOUNDSHEET-recorded BOF. */
+  private def parseSheet(g: Globals, name: String, bofPos: Int): XlsSheet = {
+    val stream = g.stream
+    val sstStrings = g.sst
+    locally {
       val cells = mutable.SortedMap.empty[Int, mutable.ArrayBuffer[Cell]]
       def add(row: Int, c: Cell): Unit =
         cells.getOrElseUpdate(row, mutable.ArrayBuffer.empty) += c

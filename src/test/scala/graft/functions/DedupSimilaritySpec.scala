@@ -75,6 +75,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
   }
 
+  test("simhashPairs: 64-bit-wide band (maxHamming=0) buckets exactly, not all-to-one") {
+    // width-64 band: (1L << 64) is a mod-64 shift in Scala, so a naive
+    // mask computes 0 and collapses every signature into one bucket
+    val sigs = Seq((1L, 5L), (2L, 5L), (3L, Long.MinValue), (4L, -1L))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(sigs, bits = 64, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // only the exact-duplicate signature pair
+  }
+
   test("cosineNearDupPairs: full recall on planted duplicates, no cartesian") {
     // plant exact duplicates (p = 1 per plane -> same bucket in every table,
     // so LSH recall is deterministic for them)

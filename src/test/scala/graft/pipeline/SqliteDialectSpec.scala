@@ -71,6 +71,34 @@ class SqliteDialectSpec extends SparkSpec {
     assert(m.getMessage.startsWith("unsupported: strftime modifiers"))
   }
 
+  test("review regressions: literal letter runs, groups column, glob identifier") {
+    // consecutive literal letters quote as ONE run ('' between letters
+    // would render a spurious apostrophe in Java datetime patterns)
+    assert(SqliteDialect.strftimeToSpark("%Y ab") == "yyyy 'ab'")
+    val out = Seq(java.sql.Timestamp.valueOf("2024-03-05 07:08:09")).toDF("ts")
+      .select(date_format(col("ts"),
+        SqliteDialect.strftimeToSpark("%d days")).as("f"))
+      .as[String].head()
+    assert(out == "05 days")
+    // a column named groups in a plain BETWEEN predicate is NOT a frame
+    SqliteDialect.preflight("SELECT * FROM t WHERE groups BETWEEN 1 AND 5")
+    // …but every real frame spelling still is
+    Seq("GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW",
+      "GROUPS UNBOUNDED PRECEDING", "GROUPS CURRENT ROW").foreach { fr =>
+      intercept[UnsupportedSqlFeatureException] {
+        SqliteDialect.preflight(s"SELECT sum(x) OVER (ORDER BY x $fr) FROM t")
+      }
+    }
+    // identifiers named/containing glob survive the rewrite untouched
+    assert(SqliteDialect.rewrite("SELECT glob FROM t WHERE glob = 3") ==
+      "SELECT glob FROM t WHERE glob = 3")
+    assert(SqliteDialect.rewrite("""SELECT "my GLOB col" FROM t""") ==
+      "SELECT `my GLOB col` FROM t")
+    // and a real GLOB after a glob-ish identifier still rewrites
+    assert(SqliteDialect.rewrite("SELECT glob FROM t WHERE s GLOB 'a*'") ==
+      "SELECT glob FROM t WHERE s LIKE 'a%'")
+  }
+
   test("strftime directives map to Spark date_format patterns") {
     assert(SqliteDialect.strftimeToSpark("%Y-%m-%d") == "yyyy-MM-dd")
     assert(SqliteDialect.strftimeToSpark("%H:%M:%S") == "HH:mm:ss")
