@@ -153,6 +153,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // Deterministic hash-based train/valid/test split: reproducible
+    // across engines and retries (a rand() split is not), zero shuffle.
+    "t05_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.hashSplit(col("doc_id")).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace + BPE-ish subword chunks.
     "t01_token_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -445,6 +454,13 @@ object ExtensionQueries {
                j -> list_min(grams[j:j+3]))) AS fp
            FROM g WHERE len(grams) > 0)
          SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
+
+    "t05_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10 < 8 THEN 'train'
+                WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10 < 9 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
 
     "t01_token_stats" ->
       """SELECT doc_id,

@@ -42,6 +42,20 @@ object TextFunctions {
   def portableHash64(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
 
+  /** Deterministic train/validation/test assignment from a stable key:
+    * bucket = portable hash of the key mod `buckets`, so the split is
+    * reproducible across runs, engines, and cluster topologies (never
+    * `rand()` — resampling on retry leaks test data into training).
+    * Zero shuffle; thresholds are cumulative bucket counts.
+    */
+  def hashSplit(key: Column, buckets: Int = 10,
+      thresholds: Seq[(String, Int)] = Seq("train" -> 8, "valid" -> 9, "test" -> 10)): Column = {
+    val b = pmod(portableHash64(key.cast(StringType)), lit(buckets))
+    thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, upper), rest) => when(b < upper, name).otherwise(rest)
+    }
+  }
+
   /** Rolling `k`-char gram hashes for winnowing: position i gets the
     * 64-bit hash of `text[i, i+k)`. Empty array for texts shorter than
     * `k`. MATERIALIZE the result as a column before passing it to

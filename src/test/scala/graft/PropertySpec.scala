@@ -102,4 +102,45 @@ class PropertySpec extends SparkSpec {
     val glob = spark.read.format("excel").load(s"$dir/part*.xlsx")
     assert(glob.count() == 3)
   }
+
+  test("globToLike preserves GLOB match semantics on random pattern/string pairs") {
+    import graft.pipeline.SqliteDialect
+    // reference GLOB matcher (SQLite semantics, no char classes):
+    // case-sensitive, * = any run, ? = any single char
+    def globMatch(p: String, s: String): Boolean = {
+      def go(pi: Int, si: Int): Boolean =
+        if (pi == p.length) si == s.length
+        else p.charAt(pi) match {
+          case '*' => (si to s.length).exists(j => go(pi + 1, j))
+          case '?' => si < s.length && go(pi + 1, si + 1)
+          case c => si < s.length && s.charAt(si) == c && go(pi + 1, si + 1)
+        }
+      go(0, 0)
+    }
+    val patChar = Gen.oneOf('a', 'b', '%', '_', '*', '?', '\\', '.')
+    val patGen = Gen.listOfN(5, patChar).map(_.mkString)
+    val strGen = Gen.listOfN(6, Gen.oneOf('a', 'b', '%', '_', '\\', '.', '*'))
+      .map(_.mkString)
+    val cases = Iterator.continually(
+        for { p <- patGen; ss <- Gen.listOfN(8, strGen) } yield (p, ss))
+      .flatMap(_.sample).take(40).toSeq
+    // evaluate all pairs through real Spark LIKE in ONE job
+    import spark.implicits._
+    val rows = for { (p, ss) <- cases; s <- ss } yield (p, s)
+    val df = rows.toDF("p", "s")
+    val got = cases.zipWithIndex.flatMap { case ((p, ss), _) =>
+      val like = SqliteDialect.globToLike(p)
+      df.filter(col("p") === p)
+        .select(col("s"), col("s").like(like).as("m")).collect()
+        .map(r => (p, r.getString(0), r.getBoolean(1)))
+    }
+    got.foreach { case (p, s, m) =>
+      assert(m == globMatch(p, s),
+        s"GLOB '$p' vs '$s': Spark LIKE said $m, reference says ${globMatch(p, s)}")
+    }
+    // rewrite is idempotent once GLOB/strftime are gone
+    val sql = "SELECT x FROM t WHERE s GLOB 'a*b' AND strftime('%Y', ts) = '2024'"
+    val once = SqliteDialect.rewrite(sql)
+    assert(SqliteDialect.rewrite(once) == once)
+  }
 }
