@@ -141,6 +141,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Containment near-dup pairs: common/min(|A|,|B|) — catches a doc
+    // embedded verbatim in a larger one (symmetric Jaccard misses it).
+    "d09_containment" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      Dedup.containmentPairs(sh, 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Winnowing fingerprints (k=5 char grams, w=4 windows): the
     // guaranteed-coverage near-copy detection primitive; zero-shuffle
     // projection + explode.
@@ -439,6 +447,21 @@ object ExtensionQueries {
            SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "d09_containment" ->
+      s"""WITH $ShingleCte,
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(common AS DOUBLE)/least(ca.n, cb.n) AS containment
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE)/least(ca.n, cb.n) >= 0.8
+         ORDER BY id_a, id_b""",
 
     "t04_winnowing" ->
       """WITH g AS (

@@ -103,6 +103,31 @@ object Dedup {
     jaccardFromCommon(common, counts, threshold)
   }
 
+  /** Containment near-dup pairs: `common / min(|A|, |B|)` over the
+    * inverted shingle index. Containment catches SUBSET duplication —
+    * a document embedded verbatim inside a larger one scores ~1.0 here
+    * while its symmetric Jaccard (common/union) can be arbitrarily low,
+    * so Jaccard-only dedup ships the duplicate. Same join shape and
+    * scale profile as [[jaccardPairs]] (index prunes the pair space;
+    * LSH-gate first at full corpus scale).
+    */
+  def containmentPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = hs.as("a")
+    val b = hs.as("b")
+    a.join(b,
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast(DoubleType) /
+          least(col("ca.n"), col("cb.n"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact Jaccard for an explicit (small) candidate pair set — the
     * verification stage after LSH. The pair list is broadcast against
     * the shingle index twice, so cost is O(|pairs|·avg-shingles), never

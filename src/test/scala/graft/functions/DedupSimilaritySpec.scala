@@ -107,6 +107,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lowCos == 0)
   }
 
+  test("containment catches subset duplication that Jaccard misses") {
+    val inner = (1 to 10).map(i => s"w$i").mkString(" ")
+    val outer = inner + " " + (11 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, inner), (2L, outer)).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(df, col("doc_id"), col("text"))
+    // doc 1 is embedded verbatim in doc 2: containment ~1, Jaccard ~0.14
+    val cont = Dedup.containmentPairs(sh, 0.9).collect()
+    assert(cont.length == 1 && cont(0).getDouble(2) >= 0.9)
+    assert(Dedup.jaccardPairs(sh, 0.8).count() == 0)
+  }
+
   test("connectedComponents: min-label clusters over a pair graph") {
     // chain 1-2-3 (transitively one cluster), pair 5-6, node 9 unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
