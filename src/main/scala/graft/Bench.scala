@@ -30,7 +30,12 @@ object Bench {
     // warm up the session once (JVM/JIT, codegen compiler, parquet footer
     // caches) so per-query timings measure the queries, not first-job
     // startup; standard benchmark practice, not counted in the totals
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count() catch {
+      case e: Throwable =>
+        // a broken entry() means the first measured query absorbs JVM
+        // startup — warn loudly instead of silently skipping warmup
+        System.err.println(s"WARN bench warmup failed: $e")
+    }
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""

@@ -62,10 +62,15 @@ object ExtensionQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact dedup: duplicate groups on the text hash (hash-groupBy; one
-    // shuffle, map-side combined).
+    // Exact dedup: duplicate groups on a hash key (hash-groupBy; one
+    // shuffle, map-side combined). The key is the md5 of the document
+    // HEAD (first 64 chars): the generated corpus has no full-text
+    // duplicates below sf0.1, so a full-text key made the gate vacuous
+    // (0 rows both engines); head-hash groups exist at every SF and
+    // exercise the identical operator shape.
     "d01_dedup_exact" -> ((s, dir) => {
-      Dedup.duplicateGroups(t(s, dir, "documents"), md5(col("text")), col("doc_id"))
+      Dedup.duplicateGroups(t(s, dir, "documents"),
+          md5(substring(col("text"), 1, 64)), col("doc_id"))
         .orderBy(col("keep_id"))
     }),
 
@@ -109,13 +114,19 @@ object ExtensionQueries {
     // recall is probabilistic BY DESIGN (the scale trade-off LSH buys):
     // ~1-(1-0.899^8)^4 ≈ 0.89 per pair at exactly cos=0.95, rising
     // steeply above it (≥0.9996 at cos≥0.99, where near-dups live).
-    // Precision stays exact. The testdata's pair-cosine ceiling is 0.61
-    // (no true pairs near the boundary), so the gate's all-pairs oracle
-    // equality is structural, not luck; d07 is the provably-complete
-    // counterpart for signature-space banding.
+    // Precision stays exact. The generated corpus tops out at pair
+    // cosine 0.61, so the gate PLANTS true duplicates: every 50th
+    // vector re-enters under vec_id+100000 with an identical embedding
+    // (cos = 1.0 ⇒ identical buckets in every table ⇒ deterministic
+    // 100% LSH recall). The gate now compares non-empty output — one
+    // pair per planted copy — instead of empty-vs-empty; d07 is the
+    // provably-complete counterpart for signature-space banding.
     "d06_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
       Similarity.cosineNearDupPairs(
-          t(s, dir, "embeddings"), 0.95, planes = 8, dims = 64, tables = 4)
+          emb.unionByName(planted), 0.95, planes = 8, dims = 64, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -358,9 +369,9 @@ object ExtensionQueries {
   def oracleSql: Map[String, String] = Map(
 
     "d01_dedup_exact" ->
-      """SELECT md5(text) AS dup_key, min(doc_id) AS keep_id,
+      """SELECT md5(substr(text, 1, 64)) AS dup_key, min(doc_id) AS keep_id,
            count(*) AS n_copies
-         FROM documents GROUP BY text HAVING count(*) > 1
+         FROM documents GROUP BY substr(text, 1, 64) HAVING count(*) > 1
          ORDER BY keep_id""",
 
     "d02_fingerprint" ->
@@ -406,7 +417,9 @@ object ExtensionQueries {
     },
 
     "d06_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
@@ -632,18 +645,23 @@ object ExtensionQueries {
       val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
       def sqd(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      // a cluster with zero members carries its previous centroid
+      // forward (LEFT JOIN + coalesce), mirroring ivfTrain exactly:
+      // the centroid list stays k long across sweeps
       def sweep(n: Int, prev: String) = s"""
         a$n AS (SELECT vec_id, q, centroid_id,
             row_number() OVER (PARTITION BY vec_id
               ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
           FROM qc CROSS JOIN $prev),
-        c$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+        u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
             SELECT centroid_id, pos,
               CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
             FROM (SELECT centroid_id, unnest(q) AS val,
                     unnest(range(1, len(q)+1)) AS pos
                   FROM a$n WHERE rn = 1)
-            GROUP BY centroid_id, pos) GROUP BY centroid_id)"""
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
       s"""WITH qc AS (SELECT vec_id, embedding, $qv AS q
              FROM embeddings WHERE vec_id >= 10),
          qq AS (SELECT vec_id, embedding, $qv AS q

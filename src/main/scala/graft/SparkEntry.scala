@@ -65,9 +65,11 @@ object SparkEntry {
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // B1+B3: projection + filter; predicate/column pushdown reach the scan.
+    // (Bound is 1996: the generated l_shipdate range starts 1995-01-02,
+    // so the gate compares ~1.7% of lineitem, not an empty set.)
     "q01_filter_project" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < lit("1995-01-01").cast(TimestampType)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast(TimestampType)
           && col("l_quantity") > 45)
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
@@ -137,11 +139,13 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
-    // Anti join (NOT EXISTS).
+    // Anti join (NOT EXISTS): customers with no high-value order. (Every
+    // generated customer has SOME order, so the unfiltered anti-join is
+    // empty at every SF; the price filter keeps the gate non-vacuous.)
     "q07_join_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy(col("c_custkey"))
     }),
@@ -215,14 +219,15 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // Set op: EXCEPT.
+    // Set op: EXCEPT — customers with finished orders but no open ones
+    // (the complement of q15's INTERSECT; non-empty at every SF, unlike
+    // the old nationkey EXCEPT where all 25 nations appear in every
+    // segment).
     "q14_except" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val bld = c.filter(col("c_mktsegment") === "BUILDING")
-        .select("c_nationkey")
-      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
-        .select("c_nationkey")
-      bld.except(auto).orderBy(col("c_nationkey"))
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.except(oo).orderBy(col("o_custkey"))
     }),
 
     // Set op: INTERSECT.
@@ -234,12 +239,19 @@ object SparkEntry {
     }),
 
     // Scalar subquery via the SQL pass-through surface (SURVEY.md §2.C).
+    // 1.8× the mean selects ~4% of orders (2× selected none: generated
+    // prices cap at ~2× the mean). The mean is computed as an EXACT
+    // decimal sum divided by the count — a plain double avg() depends on
+    // summation order, so Spark and DuckDB could disagree by an ULP and
+    // flip boundary rows.
     "q16_scalar_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.8 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM orders)
         ORDER BY o_orderkey""")
     }),
 
@@ -562,7 +574,7 @@ object SparkEntry {
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
          FROM lineitem
-         WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45
+         WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
          ORDER BY l_orderkey, l_linenumber""",
 
     "q02_agg_having" ->
@@ -604,7 +616,8 @@ object SparkEntry {
 
     "q07_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
          ORDER BY c_custkey""",
 
     "q08_distinct_agg" ->
@@ -653,10 +666,10 @@ object SparkEntry {
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
 
     "q14_except" ->
-      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          EXCEPT
-         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-         ORDER BY c_nationkey""",
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
 
     "q15_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -667,7 +680,9 @@ object SparkEntry {
     "q16_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice
          FROM orders
-         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+         WHERE o_totalprice > 1.8 * (
+           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           FROM orders)
          ORDER BY o_orderkey""",
 
     "q17_cte_revenue" ->

@@ -181,7 +181,7 @@ object Similarity {
             Window.partitionBy(col("vec_id"))
               .orderBy(col("dist"), col("centroid_id"))))
           .filter(col("rn") === 1)
-        centroids = assigned
+        val updated = assigned
           .select(col("centroid_id"), posexplode(col("q")))
           .groupBy(col("centroid_id"), col("pos"))
           .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -189,9 +189,15 @@ object Similarity {
             floor(col("s").cast(DoubleType) / col("n") + 0.5)
               .cast(LongType).as("comp"))
           .as[(Int, Int, Long)].collect().toSeq
-          .groupBy(_._1).toSeq
+          .groupBy(_._1)
           .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
-          .sortBy(_._1)
+        // a cluster that loses every point keeps its previous centroid —
+        // the list stays exactly k long across sweeps (the groupBy above
+        // omits empty clusters, which would otherwise shrink k for all
+        // later sweeps and for knnIvf probing)
+        centroids = centroids.map { case (cid, prev) =>
+          (cid, updated.getOrElse(cid, prev))
+        }
       }
     } finally qcorpus.unpersist()
     centroids.toDF("centroid_id", "centroid")

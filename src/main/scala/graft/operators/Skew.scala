@@ -44,14 +44,16 @@ object Skew {
     */
   def twoPhaseCountSum(df: DataFrame, key: Column, salt: Int,
       sums: Seq[(Column, String)] = Nil): DataFrame = {
-    // deterministic salt: hash of the row's own columns, so task retries
-    // re-derive identical partials (monotonically_increasing_id would
-    // re-deal rows across salts on retry; results stay correct either
-    // way since COUNT/SUM decompose, but bit-stable partials are free).
-    // Fully duplicated rows share a salt bucket — acceptable: the hot
-    // KEY still spreads across buckets via its varying other columns.
+    // deterministic salt: hash of the row's own columns mixed with the
+    // input partition id, so task retries re-derive identical partials
+    // (monotonically_increasing_id would re-deal rows across salts on
+    // retry; results stay correct either way since COUNT/SUM decompose,
+    // but bit-stable partials are free). The partition-id component
+    // spreads fully identical duplicate rows — the exact shape of a hot
+    // key — across salt buckets instead of collapsing them into one.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salt)))
+      pmod(xxhash64(spark_partition_id() +: df.columns.map(col): _*),
+        lit(salt)))
     val partialAggs = count(lit(1)).as("__pn") +:
       sums.zipWithIndex.map { case ((c, _), i) => sum(c).as(s"__ps$i") }
     val partial = salted.groupBy(key.as("__k"), col("__salt"))

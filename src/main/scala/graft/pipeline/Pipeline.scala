@@ -89,9 +89,11 @@ class Pipeline(
       q.name -> bundle.fileMatches.map { m =>
         val file = matched(m)
         val formatted = q.formatQuery(file, sqliteDialect)
-        // always preflight: features Spark lacks (GROUPS frames) fail
-        // with a friendly one-liner, not a raw Catalyst parse error
-        SqliteDialect.preflight(formatted)
+        // features Spark lacks (GROUPS frames) fail with a friendly
+        // one-liner, not a raw Catalyst parse error. The dialect rewrite
+        // preflights internally, so only the Spark-dialect path needs it
+        // here (running it twice was harmless but wasteful).
+        if (!sqliteDialect) SqliteDialect.preflight(formatted)
         val df = spark.sql(formatted)
         // A10: non-pivot results get match-prefixed columns
         // (query_iterator.py:111-119,133-134)

@@ -124,21 +124,28 @@ object SqliteDialect {
   // ---- structural rewrites ---------------------------------------------
 
   /** Positions-preserving mask: characters INSIDE single-quoted string
-    * literals AND backtick-quoted identifiers (rewriteDoubleQuoted runs
+    * literals, backtick-quoted identifiers (rewriteDoubleQuoted runs
     * before the keyword scans, so quoted identifiers arrive
-    * backtick-wrapped) are blanked so regex scans can't match into
-    * them; the quote characters themselves survive, keeping offsets
-    * aligned with the original.
+    * backtick-wrapped), AND double-quoted spans are blanked so regex
+    * scans can't match into them; the quote characters themselves
+    * survive, keeping offsets aligned with the original. Double-quoted
+    * spans are masked because preflight also sees Spark-dialect SQL,
+    * where `"..."` is a string literal — a query mentioning "GROUPS
+    * UNBOUNDED PRECEDING" inside a literal must not be rejected; in
+    * SQLite-dialect input the same span is a quoted identifier, equally
+    * off-limits to keyword scans.
     */
   private def maskStrings(sql: String): String = {
     val out = sql.toCharArray
     var i = 0
     var inStr = false
     var inTick = false
+    var inDq = false
     while (i < out.length) {
-      if (!inTick && out(i) == '\'') inStr = !inStr
-      else if (!inStr && out(i) == '`') inTick = !inTick
-      else if (inStr || inTick) out(i) = ' '
+      if (!inTick && !inDq && out(i) == '\'') inStr = !inStr
+      else if (!inStr && !inDq && out(i) == '`') inTick = !inTick
+      else if (!inStr && !inTick && out(i) == '"') inDq = !inDq
+      else if (inStr || inTick || inDq) out(i) = ' '
       i += 1
     }
     new String(out)

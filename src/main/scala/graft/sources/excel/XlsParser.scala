@@ -196,6 +196,9 @@ object XlsParser {
     val BoolErr = 0x0205
     val Formula = 0x0006
     val StringRec = 0x0207
+    val SharedFmla = 0x04BC
+    val ArrayRec = 0x0221
+    val TableRec = 0x0236
   }
 
   private final case class RawRecord(id: Int, data: Array[Byte], pos: Int)
@@ -425,15 +428,23 @@ object XlsParser {
             val colIdx = u16(r.data, 2)
             if (u16(r.data, 12) == 0xFFFF) {
               (r.data(6) & 0xFF) match {
-                case 0 => // string result: value in the following STRING record
-                  while (rit.hasNext && rit.head.id != Rec.StringRec &&
-                      rit.head.id == Rec.Continue) rit.next()
+                case 0 => // string result: value in the following STRING record.
+                  // Real writers interleave SHAREDFMLA/ARRAY/TABLE (and
+                  // CONTINUE) between FORMULA and STRING — skip them all.
+                  while (rit.hasNext && (rit.head.id == Rec.Continue ||
+                      rit.head.id == Rec.SharedFmla ||
+                      rit.head.id == Rec.ArrayRec ||
+                      rit.head.id == Rec.TableRec)) rit.next()
                   if (rit.hasNext && rit.head.id == Rec.StringRec) {
                     val sr = rit.next()
                     val cch = u16(sr.data, 0)
                     val flags = sr.data(2) & 0xFF
                     add(row, Cell(colIdx,
                       readInlineString(sr.data, 3, cch, flags), isNumeric = false))
+                  } else {
+                    // missing STRING record: empty string per spec, never
+                    // a silently dropped cell
+                    add(row, Cell(colIdx, "", isNumeric = false))
                   }
                 case 1 => // boolean result
                   add(row, Cell(colIdx,
