@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every [[SparkEntry]] query on
@@ -14,12 +16,63 @@ import org.apache.spark.sql.SparkSession
   *     sort cost was never measured; a write keeps the sort in the plan;
   *   - failures are REPORTED (per-query `"errors"` map) instead of being
   *     swallowed as a fast "-1" sample.
+  *
+  * Budget discipline (VERDICT r3 #1 — BENCH_r03 was rc=124/parsed=null):
+  * a bench that dies at the driver's timeout emits NOTHING, which is
+  * strictly worse than partial data. So:
+  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 480) is a wall-clock budget;
+  *     when it expires the already-collected per-query medians are
+  *     emitted immediately with `"budget_expired":true` and the names of
+  *     the queries that never ran;
+  *   - the per-query run count degrades toward 1 as the budget tightens:
+  *     a repeat sample is only attempted if the query's first sample says
+  *     it fits in the time remaining;
+  *   - a JVM shutdown hook emits the partial line even if the process is
+  *     killed externally (driver `timeout` sends SIGTERM before SIGKILL),
+  *     so a contended sandbox can no longer produce a data-free round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    val startNanos = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - startNanos) / 1e9
+    def remainingS: Double = budgetS - elapsedS
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
+    // Shared mutable state so the shutdown hook can report whatever has
+    // completed at the instant of an external kill. All access synchronized
+    // on `results` (the bench loop is single-threaded; the hook races it).
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var pending: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+    val printed = new AtomicBoolean(false)
+
+    def emit(expired: Boolean): Unit = if (printed.compareAndSet(false, true)) {
+      results.synchronized {
+        val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+          .mkString("{", ",", "}")
+        val skipped = pending.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val total = if (results.nonEmpty) results.values.sum else 0.0
+        println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"budget_expired":$expired,"skipped":$skipped,"elapsed":$elapsedS,"sf":"$sfDir"}""")
+        System.out.flush()
+      }
+    }
+    // Backstop for external SIGTERM (driver `timeout`): partial data beats
+    // none. Registered before Spark starts so it runs even if session
+    // creation itself eats the whole budget.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(expired = true)))
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,38 +90,45 @@ object Bench {
         System.err.println(s"WARN bench warmup failed: $e")
     }
 
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    }
-
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val samples = (0 until runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          // noop sink: full distributed execution incl. final sorts, no
-          // driver materialization, nothing written
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name,
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-            None
+    val queryFns = SparkEntry.queries
+    var expired = false
+    for (name <- pending.toList if !expired) {
+      if (remainingS <= 0) { expired = true }
+      else {
+        val fn = queryFns(name)
+        val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        var n = 0
+        // Repeat up to `runs` samples, but only while the NEXT sample is
+        // predicted (from this query's own last sample) to fit in the
+        // remaining budget — this is the "degrade n toward 1" rule: under
+        // contention each query keeps its first sample and skips repeats.
+        while (n < runs && !failed &&
+               (n == 0 || (samples.nonEmpty && samples.last < remainingS))) {
+          val t0 = System.nanoTime()
+          try {
+            // noop sink: full distributed execution incl. final sorts, no
+            // driver materialization, nothing written
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              failed = true
+              results.synchronized {
+                errors.getOrElseUpdate(name,
+                  s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+              }
+          }
+          n += 1
+        }
+        results.synchronized {
+          if (samples.nonEmpty)
+            results(name) = samples.sorted.apply(samples.size / 2)
+          pending = pending.filterNot(_ == name)
         }
       }
-      if (samples.isEmpty) None
-      else Some(name -> samples.sorted.apply(samples.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    emit(expired)
     spark.stop()
   }
 }

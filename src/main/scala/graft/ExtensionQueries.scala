@@ -123,10 +123,18 @@ object ExtensionQueries {
     // provably-complete counterpart for signature-space banding.
     "d06_embedding_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val planted = emb.filter(col("vec_id") % 50 === 0)
+      // planted ids live at vec_id+100000; assert (in-plan, zero extra
+      // jobs) that no real id reaches that range, so a larger fixture
+      // can't silently collide plants with real vectors and break the
+      // gate's one-pair-per-plant semantics
+      val checked = emb.filter(
+        assert_true(col("vec_id") < 100000,
+          lit("d06: vec_id >= 100000 collides with planted duplicates — " +
+            "raise the plant offset")).isNull)
+      val planted = checked.filter(col("vec_id") % 50 === 0)
         .withColumn("vec_id", col("vec_id") + 100000)
       Similarity.cosineNearDupPairs(
-          emb.unionByName(planted), 0.95, planes = 8, dims = 64, tables = 4)
+          checked.unionByName(planted), 0.95, planes = 8, dims = 64, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -292,13 +292,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** [[lshBuckets]] with the sign matrix offset by `planeOffset` rows —
-    * the per-table slice for multi-table LSH.
-    */
-  private def lshBucketsOffset(vec: Column, planes: Int, dims: Int,
-      planeOffset: Int): Column =
-    lshBucketsFromQuantized(quantize(vec), planes, dims, planeOffset)
-
   /** Bucket id from an ALREADY-quantized vector column — callers that
     * compute many buckets should materialize the quantized array first
     * (see [[cosineNearDupPairs]]) so each plane's aggregate reads a

@@ -69,7 +69,8 @@ object Combinators {
     * aggregates by construction (as in the reference); never use this on a
     * raw fact table.
     */
-  def positionalConcat(parts: Seq[(String, DataFrame, Seq[Column])]): DataFrame = {
+  def positionalConcat(parts: Seq[(String, DataFrame, Seq[Column])],
+      maxRowsPerPart: Long = 1000000L): DataFrame = {
     require(parts.nonEmpty, "positionalConcat: no parts")
     val withIds = parts.map { case (prefix, d, order) =>
       // row_number over the caller's order, computed BEFORE the prefix
@@ -80,18 +81,30 @@ object Combinators {
       // per-source aggregates by contract — see scale note above) and
       // number rows in iteration order, which after an ORDER BY query
       // IS that query's output order.
+      //
+      // NOTE: `partitionBy(lit(0))` is constant-folded away by Catalyst,
+      // so Spark 4.1 still logs its "No Partition Defined … single
+      // partition" warning — the warning is ACCURATE and intentional
+      // here (one partition per part is this operator's contract).
       val withId =
         if (order.nonEmpty)
-          // constant partition key: execution is identical to an
-          // unpartitioned window (one partition either way — fine for
-          // the small-aggregate contract) but Spark skips the "moving
-          // all data to a single partition" warning for the defined spec
           d.withColumn("row_id", row_number().over(
             Window.partitionBy(lit(0)).orderBy(order: _*)))
         else
           d.coalesce(1).withColumn("row_id",
             (monotonically_increasing_id() + 1).cast("int"))
-      withId.select(
+      // Misuse guard: each part funnels through ONE task, so a part the
+      // size of a fact table must fail loudly, not silently serialize.
+      // Expressed as an always-true filter over assert_true (returns
+      // NULL on success, raises on violation) — in-plan, zero extra
+      // jobs, and not prunable the way an unused projected column is.
+      val guarded = withId.filter(
+        assert_true(col("row_id") <= maxRowsPerPart,
+          lit(s"positionalConcat: part '$prefix' exceeds $maxRowsPerPart " +
+            "rows; this operator single-tasks each part by contract — " +
+            "it is for small per-source aggregates, never fact tables"))
+          .isNull)
+      guarded.select(
           col("row_id") +:
             d.columns.toIndexedSeq.map(c =>
               if (prefix.isEmpty) qcol(c) else qcol(c).as(s"${prefix}_$c")): _*)

@@ -44,13 +44,14 @@ object Skew {
     */
   def twoPhaseCountSum(df: DataFrame, key: Column, salt: Int,
       sums: Seq[(Column, String)] = Nil): DataFrame = {
-    // deterministic salt: hash of the row's own columns mixed with the
-    // input partition id, so task retries re-derive identical partials
-    // (monotonically_increasing_id would re-deal rows across salts on
-    // retry; results stay correct either way since COUNT/SUM decompose,
-    // but bit-stable partials are free). The partition-id component
-    // spreads fully identical duplicate rows — the exact shape of a hot
-    // key — across salt buckets instead of collapsing them into one.
+    // salt = hash of the row's own columns mixed with the input
+    // partition id. The partition-id component exists to spread fully
+    // identical duplicate rows — the exact shape of a hot key — across
+    // salt buckets instead of collapsing them into one. (Partials are
+    // additionally bit-stable across task retries when the upstream
+    // partitioning is deterministic; after e.g. a round-robin
+    // repartition() rows may re-deal across salts on retry — results
+    // stay correct either way since COUNT/SUM decompose.)
     val salted = df.withColumn("__salt",
       pmod(xxhash64(spark_partition_id() +: df.columns.map(col): _*),
         lit(salt)))

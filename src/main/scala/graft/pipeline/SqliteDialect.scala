@@ -134,6 +134,12 @@ object SqliteDialect {
     * UNBOUNDED PRECEDING" inside a literal must not be rejected; in
     * SQLite-dialect input the same span is a quoted identifier, equally
     * off-limits to keyword scans.
+    *
+    * Inside single/double-quoted spans a backslash consumes the next
+    * character: the Spark default parser keeps backslash escapes active
+    * (`'it\'s'`, `"say \"hi\""`), and without this the mask's quote
+    * state inverts after the escaped quote, corrupting everything that
+    * follows. Backtick spans have no escape character.
     */
   private def maskStrings(sql: String): String = {
     val out = sql.toCharArray
@@ -142,11 +148,15 @@ object SqliteDialect {
     var inTick = false
     var inDq = false
     while (i < out.length) {
-      if (!inTick && !inDq && out(i) == '\'') inStr = !inStr
-      else if (!inStr && !inDq && out(i) == '`') inTick = !inTick
-      else if (!inStr && !inTick && out(i) == '"') inDq = !inDq
-      else if (inStr || inTick || inDq) out(i) = ' '
-      i += 1
+      if ((inStr || inDq) && out(i) == '\\' && i + 1 < out.length) {
+        out(i) = ' '; out(i + 1) = ' '; i += 2
+      } else {
+        if (!inTick && !inDq && out(i) == '\'') inStr = !inStr
+        else if (!inStr && !inDq && out(i) == '`') inTick = !inTick
+        else if (!inStr && !inTick && out(i) == '"') inDq = !inDq
+        else if (inStr || inTick || inDq) out(i) = ' '
+        i += 1
+      }
     }
     new String(out)
   }

@@ -52,6 +52,23 @@ class CombinatorsSpec extends SparkSpec {
     assert(out.schema("b_n").dataType == LongType)
   }
 
+  test("positionalConcat: misuse guard fails loudly past maxRowsPerPart") {
+    val big = spark.range(10).toDF("n")
+    val e = intercept[Exception] {
+      Combinators.positionalConcat(
+        Seq(("a", big, Seq(col("n")))), maxRowsPerPart = 5).collect()
+    }
+    // assert_true raises through Spark's task failure wrapper — the
+    // operator's message must survive to the caller
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(messages.contains("single-tasks each part"))
+    // at/below the ceiling: untouched output
+    val ok = Combinators.positionalConcat(
+      Seq(("a", big, Seq(col("n")))), maxRowsPerPart = 10)
+    assert(ok.count() == 10)
+  }
+
   test("SqlTypeMapper: reference dtype map + divergences (Q9)") {
     assert(SqlTypeMapper.hyperType(LongType) == "BIGINT")
     assert(SqlTypeMapper.hyperType(LongType, compatInt32 = true) == "INTEGER")

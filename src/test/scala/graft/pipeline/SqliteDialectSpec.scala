@@ -61,6 +61,19 @@ class SqliteDialectSpec extends SparkSpec {
     SqliteDialect.preflight("SELECT groups FROM t WHERE groups > 3")
     // and not inside string literals
     SqliteDialect.preflight("SELECT 'GROUPS BETWEEN here' FROM t")
+    // backslash-escaped quotes (Spark default parser) must not invert
+    // the mask state: frame text inside a literal containing \' stays
+    // masked (no false reject)…
+    SqliteDialect.preflight(
+      """SELECT 'it\'s fine: GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW' FROM t""")
+    SqliteDialect.preflight(
+      """SELECT "say \"GROUPS UNBOUNDED PRECEDING\"" FROM t""")
+    // …and a REAL frame after such a literal is still detected (without
+    // escape handling the inverted state would mask it)
+    intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.preflight(
+        """SELECT 'a\'b' AS s, sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t""")
+    }
     val g = intercept[UnsupportedSqlFeatureException] {
       SqliteDialect.rewrite("SELECT * FROM t WHERE s GLOB '[abc]*'")
     }
