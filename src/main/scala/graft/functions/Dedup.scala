@@ -57,20 +57,44 @@ object Dedup {
         (1 until k).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")): _*)
 
+  /** Banded bucket rows (doc_id, band, key) behind [[lshCandidatePairs]]
+    * and [[lshDroppedBuckets]].
+    */
+  private def lshBucketRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** LSH banding: (bands × rowsPerBand) signature values → one bucket key
     * per band; docs sharing any bucket become candidate pairs. Candidate
     * generation is a self-join per bucket — with b·r = k small and
     * buckets well-distributed this is near-linear, the core trick that
     * makes fuzzy dedup feasible at 100 TB.
+    *
+    * `maxBucketSize` is the hot-bucket guard: a bucket with m members
+    * yields m·(m−1)/2 candidates, so ONE boilerplate-heavy bucket (the
+    * normal case in web crawls — shared headers, license blocks) turns
+    * the self-join quadratic. Buckets larger than the cap are dropped
+    * BEFORE the join via a broadcast anti-join (the hot set is tiny by
+    * definition — it's the buckets that exceeded the cap). Dropping a
+    * bucket is a recall trade-off, never silent: call
+    * [[lshDroppedBuckets]] with the same arguments to enumerate exactly
+    * which buckets (and how many members) the cap suppressed, and log
+    * or persist that accounting next to the dedup output.
     */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandKeys = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("key"))
-    }
-    val buckets = sigs.select(col("doc_id"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val buckets0 = lshBucketRows(sigs, bands, rowsPerBand)
+    val buckets =
+      if (maxBucketSize == Int.MaxValue) buckets0
+      else buckets0.join(
+        broadcast(lshDroppedBuckets(sigs, bands, rowsPerBand, maxBucketSize)
+          .select(col("band"), col("key"))),
+        Seq("band", "key"), "left_anti")
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
@@ -79,6 +103,46 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
+
+  /** The accounting side of [[lshCandidatePairs]]'s `maxBucketSize`
+    * guard: (band, key, bucket_size) for every bucket the cap drops.
+    * One aggregate over the bucket rows — run it (or `.count()` it)
+    * whenever the cap is active, so a capped dedup run always reports
+    * what it skipped instead of silently under-recalling.
+    */
+  def lshDroppedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame =
+    lshBucketRows(sigs, bands, rowsPerBand)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+
+  /** Hashed shingle index (doc_id, h) with the optional stop-shingle
+    * guard behind [[jaccardPairs]] / [[containmentPairs]]: a shingle
+    * appearing in more than `maxDocFreq` documents contributes
+    * df·(df−1)/2 joined rows, so boilerplate shingles (shared headers,
+    * license text — the normal case in web crawls) make the inverted-
+    * index self-join quadratic in their document frequency. Hashes over
+    * the cap are removed with a broadcast anti-join (the hot set is tiny
+    * by definition). Use [[hotShingles]] with the same cap for the
+    * accounting — a capped run should always report what it dropped.
+    */
+  private def hashedShingles(shingles: DataFrame, maxDocFreq: Int): DataFrame = {
+    val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    if (maxDocFreq == Int.MaxValue) hs
+    else hs.join(
+      broadcast(hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select(col("h"))),
+      Seq("h"), "left_anti")
+  }
+
+  /** Accounting for the `maxShingleDocFreq` guard: (shingle, doc_freq)
+    * for every shingle the cap removes from the index. `shingles` must
+    * be [[shingleRows]] output (distinct per doc, so count = doc freq).
+    */
+  def hotShingles(shingles: DataFrame, maxDocFreq: Int): DataFrame =
+    shingles.groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
 
   /** Exact pairwise Jaccard over the inverted shingle index: join on
     * shingle, count common, |A∪B| = |A|+|B|−common. Only emits pairs
@@ -89,9 +153,17 @@ object Dedup {
     * a v-shingle vocabulary are ~v²/2⁶⁴; at any realistic vocabulary
     * that is < 1e-9, and a collision only perturbs one pair's count
     * by 1).
+    *
+    * `maxShingleDocFreq` (default off) enables the stop-shingle guard:
+    * hot shingles leave the index BEFORE the self-join, and the per-doc
+    * sizes are computed on the pruned index, so the score is the exact
+    * Jaccard over the stopword-pruned shingle space — the standard
+    * boilerplate-robust variant, with [[hotShingles]] as its explicit
+    * accounting.
     */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val hs = hashedShingles(shingles, maxShingleDocFreq)
     val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = hs.as("a")
     val b = hs.as("b")
@@ -107,12 +179,14 @@ object Dedup {
     * inverted shingle index. Containment catches SUBSET duplication —
     * a document embedded verbatim inside a larger one scores ~1.0 here
     * while its symmetric Jaccard (common/union) can be arbitrarily low,
-    * so Jaccard-only dedup ships the duplicate. Same join shape and
-    * scale profile as [[jaccardPairs]] (index prunes the pair space;
-    * LSH-gate first at full corpus scale).
+    * so Jaccard-only dedup ships the duplicate. Same join shape, scale
+    * profile, and `maxShingleDocFreq` stop-shingle guard as
+    * [[jaccardPairs]] (index prunes the pair space; LSH-gate first at
+    * full corpus scale).
     */
-  def containmentPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+  def containmentPairs(shingles: DataFrame, threshold: Double,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val hs = hashedShingles(shingles, maxShingleDocFreq)
     val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = hs.as("a")
     val b = hs.as("b")

@@ -40,6 +40,54 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH candidate set ${cands.size} is not selective for n=$n")
   }
 
+  test("hot-bucket guards bound a boilerplate-heavy corpus, keep true dups") {
+    // adversarial corpus: 120 docs all sharing a 12-word boilerplate
+    // header (every header shingle has df=120), each with unique tail
+    // content; docs 0 and 1 additionally share an identical unique tail
+    // (the one TRUE near-dup pair)
+    val boiler = (0 until 12).map(i => s"legal$i").mkString(" ")
+    val corpus = (0 until 120).map { i =>
+      val tail = if (i <= 1) "identical unique payload body text here"
+        else s"unique$i payload${i}a payload${i}b payload${i}c payload${i}d payload${i}e"
+      (i.toLong, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(corpus, col("doc_id"), col("text")).cache()
+
+    // unguarded: boilerplate makes every doc pair share shingles — the
+    // inverted-index join goes quadratic (this is the failure mode)
+    val unguardedJoined = Dedup.jaccardPairs(sh, 0.0).count()
+    assert(unguardedJoined > 5000, s"corpus not adversarial enough: $unguardedJoined")
+
+    // stop-shingle guard: df cap kills the boilerplate shingles, the
+    // joined pair space collapses to the genuinely-overlapping pairs,
+    // and the true dup still scores 1.0 on the pruned space
+    val guarded = Dedup.jaccardPairs(sh, 0.0, maxShingleDocFreq = 10).cache()
+    assert(guarded.count() < 50, "stop-shingle cap failed to bound the join")
+    val dup = guarded.filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard").as[Double].collect()
+    assert(dup.length == 1 && dup(0) == 1.0, "true near-dup lost by the guard")
+    // accounting: exactly the boilerplate shingles are reported hot
+    val hot = Dedup.hotShingles(sh, 10).collect()
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("doc_freq") == 120L))
+    // containment shares the guard
+    assert(Dedup.containmentPairs(sh, 0.0, maxShingleDocFreq = 10).count() < 50)
+
+    // LSH bucket cap: boilerplate-dominated minhashes collapse docs into
+    // hot buckets; the cap bounds candidates and the drop is accounted
+    val sigs = Dedup.minhashSignatures(sh, 8).cache()
+    val uncapped = Dedup.lshCandidatePairs(sigs, 4, 2).count()
+    val capped = Dedup.lshCandidatePairs(sigs, 4, 2, maxBucketSize = 10).count()
+    val dropped = Dedup.lshDroppedBuckets(sigs, 4, 2, maxBucketSize = 10)
+      .collect()
+    // every candidate now comes from a bucket of <= 10 members: hard
+    // algebraic ceiling of 4 bands x (120/1) buckets x C(10,2)... use
+    // the direct bound: capped <= bands * n/2 * (cap-1)
+    assert(capped <= 4L * 120 / 2 * 9, s"bucket cap not enforced: $capped")
+    assert(capped < uncapped, s"cap removed nothing ($capped vs $uncapped)")
+    assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("bucket_size") > 10),
+      "dropped-bucket accounting empty or wrong")
+  }
+
   test("simhash: near-dup pairs sit at small hamming distance") {
     val sig = Dedup.simhash(docs, col("doc_id"), col("text"), 16).cache()
     val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"))
