@@ -549,6 +549,29 @@ object SparkEntry {
       s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
     }),
 
+    // SQLite GROUPS window frames through the dialect rewrite: numeric
+    // bounds become RANGE over a hoisted dense_rank() subquery (Spark
+    // can't nest window functions); UNBOUNDED/CURRENT ROW bounds become
+    // RANGE verbatim (identical semantics — whole peer groups either
+    // way). The ORDER BY key (order year) is deliberately coarse so
+    // peer groups have many members and GROUPS visibly differs from
+    // ROWS. DuckDB supports GROUPS natively, so the oracle runs the
+    // same frames unemulated — a true semantics check.
+    "q42_groups_frames" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val sqliteSql = """
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER (PARTITION BY o_custkey
+                              ORDER BY strftime('%Y', o_orderdate)
+                              GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w2,
+               count(*) OVER (PARTITION BY o_custkey
+                              ORDER BY strftime('%Y', o_orderdate)
+                              GROUPS UNBOUNDED PRECEDING) AS wcum
+        FROM orders WHERE o_orderkey <= 4000
+        ORDER BY o_custkey, o_orderkey"""
+      s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
+    }),
+
     // Native recursive CTE (Spark 4.1 WITH RECURSIVE — formerly listed
     // as a dialect gap; it is fully supported): month generator joined
     // against orders.
@@ -891,6 +914,23 @@ object SparkEntry {
            SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
          SELECT m, count(o_orderkey) AS n
          FROM months LEFT JOIN orders ON month(o_orderdate) = m
-         GROUP BY m ORDER BY m"""
+         GROUP BY m ORDER BY m""",
+
+    // The installed DuckDB predates GROUPS-frame support ("GROUPS mode
+    // … not implemented yet"), so the oracle hand-unrolls the same
+    // dense_rank emulation (precedent: e03 unrolls the k-means sweeps).
+    // TRUE GROUPS semantics are pinned by the hand-computed expected
+    // values in SqliteDialectSpec's ties-dataset test.
+    "q42_groups_frames" ->
+      """SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY gr
+                          RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS w2,
+           count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY strftime(o_orderdate, '%Y')
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wcum
+         FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY o_custkey
+                 ORDER BY strftime(o_orderdate, '%Y')) AS gr
+               FROM orders WHERE o_orderkey <= 4000) g
+         ORDER BY o_custkey, o_orderkey"""
   )
 }

@@ -25,37 +25,52 @@ object SqliteDialect {
   val ConfKey = "spark.graft.sqlite.dialect"
 
   /** Full SQLite→Spark dialect rewrite:
-    *   1. preflight: friendly errors for genuinely untranslatable
-    *      features (GROUPS window frames);
-    *   2. double-quoted identifiers → backtick identifiers (SQLite and
+    *   1. double-quoted identifiers → backtick identifiers (SQLite and
     *      the SQL standard quote identifiers with `"`; Spark reads `"`
     *      as a string literal);
+    *   2. GROUPS window frames → RANGE (over a hoisted `dense_rank()`
+    *      for numeric bounds) — [[rewriteGroups]]; untranslatable
+    *      shapes raise the friendly preflight error;
     *   3. `expr GLOB 'pat'` → `expr LIKE '<translated>'`;
     *   4. `strftime('fmt', expr)` → `date_format(expr, '<translated>')`.
-    * Single-quoted string literals are never touched by 2–4.
+    * Single-quoted string literals are never touched.
     */
-  def rewrite(sql: String): String = {
-    preflight(sql)
-    rewriteStrftime(rewriteGlob(rewriteDoubleQuoted(sql)))
-  }
+  def rewrite(sql: String): String =
+    rewriteStrftime(rewriteGlob(rewriteGroups(rewriteDoubleQuoted(sql))))
 
-  /** Friendly rejection of features Spark cannot express. GROUPS window
-    * frames (SQLite 3.28+ / postgres) have no Spark equivalent — Spark
-    * implements ROWS and RANGE only. (Recursive CTEs, a former entry
-    * here, ARE supported by Spark 4.1's native WITH RECURSIVE.)
+  /** Genuine frame syntax — a frame bound always ends in PRECEDING /
+    * FOLLOWING / CURRENT ROW, so a column that happens to be named
+    * `groups` in e.g. `groups BETWEEN 1 AND 5` does not match.
+    */
+  private val FrameBound =
+    "(UNBOUNDED\\s+(PRECEDING|FOLLOWING)|CURRENT\\s+ROW|\\d+\\s+(PRECEDING|FOLLOWING))"
+  private val GroupsFramePat =
+    s"(?i)\\bGROUPS\\s+(BETWEEN\\s+)?$FrameBound".r
+
+  /** Broader frame-INTENT pattern for [[rewriteGroups]]: also catches
+    * malformed/non-literal bounds (`GROUPS BETWEEN n PRECEDING …`) so
+    * they get the friendly error instead of slipping through to a raw
+    * Catalyst parse failure. The BETWEEN arm demands a PRECEDING /
+    * FOLLOWING within range, so `CASE WHEN groups BETWEEN 1 AND 5 THEN`
+    * inside a window spec still doesn't false-positive.
+    */
+  private val GroupsIntentPat =
+    (s"(?i)\\bGROUPS\\s+(BETWEEN\\s+.{0,60}?\\b(PRECEDING|FOLLOWING)\\b|$FrameBound)").r
+
+  /** Friendly flagging of features the plain Spark-dialect path cannot
+    * express. GROUPS window frames (SQLite 3.28+ / postgres) have no
+    * native Spark equivalent — Spark implements ROWS and RANGE only —
+    * but the DIALECT rewrite emulates them ([[rewriteGroups]]); plain
+    * mode points the user there. (Recursive CTEs, a former entry here,
+    * ARE supported by Spark 4.1's native WITH RECURSIVE.)
     */
   def preflight(sql: String): Unit = {
-    val m = maskStrings(sql)
-    // match only genuine frame syntax — a frame bound always ends in
-    // PRECEDING/FOLLOWING/CURRENT ROW/UNBOUNDED, so a column that
-    // happens to be named `groups` in e.g. `groups BETWEEN 1 AND 5`
-    // does not trip the check
-    val frameBound = "(UNBOUNDED\\s+(PRECEDING|FOLLOWING)|CURRENT\\s+ROW|\\d+\\s+(PRECEDING|FOLLOWING))"
-    if (s"(?i)\\bGROUPS\\s+(BETWEEN\\s+)?$frameBound".r
-        .findFirstIn(m).isDefined)
+    if (GroupsFramePat.findFirstIn(maskStrings(sql)).isDefined)
       throw new UnsupportedSqlFeatureException("GROUPS window frames",
-        "Spark windows support ROWS and RANGE frames only; rewrite the " +
-          "frame as ROWS (identical when the ORDER BY key is unique)")
+        "Spark windows support ROWS and RANGE frames only; enable " +
+          "spark.graft.sqlite.dialect (the rewrite emulates GROUPS as " +
+          "RANGE over dense_rank()), or rewrite the frame as ROWS " +
+          "(identical when the ORDER BY key is unique)")
   }
 
   /** SQLite GLOB pattern → SQL LIKE pattern. GLOB is case-sensitive with
@@ -159,6 +174,187 @@ object SqliteDialect {
       }
     }
     new String(out)
+  }
+
+  // ---- GROUPS frame emulation ------------------------------------------
+
+  /** Paren depth before each character, counting only parens OUTSIDE
+    * quoted spans (computed over a [[maskStrings]] image).
+    */
+  private def parenDepths(masked: String): Array[Int] = {
+    val depth = new Array[Int](masked.length)
+    var d = 0
+    var i = 0
+    while (i < masked.length) {
+      depth(i) = d
+      if (masked.charAt(i) == '(') d += 1
+      else if (masked.charAt(i) == ')') d -= 1
+      i += 1
+    }
+    depth
+  }
+
+  /** One parsed GROUPS frame bound: canonical SQL text + whether it is
+    * a numeric `n PRECEDING/FOLLOWING` (the shapes needing dense_rank).
+    */
+  private case class Bound(text: String, numeric: Boolean)
+
+  /** Parse the frame bound at the start of `s`; returns the bound and
+    * the remainder of `s`, or None if `s` starts with no literal bound.
+    */
+  private def parseBound(s: String): Option[(Bound, String)] = {
+    val t = s.dropWhile(_.isWhitespace)
+    "(?i)^(UNBOUNDED\\s+(PRECEDING|FOLLOWING)|CURRENT\\s+ROW|(\\d+)\\s+(PRECEDING|FOLLOWING))".r
+      .findFirstMatchIn(t)
+      .map { m =>
+        val canonical = m.group(1).split("\\s+").mkString(" ").toUpperCase
+        (Bound(canonical, m.group(3) != null), t.substring(m.end))
+      }
+  }
+
+  /** GROUPS window frames (SQLite 3.28+): frames counting PEER GROUPS
+    * of the ORDER BY key instead of rows. Spark implements ROWS and
+    * RANGE only, but GROUPS is expressible:
+    *
+    *   - bounds using only UNBOUNDED / CURRENT ROW: identical to the
+    *     same RANGE frame (both always cover whole peer groups), so the
+    *     GROUPS keyword simply becomes RANGE — any query shape;
+    *   - numeric bounds (`n PRECEDING/FOLLOWING`): peer-group distance
+    *     equals the difference of `dense_rank()` over the same
+    *     partition/order, so the frame becomes RANGE with the same
+    *     bounds over a hoisted rank column. Spark cannot nest window
+    *     functions, so the rank is computed in an injected
+    *     `FROM (SELECT *, DENSE_RANK() OVER (…) AS __graft_grankN …)`
+    *     subquery — supported when the GROUPS window sits in the
+    *     query's outermost SELECT list with no DISTINCT / GROUP BY /
+    *     HAVING / set operator at that level (friendly error
+    *     otherwise). ORDER BY direction lives inside the rank
+    *     definition, so DESC and multi-key orders translate unchanged.
+    *
+    * EXCLUDE clauses and non-literal bounds are genuinely
+    * untranslatable and always rejected.
+    */
+  private[pipeline] def rewriteGroups(sql: String): String = {
+    val masked = maskStrings(sql)
+    if (GroupsIntentPat.findFirstIn(masked).isEmpty) return sql
+    val depth = parenDepths(masked)
+
+    case class Edit(start: Int, end: Int, text: String)
+    val edits = scala.collection.mutable.ArrayBuffer.empty[Edit]
+    // (partition-by text, order-by text) -> hoisted rank alias
+    val grankDefs = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+
+    for (m <- "(?i)\\bOVER\\s*\\(".r.findAllMatchIn(masked)) {
+      val open = m.end - 1
+      var i = open + 1
+      var d = 1
+      while (i < masked.length && d > 0) {
+        if (masked.charAt(i) == '(') d += 1
+        else if (masked.charAt(i) == ')') d -= 1
+        i += 1
+      }
+      if (d != 0) throw new IllegalArgumentException(
+        s"unbalanced window specification in: $sql")
+      val close = i - 1
+      val span = masked.substring(open + 1, close)
+      if (GroupsIntentPat.findFirstIn(span).isDefined) {
+        if ("(?i)\\bEXCLUDE\\b".r.findFirstIn(span).isDefined)
+          throw new UnsupportedSqlFeatureException(
+            "GROUPS frame EXCLUDE clause",
+            "Spark has no frame exclusion; remove the EXCLUDE clause")
+        // clause keyword positions at the spec's own top level (depth 0
+        // within the span — ORDER BY inside a nested call doesn't count)
+        val spanDepth = parenDepths(span)
+        def topIdx(pat: String): Int =
+          ("(?i)" + pat).r.findAllMatchIn(span)
+            .find(mm => spanDepth(mm.start) == 0).map(_.start).getOrElse(-1)
+        val gIdx = topIdx("\\bGROUPS\\b")
+        val oIdx = topIdx("\\bORDER\\s+BY\\b")
+        val pIdx = topIdx("\\bPARTITION\\s+BY\\b")
+        if (gIdx < 0 || oIdx < 0 || oIdx > gIdx)
+          throw new UnsupportedSqlFeatureException("GROUPS frame",
+            s"cannot parse the window specification '${sql.substring(open + 1, close)}'" +
+              " — GROUPS requires ORDER BY in the same window")
+        // parse the frame: GROUPS [BETWEEN b1 AND] b2 — must consume the
+        // whole remaining spec, else the bound is an expression
+        val frameText = span.substring(gIdx + "GROUPS".length)
+        val parsed = "(?i)^\\s*BETWEEN\\b".r.findFirstMatchIn(frameText) match {
+          case Some(bm) =>
+            for {
+              (b1, rest1) <- parseBound(frameText.substring(bm.end))
+              rest2 <- "(?i)^\\s*AND\\b".r.findFirstMatchIn(rest1)
+                .map(am => rest1.substring(am.end))
+              (b2, rest3) <- parseBound(rest2)
+              if rest3.trim.isEmpty
+            } yield (b1, b2)
+          case None =>
+            parseBound(frameText).collect {
+              case (b1, rest) if rest.trim.isEmpty => (b1, Bound("CURRENT ROW", numeric = false))
+            }
+        }
+        val (b1, b2) = parsed.getOrElse(throw new UnsupportedSqlFeatureException(
+          "GROUPS frame with non-literal bounds",
+          "only UNBOUNDED/CURRENT ROW/<integer> PRECEDING|FOLLOWING bounds translate"))
+        if (!b1.numeric && !b2.numeric) {
+          // whole-peer-group bounds: GROUPS ≡ RANGE verbatim
+          edits += Edit(open + 1 + gIdx, open + 1 + gIdx + "GROUPS".length, "RANGE")
+        } else {
+          if (depth(m.start) != 0)
+            throw new UnsupportedSqlFeatureException(
+              "GROUPS frame with numeric bounds inside a subquery",
+              "the dense_rank hoist supports the outermost SELECT only; " +
+                "compute the rank in the subquery manually")
+          val partText = if (pIdx >= 0) sql.substring(open + 1 + pIdx, open + 1 + oIdx).trim else ""
+          val orderText = sql.substring(open + 1 + oIdx, open + 1 + gIdx).trim
+          val alias = grankDefs.getOrElseUpdate((partText, orderText),
+            s"__graft_grank${grankDefs.size}")
+          val spec = (if (partText.nonEmpty) partText + " " else "") +
+            s"ORDER BY $alias RANGE BETWEEN ${b1.text} AND ${b2.text}"
+          edits += Edit(open + 1, close, spec)
+        }
+      }
+    }
+    val edited = edits.sortBy(-_.start).foldLeft(sql) { (s, e) =>
+      s.substring(0, e.start) + e.text + s.substring(e.end)
+    }
+    if (grankDefs.isEmpty) return edited
+
+    // hoist the rank columns: wrap the outermost FROM in a subquery
+    val m2 = maskStrings(edited)
+    val d2 = parenDepths(m2)
+    val firstUse = edited.indexOf("__graft_grank")
+    val sel = "(?i)\\bSELECT\\b".r.findAllMatchIn(m2)
+      .filter(mm => d2(mm.start) == 0 && mm.start < firstUse).toSeq.lastOption
+      .getOrElse(throw new UnsupportedSqlFeatureException("GROUPS frame",
+        "no enclosing SELECT found for the window"))
+    if ("(?i)^\\s*DISTINCT\\b".r.findFirstIn(m2.substring(sel.end)).isDefined)
+      throw new UnsupportedSqlFeatureException(
+        "GROUPS frame with SELECT DISTINCT",
+        "hoisting dense_rank under DISTINCT changes semantics; " +
+          "deduplicate in a subquery first")
+    val fromM = "(?i)\\bFROM\\b".r.findAllMatchIn(m2)
+      .find(mm => d2(mm.start) == 0 && mm.start > sel.end)
+      .getOrElse(throw new UnsupportedSqlFeatureException("GROUPS frame",
+        "the windowed SELECT has no FROM clause to hoist the rank into"))
+    val tailMatches = "(?i)\\b(GROUP\\s+BY|HAVING|UNION|INTERSECT|EXCEPT|WINDOW|QUALIFY|ORDER\\s+BY|LIMIT|OFFSET)\\b".r
+      .findAllMatchIn(m2).filter(mm => d2(mm.start) == 0 && mm.start > fromM.end).toSeq
+    tailMatches
+      .find(mm => !"(?i)(ORDER\\s+BY|LIMIT|OFFSET)".r.pattern.matcher(mm.group(1)).matches())
+      .foreach { bad =>
+        throw new UnsupportedSqlFeatureException(
+          s"GROUPS frame combined with ${bad.group(1).toUpperCase}",
+          "the dense_rank hoist supports plain SELECT … FROM … WHERE " +
+            "shapes; restructure with an explicit subquery")
+      }
+    val trailingStart = tailMatches.headOption.map(_.start).getOrElse(edited.length)
+    val fromPart = edited.substring(fromM.end, trailingStart).trim
+    val defs = grankDefs.map { case ((p, o), alias) =>
+      val spec = (if (p.nonEmpty) p + " " else "") + o
+      s"DENSE_RANK() OVER ($spec) AS $alias"
+    }.mkString(", ")
+    edited.substring(0, fromM.start) +
+      s"FROM (SELECT *, $defs FROM $fromPart) __graft_groups " +
+      edited.substring(trailingStart)
   }
 
   /** `"quoted ident"` → `` `quoted ident` `` outside string literals

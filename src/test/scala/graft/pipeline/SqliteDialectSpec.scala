@@ -84,6 +84,64 @@ class SqliteDialectSpec extends SparkSpec {
     assert(m.getMessage.startsWith("unsupported: strftime modifiers"))
   }
 
+  test("rewriteGroups: whole-peer-group bounds become RANGE verbatim") {
+    val out = SqliteDialect.rewriteGroups(
+      "SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert(out ==
+      "SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    // shorthand spelling, same rule; no subquery hoist for these shapes
+    val sh = SqliteDialect.rewriteGroups(
+      "SELECT sum(x) OVER (ORDER BY k GROUPS UNBOUNDED PRECEDING) FROM t")
+    assert(sh.contains("RANGE UNBOUNDED PRECEDING") && !sh.contains("__graft"))
+  }
+
+  test("rewriteGroups: numeric bounds hoist a dense_rank subquery") {
+    val out = SqliteDialect.rewriteGroups(
+      """SELECT k, sum(x) OVER (PARTITION BY p ORDER BY k DESC GROUPS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS s
+         FROM t WHERE x > 0 ORDER BY k""")
+    assert(out.contains(
+      "OVER (PARTITION BY p ORDER BY __graft_grank0 RANGE BETWEEN 1 PRECEDING AND 2 FOLLOWING)"))
+    assert(out.contains(
+      "FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k DESC) AS __graft_grank0 FROM t WHERE x > 0) __graft_groups "))
+    assert(out.trim.endsWith("ORDER BY k"))
+    // two windows over the same partition/order share one rank column
+    val shared = SqliteDialect.rewriteGroups(
+      """SELECT sum(x) OVER (ORDER BY k GROUPS 1 PRECEDING) AS a,
+                min(x) OVER (ORDER BY k GROUPS 2 PRECEDING) AS b FROM t""")
+    assert(shared.split("__graft_grank0", -1).length - 1 == 3
+      && !shared.contains("__graft_grank1"))
+  }
+
+  test("rewriteGroups: numeric GROUPS emulation matches hand-ranked query") {
+    // ties in the ORDER BY key make GROUPS differ from ROWS: frame
+    // counts PEER GROUPS (g=10 and g=20 are adjacent groups)
+    Seq((1, 10, 1.0), (2, 10, 2.0), (3, 20, 4.0), (4, 20, 8.0), (5, 30, 16.0))
+      .toDF("id", "g", "x").createOrReplaceTempView("groups_t")
+    val emulated = spark.sql(SqliteDialect.rewrite(
+      """SELECT id, sum(x) OVER (ORDER BY g GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+         FROM groups_t ORDER BY id"""))
+      .select("id", "s").as[(Int, Double)].collect().toSeq
+    // expected: group 10 -> 1+2; group 20 -> 1+2+4+8; group 30 -> 4+8+16
+    assert(emulated == Seq((1, 3.0), (2, 3.0), (3, 15.0), (4, 15.0), (5, 28.0)))
+  }
+
+  test("rewriteGroups: friendly errors for the untranslatable shapes") {
+    def bad(sql: String): String =
+      intercept[UnsupportedSqlFeatureException] {
+        SqliteDialect.rewriteGroups(sql)
+      }.getMessage
+    assert(bad("SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t")
+      .contains("EXCLUDE"))
+    assert(bad("SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN n PRECEDING AND 1 FOLLOWING) FROM t")
+      .contains("non-literal"))
+    assert(bad("SELECT * FROM (SELECT sum(x) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s FROM t) q")
+      .contains("subquery"))
+    assert(bad("SELECT sum(x) OVER (ORDER BY g GROUPS 1 PRECEDING) FROM t GROUP BY g")
+      .contains("GROUP BY"))
+    assert(bad("SELECT DISTINCT sum(x) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t")
+      .contains("DISTINCT"))
+  }
+
   test("review regressions: literal letter runs, groups column, glob identifier") {
     // consecutive literal letters quote as ONE run ('' between letters
     // would render a spurious apostrophe in Java datetime patterns)
