@@ -32,11 +32,19 @@ object SqliteDialect {
     *      for numeric bounds) — [[rewriteGroups]]; untranslatable
     *      shapes raise the friendly preflight error;
     *   3. `expr GLOB 'pat'` → `expr LIKE '<translated>'`;
-    *   4. `strftime('fmt', expr)` → `date_format(expr, '<translated>')`.
-    * Single-quoted string literals are never touched.
+    *   4. `strftime('fmt', expr)` → `date_format(expr, '<translated>')`;
+    *   5. every single-quoted literal is transcoded from SQLite lexing
+    *      ('' escapes a quote, backslash is an ordinary character) to
+    *      Spark default-parser lexing (backslash escapes active) —
+    *      [[transcodeLiterals]] — so e.g. the legal SQLite literal
+    *      `'C:\'` survives as `'C:\\'` instead of un-terminating the
+    *      Spark parse. All scans before this step lex the string
+    *      uniformly as SQLite ([[maskStrings]] with
+    *      `backslashEscapes = false`).
     */
   def rewrite(sql: String): String =
-    rewriteStrftime(rewriteGlob(rewriteGroups(rewriteDoubleQuoted(sql))))
+    transcodeLiterals(
+      rewriteStrftime(rewriteGlob(rewriteGroups(rewriteDoubleQuoted(sql)))))
 
   /** Genuine frame syntax — a frame bound always ends in PRECEDING /
     * FOLLOWING / CURRENT ROW, so a column that happens to be named
@@ -65,7 +73,7 @@ object SqliteDialect {
     * ARE supported by Spark 4.1's native WITH RECURSIVE.)
     */
   def preflight(sql: String): Unit = {
-    if (GroupsFramePat.findFirstIn(maskStrings(sql)).isDefined)
+    if (GroupsFramePat.findFirstIn(maskStrings(sql, backslashEscapes = true)).isDefined)
       throw new UnsupportedSqlFeatureException("GROUPS window frames",
         "Spark windows support ROWS and RANGE frames only; enable " +
           "spark.graft.sqlite.dialect (the rewrite emulates GROUPS as " +
@@ -150,20 +158,27 @@ object SqliteDialect {
     * SQLite-dialect input the same span is a quoted identifier, equally
     * off-limits to keyword scans.
     *
-    * Inside single/double-quoted spans a backslash consumes the next
-    * character: the Spark default parser keeps backslash escapes active
-    * (`'it\'s'`, `"say \"hi\""`), and without this the mask's quote
-    * state inverts after the escaped quote, corrupting everything that
-    * follows. Backtick spans have no escape character.
+    * `backslashEscapes` selects the lexing convention. The PREFLIGHT
+    * path sees Spark-dialect SQL, where the default parser keeps
+    * backslash escapes active inside single/double-quoted spans
+    * (`'it\'s'`, `"say \"hi\""`) — without consuming the escaped quote
+    * the mask's quote state inverts and corrupts everything after it.
+    * The DIALECT-rewrite path sees SQLite SQL, where backslash is an
+    * ordinary character and '' is the only quote escape (a literal may
+    * legally END in a backslash: `'C:\'`) — there the same consumption
+    * would invert the state instead. '' needs no special handling in
+    * either mode: the two quotes toggle the state twice, leaving the
+    * span open. Backtick spans have no escape character in either
+    * dialect.
     */
-  private def maskStrings(sql: String): String = {
+  private def maskStrings(sql: String, backslashEscapes: Boolean): String = {
     val out = sql.toCharArray
     var i = 0
     var inStr = false
     var inTick = false
     var inDq = false
     while (i < out.length) {
-      if ((inStr || inDq) && out(i) == '\\' && i + 1 < out.length) {
+      if (backslashEscapes && (inStr || inDq) && out(i) == '\\' && i + 1 < out.length) {
         out(i) = ' '; out(i + 1) = ' '; i += 2
       } else {
         if (!inTick && !inDq && out(i) == '\'') inStr = !inStr
@@ -235,7 +250,7 @@ object SqliteDialect {
     * untranslatable and always rejected.
     */
   private[pipeline] def rewriteGroups(sql: String): String = {
-    val masked = maskStrings(sql)
+    val masked = maskStrings(sql, backslashEscapes = false)
     if (GroupsIntentPat.findFirstIn(masked).isEmpty) return sql
     val depth = parenDepths(masked)
 
@@ -275,6 +290,19 @@ object SqliteDialect {
           throw new UnsupportedSqlFeatureException("GROUPS frame",
             s"cannot parse the window specification '${sql.substring(open + 1, close)}'" +
               " — GROUPS requires ORDER BY in the same window")
+        // a leading identifier before the first clause keyword is a
+        // named base window (`OVER (w ORDER BY … GROUPS …)`). Spark's
+        // window grammar cannot extend a named window inside parens,
+        // and the numeric-bound rebuild would silently DROP the base
+        // window's inherited partitioning — wrong results, not a parse
+        // error — so every GROUPS spec over a base window is rejected.
+        val firstClause = Seq(pIdx, oIdx, gIdx).filter(_ >= 0).min
+        if (span.substring(0, firstClause).trim.nonEmpty)
+          throw new UnsupportedSqlFeatureException(
+            "GROUPS frame over a named base window",
+            "Spark cannot extend a named WINDOW inside an OVER (...) spec; " +
+              "inline the base window's PARTITION BY / ORDER BY clauses " +
+              "into the OVER clause")
         // parse the frame: GROUPS [BETWEEN b1 AND] b2 — must consume the
         // whole remaining spec, else the bound is an expression
         val frameText = span.substring(gIdx + "GROUPS".length)
@@ -317,10 +345,19 @@ object SqliteDialect {
     val edited = edits.sortBy(-_.start).foldLeft(sql) { (s, e) =>
       s.substring(0, e.start) + e.text + s.substring(e.end)
     }
+    val m2 = maskStrings(edited, backslashEscapes = false)
+    // a GROUPS frame the OVER scan never visited can only live in a
+    // named WINDOW clause (`WINDOW w AS (ORDER BY k GROUPS …)`); left
+    // alone it would surface as a raw Catalyst parse error
+    if (GroupsIntentPat.findFirstIn(m2).isDefined)
+      throw new UnsupportedSqlFeatureException(
+        "GROUPS frame in a named WINDOW clause",
+        "the GROUPS emulation rewrites frames written inline in an " +
+          "OVER (...) spec only; move the frame from the WINDOW " +
+          "definition into each OVER clause")
     if (grankDefs.isEmpty) return edited
 
     // hoist the rank columns: wrap the outermost FROM in a subquery
-    val m2 = maskStrings(edited)
     val d2 = parenDepths(m2)
     val firstUse = edited.indexOf("__graft_grank")
     val sel = "(?i)\\bSELECT\\b".r.findAllMatchIn(m2)
@@ -348,12 +385,37 @@ object SqliteDialect {
       }
     val trailingStart = tailMatches.headOption.map(_.start).getOrElse(edited.length)
     val fromPart = edited.substring(fromM.end, trailingStart).trim
+    // Table-qualified references in the outer SELECT list (or in a
+    // trailing ORDER BY) stop resolving once the FROM clause is wrapped
+    // in the rank subquery. When the FROM is a single plain relation
+    // the subquery inherits its visible name so `t.x` keeps resolving;
+    // any other FROM shape with qualified outer references gets the
+    // friendly error instead of Catalyst's unresolved-column failure.
+    val whereIdx = "(?i)\\bWHERE\\b".r.findAllMatchIn(m2)
+      .find(mm => d2(mm.start) == 0 && mm.start > fromM.end && mm.start < trailingStart)
+      .map(_.start).getOrElse(trailingStart)
+    val relationText = edited.substring(fromM.end, whereIdx).trim
+    val SimpleRel =
+      "(?i)^([A-Za-z_][A-Za-z0-9_]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*))?$".r
+    val hoistAlias = relationText match {
+      case SimpleRel(tab, null) => tab
+      case SimpleRel(_, alias) => alias
+      case _ =>
+        val outer = m2.substring(sel.end, fromM.start) + m2.substring(trailingStart)
+        if ("\\b[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*[A-Za-z_]".r.findFirstIn(outer).isDefined)
+          throw new UnsupportedSqlFeatureException(
+            "GROUPS frame with table-qualified outer references",
+            "the dense_rank hoist renames the FROM relation; drop the " +
+              "qualifiers from the SELECT list / ORDER BY, or compute " +
+              "the rank in an explicit subquery")
+        "__graft_groups"
+    }
     val defs = grankDefs.map { case ((p, o), alias) =>
       val spec = (if (p.nonEmpty) p + " " else "") + o
       s"DENSE_RANK() OVER ($spec) AS $alias"
     }.mkString(", ")
     edited.substring(0, fromM.start) +
-      s"FROM (SELECT *, $defs FROM $fromPart) __graft_groups " +
+      s"FROM (SELECT *, $defs FROM $fromPart) $hoistAlias " +
       edited.substring(trailingStart)
   }
 
@@ -389,10 +451,44 @@ object SqliteDialect {
   }
 
   /** Escape a runtime string for embedding in a Spark single-quoted SQL
-    * literal (default parser mode: backslash escapes active).
+    * literal (default parser mode: backslash escapes active). Used only
+    * by [[transcodeLiterals]] — mid-pipeline emissions use
+    * [[sqliteLiteral]] so the statement stays uniformly SQLite-lexed
+    * until the final transcoding pass.
     */
   private def sparkLiteral(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Escape a runtime string as a SQLite-lexed single-quoted literal
+    * ('' escapes a quote; backslash is an ordinary character).
+    */
+  private def sqliteLiteral(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** Transcode every single-quoted literal from SQLite lexing ('' is
+    * the only escape, backslash ordinary) to Spark default-parser
+    * lexing (backslash escapes active): backslashes in content double,
+    * embedded quotes become `\'`. Backtick-quoted identifier spans pass
+    * through untouched. Runs LAST in [[rewrite]], so every earlier scan
+    * and emission works on uniformly SQLite-lexed text — a legal SQLite
+    * literal ending in a backslash (`'C:\'`) neither corrupts the
+    * scans' mask state nor un-terminates the eventual Spark parse.
+    */
+  private[pipeline] def transcodeLiterals(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '`') { inTick = !inTick; sb.append(c); i += 1 }
+      else if (c == '\'' && !inTick) {
+        val (content, next) = readLiteral(sql, i)
+        sb.append(sparkLiteral(content))
+        i = next
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Read the single-quoted literal starting at `start` (which must be
     * the opening quote); returns (content with '' unescaped, index past
@@ -429,7 +525,8 @@ object SqliteDialect {
     */
   private[pipeline] def rewriteGlob(sql: String): String = {
     def loop(s: String, from: Int): String = {
-      "(?i)\\bGLOB\\b".r.findFirstMatchIn(maskStrings(s).substring(from)) match {
+      "(?i)\\bGLOB\\b".r.findFirstMatchIn(
+        maskStrings(s, backslashEscapes = false).substring(from)) match {
         case None => s
         case Some(mm) =>
           val kwStart = from + mm.start
@@ -440,7 +537,7 @@ object SqliteDialect {
           else {
             val (glob, next) = readLiteral(s, afterKw)
             val replaced = s.substring(0, kwStart) + "LIKE " +
-              sparkLiteral(globToLike(glob))
+              sqliteLiteral(globToLike(glob))
             loop(replaced + s.substring(next), replaced.length)
           }
       }
@@ -454,7 +551,8 @@ object SqliteDialect {
     * Nested calls are handled by recursing into the expression part.
     */
   private[pipeline] def rewriteStrftime(sql: String): String = {
-    val m = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(maskStrings(sql))
+    val m = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(
+      maskStrings(sql, backslashEscapes = false))
     m match {
       case None => sql
       case Some(mm) =>
@@ -489,7 +587,7 @@ object SqliteDialect {
           s"unterminated strftime call in: $sql")
         val expr = sql.substring(comma + 1, end).trim
         sql.substring(0, mm.start) +
-          s"date_format(${rewriteStrftime(expr)}, ${sparkLiteral(strftimeToSpark(fmt))})" +
+          s"date_format(${rewriteStrftime(expr)}, ${sqliteLiteral(strftimeToSpark(fmt))})" +
           rewriteStrftime(sql.substring(end + 1))
     }
   }

@@ -101,8 +101,10 @@ class SqliteDialectSpec extends SparkSpec {
          FROM t WHERE x > 0 ORDER BY k""")
     assert(out.contains(
       "OVER (PARTITION BY p ORDER BY __graft_grank0 RANGE BETWEEN 1 PRECEDING AND 2 FOLLOWING)"))
+    // the hoisted subquery inherits the plain relation's name so
+    // table-qualified outer references keep resolving
     assert(out.contains(
-      "FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k DESC) AS __graft_grank0 FROM t WHERE x > 0) __graft_groups "))
+      "FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k DESC) AS __graft_grank0 FROM t WHERE x > 0) t "))
     assert(out.trim.endsWith("ORDER BY k"))
     // two windows over the same partition/order share one rank column
     val shared = SqliteDialect.rewriteGroups(
@@ -140,6 +142,46 @@ class SqliteDialectSpec extends SparkSpec {
       .contains("GROUP BY"))
     assert(bad("SELECT DISTINCT sum(x) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t")
       .contains("DISTINCT"))
+    // a named base window would silently lose its inherited
+    // partitioning in the numeric rebuild — rejected for every bound
+    // shape (Spark's grammar cannot extend a named window anyway)
+    assert(bad("SELECT sum(x) OVER (w ORDER BY k GROUPS 1 PRECEDING) FROM t WINDOW w AS (PARTITION BY p)")
+      .contains("named base window"))
+    assert(bad("SELECT sum(x) OVER (w ORDER BY k GROUPS UNBOUNDED PRECEDING) FROM t WINDOW w AS (PARTITION BY p)")
+      .contains("named base window"))
+    // a GROUPS frame declared inside the WINDOW clause itself is never
+    // visited by the OVER scan — friendly error, not a Catalyst one
+    assert(bad("SELECT sum(x) OVER w FROM t WINDOW w AS (ORDER BY k GROUPS 1 PRECEDING)")
+      .contains("WINDOW clause"))
+    // qualified outer references over a non-simple FROM cannot survive
+    // the hoist
+    assert(bad("SELECT a.x, sum(a.x) OVER (ORDER BY a.k GROUPS 1 PRECEDING) FROM t a JOIN u b ON a.id = b.id")
+      .contains("table-qualified"))
+  }
+
+  test("rewriteGroups: qualified references survive the hoist for plain relations") {
+    Seq((1, 10, 1.0), (2, 10, 2.0), (3, 20, 4.0), (4, 20, 8.0), (5, 30, 16.0))
+      .toDF("id", "g", "x").createOrReplaceTempView("groups_q_t")
+    val got = spark.sql(SqliteDialect.rewrite(
+      """SELECT t.id, sum(t.x) OVER (ORDER BY t.g GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+         FROM groups_q_t t ORDER BY t.id"""))
+      .select("id", "s").as[(Int, Double)].collect().toSeq
+    assert(got == Seq((1, 3.0), (2, 3.0), (3, 15.0), (4, 15.0), (5, 28.0)))
+  }
+
+  test("rewrite: SQLite literal lexing — trailing backslash and '' quotes") {
+    // 'C:\' is a complete SQLite literal (backslash is ordinary there);
+    // it must not corrupt later scans, and it must reach Spark as '\\'
+    val out = SqliteDialect.rewrite(
+      """SELECT x FROM t WHERE p = 'C:\' AND s GLOB 'a*'""")
+    assert(out == """SELECT x FROM t WHERE p = 'C:\\' AND s LIKE 'a%'""")
+    // '' is the SQLite quote escape; Spark would read adjacent literals
+    // as concatenation ("its"), so it must transcode to \'
+    assert(SqliteDialect.rewrite("SELECT 'it''s' AS s FROM t") ==
+      """SELECT 'it\'s' AS s FROM t""")
+    // end-to-end: the transcoded literal means what the SQLite one did
+    val v = spark.sql(SqliteDialect.rewrite("SELECT 'it''s' AS s")).head.getString(0)
+    assert(v == "it's")
   }
 
   test("review regressions: literal letter runs, groups column, glob identifier") {
