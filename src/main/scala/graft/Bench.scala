@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
 
 import org.apache.spark.sql.SparkSession
 
@@ -30,13 +30,57 @@ import org.apache.spark.sql.SparkSession
   *   - a JVM shutdown hook emits the partial line even if the process is
   *     killed externally (driver `timeout` sends SIGTERM before SIGKILL),
   *     so a contended sandbox can no longer produce a data-free round.
+  *
+  * Contention discipline (VERDICT r4 #2 — BENCH_r04 measured 9/68
+  * queries because two contention-inflated samples at the front of the
+  * alphabet ate the whole budget):
+  *   - queries run CHEAPEST-FIRST by last-known idle cost
+  *     ([[costHint]]), so a budget squeeze drops the few expensive
+  *     tails instead of 85% of the suite;
+  *   - every sample runs under a WATCHDOG capped at budget/8: a single
+  *     contention spike (idle seconds → minutes) is cancelled via its
+  *     Spark job group and reported in `"errors"`, and the loop moves
+  *     on instead of letting one sample starve the rest;
+  *   - a fixed compute-bound PROBE is timed at start / middle / end of
+  *     the run; the `"contention"` object (three times + max/min ratio)
+  *     lets the driver tell sandbox noise from a real regression
+  *     without a judge re-run — ratio ≈ 1 means a quiet box, ratio ≫ 1
+  *     means the medians are inflated by co-tenants.
   */
 object Bench {
+
+  /** Last-known idle per-query cost (seconds, sf0.1, local[32]) — an
+    * ORDERING HINT ONLY, never reported. Sources: the round-4 judge's
+    * idle re-runs and isolation timings. Unlisted queries default to
+    * 1.0 (the measured idle cost of nearly every q-series query is
+    * 0.2–2 s). Drift is harmless: a stale hint only perturbs run order.
+    */
+  private val costHint: Map[String, Double] = Map(
+    "d07_simhash_pairs" -> 8.0,
+    "d04_minhash_lsh" -> 7.0,
+    "t04_winnowing" -> 6.0,
+    "e03_knn_ivf" -> 5.0,
+    "d03_jaccard_pairs" -> 4.0,
+    "d06_embedding_neardup" -> 4.0,
+    "d08_dup_clusters" -> 4.0,
+    "d05_simhash" -> 3.0,
+    "d09_containment" -> 3.0,
+    "e02_knn_lsh" -> 3.0,
+    "s02_sessionize" -> 3.0,
+    "j01_json_extract" -> 2.0,
+    "q11_window_lag" -> 2.0,
+    "q12_window_running" -> 2.0,
+    "q16_scalar_subquery" -> 2.0,
+    "q28_window_suite" -> 2.0,
+    "s01_event_window" -> 2.0,
+    "t03_langid" -> 2.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    val sampleCapS = budgetS / 8
     val startNanos = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - startNanos) / 1e9
     def remainingS: Double = budgetS - elapsedS
@@ -53,18 +97,25 @@ object Bench {
     // on `results` (the bench loop is single-threaded; the hook races it).
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    var pending: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+    val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var pending: Seq[String] =
+      SparkEntry.queries.keys.toSeq.sortBy(n => (costHint.getOrElse(n, 1.0), n))
     val printed = new AtomicBoolean(false)
 
     def emit(expired: Boolean): Unit = if (printed.compareAndSet(false, true)) {
       results.synchronized {
-        val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
           .mkString("{", ",", "}")
         val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
           .mkString("{", ",", "}")
-        val skipped = pending.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val skipped = pending.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
         val total = if (results.nonEmpty) results.values.sum else 0.0
-        println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"budget_expired":$expired,"skipped":$skipped,"elapsed":$elapsedS,"sf":"$sfDir"}""")
+        val ratio =
+          if (probes.nonEmpty && probes.values.min > 0) probes.values.max / probes.values.min
+          else 0.0
+        val contention = (probes.map { case (k, v) => "\"" + esc(k) + "\":" + v } ++
+          Seq("\"ratio\":" + ratio)).mkString("{", ",", "}")
+        println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"contention":$contention,"budget_expired":$expired,"skipped":$skipped,"elapsed":$elapsedS,"sf":"${esc(sfDir)}"}""")
         System.out.flush()
       }
     }
@@ -80,6 +131,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    /** Run `body` on a daemon thread under a named Spark job group; if
+      * it exceeds `capS` seconds, cancel the group's jobs and report the
+      * timeout instead of blocking the whole run on one inflated sample.
+      */
+    def guarded(group: String, capS: Double)(body: => Unit): Either[String, Double] = {
+      val failure = new AtomicReference[Throwable]
+      val t0 = System.nanoTime()
+      val worker = new Thread(() => {
+        spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+        try body catch { case e: Throwable => failure.set(e) }
+      }, s"bench-$group")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(math.max(1L, (capS * 1000).toLong))
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        worker.join(10000) // give the cancel a moment; daemon thread if stuck
+        Left(f"watchdog: sample exceeded cap $capS%.0f s (contention or regression)")
+      } else Option(failure.get) match {
+        case Some(e) => Left(
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        case None => Right((System.nanoTime() - t0) / 1e9)
+      }
+    }
+
+    // Fixed compute-bound probe: hash-heavy scan of a literal range, no
+    // I/O, no shuffle variance — its runtime moves with co-tenant CPU
+    // pressure and (via the three samples below) nothing else.
+    def probe(label: String): Unit =
+      guarded(s"probe-$label", capS = 30)(
+        spark.range(0, 100000000L, 1, spark.sparkContext.defaultParallelism)
+          .selectExpr("bit_xor(xxhash64(id)) AS h") // xor: no ANSI overflow
+          .write.format("noop").mode("overwrite").save()
+      ) match {
+        case Right(t) => results.synchronized { probes(label) = t }
+        case Left(err) =>
+          results.synchronized { errors.getOrElseUpdate(s"__probe_$label", err) }
+      }
+
     // warm up the session once (JVM/JIT, codegen compiler, parquet footer
     // caches) so per-query timings measure the queries, not first-job
     // startup; standard benchmark practice, not counted in the totals
@@ -89,10 +180,21 @@ object Bench {
         // startup — warn loudly instead of silently skipping warmup
         System.err.println(s"WARN bench warmup failed: $e")
     }
+    // throwaway probe run: the first noop write pays codegen/JIT cost
+    // that would inflate the "start" sample (and so the ratio) even on
+    // an idle machine
+    guarded("probe-warmup", capS = 30)(
+      spark.range(0, 1000000L, 1, spark.sparkContext.defaultParallelism)
+        .selectExpr("bit_xor(xxhash64(id)) AS h")
+        .write.format("noop").mode("overwrite").save())
+    probe("start")
 
     val queryFns = SparkEntry.queries
+    val order = pending.toList
+    val midpoint = order.size / 2
     var expired = false
-    for (name <- pending.toList if !expired) {
+    for ((name, idx) <- order.zipWithIndex if !expired) {
+      if (idx == midpoint) probe("mid")
       if (remainingS <= 0) { expired = true }
       else {
         val fn = queryFns(name)
@@ -105,19 +207,14 @@ object Bench {
         // contention each query keeps its first sample and skips repeats.
         while (n < runs && !failed &&
                (n == 0 || (samples.nonEmpty && samples.last < remainingS))) {
-          val t0 = System.nanoTime()
-          try {
-            // noop sink: full distributed execution incl. final sorts, no
-            // driver materialization, nothing written
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            samples += (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
+          // noop sink: full distributed execution incl. final sorts, no
+          // driver materialization, nothing written
+          guarded(s"$name-$n", math.min(sampleCapS, math.max(remainingS, 1.0)))(
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
+            case Right(t) => samples += t
+            case Left(err) =>
               failed = true
-              results.synchronized {
-                errors.getOrElseUpdate(name,
-                  s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-              }
+              results.synchronized { errors.getOrElseUpdate(name, err) }
           }
           n += 1
         }
@@ -128,6 +225,7 @@ object Bench {
         }
       }
     }
+    probe("end")
     emit(expired)
     spark.stop()
   }
