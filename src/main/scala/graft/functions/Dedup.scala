@@ -267,17 +267,23 @@ object Dedup {
     // first-matching-band dedup: a pair sharing several bands is emitted
     // only at its lowest shared band — a codegen'd filter over the
     // signatures already on the row, replacing a dropDuplicates SHUFFLE
-    // of the (large) candidate set with zero data movement
+    // of the (large) candidate set with zero data movement.
+    // CASE WHEN chain, not an OR of `(band = i AND …)` arms: the OR form
+    // lets the optimizer extract a vacuous `band IN (…)` filter into ONE
+    // side of the self-join, making the sides structurally different and
+    // defeating exchange reuse (the signature aggregate + explode would
+    // run twice).
     def chunkOf(sig: org.apache.spark.sql.Column, band: Int) = {
       val lo = bounds(band)
       shiftright(sig, lo).bitwiseAND(lit(maskFor(bounds(band + 1) - lo)))
     }
-    val firstMatch = (0 until bands).map { bnd =>
-      (0 until bnd).foldLeft(col("a.band") === bnd) { (acc, earlier) =>
-        acc && !(chunkOf(col("a.simhash"), earlier) ===
-          chunkOf(col("b.simhash"), earlier))
-      }
-    }.reduce(_ || _)
+    val firstMatch = (0 until bands).foldRight(lit(false)) { (bnd, elseBranch) =>
+      val earlierAllDiffer = (0 until bnd)
+        .map(earlier => !(chunkOf(col("a.simhash"), earlier) ===
+          chunkOf(col("b.simhash"), earlier)))
+        .foldLeft(lit(true))(_ && _)
+      when(col("a.band") === bnd, earlierAllDiffer).otherwise(elseBranch)
+    }
     a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
           && col("a.doc_id") < col("b.doc_id"))

@@ -106,36 +106,88 @@ object Similarity {
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, dims: Int = 64, tables: Int = 1): DataFrame = {
-    // quantize ONCE per row into a real column before the tables×planes
-    // bucket dots (HOF lambdas re-evaluate captured expression trees per
-    // element — feeding quantize(embedding) straight in re-quantizes per
-    // plane)
-    def withBuckets(df: DataFrame): DataFrame =
-      (0 until tables).foldLeft(
-          df.withColumn("__q", quantize(col("embedding")))) { (d, t) =>
-        d.withColumn(s"bucket$t",
-          lshBucketsFromQuantized(col("__q"), planes, dims, t * planes))
-      }.drop("__q")
-    val cb = withBuckets(corpus)
-    val qb = withBuckets(queries)
-    val candidates = (0 until tables).map { t =>
-        cb.as("c")
-          .join(broadcast(qb.as("q")),
-            col(s"c.bucket$t") === col(s"q.bucket$t"))
-          .filter(col("q.vec_id") =!= col("c.vec_id"))
-          .select(col("q.vec_id").as("query_id"),
-            col("c.vec_id").as("neighbor_id"),
-            col("q.embedding").as("q_emb"), col("c.embedding").as("c_emb"))
-      }.reduce(_ unionByName _)
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.select(
-      col("query_id"), col("neighbor_id"),
-      cosineQ(col("q_emb"), col("c_emb")).as("cos"))
+    // ONE exploded (t, bucket) row per table per vector on each side and
+    // ONE equi-join on (t, bucket): the scan + quantize + bucket
+    // projection appears once per side in the plan instead of once per
+    // union branch, and the multi-table duplicate-candidate dedup is the
+    // codegen'd first-matching-table filter over the bucket arrays
+    // already on the row — no dropDuplicates shuffle of the candidates.
+    val cRows = bucketRows(corpus, planes, dims, tables)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("buckets").as("cb"), col("t"), col("bucket"))
+    val qRows = bucketRows(queries, planes, dims, tables)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("buckets").as("qb"), col("t"), col("bucket"))
+    val scored = cRows.join(broadcast(qRows), Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        firstMatchingTable(col("cb"), col("qb"), tables))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(col("q_emb"), col("c_emb")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Bucket id via the native [[graft.functions.expressions.QuantizedDot]]
+    * expression against ±1 plane-sign vectors: the signs quantize to
+    * ±1000 (a positive scalar factor), so
+    * `sign(QuantizedDot(x, s)) = sign(Σ quantize(x)·s)` — bit-identical
+    * buckets to [[lshBuckets]]. Two wins over the HOF formulation:
+    * the per-plane dot is one fused codegen loop (quantization included,
+    * no intermediate array), and — load-bearing for the candidate
+    * self-joins — the projection CANONICALIZES: lambda-bearing plans
+    * (`NamedLambdaVariable` allocates fresh ids per analysis) never
+    * compare equal, so a self-join over HOF buckets re-executes its
+    * whole input on both sides instead of reusing the first side's
+    * shuffle exchange.
+    */
+  def lshBucketsNative(vec: Column, planes: Int, dims: Int,
+      planeOffset: Int = 0): Column = {
+    import graft.functions.expressions.QuantizedDot
+    val all = planeSigns(planeOffset + planes, dims)
+    (0 until planes).map { p =>
+      val signs = array(all(planeOffset + p).map(v => lit(v.toFloat)): _*)
+      when(QuantizedDot(vec, signs) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** (vec_id, embedding, buckets, t, bucket) rows: the full `tables`-long
+    * bucket array computed once per vector via [[lshBucketsNative]]
+    * (fused codegen dots, no HOF lambdas — see there for why that is
+    * required, not just faster), then one posexplode. Every multi-table
+    * candidate join shares this single projection instead of recomputing
+    * it per table branch.
+    */
+  private def bucketRows(emb: DataFrame, planes: Int, dims: Int,
+      tables: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        array((0 until tables).map(t =>
+          lshBucketsNative(col("embedding"), planes, dims, t * planes)): _*)
+          .as("buckets"))
+      .select(col("vec_id"), col("embedding"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+
+  /** First-matching-table dedup predicate over two bucket arrays joined
+    * at table `t`: true iff no lower-indexed table already collided, so
+    * a pair colliding in several tables is emitted exactly once — by a
+    * codegen'd array-element comparison on data already on the row, not
+    * a dropDuplicates shuffle of the candidate set.
+    *
+    * Shaped as a CASE WHEN chain, not an OR of `(t = i AND …)` arms: the
+    * OR form lets the optimizer extract a (vacuously true) `t IN (…)`
+    * filter and push it into ONE join side, making the two sides of the
+    * self-join structurally different — which defeats exchange reuse and
+    * re-executes the whole bucket projection. CASE is opaque to that
+    * extraction, keeping both sides canonically identical.
+    */
+  private def firstMatchingTable(ba: Column, bb: Column, tables: Int): Column =
+    (0 until tables).foldRight(lit(false)) { (t, elseBranch) =>
+      val earlierAllDiffer = (0 until t)
+        .map(k => !(element_at(ba, k + 1) === element_at(bb, k + 1)))
+        .foldLeft(lit(true))(_ && _)
+      when(col("t") === t, earlierAllDiffer).otherwise(elseBranch)
+    }
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
 
@@ -255,38 +307,26 @@ object Similarity {
     * result (complete whenever every near-dup shares ≥ 1 bucket —
     * overwhelmingly likely for the tight clusters dedup targets).
     *
-    * The quantized vector is materialized as a real column ONCE before
-    * the per-plane dot products: HOF lambdas re-evaluate captured
-    * expression trees per element, so feeding `quantize(vec)` straight
-    * into `tables × planes` aggregates would re-quantize per plane.
+    * The candidate stage is ONE hash self-join: each vector explodes to
+    * `tables` (t, bucket) rows carrying its full bucket array (the
+    * [[bucketRows]] projection — quantized once, bucketed once), the two
+    * join sides are the same exploded plan (the second reuses the
+    * first's shuffle exchange), and the multi-table duplicate-pair
+    * dedup is the codegen'd [[firstMatchingTable]] filter. The
+    * scan + quantize + bucket projection — the most expensive part of
+    * the operator — therefore runs once, not once per 2×tables union
+    * branches as a per-table-join formulation would.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
       planes: Int = 8, dims: Int = 64, tables: Int = 2): DataFrame = {
-    val withQ = emb.select(col("vec_id"), col("embedding"),
-      quantize(col("embedding")).as("__q"))
-    val withB = (0 until tables).foldLeft(withQ) { (d, t) =>
-      d.withColumn(s"bucket$t",
-        lshBucketsFromQuantized(col("__q"), planes, dims, t * planes))
-    }.drop("__q")
-    // first-matching-table dedup: a pair colliding in several tables is
-    // emitted only by its lowest-index colliding table — a codegen'd
-    // filter over bucket ids already on the row, not a dropDuplicates
-    // shuffle of the candidate set
-    val candidates = (0 until tables).map { t =>
-        val aCols = col("vec_id").as("id_a") +: col("embedding").as("ea") +:
-          (0 to t).map(k => col(s"bucket$k").as(s"a_bk$k"))
-        val bCols = col("vec_id").as("id_b") +: col("embedding").as("eb") +:
-          (0 to t).map(k => col(s"bucket$k").as(s"b_bk$k"))
-        val a = withB.select(aCols: _*)
-        val b = withB.select(bCols: _*)
-        val earlierAllDiffer = (0 until t).foldLeft(lit(true)) { (acc, k) =>
-          acc && !(col(s"a_bk$k") === col(s"b_bk$k"))
-        }
-        a.join(b, col(s"a_bk$t") === col(s"b_bk$t"))
-          .filter(col("id_a") < col("id_b") && earlierAllDiffer)
-          .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
-      }.reduce(_ unionByName _)
-    candidates
+    val rows = bucketRows(emb, planes, dims, tables)
+    val a = rows.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("buckets").as("ba"), col("t"), col("bucket"))
+    val b = rows.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("buckets").as("bb"), col("t"), col("bucket"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        firstMatchingTable(col("ba"), col("bb"), tables))
       .withColumn("cos", cosineQ(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

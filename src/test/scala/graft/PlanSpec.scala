@@ -67,6 +67,41 @@ class PlanSpec extends SparkSpec {
       s"ANN scoring shuffles the corpus:\n$p")
   }
 
+  test("banded near-dup candidate stages scan their input once (exchange reuse)") {
+    // the self-join's two sides are the SAME exploded (table, bucket)
+    // projection, so the second side must reuse the first's shuffle
+    // exchange: the scan + quantize/signature + bucket projection — the
+    // expensive part — appears once in the executed plan, not once per
+    // side (or worse, once per table branch, the pre-round-5 d06 shape).
+    // Auto-broadcast is disabled so the joins take the shuffle path they
+    // would at corpus scale (a broadcast build side at sf0.001 has no
+    // exchange to reuse and hides the property under test). d06 allows
+    // 2 scans: its gate unions the corpus with planted duplicates,
+    // reading the parquet twice BELOW the candidate stage; e02's two
+    // scans are corpus + queries (different subsets, query side an
+    // explicit broadcast hint).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((name, maxScans) <- Seq(
+          "d07_simhash_pairs" -> 1, "d06_embedding_neardup" -> 2,
+          "e02_knn_lsh" -> 2)) {
+        // sf0.01, NOT sf0.001: DedupSimilaritySpec caches the sf0.001
+        // documents/embeddings relations, and the cache manager would
+        // substitute InMemoryRelation here — whose printed form embeds
+        // the cached child's FileScan lines, breaking the scan count
+        val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
+        df.collect() // AQE: reused stages only visible in the final plan
+        // AdaptiveSparkPlan prints "== Final Plan ==" then "== Initial
+        // Plan ==" (pre-reuse); only the final section is what executed
+        val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        val scans = "Scan parquet".r.findAllIn(p).length
+        assert(scans <= maxScans,
+          s"$name candidate stage re-scans its input ($scans scans > $maxScans):\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("excel scan plans as a DSv2 BatchScan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan-xlsx").toString
