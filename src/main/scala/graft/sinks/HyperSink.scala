@@ -46,9 +46,19 @@ object SqlTypeMapper {
   *   <path>/catalog.json   — every table's name + Hyper DDL (the exact
   *                           CREATE TABLE shape hyperd logs)
   *   <path>/<table>/       — the rows, as parquet
+  *   <path>/extract.hyper  — a single-file binary container reproducing
+  *                           the committed artifact's observable
+  *                           structure ([[HyperBinary]]): magic, framed
+  *                           catalog JSON in the real catalog schema,
+  *                           LZ4 data blocks, HyperDB genesis block.
+  *                           Round-trips through [[HyperBinary.read]];
+  *                           NOT yet loadable by the real hyperd — the
+  *                           two proprietary blockers (frame-checksum
+  *                           algorithm, directory record semantics) are
+  *                           documented in HYPER_FORMAT.md §3.
   *
   * A real Hyper writer can implement [[HyperSink]] against the same
-  * calls if the native library ever becomes available.
+  * calls if the remaining format internals ever become documented.
   */
 trait HyperSink {
   /** CREATE_AND_REPLACE semantics: wipe and rewrite the whole extract. */
@@ -90,5 +100,6 @@ class HyperEquivalentSink(compatInt32: Boolean = false) extends HyperSink {
     val catalog = s"""{"format":"hyper-equivalent","tables":[${ddls.mkString(",")}]}"""
     Files.write(root.resolve("catalog.json"),
       catalog.getBytes(StandardCharsets.UTF_8))
+    HyperBinary.write(root.resolve("extract.hyper").toString, tables, compatInt32)
   }
 }
