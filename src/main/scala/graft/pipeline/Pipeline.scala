@@ -149,3 +149,94 @@ class Pipeline(
     finally dropViews(fsheets)
   }
 }
+
+object Pipeline {
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+  import graft.streaming.EventsStream
+
+  /** Where [[runStreaming]] lands its two result streams. */
+  sealed trait StreamTarget
+
+  /** In-session tables `<prefix>_windowed` / `<prefix>_sessions` — live
+    * queryable state (the windowed stream runs in complete mode, so a
+    * bounded replay shows every window, including those still inside the
+    * watermark).
+    */
+  final case class MemoryTables(prefix: String) extends StreamTarget
+
+  /** Parquet directories `<dir>/windowed` and `<dir>/sessions`
+    * (checkpoints under `<dir>/_checkpoints`). File sinks are
+    * append-only, so windows are emitted once their watermark passes —
+    * the right semantics for continuous operation; trailing windows stay
+    * in state until later data closes them.
+    */
+  final case class ParquetDir(dir: String) extends StreamTarget
+
+  /** Handle on the two queries started by [[runStreaming]]. */
+  final case class StreamingRun(windowed: StreamingQuery, sessions: StreamingQuery) {
+    /** Drain everything currently in the watched directory (testing and
+      * catch-up; continuous operation just leaves the queries running).
+      */
+    def processAllAvailable(): Unit = {
+      windowed.processAllAvailable()
+      sessions.processAllAvailable()
+    }
+    def stop(): Unit = {
+      windowed.stop()
+      sessions.stop()
+    }
+  }
+
+  /** Streaming pipeline entry point (the streaming dual of [[Pipeline.run]],
+    * SURVEY.md §7.6): watch `watchDir` for event files and continuously
+    * maintain the two gated streaming results —
+    *
+    *   - watermarked tumbling-window counts
+    *     ([[EventsStream.windowedCounts]], the s01 plan), and
+    *   - stateful gap sessionization
+    *     ([[EventsStream.sessionize]], the s02 plan; sessions emit when a
+    *     later event closes them, so an end-of-stream flush file — one
+    *     past-gap sentinel event per user — closes the final sessions,
+    *     exactly as [[EventsStream.sessionizeWithFinalFlush]] does in
+    *     batch).
+    *
+    * Both queries share the incrementally-executed batch plans the
+    * driver's s01/s02 oracle gates verify every round; PipelineStreamingSpec
+    * feeds files in one at a time and checks the outputs equal those gated
+    * results row-for-row.
+    */
+  def runStreaming(
+      spark: SparkSession,
+      watchDir: String,
+      target: StreamTarget,
+      format: String = "parquet",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes",
+      gapSeconds: Long = 1800,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingRun = {
+    import spark.implicits._
+    val events = EventsStream.readEvents(spark, watchDir, format)
+    val windowed = EventsStream.windowedCounts(events, windowLength, watermark)
+    val sessions = EventsStream.sessionize(
+      events.as[EventsStream.Event], gapSeconds).toDF()
+
+    target match {
+      case MemoryTables(prefix) =>
+        StreamingRun(
+          windowed.writeStream.outputMode("complete")
+            .format("memory").queryName(s"${prefix}_windowed")
+            .trigger(trigger).start(),
+          sessions.writeStream.outputMode("append")
+            .format("memory").queryName(s"${prefix}_sessions")
+            .trigger(trigger).start())
+      case ParquetDir(dir) =>
+        StreamingRun(
+          windowed.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$dir/_checkpoints/windowed")
+            .trigger(trigger).start(s"$dir/windowed"),
+          sessions.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$dir/_checkpoints/sessions")
+            .trigger(trigger).start(s"$dir/sessions"))
+    }
+  }
+}
