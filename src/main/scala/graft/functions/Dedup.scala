@@ -306,9 +306,11 @@ object Dedup {
     * handful. Per round: one shuffle join + one aggregate; lineage is
     * truncated with `localCheckpoint` so long chains never build up (on
     * a cluster, set a checkpoint dir and swap in `checkpoint`). This is
-    * the simple member of the MapReduce-CC family (Kiveris et al.'s
-    * large-star/small-star being the heavy-duty sibling for
-    * billion-edge graphs); the fixpoint test is one count per round.
+    * the simple member of the MapReduce-CC family; the fixpoint test is
+    * one count per round. For graphs whose component diameter exceeds a
+    * sensible maxIters (long chains — NOT the tight near-dup clusters
+    * this gates), use [[connectedComponentsStar]], which converges in
+    * O(log n) alternation rounds regardless of diameter.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = pairs
@@ -343,8 +345,71 @@ object Dedup {
     // partial clusters (raise maxIters for graphs of larger diameter)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIters rounds " +
-        "(component diameter exceeds maxIters); raise maxIters")
+        "(component diameter exceeds maxIters); raise maxIters or use " +
+        "connectedComponentsStar (diameter-independent)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star / small-star — the
+    * high-diameter fallback for [[connectedComponents]], after Kiveris
+    * et al., "Connected Components in MapReduce and Beyond" (SoCC'14).
+    * Where min-label propagation needs O(component diameter) rounds (a
+    * 10k-node chain = 10k rounds), the alternation contracts the graph
+    * toward per-component stars in O(log n) rounds regardless of shape:
+    *
+    *   - large-star: every node's strictly-larger neighbors re-attach to
+    *     the minimum of its closed neighborhood (min(Γ(u) ∪ u));
+    *   - small-star: every node and its smaller neighbors attach to that
+    *     minimum.
+    *
+    * Each operation is one shuffle (groupBy-min + re-join); at the
+    * fixpoint the edge set IS the answer — stars whose centers are the
+    * component minima. Same output contract as [[connectedComponents]]:
+    * (doc_id, cluster_id = min reachable id) for every node appearing in
+    * at least one pair, converge-or-throw, `localCheckpoint` lineage
+    * truncation per round.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // canonical undirected edges, larger endpoint first
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star over the symmetrized neighborhood
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: large's output is already canonical (u > v)
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smins, Seq("u"))
+        .select(col("v").as("n"), col("m"))
+        .unionByName(smins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val changed =
+        small.except(edges).count() + edges.except(small).count()
+      edges = small
+      converged = changed == 0
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIters rounds")
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
   }
 
   /** SimHash: `bits`-wide signature; bit j is the sign of the sum of

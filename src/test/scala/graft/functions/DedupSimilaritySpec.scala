@@ -179,6 +179,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels.length == 9 && labels.forall(_._2 == 1L))
   }
 
+  test("connectedComponentsStar: 10k-node chain where min-label hits maxIters") {
+    // a path graph is the adversarial case: component diameter = n, so
+    // min-label propagation needs ~n rounds and must give up...
+    val chain = (0L until 9999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 8)
+    }
+    // ...while the large-star/small-star alternation contracts it in
+    // O(log n) rounds (well inside the default 50)
+    val labels = Dedup.connectedComponentsStar(chain)
+    assert(labels.count() == 10000)
+    assert(labels.agg(max(col("cluster_id"))).head.getLong(0) == 0L)
+
+    // random multi-component graph: identical labeling to min-label
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toSet
+    val prop = Dedup.connectedComponents(pairs, maxIters = 500)
+      .as[(Long, Long)].collect().toSet
+    assert(star == prop,
+      s"star/min-label divergence: ${star.diff(prop).take(3)} vs ${prop.diff(star).take(3)}")
+  }
+
   test("winnowing: shared substrings fingerprint; guarantees + edge cases") {
     val common = "the quick brown fox jumps over the lazy dog"
     val df = Seq(
