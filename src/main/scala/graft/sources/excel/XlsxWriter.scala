@@ -6,10 +6,20 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
-/** Minimal xlsx writer: one workbook, N sheets, header row, inline
-  * strings — the exact profile of the reference's committed workbook
-  * (it has no sharedStrings.xml part; reference query_iterator.py:197-212
-  * writes one sheet per query via openpyxl the same way).
+/** Minimal xlsx writer: one workbook, N sheets, header row.
+  *
+  * Strings are dictionary-encoded through a `sharedStrings.xml` part by
+  * default — the standard xlsx layout, and the difference between a
+  * linear-size and a bloated workbook when a column repeats values
+  * (every occurrence of a string after the first costs ~14 bytes of
+  * `<c t="s"><v>idx</v></c>` instead of the full text). The dictionary
+  * is built incrementally while sheets stream out and the part is
+  * written last (zip parts are order-independent), so streaming is
+  * preserved; driver memory holds the DISTINCT strings only.
+  * `sharedStrings = false` restores inline-string cells — the exact
+  * profile of the reference's committed workbook (it has no
+  * sharedStrings.xml part; reference query_iterator.py:197-212 writes
+  * one sheet per query via openpyxl).
   *
   * Data is pulled with `toLocalIterator` so the driver never holds more
   * than one partition of rows; a single .xlsx is inherently a single
@@ -38,12 +48,20 @@ object XlsxWriter {
   }
 
   /** Write `sheets` (name → DataFrame) into one workbook at `path`. */
-  def write(path: String, sheets: Seq[(String, DataFrame)]): Unit = {
+  def write(path: String, sheets: Seq[(String, DataFrame)],
+      sharedStrings: Boolean = true): Unit = {
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
       zos.closeEntry()
+    }
+    // insertion-ordered string dictionary, built while sheets stream
+    val sstIndex = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var sstRefs = 0L
+    def sstRef(s: String): Int = {
+      sstRefs += 1
+      sstIndex.getOrElseUpdate(s, sstIndex.size)
     }
     try {
       val n = sheets.length
@@ -53,6 +71,9 @@ object XlsxWriter {
         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
         """<Default Extension="xml" ContentType="application/xml"/>""" +
         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (if (sharedStrings)
+          """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>"""
+        else "") +
         (1 to n).map(i =>
           s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
         ).mkString +
@@ -75,6 +96,9 @@ object XlsxWriter {
         (1 to n).map(i =>
           s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>"""
         ).mkString +
+        (if (sharedStrings)
+          s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>"""
+        else "") +
         """</Relationships>""")
 
       sheets.zipWithIndex.foreach { case ((_, df), si) =>
@@ -83,10 +107,13 @@ object XlsxWriter {
         w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
         w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
         val schema = df.schema
+        def stringCell(ref: String, s: String): String =
+          if (sharedStrings) s"""<c r="$ref" t="s"><v>${sstRef(s)}</v></c>"""
+          else s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(s)}</t></is></c>"""
         // header row
         w.write("<row r=\"1\">")
         schema.fields.zipWithIndex.foreach { case (f, c) =>
-          w.write(s"""<c r="${colRef(c)}1" t="inlineStr"><is><t>${xmlEscape(f.name)}</t></is></c>""")
+          w.write(stringCell(s"${colRef(c)}1", f.name))
         }
         w.write("</row>")
         var r = 2
@@ -103,7 +130,7 @@ object XlsxWriter {
                 case BooleanType =>
                   w.write(s"""<c r="$ref" t="b"><v>${if (row.getBoolean(c)) 1 else 0}</v></c>""")
                 case _ =>
-                  w.write(s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(String.valueOf(row.get(c)))}</t></is></c>""")
+                  w.write(stringCell(ref, String.valueOf(row.get(c))))
               }
             }
           }
@@ -111,6 +138,21 @@ object XlsxWriter {
           r += 1
         }
         w.write("</sheetData></worksheet>")
+        w.flush()
+        zos.closeEntry()
+      }
+      // dictionary last: complete only after every sheet has streamed
+      if (sharedStrings) {
+        zos.putNextEntry(new ZipEntry("xl/sharedStrings.xml"))
+        val w = new java.io.OutputStreamWriter(zos, "UTF-8")
+        w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+        w.write(s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="$sstRefs" uniqueCount="${sstIndex.size}">""")
+        sstIndex.keysIterator.foreach { s =>
+          // xml:space: leading/trailing whitespace must survive readers
+          // that apply XML whitespace collapsing
+          w.write(s"""<si><t xml:space="preserve">${xmlEscape(s)}</t></si>""")
+        }
+        w.write("</sst>")
         w.flush()
         zos.closeEntry()
       }

@@ -139,6 +139,49 @@ class ExcelRoundTripSpec extends SparkSpec {
     assert(rows(1) == Row("plain", 7L))
   }
 
+  test("repeated strings are dictionary-encoded via sharedStrings") {
+    import java.util.zip.ZipFile
+    def partText(path: String, part: String): Option[String] = {
+      val zip = new ZipFile(path)
+      try Option(zip.getEntry(part)).map { e =>
+        new String(zip.getInputStream(e).readAllBytes(), "UTF-8")
+      } finally zip.close()
+    }
+    // one string value repeated 50×, another 30× — plus " padded " to pin
+    // whitespace preservation through the dictionary
+    val rows = (1 to 50).map(i =>
+      (i.toLong, "Bank of America", if (i <= 30) "Mortgage" else " padded "))
+    val df = rows.toDF("id", "company", "product")
+    val path = tmp("sst.xlsx")
+    XlsxWriter.write(path, Seq("Sheet1" -> df))
+
+    val sst = partText(path, "xl/sharedStrings.xml")
+      .getOrElse(fail("sharedStrings.xml part missing"))
+    // dictionary holds each distinct string ONCE (3 values + 3 headers)
+    assert(sst.contains("""uniqueCount="6""""), sst.take(200))
+    assert("Bank of America".r.findAllIn(sst).length == 1)
+    // sheet cells reference the dictionary, no inline strings remain
+    val sheet = partText(path, "xl/worksheets/sheet1.xml").get
+    assert(!sheet.contains("inlineStr") && sheet.contains("""t="s""""))
+
+    // round trip is identity, whitespace included
+    val back = spark.read.format("excel").load(path)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq == rows)
+
+    // opt-out restores the reference workbook profile (no sst part)
+    val inlinePath = tmp("inline.xlsx")
+    XlsxWriter.write(inlinePath, Seq("Sheet1" -> df), sharedStrings = false)
+    assert(partText(inlinePath, "xl/sharedStrings.xml").isEmpty)
+    val inlineSheet = partText(inlinePath, "xl/worksheets/sheet1.xml").get
+    assert(inlineSheet.contains("inlineStr"))
+    // the dictionary-encoded sheet XML is materially smaller on repeated
+    // strings (the uncompressed part is what parsers and memory pay for;
+    // DEFLATE masks the difference at toy sizes)
+    assert(sheet.length * 3 < inlineSheet.length * 2,
+      s"sheet ${sheet.length} vs inline ${inlineSheet.length}")
+  }
+
   test("column pruning pushes into the scan") {
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k", "s", "d")
     val path = tmp("prune.xlsx")
