@@ -63,6 +63,7 @@ object Bench {
     "d03_jaccard_pairs" -> 4.0,
     "d06_embedding_neardup" -> 4.0,
     "d08_dup_clusters" -> 4.0,
+    "d10_dup_clusters_star" -> 6.0,
     "d05_simhash" -> 3.0,
     "d09_containment" -> 3.0,
     "e02_knn_lsh" -> 3.0,

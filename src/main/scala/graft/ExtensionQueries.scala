@@ -160,6 +160,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate clusters via the diameter-independent large-star /
+    // small-star alternation (O(log n) rounds for ANY graph shape) —
+    // same output contract as d08, so the same transitive-closure
+    // oracle gates both implementations against each other.
+    "d10_dup_clusters_star" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      val pairs = Dedup.jaccardPairs(sh, 0.8)
+      Dedup.connectedComponentsStar(pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment near-dup pairs: common/min(|A|,|B|) — catches a doc
     // embedded verbatim in a larger one (symmetric Jaccard misses it).
     "d09_containment" -> ((s, dir) => {
@@ -458,6 +469,20 @@ object ExtensionQueries {
     // per node — DuckDB's recursive CTE mirrors the label-propagation
     // fixpoint exactly
     "d08_dup_clusters" ->
+      s"""WITH RECURSIVE $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         SELECT id AS doc_id, min(r) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // identical oracle to d08: the star alternation must produce the
+    // same labeling as min-label propagation
+    "d10_dup_clusters_star" ->
       s"""WITH RECURSIVE $JaccardCtes,
          p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
          edges AS (SELECT id_a AS a, id_b AS b FROM p

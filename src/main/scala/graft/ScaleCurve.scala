@@ -84,6 +84,110 @@ object ScaleCurve {
         5, planes = 8, dims = 64)
     }))
 
+  /** Candidate-stage WORK counts per operator — the environment-proof
+    * scaling evidence. Wall time on a contended box measures the box;
+    * these measure the algorithm: the exact number of candidate pairs /
+    * probe rows each banded path generates, which is what actually
+    * grows with the corpus. A work exponent ≈ 1.0 across scales is the
+    * near-linear claim, measured.
+    *
+    *   - d03/d09 (inverted shingle index): Σ over shingles of C(df,2) —
+    *     the self-join's output rows;
+    *   - d04 (MinHash LSH): emitted candidate pairs;
+    *   - d06 (hyperplane LSH near-dup): Σ over (table, bucket) of
+    *     C(m,2) — the self-join's matches before first-match dedup;
+    *   - d07 (SimHash banding, 56-bit): Σ over (band, chunk) of C(m,2);
+    *   - t04 (winnowing): emitted fingerprint rows;
+    *   - e02 (ANN LSH): Σ over (table, bucket) of corpus_m × query_m —
+    *     bucket-probe pairs scored.
+    */
+  private def pairSum(bucketCounts: DataFrame): Long = {
+    val v = bucketCounts.agg(sum(expr("count*(count-1) div 2"))).first()
+    if (v.isNullAt(0)) 0L else v.getLong(0)
+  }
+
+  /** (table, bucket) rows for the multi-table hyperplane LSH paths —
+    * same buckets as `Similarity.bucketRows` (via lshBucketsNative). */
+  private def tableBuckets(e: DataFrame, planes: Int, dims: Int,
+      tables: Int): DataFrame =
+    e.select(posexplode(array((0 until tables).map(t =>
+        Similarity.lshBucketsNative(col("embedding"), planes, dims, t * planes)): _*))
+      .as(Seq("table", "bucket")))
+
+  val work: Seq[(String, (SparkSession, String) => Long)] = Seq(
+    "d03_candidates" -> ((s, dir) =>
+      pairSum(Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text"))
+        .select(xxhash64(col("shingle")).as("h"))
+        .groupBy(col("h")).count())),
+    "d04_candidates" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(
+          Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 8),
+        4, 2).count()),
+    "d06_candidates" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val planted = e.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      pairSum(tableBuckets(e.unionByName(planted), 8, 64, 4)
+        .groupBy(col("table"), col("bucket")).count())
+    }),
+    // the at-scale knob for the fixed-bucket-count quadratic: planes
+    // grows with log(corpus) (256 → 4096 buckets/table), tables
+    // compensates recall (12 planes / 8 tables: 1−(1−p^12)^8 ≈ 0.93 at
+    // p=0.899 vs 0.89 for the 8/4 gate config)
+    "d06_planes12t8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val planted = e.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      pairSum(tableBuckets(e.unionByName(planted), 12, 64, 8)
+        .groupBy(col("table"), col("bucket")).count())
+    }),
+    "d07_candidates" -> ((s, dir) => {
+      // simhashPairs banding at 56 bits, maxHamming 3: 4 bands, 14 bits
+      val sig = Dedup.simhash(docs(s, dir), col("doc_id"), col("text"), 56)
+      val chunks = (0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * 14)
+            .bitwiseAND((1L << 14) - 1).as("chunk")))
+      pairSum(sig.select(explode(array(chunks: _*)).as("bc"))
+        .groupBy(col("bc")).count())
+    }),
+    "t04_fingerprints" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 5).as("__g"))
+        .select(explode(TextFunctions.winnowFromGrams(col("__g"), 4)).as("fp"))
+        .count()),
+    "e02_probe_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def bk(df: DataFrame) =
+        tableBuckets(df, 8, 64, 1).groupBy(col("table"), col("bucket")).count()
+      val v = bk(e.filter(col("vec_id") >= 10)).withColumnRenamed("count", "cn").as("c")
+        .join(bk(e.filter(col("vec_id") < 10)).withColumnRenamed("count", "qn").as("q"),
+          Seq("table", "bucket"))
+        .agg(sum(col("cn") * col("qn"))).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }))
+
+  def workCounts(spark: SparkSession, outFile: String,
+      dirs: Seq[(String, String)]): Unit = {
+    val results = dirs.map { case (label, dir) =>
+      val nDocs = docs(spark, dir).count()
+      val nEmb = emb(spark, dir).count()
+      val counts = work.map { case (name, fn) =>
+        val c = fn(spark, dir)
+        println(s"[scalecurve] $label $name work=$c")
+        name -> c
+      }
+      (label, dir, nDocs, nEmb, counts)
+    }
+    val json = results.map { case (label, dir, nDocs, nEmb, counts) =>
+      val cs = counts.map { case (n, c) => s""""${esc(n)}":$c""" }.mkString(",")
+      s""""${esc(label)}":{"dir":"${esc(dir)}","docs":$nDocs,"embeddings":$nEmb,"work":{$cs}}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(s"[scalecurve] wrote $outFile")
+  }
+
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
     val d = docs(spark, srcDir)
@@ -123,10 +227,14 @@ object ScaleCurve {
 
   def time(spark: SparkSession, outFile: String,
       dirs: Seq[(String, String)], samples: Int): Unit = {
+    // optional comma-separated substring filter, e.g. SPARK_GRAFT_QUERIES=d03
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
+    val selected = curve.filter { case (q, _) =>
+      filter.forall(_.exists(q.contains)) }
     val results = dirs.map { case (label, dir) =>
       val nDocs = docs(spark, dir).count()
       val nEmb = emb(spark, dir).count()
-      val perQuery = curve.map { case (qname, fn) =>
+      val perQuery = selected.map { case (qname, fn) =>
         val times = (1 to samples).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -150,9 +258,13 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions sized to the data, not the core count, is the
+    // at-scale knob (AQE coalesces excess); overridable so the curve can
+    // separate algorithmic growth from fixed-partition spill.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -160,6 +272,11 @@ object ScaleCurve {
     args.toList match {
       case "gen" :: src :: out :: reps :: Nil =>
         generate(spark, src, out, reps.toInt)
+      case "work" :: out :: rest if rest.nonEmpty =>
+        val dirs = rest.map { a =>
+          val Array(l, d) = a.split("=", 2); (l, d)
+        }
+        workCounts(spark, out, dirs)
       case "time" :: out :: rest if rest.nonEmpty =>
         val dirs = rest.map { a =>
           val Array(l, d) = a.split("=", 2); (l, d)
@@ -168,7 +285,8 @@ object ScaleCurve {
       case _ =>
         System.err.println(
           "usage: ScaleCurve gen <srcDir> <outDir> <replicas> | " +
-            "ScaleCurve time <out.json> <label=dir> [label=dir ...]")
+            "ScaleCurve time <out.json> <label=dir> [label=dir ...] | " +
+            "ScaleCurve work <out.json> <label=dir> [label=dir ...]")
         sys.exit(2)
     }
     spark.stop()
