@@ -3,8 +3,6 @@ package graft.sinks
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
-import java.util.zip.CRC32
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
@@ -129,12 +127,15 @@ object Lz4Block {
   *   - the "HyperDB\0" genesis block holding the empty-catalog copy,
   *
   * — and files written here round-trip bit-exactly through [[read]],
-  * while [[catalogJsons]] parses the reference artifact itself. What it
-  * does NOT claim: the real engine's 32-bit frame-value algorithm (not
-  * CRC32/Adler32 — ours writes CRC32 as a documented substitute) and its
-  * interior block/directory record semantics are unidentified, so the
-  * real hyperd would reject the file. HYPER_FORMAT.md names those
-  * blockers precisely.
+  * while [[catalogJsons]] parses the reference artifact itself. The
+  * 32-bit frame algorithm was identified in round 5 as raw CRC32C
+  * (no pre/post inversion; see [[crc32cRaw]]) and every frame this
+  * writer emits reproduces the artifact's values for the same bytes.
+  * What it does NOT claim: the interior block/directory record
+  * semantics past the first data block remain unidentified from the
+  * single 2-table sample, so the real hyperd may still reject the
+  * file's directory. HYPER_FORMAT.md names the remaining blocker
+  * precisely.
   */
 object HyperBinary {
 
@@ -191,11 +192,36 @@ object HyperBinary {
       """"externaltables": [], "views": [], "functions": [], "types": [], "aggregates": [], "sequences": []}"""
   }
 
-  private def crc32(bytes: Array[Byte]): Int = {
-    val c = new CRC32
-    c.update(bytes)
-    c.getValue.toInt
+  /** Raw CRC32C (Castagnoli, reflected, poly 0x1EDC6F41) with NO
+    * pre/post inversion — the engine's actual 32-bit frame algorithm,
+    * identified round 5 by brute-forcing candidate (algorithm, span)
+    * pairs against every frame value in the committed artifact
+    * (HYPER_FORMAT.md §3: all five known frames match, and the header
+    * pages CRC to zero — the classic self-verifying-page residual of a
+    * raw reflected CRC stored little-endian at the span's end).
+    */
+  private val crc32cTable: Array[Int] = Array.tabulate(256) { i =>
+    var c = i
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 1) != 0) (c >>> 1) ^ 0x82F63B78 else c >>> 1
+      k += 1
+    }
+    c
   }
+
+  private[sinks] def crc32cRaw(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) {
+      c = crc32cTable((c ^ bytes(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    c
+  }
+
+  private[sinks] def crc32cRaw(bytes: Array[Byte]): Int =
+    crc32cRaw(bytes, 0, bytes.length)
 
   // ---- table block encoding --------------------------------------------
 
@@ -372,20 +398,23 @@ object HyperBinary {
     putU64(CatalogOffset.toLong)
     putU64(0L) // patched below: table data offset
     putU64(0L) // patched below: genesis offset
-    pad(0x1ffc)
-    putU32(crc32(catalog)) // frame value; real algorithm unknown (HYPER_FORMAT.md)
+    pad(0x2000) // 0x1ffc holds page 1's self-checksum, patched below
     out.write(catalog)
     out.write('~')
-    putU32(crc32(catalog))
+    putU32(crc32cRaw(catalog :+ '~'.toByte)) // frame: raw CRC32C of JSON+'~'
 
-    // table data blocks, 16-aligned
+    // table data blocks, 16-aligned; frame = raw CRC32C over the u32
+    // length word + the LZ4 stream (the artifact's 0x2880..0x28f6 span)
     pad((out.size() + 15) / 16 * 16)
     val dataOffset = out.size()
     collected.foreach { case (_, schema, rows) =>
       val payload = encodeBlock(schema, rows)
-      putU32(payload.length)
-      out.write(Lz4Block.compress(payload))
-      putU32(crc32(payload))
+      val compressed = Lz4Block.compress(payload)
+      val lenWord = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(payload.length).array()
+      out.write(lenWord)
+      out.write(compressed)
+      putU32(crc32cRaw(lenWord ++ compressed))
       pad((out.size() + 15) / 16 * 16)
     }
 
@@ -398,17 +427,27 @@ object HyperBinary {
       .replace("-", "").sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray)
     putU64(1L)
     pad(genesisOffset + 0x30)
-    putU32(crc32(genesis))
+    putU32(0) // genesis header frame, patched below (needs final bytes)
     pad(genesisOffset + 0x40)
+    // unlike the live catalog, the genesis copy has NO '~' terminator in
+    // the artifact; its frame covers the JSON bytes alone
     out.write(genesis)
-    out.write('~')
-    putU32(crc32(genesis))
+    putU32(crc32cRaw(genesis))
 
     val bytes = out.toByteArray
     val patch = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     patch.putLong(dataOffsetPos + 8, dataOffset.toLong)
     patch.putLong(dataOffsetPos + 16, genesisOffset.toLong)
     patch.putLong(0x20, bytes.length.toLong) // file size (observed-position guess)
+    // genesis header frame: raw CRC32C of the block's first 0x30 bytes
+    // (the artifact's 0x5080..0x50b0 span)
+    patch.putInt(genesisOffset + 0x30, crc32cRaw(bytes, genesisOffset, genesisOffset + 0x30))
+    // header pages are SELF-VERIFYING: the last u32 of each 4 KiB page is
+    // the raw CRC32C of the page's first 4092 bytes, making the whole
+    // page CRC to zero (verified on the artifact's pages 0 and 1) —
+    // patched last so they cover every other patched field
+    patch.putInt(0x0ffc, crc32cRaw(bytes, 0x0000, 0x0ffc))
+    patch.putInt(0x1ffc, crc32cRaw(bytes, 0x1000, 0x1ffc))
     Files.write(Paths.get(path), bytes)
   }
 
@@ -492,7 +531,8 @@ object HyperBinary {
       val uncompLen = buf.getInt(pos)
       val (payload, consumed) = Lz4Block.decompress(data, pos + 4, uncompLen)
       val frame = buf.getInt(pos + 4 + consumed)
-      require(frame == crc32(payload), s"$path: block frame mismatch for $name")
+      require(frame == crc32cRaw(data, pos, pos + 4 + consumed),
+        s"$path: block frame mismatch for $name")
       pos = (pos + 4 + consumed + 4 + 15) / 16 * 16
       val (schema, rows) = decodeBlock(payload, attrs)
       (name, schema, rows)

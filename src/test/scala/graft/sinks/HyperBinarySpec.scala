@@ -128,6 +128,53 @@ class HyperBinarySpec extends SparkSpec {
       theirs.get(0).get("nullCounts").toString)
   }
 
+  test("frame algorithm is raw CRC32C: every known artifact frame reproduces") {
+    // Round-5 identification (HYPER_FORMAT.md §3): the engine's 32-bit
+    // frame values are CRC32C with NO pre/post inversion. Each assertion
+    // recomputes a frame from the committed artifact's own bytes with
+    // our implementation and compares with the stored value.
+    val data = Files.readAllBytes(java.nio.file.Paths.get(artifact))
+    val buf = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    // header pages are self-verifying: last u32 = crc of first 4092
+    // bytes, so the whole 4 KiB page CRCs to zero
+    assert(buf.getInt(0x0ffc) == HyperBinary.crc32cRaw(data, 0x0000, 0x0ffc))
+    assert(buf.getInt(0x1ffc) == HyperBinary.crc32cRaw(data, 0x1000, 0x1ffc))
+    assert(HyperBinary.crc32cRaw(data, 0x0000, 0x1000) == 0)
+    assert(HyperBinary.crc32cRaw(data, 0x1000, 0x2000) == 0)
+
+    // live catalog: frame directly after the '~' covers JSON + '~'
+    var tilde = 0x2000
+    while (data(tilde) != '~') tilde += 1
+    assert(buf.getInt(tilde + 1) == HyperBinary.crc32cRaw(data, 0x2000, tilde + 1))
+
+    // first data block: frame covers the u32 length word + LZ4 stream
+    val uncompLen = buf.getInt(0x2880)
+    val (_, consumed) = Lz4Block.decompress(data, 0x2884, uncompLen)
+    assert(buf.getInt(0x2884 + consumed) ==
+      HyperBinary.crc32cRaw(data, 0x2880, 0x2884 + consumed))
+
+    // genesis: header-block frame at +0x30 covers the block's first 0x30
+    // bytes; the genesis catalog (at +0x40, NO '~') is framed over the
+    // JSON alone
+    var g = 0
+    while (!(data(g) == 'H' && data(g + 1) == 'y' && data(g + 2) == 'p' &&
+      data(g + 3) == 'e' && data(g + 4) == 'r' && data(g + 5) == 'D' &&
+      data(g + 6) == 'B' && data(g + 7) == 0)) g += 1
+    assert(buf.getInt(g + 0x30) == HyperBinary.crc32cRaw(data, g, g + 0x30))
+    val gjLen = 1005 // brace-matched genesis JSON length in the artifact
+    assert(buf.getInt(g + 0x40 + gjLen) ==
+      HyperBinary.crc32cRaw(data, g + 0x40, g + 0x40 + gjLen))
+
+    // and our writer's output satisfies the same page property
+    val df = Seq(("a", 1), ("b", 2)).toDF("s", "n")
+    val path = Files.createTempDirectory("hyperbin").resolve("crc.hyper").toString
+    HyperBinary.write(path, Seq("t" -> df))
+    val ours = Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(HyperBinary.crc32cRaw(ours, 0x0000, 0x1000) == 0)
+    assert(HyperBinary.crc32cRaw(ours, 0x1000, 0x2000) == 0)
+  }
+
   test("reference artifact's table-1 data block decodes with our LZ4 codec") {
     // The strongest row-level check available without the proprietary
     // directory spec: the artifact's first data block (offset 0x2880,
