@@ -332,6 +332,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** The at-scale `planes` setting for [[cosineNearDupPairs]]/[[knnLsh]].
+    *
+    * A hyperplane-LSH self-join does Θ(n²/B) candidate work with
+    * B = tables·2^planes buckets: with `planes` FIXED, bucket occupancy
+    * grows linearly with the corpus and candidate pairs quadratically —
+    * measured in SCALE.md ("Measured scaling curve": 101.8× candidate
+    * work at 10× corpus for the fixed 8-plane config). Keeping the
+    * expected bucket occupancy at `targetOccupancy` instead requires
+    * planes ≈ log₂(n / targetOccupancy), which is what this returns
+    * (clamped to [4, 30]). Recall per additional plane drops by ×p
+    * (p = 1−θ/π), so pair `planes` growth with more `tables`
+    * (OR-amplification: 1−(1−p^planes)^tables) — e.g. 12 planes / 8
+    * tables ≥ the 8-plane / 4-table recall at cos ≥ 0.95, with 6.3×
+    * less candidate work at 50k vectors (measured).
+    */
+  def autoPlanes(corpusSize: Long, targetOccupancy: Int = 32): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    val raw = math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
   /** Bucket id from an ALREADY-quantized vector column — callers that
     * compute many buckets should materialize the quantized array first
     * (see [[cosineNearDupPairs]]) so each plane's aggregate reads a

@@ -247,6 +247,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("autoPlanes keeps bucket occupancy constant as the corpus grows") {
+    // planes ≈ log2(n / occupancy), clamped: the SCALE.md-measured rule
+    // that keeps the LSH self-join near-linear
+    assert(Similarity.autoPlanes(2048, targetOccupancy = 32) == 6)
+    assert(Similarity.autoPlanes(2048 * 16, targetOccupancy = 32) == 10)
+    // expected occupancy n / 2^planes stays within [target/2, target]
+    for (n <- Seq(10000L, 100000L, 10000000L, 1000000000L)) {
+      val p = Similarity.autoPlanes(n)
+      val occ = n.toDouble / (1L << p)
+      assert(occ <= 32 && occ > 16, s"n=$n planes=$p occupancy=$occ")
+    }
+    // clamps: tiny corpora never go below 4; absurd sizes cap at 30
+    assert(Similarity.autoPlanes(1) == 4)
+    assert(Similarity.autoPlanes(Long.MaxValue / 2) == 30)
+    // and the resulting config still finds the planted duplicates
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val n = emb.count() * 2
+    val pairs = Similarity.cosineNearDupPairs(
+      emb.unionByName(planted), 0.95,
+      planes = Similarity.autoPlanes(n), dims = 64, tables = 4)
+    assert(pairs.count() > 0)
+  }
+
   test("IVF ANN: deterministic training, good recall at moderate nprobe") {
     val queries = emb.filter(col("vec_id") < 20)
     val corpus = emb.filter(col("vec_id") >= 20)
