@@ -56,25 +56,28 @@ object Bench {
     * 0.2–2 s). Drift is harmless: a stale hint only perturbs run order.
     */
   private val costHint: Map[String, Double] = Map(
-    "d07_simhash_pairs" -> 8.0,
-    "d04_minhash_lsh" -> 7.0,
-    "t04_winnowing" -> 6.0,
-    "e03_knn_ivf" -> 5.0,
-    "d03_jaccard_pairs" -> 4.0,
-    "d06_embedding_neardup" -> 4.0,
-    "d08_dup_clusters" -> 4.0,
-    "d10_dup_clusters_star" -> 6.0,
-    "d05_simhash" -> 3.0,
-    "d09_containment" -> 3.0,
-    "e02_knn_lsh" -> 3.0,
-    "s02_sessionize" -> 3.0,
-    "j01_json_extract" -> 2.0,
-    "q11_window_lag" -> 2.0,
-    "q12_window_running" -> 2.0,
-    "q16_scalar_subquery" -> 2.0,
-    "q28_window_suite" -> 2.0,
-    "s01_event_window" -> 2.0,
-    "t03_langid" -> 2.0)
+    // refreshed round 5 from the idle 69/69 run (bench_idle_69q.json)
+    "t04_winnowing" -> 6.2,
+    "d07_simhash_pairs" -> 5.9,
+    "d10_dup_clusters_star" -> 3.5,
+    "d06_embedding_neardup" -> 2.7,
+    "d08_dup_clusters" -> 2.4,
+    "d04_minhash_lsh" -> 1.9,
+    "e03_knn_ivf" -> 1.8,
+    "d09_containment" -> 1.6,
+    "d03_jaccard_pairs" -> 1.5,
+    "d05_simhash" -> 1.5,
+    "s02_sessionize" -> 1.4,
+    "q03_group_multi" -> 1.1,
+    "a01_asof_join" -> 1.1,
+    "e02_knn_lsh" -> 1.0,
+    "j01_json_extract" -> 1.0,
+    "q11_window_lag" -> 1.0,
+    "q12_window_running" -> 1.0,
+    "q16_scalar_subquery" -> 1.0,
+    "q28_window_suite" -> 1.0,
+    "s01_event_window" -> 1.0,
+    "t03_langid" -> 1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
