@@ -190,5 +190,19 @@ class HyperBinarySpec extends SparkSpec {
       .getLong(0) == 6L, "block row count")
     val text = new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(text.contains("consumer_complaints") && text.contains("consumer_complaints1"))
+
+    // the further 0x100-strided blocks (HYPER_FORMAT.md §3 item 2)
+    // decode and frame-verify the same way: 0x2980 carries the
+    // product-column dictionary, 0x2a80 the numeric columns
+    for ((off, marker) <- Seq(0x2980 -> Some("Mortgage"), 0x2a80 -> None)) {
+      val ul = buf.getInt(off)
+      val (p, consumed) = Lz4Block.decompress(data, off + 4, ul)
+      assert(java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .getLong(0) == 6L, s"row count at $off")
+      assert(buf.getInt(off + 4 + consumed) ==
+        HyperBinary.crc32cRaw(data, off, off + 4 + consumed), s"frame at $off")
+      marker.foreach(m => assert(
+        new String(p, java.nio.charset.StandardCharsets.ISO_8859_1).contains(m)))
+    }
   }
 }
