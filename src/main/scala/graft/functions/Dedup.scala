@@ -244,6 +244,27 @@ object Dedup {
     * the buckets are sharply selective; the 16-bit gate configuration
     * keeps the oracle readable).
     */
+  /** The at-scale `bits` setting for [[simhash]]/[[simhashPairs]].
+    *
+    * Pigeonhole banding needs maxHamming+1 bands; candidate work per
+    * band is Θ(n²/2^width) with width = bits/(maxHamming+1), so — like
+    * `Similarity.autoPlanes`, and measured the same way in SCALE.md —
+    * keeping bucket occupancy at `targetOccupancy` needs the chunk
+    * width to grow ≈ log₂(n/targetOccupancy) with the corpus. Returns
+    * the matching total signature width, clamped to the library's
+    * 56-bit signature ceiling (width is capped at 56/(maxHamming+1));
+    * past the cap, reduce maxHamming per pass or pre-partition the
+    * corpus.
+    */
+  def autoSimhashBits(corpusSize: Long, maxHamming: Int = 3,
+      targetOccupancy: Int = 32): Int = {
+    require(corpusSize > 0 && maxHamming >= 0 && targetOccupancy > 0)
+    val bands = maxHamming + 1
+    val width = math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2)).toInt
+    bands * math.min(56 / bands, math.max(4, width))
+  }
+
   def simhashPairs(sigs: DataFrame, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     // even-as-possible contiguous bit ranges: band b covers [lo, hi)

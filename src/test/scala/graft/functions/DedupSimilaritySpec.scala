@@ -123,6 +123,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
   }
 
+  test("autoSimhashBits widens chunks with the corpus, capped at 56 bits") {
+    // occupancy-constant widths at maxHamming=3 (4 bands)
+    assert(Dedup.autoSimhashBits(2048, 3) == 4 * 6)
+    assert(Dedup.autoSimhashBits(2048 * 16, 3) == 4 * 10)
+    // tiny corpora floor at width 4; huge corpora cap at 56/bands
+    assert(Dedup.autoSimhashBits(1, 3) == 4 * 4)
+    assert(Dedup.autoSimhashBits(Long.MaxValue / 2, 3) == 4 * 14)
+    // banding with an autoSimhashBits signature still reproduces the
+    // brute-force pair set (the completeness contract is width-free)
+    val n = docs.count()
+    val bits = Dedup.autoSimhashBits(n, 3, targetOccupancy = 8)
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"), bits)
+    val banded = Dedup.simhashPairs(sig, bits, 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
   test("simhashPairs: 64-bit-wide band (maxHamming=0) buckets exactly, not all-to-one") {
     // width-64 band: (1L << 64) is a mod-64 shift in Scala, so a naive
     // mask computes 0 and collapses every signature into one bucket
