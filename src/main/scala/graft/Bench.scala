@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * queries because two contention-inflated samples at the front of the
   * alphabet ate the whole budget):
   *   - queries run CHEAPEST-FIRST by last-known idle cost
-  *     ([[costHint]]), so a budget squeeze drops the few expensive
+  *     ([[costHints]]), so a budget squeeze drops the few expensive
   *     tails instead of 85% of the suite;
   *   - every sample runs under a WATCHDOG capped at budget/8: a single
   *     contention spike (idle seconds → minutes) is cancelled via its
@@ -46,16 +46,38 @@ import org.apache.spark.sql.SparkSession
   *     lets the driver tell sandbox noise from a real regression
   *     without a judge re-run — ratio ≈ 1 means a quiet box, ratio ≫ 1
   *     means the medians are inflated by co-tenants.
+  *
+  * Coverage discipline (VERDICT r5 #2 — BENCH_r05 measured 37/69: the
+  * budget died mid-suite and every expensive dedup/ANN query was
+  * skipped wholesale, so 5 rounds passed without one complete official
+  * artifact): COVERAGE BEFORE PRECISION. The run is two phases:
+  *   - phase 1 SWEEP: one sample of every query, cheapest-first. The
+  *     idle full pass fits in ~62 s of query time, so even a
+  *     5×-throttled box covers the whole suite at n=1 before the
+  *     default 480 s budget is half spent;
+  *   - phase 2 REFINE: only after the sweep completes, the remaining
+  *     budget buys repeat samples for medians — round-robin (every
+  *     query gets its 2nd sample before any gets its 3rd), cheapest
+  *     first by its OWN phase-1 time, each repeat only attempted if
+  *     that time fits the remaining budget.
+  *
+  * Cost-hint freshness (VERDICT r5 #3): every emit also writes the
+  * measured per-query seconds to `SPARK_GRAFT_COST_HINTS` (default
+  * `bench/cost_hints.json`); the next run loads that file and lets it
+  * override the baked-in map, so ordering self-refreshes instead of
+  * relying on a hand-maintained copy of the last idle run.
   */
 object Bench {
 
-  /** Last-known idle per-query cost (seconds, sf0.1, local[32]) — an
+  /** Baked-in idle per-query cost (seconds, sf0.1, local[32]) — an
     * ORDERING HINT ONLY, never reported. Sources: the round-4 judge's
     * idle re-runs and isolation timings. Unlisted queries default to
     * 1.0 (the measured idle cost of nearly every q-series query is
-    * 0.2–2 s). Drift is harmless: a stale hint only perturbs run order.
+    * 0.2–2 s). Drift is harmless: a stale hint only perturbs run order,
+    * and [[loadCostHints]] overrides these with the previous run's
+    * measured costs when `bench/cost_hints.json` exists.
     */
-  private val costHint: Map[String, Double] = Map(
+  private val bakedCostHint: Map[String, Double] = Map(
     // refreshed round 5 from the idle 69/69 run (bench_idle_69q.json)
     "t04_winnowing" -> 6.2,
     "d07_simhash_pairs" -> 5.9,
@@ -79,11 +101,46 @@ object Bench {
     "s01_event_window" -> 1.0,
     "t03_langid" -> 1.0)
 
+  /** Flat `{"name": seconds, ...}` parse — the only JSON shape the hints
+    * file ever holds, so a regex scan beats pulling in a parser. Any
+    * malformed file degrades to the baked-in map (ordering hint only).
+    */
+  private[graft] def parseCostHints(json: String): Map[String, Double] = {
+    val entry = """"((?:[^"\\]|\\.)+)"\s*:\s*([0-9.eE+-]+)""".r
+    entry.findAllMatchIn(json).flatMap { m =>
+      scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
+    }.toMap
+  }
+
+  private[graft] def loadCostHints(path: String): Map[String, Double] =
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isReadable(p))
+        parseCostHints(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else Map.empty[String, Double]
+    }.getOrElse(Map.empty)
+
+  /** Best-effort write of this run's measured costs (sorted cheapest
+    * first for human diffing); failure is non-fatal — the hints are an
+    * ordering optimization, not data.
+    */
+  private[graft] def saveCostHints(path: String, costs: Map[String, Double]): Unit =
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val body = costs.toSeq.sortBy { case (n, c) => (c, n) }
+        .map { case (n, c) => s""""$n":$c""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    val hintsPath = sys.env.getOrElse("SPARK_GRAFT_COST_HINTS", "bench/cost_hints.json")
+    val costHint = bakedCostHint ++ loadCostHints(hintsPath)
     val sampleCapS = budgetS / 8
     val startNanos = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - startNanos) / 1e9
@@ -98,8 +155,9 @@ object Bench {
 
     // Shared mutable state so the shutdown hook can report whatever has
     // completed at the instant of an external kill. All access synchronized
-    // on `results` (the bench loop is single-threaded; the hook races it).
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // on `samples` (the bench loop is single-threaded; the hook races it).
+    val samples = scala.collection.mutable
+      .LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var pending: Seq[String] =
@@ -107,20 +165,28 @@ object Bench {
     val printed = new AtomicBoolean(false)
 
     def emit(expired: Boolean): Unit = if (printed.compareAndSet(false, true)) {
-      results.synchronized {
-        val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      samples.synchronized {
+        val medians = samples.collect { case (k, ss) if ss.nonEmpty =>
+          k -> ss.sorted.apply(ss.size / 2)
+        }
+        val qs = medians.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+          .mkString("{", ",", "}")
+        val nSamples = samples.map { case (k, ss) => "\"" + esc(k) + "\":" + ss.size }
           .mkString("{", ",", "}")
         val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
           .mkString("{", ",", "}")
         val skipped = pending.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
-        val total = if (results.nonEmpty) results.values.sum else 0.0
+        val total = if (medians.nonEmpty) medians.values.sum else 0.0
         val ratio =
           if (probes.nonEmpty && probes.values.min > 0) probes.values.max / probes.values.min
           else 0.0
         val contention = (probes.map { case (k, v) => "\"" + esc(k) + "\":" + v } ++
           Seq("\"ratio\":" + ratio)).mkString("{", ",", "}")
-        println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"contention":$contention,"budget_expired":$expired,"skipped":$skipped,"elapsed":$elapsedS,"sf":"${esc(sfDir)}"}""")
+        println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$nSamples,"errors":$errJson,"contention":$contention,"budget_expired":$expired,"skipped":$skipped,"elapsed":$elapsedS,"sf":"${esc(sfDir)}"}""")
         System.out.flush()
+        // feed the next run's ordering with this run's measured costs
+        // (VERDICT r5 #3); only queries that actually sampled
+        if (medians.nonEmpty) saveCostHints(hintsPath, medians.toMap)
       }
     }
     // Backstop for external SIGTERM (driver `timeout`): partial data beats
@@ -170,9 +236,9 @@ object Bench {
           .selectExpr("bit_xor(xxhash64(id)) AS h") // xor: no ANSI overflow
           .write.format("noop").mode("overwrite").save()
       ) match {
-        case Right(t) => results.synchronized { probes(label) = t }
+        case Right(t) => samples.synchronized { probes(label) = t }
         case Left(err) =>
-          results.synchronized { errors.getOrElseUpdate(s"__probe_$label", err) }
+          samples.synchronized { errors.getOrElseUpdate(s"__probe_$label", err) }
       }
 
     // warm up the session once (JVM/JIT, codegen compiler, parquet footer
@@ -194,41 +260,63 @@ object Bench {
     probe("start")
 
     val queryFns = SparkEntry.queries
+
+    /** One measured sample of `name` under the watchdog; records the
+      * timing (or the first error) into the shared state. Returns the
+      * sample's seconds, or None on failure.
+      */
+    def sampleOnce(name: String, attempt: Int): Option[Double] = {
+      val fn = queryFns(name)
+      // noop sink: full distributed execution incl. final sorts, no
+      // driver materialization, nothing written
+      guarded(s"$name-$attempt", math.min(sampleCapS, math.max(remainingS, 1.0)))(
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
+        case Right(t) =>
+          samples.synchronized {
+            samples.getOrElseUpdate(
+              name, scala.collection.mutable.ArrayBuffer.empty[Double]) += t
+          }
+          Some(t)
+        case Left(err) =>
+          samples.synchronized { errors.getOrElseUpdate(name, err) }
+          None
+      }
+    }
+
+    // ---- phase 1: SWEEP — one sample of EVERY query, cheapest-first.
+    // Coverage before precision (VERDICT r5 #2): nothing gets a second
+    // sample until everything has a first.
     val order = pending.toList
     val midpoint = order.size / 2
     var expired = false
     for ((name, idx) <- order.zipWithIndex if !expired) {
       if (idx == midpoint) probe("mid")
-      if (remainingS <= 0) { expired = true }
+      if (remainingS <= 0) expired = true
       else {
-        val fn = queryFns(name)
-        val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
-        var failed = false
-        var n = 0
-        // Repeat up to `runs` samples, but only while the NEXT sample is
-        // predicted (from this query's own last sample) to fit in the
-        // remaining budget — this is the "degrade n toward 1" rule: under
-        // contention each query keeps its first sample and skips repeats.
-        while (n < runs && !failed &&
-               (n == 0 || (samples.nonEmpty && samples.last < remainingS))) {
-          // noop sink: full distributed execution incl. final sorts, no
-          // driver materialization, nothing written
-          guarded(s"$name-$n", math.min(sampleCapS, math.max(remainingS, 1.0)))(
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
-            case Right(t) => samples += t
-            case Left(err) =>
-              failed = true
-              results.synchronized { errors.getOrElseUpdate(name, err) }
-          }
-          n += 1
-        }
-        results.synchronized {
-          if (samples.nonEmpty)
-            results(name) = samples.sorted.apply(samples.size / 2)
-          pending = pending.filterNot(_ == name)
-        }
+        sampleOnce(name, attempt = 0)
+        samples.synchronized { pending = pending.filterNot(_ == name) }
       }
     }
+
+    // ---- phase 2: REFINE — spend what's left on repeat samples for
+    // medians, round-robin so every query gets its 2nd sample before any
+    // gets its 3rd; within a round, cheapest-first by the query's OWN
+    // phase-1 median so a budget squeeze trims the expensive tail.
+    // A repeat is only attempted if the query's last sample fits the
+    // remaining budget (the "degrade n toward 1" rule from round 3).
+    val failedInSweep = samples.synchronized { errors.keySet.toSet }
+    for (round <- 1 until runs if !expired) {
+      val byMeasured = samples.synchronized {
+        samples.collect { case (n, ss) if ss.size == round && !failedInSweep(n) =>
+          n -> ss.sorted.apply(ss.size / 2)
+        }.toSeq.sortBy { case (n, c) => (c, n) }
+      }
+      for ((name, lastCost) <- byMeasured if !expired) {
+        if (remainingS <= 0) expired = true
+        else if (lastCost < remainingS) sampleOnce(name, attempt = round)
+      }
+    }
+
     probe("end")
     emit(expired)
     spark.stop()
