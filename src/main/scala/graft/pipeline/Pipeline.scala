@@ -103,9 +103,15 @@ class Pipeline(
     }.toMap
   }
 
-  /** A11/A12 combine + A14/A15 export for one bundle. */
-  def exportBundle(
-      bundle: QueryBundle, matched: Map[String, String]): String = {
+  /** A11/A12 — the per-query combine step: pivot-stack or positional
+    * concat across the bundle's matched files, returning the final
+    * (table name, DataFrame) pairs the sinks receive. Exposed separately
+    * from [[exportBundle]] so parity tests (HyperArtifactParitySpec) can
+    * compare the combined results row-for-row without going through a
+    * sink file.
+    */
+  def combineBundle(
+      bundle: QueryBundle, matched: Map[String, String]): Seq[(String, DataFrame)] = {
     val perQuery = queryDataFrames(bundle, matched)
     val combined: Seq[(String, DataFrame)] = bundle.queries.map { q =>
       val results = perQuery(q.name)
@@ -125,6 +131,13 @@ class Pipeline(
           }).drop("row_id")
       q.name -> df
     }
+    combined
+  }
+
+  /** A14/A15 — export one bundle through its sink. */
+  def exportBundle(
+      bundle: QueryBundle, matched: Map[String, String]): String = {
+    val combined = combineBundle(bundle, matched)
     bundle.format match {
       case ExportFormat.Hyper =>
         val out = Paths.get(workingDir, bundle.exportFileName + ".hyper").toString

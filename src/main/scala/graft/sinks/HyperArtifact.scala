@@ -1,0 +1,260 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Native decoder for the column records inside the reference's committed
+  * `complaints_by_bank.hyper` — the round-6 follow-up to round 5's frame
+  * cracking (see HYPER_FORMAT.md). Everything here was reverse-read from
+  * the artifact's own bytes; record grammars are verified structurally
+  * (frame checksums where present, dictionary/offset invariants
+  * otherwise). This is what upgrades the `.hyper` work from
+  * "container reproduces" to "the data itself is readable": it turns the
+  * artifact into golden ROWS, which HyperArtifactParitySpec compares
+  * against a full Pipeline.run of the reference's committed queries
+  * (reference run_main_example.py:14-23).
+  *
+  * Record grammars identified (HYPER_FORMAT.md §4):
+  *
+  *   - Varchar column block (LZ4-framed in the directory, or raw when
+  *     LZ4 would not shrink it): u64 rowCount; u64 section pointer A at
+  *     +0x08; u64 dictCount at A+0x28; dictCount dictionary entries at
+  *     A+0x30, each a u32 = (u8 length | u24 heap offset), values in
+  *     SORTED order, strings of length <= 3 inlined in the offset bytes;
+  *     the per-row dictionary-id stream bit-packed MSB-first with
+  *     width = ceil(log2(dictCount)) at the next 16-aligned offset after
+  *     the entries; the string heap at the next 16-aligned offset after
+  *     the id stream (min value first, max second, rest in sorted order).
+  *   - Integer column block: u64 rowCount; type tag 7 at +0x18;
+  *     i32 min/max at +0x30/+0x34; u64 distinct-value count at +0x2040;
+  *     frame-of-reference deltas (value = min + u8 delta) at +0x2050.
+  *   - Constant-string record (single distinct value, stored inline in
+  *     the directory): u64 rowCount; tag 0x32 at +0x18; u64 length at
+  *     +0x30; UTF-8 bytes at +0x40; raw-CRC32C frame over the record's
+  *     first 0x50 bytes at +0x50.
+  *
+  * What is still inferred rather than identified: the column→block
+  * mapping. Blocks appear in column order per table except when a large
+  * block overflows the directory into the data-page region (the second
+  * company column lands at 0x8540, past the genesis block), so relations
+  * are matched to decoded columns by (rowCount group, attribute type,
+  * position among same-typed attributes). For the committed artifact the
+  * assignment is unambiguous: the two Varchar columns of table 2 are
+  * byte-identical, as are its two Integer columns.
+  */
+object HyperArtifact {
+
+  /** One decoded column record: file offset, row count, and values
+    * (String or Int, no nulls — the artifact's nullCounts are all 0; a
+    * record with nulls would fail the structural checks and be reported
+    * missing rather than silently misdecoded).
+    */
+  final case class DecodedColumn(offset: Long, rowCount: Int, values: IndexedSeq[Any]) {
+    def isString: Boolean = values.headOption.exists(_.isInstanceOf[String])
+  }
+
+  private def u64(b: Array[Byte], o: Int): Long =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong(o)
+  private def u32(b: Array[Byte], o: Int): Int =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt(o)
+  private def align16(x: Int): Int = (x + 15) / 16 * 16
+
+  /** Parse a varchar column block from `pay` (a decompressed LZ4 payload
+    * or a raw in-file region). Returns values plus the payload length
+    * actually consumed, or None if the invariants don't hold.
+    */
+  private def parseVarchar(pay: Array[Byte]): Option[(Int, IndexedSeq[Any], Int)] = {
+    if (pay.length < 0x40) return None
+    val n = u64(pay, 0)
+    if (n <= 0 || n >= Int.MaxValue) return None
+    val a = u64(pay, 8)
+    if (a < 0x30 || a + 0x38 >= pay.length) return None
+    val dictCount = u64(pay, a.toInt + 0x28)
+    if (dictCount <= 0 || dictCount > n || dictCount >= (1 << 24)) return None
+    val dc = dictCount.toInt
+    val entriesAt = a.toInt + 0x30
+    if (entriesAt + 4L * dc > pay.length) return None
+    val raw = Array.tabulate(dc)(k => u32(pay, entriesAt + 4 * k))
+    val idsAt = align16(entriesAt + 4 * dc)
+    val width = math.max(1, 32 - Integer.numberOfLeadingZeros(dc - 1))
+    val idBytes = (n.toInt * width + 7) / 8
+    val heapAt = align16(idsAt + idBytes)
+    var heapNeed = 0
+    raw.foreach { w =>
+      val len = w & 0xff
+      if (len > 3) heapNeed = math.max(heapNeed, (w >>> 8) + len)
+    }
+    if (heapAt + heapNeed > pay.length) return None
+    val dict = new Array[String](dc)
+    var k = 0
+    while (k < dc) {
+      val w = raw(k)
+      val len = w & 0xff
+      val s =
+        if (len <= 3) {
+          val bs = Array.tabulate(len)(i => ((w >>> (8 * (i + 1))) & 0xff).toByte)
+          new String(bs, StandardCharsets.UTF_8)
+        } else {
+          val off = w >>> 8
+          new String(pay, heapAt + off, len, StandardCharsets.UTF_8)
+        }
+      if (k > 0 && dict(k - 1).compareTo(s) > 0) return None // sorted dictionary
+      dict(k) = s
+      k += 1
+    }
+    val out = new Array[Any](n.toInt)
+    var r = 0
+    while (r < n.toInt) {
+      var v = 0
+      var b = 0
+      val bp = r * width
+      while (b < width) {
+        val bit = (pay(idsAt + (bp + b) / 8) >>> (7 - ((bp + b) % 8))) & 1
+        v = (v << 1) | bit
+        b += 1
+      }
+      if (v >= dc) return None
+      out(r) = dict(v)
+      r += 1
+    }
+    Some((n.toInt, out.toIndexedSeq, heapAt + heapNeed))
+  }
+
+  /** Parse an integer column block (type tag 7, FOR byte deltas). */
+  private def parseInt(pay: Array[Byte]): Option[(Int, IndexedSeq[Any], Int)] = {
+    if (pay.length < 0x2050) return None
+    val n = u64(pay, 0)
+    if (n <= 0 || n >= Int.MaxValue) return None
+    if (u64(pay, 0x18) != 7) return None
+    val min = u32(pay, 0x30)
+    val max = u32(pay, 0x34)
+    if (min > max) return None
+    // only the byte-wide delta stream is observed; wider ranges would
+    // need a wider width rule we cannot identify from this artifact
+    if (max.toLong - min.toLong > 255) return None
+    val distinct = u64(pay, 0x2040)
+    if (0x2050L + n > pay.length) return None
+    val out = new Array[Any](n.toInt)
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    var r = 0
+    while (r < n.toInt) {
+      val v = min + (pay(0x2050 + r) & 0xff)
+      if (v > max) return None
+      out(r) = v
+      seen += v
+      r += 1
+    }
+    if (seen.size != distinct) return None
+    Some((n.toInt, out.toIndexedSeq, 0x2050 + n.toInt))
+  }
+
+  /** Parse a constant-string record at file offset `off` (frame-verified:
+    * raw CRC32C over the record's first 0x50 bytes).
+    */
+  private def parseConstString(data: Array[Byte], off: Int): Option[(Int, IndexedSeq[Any])] = {
+    if (off + 0x54 > data.length) return None
+    val n = u64(data, off)
+    if (n <= 0 || n >= Int.MaxValue) return None
+    if (u64(data, off + 0x18) != 0x32) return None
+    val len = u64(data, off + 0x30)
+    if (len <= 0 || off + 0x40 + len > data.length || len > 0x10) return None
+    if (u32(data, off + 0x50) != HyperBinary.crc32cRaw(data, off, off + 0x50)) return None
+    val s = new String(data, off + 0x40, len.toInt, StandardCharsets.UTF_8)
+    Some((n.toInt, IndexedSeq.fill(n.toInt)(s)))
+  }
+
+  /** Scan the whole file for decodable column records, in offset order.
+    * Tries, at each 16-aligned offset: an LZ4-framed record (frame
+    * checksum verified, payload classified varchar-then-int), a
+    * frame-verified constant-string record, and a raw (uncompressed)
+    * varchar block validated by its structural invariants.
+    */
+  def scanColumns(data: Array[Byte]): Seq[DecodedColumn] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[DecodedColumn]
+    var pos = 0x2000
+    while (pos + 16 < data.length) {
+      var advance = 16
+      val ln = u32(data, pos)
+      var hit: Option[(Int, IndexedSeq[Any], Int)] = None
+      if (ln > 0 && ln < (1 << 24) && pos + 8 < data.length) {
+        try {
+          val (pay, consumed) = Lz4Block.decompress(data, pos + 4, ln)
+          val frameAt = pos + 4 + consumed
+          if (frameAt + 4 <= data.length &&
+              u32(data, frameAt) == HyperBinary.crc32cRaw(data, pos, frameAt) &&
+              u32(data, frameAt) != 0) {
+            hit = parseVarchar(pay).orElse(parseInt(pay))
+            if (hit.isDefined) advance = align16(frameAt + 4) - pos
+          }
+        } catch { case _: RuntimeException | _: IndexOutOfBoundsException => }
+      }
+      if (hit.isEmpty) {
+        parseConstString(data, pos) match {
+          case Some((n, vals)) =>
+            hit = Some((n, vals, 0x54))
+            advance = 0x60
+          case None =>
+            val window = java.util.Arrays.copyOfRange(
+              data, pos, math.min(data.length, pos + (1 << 16)))
+            hit = parseVarchar(window)
+            hit.foreach { case (_, _, consumed) => advance = align16(consumed) }
+        }
+      }
+      hit.foreach { case (n, vals, _) =>
+        cols += DecodedColumn(pos.toLong, n, vals)
+      }
+      pos += advance
+    }
+    cols.toSeq
+  }
+
+  /** Decode the artifact into (table name, schema, rows), matching
+    * decoded columns to catalog relations. Tables are matched to
+    * rowCount groups in first-appearance order; within a table, the k-th
+    * Varchar attribute takes the k-th decoded string column and the k-th
+    * Integer attribute the k-th int column (see the class doc for why
+    * this inference is sound for the committed artifact).
+    */
+  def decodeTables(path: String): Seq[(String, StructType, Seq[Row])] = {
+    val data = Files.readAllBytes(Paths.get(path))
+    val cols = scanColumns(data)
+    require(cols.nonEmpty, s"$path: no decodable column records found")
+
+    val catalog = HyperBinary.catalogJsons(path).head
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(catalog)
+    val rels = root.get("relations")
+
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[DecodedColumn]]
+    cols.foreach(c => groups.getOrElseUpdate(c.rowCount, scala.collection.mutable.ArrayBuffer.empty) += c)
+    require(groups.size == rels.size(),
+      s"$path: ${groups.size} row-count groups but ${rels.size()} catalog relations")
+
+    groups.toSeq.zipWithIndex.map { case ((rowCount, tableCols), r) =>
+      val rel = rels.get(r)
+      val name = rel.get("name").asText()
+      val attrs = (0 until rel.get("attributes").size()).map { a =>
+        val at = rel.get("attributes").get(a)
+        (at.get("name").asText(), at.get("type").get(0).asText())
+      }
+      val strCols = tableCols.filter(_.isString)
+      val intCols = tableCols.filterNot(_.isString)
+      require(strCols.size == attrs.count(_._2 == "Varchar") &&
+        intCols.size == attrs.count(a => a._2 == "Integer" || a._2 == "BigInt"),
+        s"$path: table $name attribute types don't match decoded column types")
+      var si = 0
+      var ii = 0
+      val assigned: Seq[(String, DataType, IndexedSeq[Any])] = attrs.map { case (an, tp) =>
+        if (tp == "Varchar") { val c = strCols(si); si += 1; (an, StringType, c.values) }
+        else { val c = intCols(ii); ii += 1; (an, IntegerType, c.values) }
+      }
+      val schema = StructType(assigned.map(c => StructField(c._1, c._2, nullable = true)))
+      val rows = (0 until rowCount).map(i => Row.fromSeq(assigned.map(_._3(i))))
+      (name, schema, rows)
+    }
+  }
+}

@@ -451,10 +451,12 @@ object HyperBinary {
     Files.write(Paths.get(path), bytes)
   }
 
-  /** Every '~'-terminated catalog JSON in the file, in offset order.
-    * Works on files from [[write]] AND on the reference's committed
-    * artifact (which holds the live catalog at 0x2000 and the genesis
-    * copy inside the HyperDB block).
+  /** Every embedded catalog JSON in the file, in offset order —
+    * brace-matched from the `compressionMethod` marker (the live catalog
+    * is '~'-terminated, the genesis copy is not; neither terminator is
+    * relied on). Works on files from [[write]] AND on the reference's
+    * committed artifact (which holds the live catalog at 0x2000 and the
+    * genesis copy inside the HyperDB block).
     */
   def catalogJsons(path: String): Seq[String] = {
     val data = Files.readAllBytes(Paths.get(path))
