@@ -583,6 +583,28 @@ object SparkEntry {
         SELECT m, count(o_orderkey) AS n
         FROM months LEFT JOIN orders ON month(o_orderdate) = m
         GROUP BY m ORDER BY m""")
+    }),
+
+    // A1 end-to-end against the oracle: write the nation/region dims to
+    // a real xlsx via XlsxWriter, read them back through the `excel`
+    // DSv2 source (StAX parse + schema inference — the reference's core
+    // ingest path, fsheet.py:33-36), and join. The oracle reads the same
+    // parquet directly, so a hash match proves the Excel writer+reader
+    // round-trip the data exactly. Integral columns infer as BIGINT from
+    // Excel numeric cells; cast back to INT to match the parquet schema.
+    "x03_excel_roundtrip" -> ((s, dir) => {
+      val xlsx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_x03_${java.nio.file.Paths.get(dir).getFileName}.xlsx").toString
+      sources.excel.XlsxWriter.write(xlsx, Seq(
+        "nation" -> t(s, dir, "nation"),
+        "region" -> t(s, dir, "region")))
+      val n = s.read.format("excel").option("sheet", "nation").load(xlsx)
+      val r = s.read.format("excel").option("sheet", "region").load(xlsx)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
+          col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
     })
   )
 
@@ -931,6 +953,14 @@ object SparkEntry {
          FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY o_custkey
                  ORDER BY strftime(o_orderdate, '%Y')) AS gr
                FROM orders WHERE o_orderkey <= 4000) g
-         ORDER BY o_custkey, o_orderkey"""
+         ORDER BY o_custkey, o_orderkey""",
+
+    // x03's Spark side reads nation/region through an xlsx round-trip;
+    // the oracle reads the parquet directly — a hash match proves the
+    // Excel write→parse→infer path preserves the data exactly.
+    "x03_excel_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey"""
   )
 }
