@@ -39,6 +39,19 @@ object ScaleCurve {
   private def docs(s: SparkSession, dir: String) = Tables.df(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.df(s, dir, "embeddings")
 
+  /** Corpus + planted near-duplicates whose ids are guaranteed disjoint:
+    * the plant offset is max(vec_id)+1, not a fixed constant — a fixed
+    * 100000 collides with real ids once a generated corpus exceeds 100k
+    * embeddings and silently skews the measured candidate counts. The
+    * max() is one columnar scan per call, noise next to the candidate
+    * stage it feeds, and identical in cost across scales.
+    */
+  private def withPlanted(e: DataFrame): DataFrame = {
+    val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+    e.unionByName(e.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(maxId + 1)))
+  }
+
   /** Queries measured for the curve. Shapes mirror SparkEntry gates
     * (minus the oracle-only orderBy — sorting tiny outputs is noise).
     */
@@ -61,13 +74,9 @@ object ScaleCurve {
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh, 8), 4, 2,
           maxBucketSize = 100), 0.8)
     }),
-    "d06_embedding_neardup" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val planted = e.filter(col("vec_id") % 50 === 0)
-        .withColumn("vec_id", col("vec_id") + 100000)
+    "d06_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
-        e.unionByName(planted), 0.95, planes = 8, dims = 64, tables = 4)
-    }),
+        withPlanted(emb(s, dir)), 0.95, planes = 8, dims = 64, tables = 4)),
     "d07_simhash56" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhash(docs(s, dir), col("doc_id"), col("text"), 56),
@@ -124,24 +133,16 @@ object ScaleCurve {
         Dedup.minhashSignatures(
           Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 8),
         4, 2).count()),
-    "d06_candidates" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val planted = e.filter(col("vec_id") % 50 === 0)
-        .withColumn("vec_id", col("vec_id") + 100000)
-      pairSum(tableBuckets(e.unionByName(planted), 8, 64, 4)
-        .groupBy(col("table"), col("bucket")).count())
-    }),
+    "d06_candidates" -> ((s, dir) =>
+      pairSum(tableBuckets(withPlanted(emb(s, dir)), 8, 64, 4)
+        .groupBy(col("table"), col("bucket")).count())),
     // the at-scale knob for the fixed-bucket-count quadratic: planes
     // grows with log(corpus) (256 → 4096 buckets/table), tables
     // compensates recall (12 planes / 8 tables: 1−(1−p^12)^8 ≈ 0.93 at
     // p=0.899 vs 0.89 for the 8/4 gate config)
-    "d06_planes12t8" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val planted = e.filter(col("vec_id") % 50 === 0)
-        .withColumn("vec_id", col("vec_id") + 100000)
-      pairSum(tableBuckets(e.unionByName(planted), 12, 64, 8)
-        .groupBy(col("table"), col("bucket")).count())
-    }),
+    "d06_planes12t8" -> ((s, dir) =>
+      pairSum(tableBuckets(withPlanted(emb(s, dir)), 12, 64, 8)
+        .groupBy(col("table"), col("bucket")).count())),
     "d07_candidates" -> ((s, dir) => {
       // simhashPairs banding at 56 bits, maxHamming 3: 4 bands, 14 bits
       val sig = Dedup.simhash(docs(s, dir), col("doc_id"), col("text"), 56)

@@ -258,11 +258,33 @@ object Dedup {
     */
   def autoSimhashBits(corpusSize: Long, maxHamming: Int = 3,
       targetOccupancy: Int = 32): Int = {
-    require(corpusSize > 0 && maxHamming >= 0 && targetOccupancy > 0)
+    require(corpusSize > 0 && targetOccupancy > 0)
+    // 13 is the largest maxHamming where the 56-bit signature ceiling
+    // still permits the documented 4-bit band floor (56/14 = 4); past it
+    // the formula would silently emit sub-floor or zero-width bands —
+    // reduce maxHamming per pass or pre-partition the corpus instead
+    require(maxHamming >= 0 && maxHamming <= 13,
+      s"autoSimhashBits: maxHamming must be in [0, 13] (got $maxHamming); " +
+        "wider budgets cannot fit >= 4-bit bands under the 56-bit ceiling")
     val bands = maxHamming + 1
     val width = math.ceil(
       math.log(corpusSize.toDouble / targetOccupancy) / math.log(2)).toInt
     bands * math.min(56 / bands, math.max(4, width))
+  }
+
+  /** [[simhash]] + [[simhashPairs]] with the signature width sized to
+    * the corpus by [[autoSimhashBits]] — the at-scale default, so the
+    * sizing rule is applied, not just documented. Pass `corpusSize`
+    * when the count is already known; otherwise one count job runs
+    * first (a metadata-only scan against columnar sources — cheap next
+    * to the banded self-join it sizes).
+    */
+  def simhashPairsAuto(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, corpusSize: Long = 0L,
+      targetOccupancy: Int = 32): DataFrame = {
+    val n = if (corpusSize > 0) corpusSize else df.count()
+    val bits = autoSimhashBits(n, maxHamming, targetOccupancy)
+    simhashPairs(simhash(df, id, text, bits), bits, maxHamming)
   }
 
   def simhashPairs(sigs: DataFrame, bits: Int = 16, maxHamming: Int = 3): DataFrame = {

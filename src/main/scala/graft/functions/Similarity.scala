@@ -354,6 +354,34 @@ object Similarity {
     math.min(30, math.max(4, raw))
   }
 
+  /** [[cosineNearDupPairs]] with `planes` sized to the corpus by
+    * [[autoPlanes]] — the at-scale default, so the sizing rule is
+    * applied, not just documented. Pass `corpusSize` when the count is
+    * already known; otherwise one count job runs first (metadata-only
+    * against columnar sources — cheap next to the self-join it sizes).
+    * Pair the grown planes with more `tables` for recall
+    * (OR-amplification; see [[autoPlanes]]).
+    */
+  def cosineNearDupPairsAuto(emb: DataFrame, threshold: Double,
+      corpusSize: Long = 0L, dims: Int = 64, tables: Int = 2,
+      targetOccupancy: Int = 32): DataFrame = {
+    val n = if (corpusSize > 0) corpusSize else emb.count()
+    cosineNearDupPairs(emb, threshold, autoPlanes(n, targetOccupancy),
+      dims, tables)
+  }
+
+  /** [[knnLsh]] with `planes` sized to the CORPUS side by [[autoPlanes]]
+    * (bucket occupancy — and so per-query candidate work — is set by the
+    * corpus, not the query set). Same `corpusSize` contract as
+    * [[cosineNearDupPairsAuto]].
+    */
+  def knnLshAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusSize: Long = 0L, dims: Int = 64, tables: Int = 1,
+      targetOccupancy: Int = 32): DataFrame = {
+    val n = if (corpusSize > 0) corpusSize else corpus.count()
+    knnLsh(corpus, queries, k, autoPlanes(n, targetOccupancy), dims, tables)
+  }
+
   /** Bucket id from an ALREADY-quantized vector column — callers that
     * compute many buckets should materialize the quantized array first
     * (see [[cosineNearDupPairs]]) so each plane's aggregate reads a

@@ -293,6 +293,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("auto-sized overloads apply the documented sizing rules") {
+    // the x10 ScaleCurve corpus (~50k embeddings after planting):
+    // autoPlanes = ceil(log2(50000/32)) = 11, and at maxHamming=3
+    // autoSimhashBits = 4 bands * 11-bit chunks = 44
+    assert(Similarity.autoPlanes(50000) == 11)
+    assert(Dedup.autoSimhashBits(50000, 3) == 44)
+    // the documented degenerate range is now rejected, not silently
+    // sub-floor: 13 is the last budget where 56/bands >= the 4-bit floor
+    assert(Dedup.autoSimhashBits(50000, 13) == 56)
+    intercept[IllegalArgumentException](Dedup.autoSimhashBits(50000, 14))
+    intercept[IllegalArgumentException](Dedup.autoSimhashBits(50000, 56))
+
+    // auto near-dup path == the explicitly-sized call, both with the
+    // corpus count passed and with the count computed internally
+    val n = emb.count()
+    val explicitPairs = Similarity.cosineNearDupPairs(
+        emb, 0.9, planes = Similarity.autoPlanes(n), dims = 64, tables = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoKnown = Similarity.cosineNearDupPairsAuto(emb, 0.9, corpusSize = n)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoCounted = Similarity.cosineNearDupPairsAuto(emb, 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoKnown == explicitPairs && autoCounted == explicitPairs)
+
+    // auto ANN == explicitly-sized ANN over the same corpus
+    val queries = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val cn = corpus.count()
+    val explicitKnn = Similarity.knnLsh(corpus, queries, 3,
+        planes = Similarity.autoPlanes(cn), tables = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoKnn = Similarity.knnLshAuto(corpus, queries, 3,
+        corpusSize = cn, tables = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoKnn == explicitKnn)
+
+    // auto simhash path: signatures regenerated at the auto width, and
+    // the planted duplicate docs still pair up
+    val nd = docs.count()
+    val autoSim = Dedup.simhashPairsAuto(docs, col("doc_id"), col("text"),
+        maxHamming = 3, corpusSize = nd)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bits = Dedup.autoSimhashBits(nd, 3)
+    val explicitSim = Dedup.simhashPairs(
+        Dedup.simhash(docs, col("doc_id"), col("text"), bits), bits, 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoSim == explicitSim && autoSim.nonEmpty)
+  }
+
   test("IVF ANN: deterministic training, good recall at moderate nprobe") {
     val queries = emb.filter(col("vec_id") < 20)
     val corpus = emb.filter(col("vec_id") >= 20)
