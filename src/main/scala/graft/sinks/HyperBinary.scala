@@ -363,10 +363,23 @@ object HyperBinary {
     * funnels through the driver by nature (the reference's sink writes
     * one local file per extract, query_iterator.py:170); the collect here
     * is the same contract — extracts are result tables, not corpora.
+    * `maxRows` guards that contract at scale: the materialization is
+    * bounded (LIMIT maxRows+1, a single pass — no separate count job),
+    * so pointing a fact table at the sink raises a clear error instead
+    * of a driver OOM.
     */
   def write(path: String, tables: Seq[(String, DataFrame)],
-      compatInt32: Boolean = false): Unit = {
-    val collected = tables.map { case (name, df) => (name, df.schema, df.collect()) }
+      compatInt32: Boolean = false, maxRows: Int = 1000000): Unit = {
+    require(maxRows > 0, s"HyperBinary: maxRows must be positive (got $maxRows)")
+    val collected = tables.map { case (name, df) =>
+      val rows = df.limit(maxRows + 1).collect()
+      if (rows.length > maxRows)
+        throw new IllegalArgumentException(
+          s"HyperBinary: table '$name' exceeds the $maxRows-row export cap; " +
+            "this sink materializes extracts on the driver — for large " +
+            "results write parquet (or raise maxRows deliberately)")
+      (name, df.schema, rows)
+    }
     val withNulls = collected.map { case (name, schema, rows) =>
       val nullCounts = schema.fields.indices
         .map(c => rows.count(_.isNullAt(c)).toLong).toArray

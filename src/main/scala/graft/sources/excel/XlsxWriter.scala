@@ -47,9 +47,17 @@ object XlsxWriter {
     sb.toString
   }
 
-  /** Write `sheets` (name → DataFrame) into one workbook at `path`. */
+  /** Write `sheets` (name → DataFrame) into one workbook at `path`.
+    * `maxRows` caps the per-sheet data rows: the default is the xlsx
+    * format's own sheet limit (1,048,576 rows incl. the header), past
+    * which the workbook would be invalid anyway — rows stream through
+    * `toLocalIterator`, so the cap guards runtime and output sanity, not
+    * driver memory. Exceeding it raises with the file partially written
+    * (and then closed), pointing large exports at parquet instead.
+    */
   def write(path: String, sheets: Seq[(String, DataFrame)],
-      sharedStrings: Boolean = true): Unit = {
+      sharedStrings: Boolean = true, maxRows: Int = 1048575): Unit = {
+    require(maxRows > 0, s"XlsxWriter: maxRows must be positive (got $maxRows)")
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
@@ -119,6 +127,12 @@ object XlsxWriter {
         var r = 2
         val it = df.toLocalIterator()
         while (it.hasNext) {
+          if (r - 1 > maxRows)
+            throw new IllegalArgumentException(
+              s"XlsxWriter: sheet exceeds the $maxRows-data-row cap " +
+                "(xlsx sheets hold at most 1,048,576 rows); write large " +
+                "results to parquet, or raise maxRows deliberately if " +
+                "still within the format limit")
           val row = it.next()
           w.write(s"""<row r="$r">""")
           schema.fields.zipWithIndex.foreach { case (f, c) =>

@@ -93,6 +93,20 @@ class HyperBinarySpec extends SparkSpec {
     assert(live.get("relations").get(0).get("nullCounts").toString == "[1,1,1,1,1,1,1]")
   }
 
+  test("row cap: oversized exports error clearly, capped exports still round-trip") {
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(0, 50).select(col("id"))
+    val path = Files.createTempDirectory("hyperbin-cap").resolve("cap.hyper").toString
+    val err = intercept[IllegalArgumentException] {
+      HyperBinary.write(path, Seq("big" -> big.toDF()), maxRows = 49)
+    }
+    assert(err.getMessage.contains("export cap") && err.getMessage.contains("parquet"))
+    // exactly at the cap is fine, and the bounded collect is a LIMIT —
+    // no full materialization happened for the refused table either
+    HyperBinary.write(path, Seq("big" -> big.toDF()), maxRows = 50)
+    assert(HyperBinary.read(path).head._3.length == 50)
+  }
+
   test("writer catalog matches the artifact's relations for the same schema") {
     // Rebuild the committed extract's two tables from their observed
     // schema (hyperd.log CREATE TABLE trace / golden DDL) and compare

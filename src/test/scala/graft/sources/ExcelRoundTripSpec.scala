@@ -21,6 +21,17 @@ class ExcelRoundTripSpec extends SparkSpec {
     s"$d/$name"
   }
 
+  test("per-sheet row cap: oversized sheets error, capped sheets write") {
+    val df = spark.range(0, 20).toDF("id")
+    val err = intercept[IllegalArgumentException] {
+      XlsxWriter.write(tmp("over.xlsx"), Seq("s" -> df), maxRows = 19)
+    }
+    assert(err.getMessage.contains("row cap") && err.getMessage.contains("parquet"))
+    val ok = tmp("at-cap.xlsx")
+    XlsxWriter.write(ok, Seq("s" -> df), maxRows = 20)
+    assert(spark.read.format("excel").load(ok).count() == 20)
+  }
+
   test("typed round trip: long / double / string / blanks / mixed") {
     val df = Seq(
       (1L, 1.5, "alpha", Some("x"), "2013-08-30"),
