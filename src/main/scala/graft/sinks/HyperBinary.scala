@@ -155,6 +155,14 @@ object HyperBinary {
     case BooleanType => """["Bool", "nullable"]"""
     case TimestampType => """["Timestamp", "nullable"]"""
     case DateType => """["Date", "nullable"]"""
+    // "Numeric" follows the hyperd DDL type set's naming convention
+    // (inferred — the artifact never emits a decimal); values are stored
+    // as unscaled 64-bit integers, so precision is capped at 18
+    case d: DecimalType if d.precision <= 18 =>
+      s"""["Numeric", ${d.precision}, ${d.scale}, "nullable"]"""
+    case d: DecimalType => throw new IllegalArgumentException(
+      s"HyperBinary: DECIMAL(${d.precision},${d.scale}) exceeds the " +
+        "18-digit unscaled-long encoding; cast to DECIMAL(18, s) or DOUBLE first")
     case other => throw new IllegalArgumentException(
       s"HyperBinary: no catalog type for Spark type ${other.sql}; " +
         "cast the column to a supported primitive first")
@@ -270,6 +278,9 @@ object HyperBinary {
                 // floorDiv: exact for pre-1970 instants too
                 b.putLong(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
               case DateType => b.putInt(r.getDate(c).toLocalDate.toEpochDay.toInt)
+              case dt: DecimalType =>
+                b.putLong(r.getDecimal(c).setScale(dt.scale)
+                  .unscaledValue().longValueExact())
               case other => throw new IllegalArgumentException(
                 s"HyperBinary: unencodable type ${other.sql}")
             }
@@ -349,6 +360,13 @@ object HyperBinary {
             out(i)(c) = if (isNull(i)) null
               else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(buf.getInt(data + 4 * i).toLong))
           DateType
+        case "Numeric" =>
+          val precision = tpe(1).asInstanceOf[Int]
+          val scale = tpe(2).asInstanceOf[Int]
+          for (i <- 0 until rows)
+            out(i)(c) = if (isNull(i)) null
+              else java.math.BigDecimal.valueOf(buf.getLong(data + 8 * i), scale)
+          DecimalType(precision, scale)
         case other => throw new IllegalArgumentException(
           s"HyperBinary: unknown catalog type $other")
       }

@@ -93,6 +93,32 @@ class HyperBinarySpec extends SparkSpec {
     assert(live.get("relations").get(0).get("nullCounts").toString == "[1,1,1,1,1,1,1]")
   }
 
+  test("decimal columns round-trip as Numeric(p,s); >18 digits error clearly") {
+    val schema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("amt", DecimalType(18, 2))))
+    val rows = Seq(
+      Row("a", new java.math.BigDecimal("12345.67")),
+      Row("b", null),
+      Row("c", new java.math.BigDecimal("-0.01")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val path = Files.createTempDirectory("hyperbin-dec").resolve("dec.hyper").toString
+    HyperBinary.write(path, Seq("t" -> df))
+    val (_, backSchema, backRows) = HyperBinary.read(path).head
+    assert(backSchema("amt").dataType == DecimalType(18, 2))
+    assert(backRows.map(_.toSeq).toSeq == rows.map(_.toSeq))
+    // catalog carries the inferred Numeric type array
+    assert(HyperBinary.catalogJsons(path).head.contains("""["Numeric", 18, 2, "nullable"]"""))
+
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(new java.math.BigDecimal("1.5"))), 1),
+      StructType(Seq(StructField("x", DecimalType(38, 10)))))
+    val err = intercept[IllegalArgumentException] {
+      HyperBinary.write(path, Seq("t" -> wide))
+    }
+    assert(err.getMessage.contains("18-digit"))
+  }
+
   test("row cap: oversized exports error clearly, capped exports still round-trip") {
     import org.apache.spark.sql.functions.col
     val big = spark.range(0, 50).select(col("id"))

@@ -33,7 +33,13 @@ def main(out, rows_path, sources):
                     "min": float(mn),
                     "samples": [float(x) for x in samples.split(",")]}
     for label, entry in data.items():
-        entry.update(rows[label])
+        # a label seen in a log but absent from rows.json must not lose
+        # the whole merge — warn and leave its row counts unset
+        if label in rows:
+            entry.update(rows[label])
+        else:
+            print(f"warning: label {label!r} missing from {rows_path}; "
+                  "row counts unset", file=sys.stderr)
     with open(out, "w") as f:
         json.dump(data, f, indent=1)
     print(f"wrote {out}: " + ", ".join(
