@@ -57,6 +57,54 @@ object HyperArtifact {
     def isString: Boolean = values.headOption.exists(_.isInstanceOf[String])
   }
 
+  /** A column→block binding record from the page region (identified
+    * round 6 by searching the file for every block offset as a u64):
+    *
+    *   u64 0x0004000000000000 | ordinal   (1-based column position)
+    *   u32 0                              (reserved, 0 in all 8)
+    *   u32 tableIndex                     (0-based catalog relation index)
+    *   u64 payloadLength                  (framed record length)
+    *   u64 fileOffset                     (where the column block lives)
+    *   u64 slotSize                       (allocated span to next block)
+    *   u64 flags                          (bit 0 set; bit 8 = LZ4)
+    *
+    * All 8 of the artifact's blocks have exactly one such record; the
+    * (tableIndex, ordinal) pairs reproduce the DDL column order of both
+    * relations (table 2's third column is the block that overflowed to
+    * 0x8540), the LZ4 flag bit matches the framing of every block, and
+    * offset+slotSize tiles onto the next directory-resident block. What
+    * remains unidentified is the page/object-store layer that INDEXES
+    * these records (how hyperd finds them without a full scan) — see
+    * HYPER_FORMAT.md §3.
+    */
+  final case class ColumnBinding(recordAt: Long, tableIndex: Int, ordinal: Int,
+      payloadLen: Long, blockOffset: Long, slotSize: Long, lz4: Boolean)
+
+  /** Scan for [[ColumnBinding]] records: 8-aligned u64s with the
+    * 0x0004 tag whose offset/length/slot words are self-consistent.
+    */
+  def scanBindings(data: Array[Byte]): Seq[ColumnBinding] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ColumnBinding]
+    var pos = 0
+    while (pos + 0x30 <= data.length) {
+      val w0 = u64(data, pos)
+      if ((w0 & 0xffffffffffff0000L) == 0x0004000000000000L && (w0 & 0xffffL) >= 1 &&
+          u32(data, pos + 8) == 0 && u32(data, pos + 0xc) >= 0 &&
+          u32(data, pos + 0xc) < (1 << 16)) {
+        val len = u64(data, pos + 0x10)
+        val off = u64(data, pos + 0x18)
+        val slot = u64(data, pos + 0x20)
+        val flags = u64(data, pos + 0x28)
+        if (len > 0 && len <= slot && off > 0 && off + len <= data.length &&
+            (flags & 1L) == 1L)
+          out += ColumnBinding(pos.toLong, u32(data, pos + 0xc),
+            (w0 & 0xffffL).toInt, len, off, slot, (flags & 0x100L) != 0)
+      }
+      pos += 8
+    }
+    out.toSeq
+  }
+
   private def u64(b: Array[Byte], o: Int): Long =
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong(o)
   private def u32(b: Array[Byte], o: Int): Int =
@@ -214,15 +262,19 @@ object HyperArtifact {
 
   /** Decode the artifact into (table name, schema, rows), matching
     * decoded columns to catalog relations. Tables are matched to
-    * rowCount groups in first-appearance order; within a table, the k-th
-    * Varchar attribute takes the k-th decoded string column and the k-th
-    * Integer attribute the k-th int column (see the class doc for why
-    * this inference is sound for the committed artifact).
+    * rowCount groups in first-appearance order. Within a table, columns
+    * are assigned by the EXACT ordinals from the [[ColumnBinding]]
+    * records when every block in the group has one (the committed
+    * artifact does — 8/8); a file without bindings (e.g. not written by
+    * hyperd) falls back to the k-th-Varchar/k-th-Integer positional
+    * inference, which the parity gate proved equivalent here.
     */
   def decodeTables(path: String): Seq[(String, StructType, Seq[Row])] = {
     val data = Files.readAllBytes(Paths.get(path))
     val cols = scanColumns(data)
     require(cols.nonEmpty, s"$path: no decodable column records found")
+    val bindingOf: Map[Long, ColumnBinding] =
+      scanBindings(data).map(b => b.blockOffset -> b).toMap
 
     val catalog = HyperBinary.catalogJsons(path).head
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -241,17 +293,33 @@ object HyperArtifact {
         val at = rel.get("attributes").get(a)
         (at.get("name").asText(), at.get("type").get(0).asText())
       }
-      val strCols = tableCols.filter(_.isString)
-      val intCols = tableCols.filterNot(_.isString)
-      require(strCols.size == attrs.count(_._2 == "Varchar") &&
-        intCols.size == attrs.count(a => a._2 == "Integer" || a._2 == "BigInt"),
-        s"$path: table $name attribute types don't match decoded column types")
-      var si = 0
-      var ii = 0
-      val assigned: Seq[(String, DataType, IndexedSeq[Any])] = attrs.map { case (an, tp) =>
-        if (tp == "Varchar") { val c = strCols(si); si += 1; (an, StringType, c.values) }
-        else { val c = intCols(ii); ii += 1; (an, IntegerType, c.values) }
-      }
+      val assigned: Seq[(String, DataType, IndexedSeq[Any])] =
+        if (tableCols.forall(c => bindingOf.get(c.offset).exists(_.tableIndex == r)) &&
+            tableCols.map(c => bindingOf(c.offset).ordinal).sorted ==
+              (1 to attrs.size)) {
+          // exact path: the binding records carry (tableIndex, ordinal)
+          val byOrdinal = tableCols.sortBy(c => bindingOf(c.offset).ordinal)
+          attrs.zip(byOrdinal).map { case ((an, tp), c) =>
+            val dt: DataType = if (tp == "Varchar") StringType else IntegerType
+            require(c.isString == (tp == "Varchar"),
+              s"$path: table $name column $an: binding ordinal points at a " +
+                s"block of the wrong type")
+            (an, dt, c.values)
+          }
+        } else {
+          // fallback: positional within type
+          val strCols = tableCols.filter(_.isString)
+          val intCols = tableCols.filterNot(_.isString)
+          require(strCols.size == attrs.count(_._2 == "Varchar") &&
+            intCols.size == attrs.count(a => a._2 == "Integer" || a._2 == "BigInt"),
+            s"$path: table $name attribute types don't match decoded column types")
+          var si = 0
+          var ii = 0
+          attrs.map { case (an, tp) =>
+            if (tp == "Varchar") { val c = strCols(si); si += 1; (an, StringType, c.values) }
+            else { val c = intCols(ii); ii += 1; (an, IntegerType, c.values) }
+          }
+        }
       val schema = StructType(assigned.map(c => StructField(c._1, c._2, nullable = true)))
       val rows = (0 until rowCount).map(i => Row.fromSeq(assigned.map(_._3(i))))
       (name, schema, rows)

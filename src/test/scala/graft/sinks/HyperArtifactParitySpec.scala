@@ -129,6 +129,35 @@ class HyperArtifactParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAf
     assert(r2.head.getString(0) == "AES/PHEAA")
   }
 
+  test("column binding records: exact ordinals and LZ4 flags for all 8 blocks") {
+    val data = Files.readAllBytes(Paths.get(artifactPath))
+    val bindings = HyperArtifact.scanBindings(data)
+    val byOffset = bindings.map(b => b.blockOffset -> b).toMap
+    // every decoded column block has exactly one binding record
+    val cols = HyperArtifact.scanColumns(data)
+    assert(cols.size == 8)
+    assert(cols.forall(c => byOffset.contains(c.offset)))
+    // table 1 DDL order: index, company, product, number_of_complaints
+    assert(Seq(0x2880L, 0x2900L, 0x2980L, 0x2a80L)
+      .map(o => byOffset(o).ordinal) == Seq(1, 2, 3, 4))
+    assert(Seq(0x2880L, 0x2900L, 0x2980L, 0x2a80L)
+      .forall(o => byOffset(o).tableIndex == 0))
+    // table 2 DDL order — the third column (company1) is the block that
+    // overflowed past the genesis block to 0x8540
+    assert(Seq(0x2bc0L, 0x4bc0L, 0x8540L, 0x4dc0L)
+      .map(o => byOffset(o).ordinal) == Seq(1, 2, 3, 4))
+    assert(Seq(0x2bc0L, 0x4bc0L, 0x8540L, 0x4dc0L)
+      .forall(o => byOffset(o).tableIndex == 1))
+    // flag bit 8 = LZ4-framed; raw + constant-string records have it clear
+    assert(Seq(0x2880L, 0x2980L, 0x2a80L, 0x4bc0L, 0x4dc0L)
+      .forall(o => byOffset(o).lz4))
+    assert(Seq(0x2900L, 0x2bc0L, 0x8540L).forall(o => !byOffset(o).lz4))
+    // slot sizes tile the layout: offset + slot lands on the next
+    // block's offset for the directory-resident records
+    assert(byOffset(0x2bc0L).slotSize == 0x2000 &&
+      byOffset(0x2bc0L).blockOffset + byOffset(0x2bc0L).slotSize == 0x4bc0L)
+  }
+
   test("Pipeline over the committed workbooks reproduces the artifact row-for-row") {
     assume(Files.exists(Paths.get(artifactPath)))
     val workDir = Files.createTempDirectory("artifact-parity").toString
