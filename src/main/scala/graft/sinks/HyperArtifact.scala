@@ -248,7 +248,7 @@ object HyperArtifact {
           case None =>
             val window = java.util.Arrays.copyOfRange(
               data, pos, math.min(data.length, pos + (1 << 16)))
-            hit = parseVarchar(window)
+            hit = parseVarchar(window).orElse(parseInt(window))
             hit.foreach { case (_, _, consumed) => advance = align16(consumed) }
         }
       }
@@ -258,6 +258,247 @@ object HyperArtifact {
       pos += advance
     }
     cols.toSeq
+  }
+
+  // ---- native-encoding writer ------------------------------------------
+
+  /** Encode one STRING column in the artifact's own varchar-block
+    * layout (§3 item 2 of HYPER_FORMAT.md): sorted dictionary with
+    * (u8 len | u24 offset) entries and ≤3-char strings inlined,
+    * MSB-first bit-packed id stream, heap ordered min, max, then the
+    * middle entries in sorted order. Everything [[parseVarchar]] reads
+    * round-trips; the stats words the artifact carries at +0x30 are
+    * left zero (not read by any identified consumer).
+    */
+  private def encodeVarcharBlock(values: Seq[String]): Array[Byte] = {
+    require(values.nonEmpty && values.forall(_ != null),
+      "native varchar block: no rows or nulls (no null evidence in the artifact)")
+    val dict = values.distinct.sorted
+    val dc = dict.size
+    require(dc >= 2, "single-value columns use the constant-string record")
+    val utf8 = dict.map(_.getBytes(StandardCharsets.UTF_8))
+    require(utf8.forall(_.length <= 255),
+      "native varchar block: dictionary strings are limited to 255 UTF-8 " +
+        "bytes by the (u8 len | u24 offset) entry format")
+    // heap order: min, max, then the middle in sorted order
+    val heapOrder: Seq[Int] =
+      if (dc == 2) Seq(0, 1)
+      else 0 +: (dc - 1) +: (1 until dc - 1)
+    val heapResident = heapOrder.filter(i => utf8(i).length > 3)
+    val heapOffsets = new Array[Int](dc)
+    var acc = 0
+    heapResident.foreach { i => heapOffsets(i) = acc; acc += utf8(i).length }
+    val heapLen = acc
+    val idOf = dict.zipWithIndex.toMap
+    val a = 0x830
+    val entriesAt = a + 0x30
+    val idsAt = entriesAt + (4 * dc + 15) / 16 * 16
+    val width = math.max(1, 32 - Integer.numberOfLeadingZeros(dc - 1))
+    val idBytes = (values.size * width + 7) / 8
+    val heapAt = (idsAt + idBytes + 15) / 16 * 16
+    val total = (heapAt + heapLen + 15) / 16 * 16
+    val pay = new Array[Byte](total)
+    val buf = ByteBuffer.wrap(pay).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(0x00, values.size.toLong)
+    buf.putLong(0x08, a.toLong)
+    buf.putLong(0x10, (a + (4 * dc + 15) / 16 * 16).toLong) // B = id-stream section
+    buf.putLong(0x18, 0x2cL) // observed varchar tag family; semantics unidentified
+    buf.putLong(0x20, (heapAt - 0x30).toLong) // D = heap section
+    buf.putLong(a + 0x28, dc.toLong)
+    dict.indices.foreach { k =>
+      val bs = utf8(k)
+      val w =
+        if (bs.length <= 3) {
+          var v = bs.length
+          bs.indices.foreach(i => v |= (bs(i) & 0xff) << (8 * (i + 1)))
+          v
+        } else bs.length | (heapOffsets(k) << 8)
+      buf.putInt(entriesAt + 4 * k, w)
+    }
+    values.zipWithIndex.foreach { case (s, r) =>
+      val id = idOf(s)
+      var b = 0
+      while (b < width) {
+        if ((id & (1 << (width - 1 - b))) != 0) {
+          val bit = r * width + b
+          pay(idsAt + bit / 8) = (pay(idsAt + bit / 8) | (1 << (7 - bit % 8))).toByte
+        }
+        b += 1
+      }
+    }
+    heapResident.foreach(i =>
+      System.arraycopy(utf8(i), 0, pay, heapAt + heapOffsets(i), utf8(i).length))
+    pay
+  }
+
+  /** Encode one INT column in the artifact's integer-block layout:
+    * type tag 7, min/max, distinct count, FOR byte deltas. The byte
+    * width is the only evidenced delta rule, so value spans over 255
+    * are rejected rather than guessed.
+    */
+  private def encodeIntBlock(values: Seq[Int]): Array[Byte] = {
+    require(values.nonEmpty, "native int block: no rows")
+    val min = values.min
+    val max = values.max
+    require(max.toLong - min.toLong <= 255,
+      s"native int block: span ${max.toLong - min.toLong} exceeds the " +
+        "byte-wide FOR delta stream (the only width evidenced by the artifact)")
+    val total = (0x2050 + values.size + 15) / 16 * 16
+    val pay = new Array[Byte](total)
+    val buf = ByteBuffer.wrap(pay).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(0x00, values.size.toLong)
+    buf.putLong(0x08, 0x2020L)
+    buf.putLong(0x10, 0x2020L)
+    buf.putLong(0x18, 7L)
+    buf.putLong(0x20, 0x2030L)
+    buf.putInt(0x30, min)
+    buf.putInt(0x34, max)
+    buf.putLong(0x2040, values.distinct.size.toLong)
+    values.zipWithIndex.foreach { case (v, r) => pay(0x2050 + r) = (v - min).toByte }
+    pay
+  }
+
+  /** Write `tables` (String/Int columns only) as a `.hyper`-structured
+    * container whose DATA records use the artifact's NATIVE encodings —
+    * the closed loop over everything round 6 identified: the same
+    * header/catalog/genesis geometry as [[HyperBinary.write]], per-table
+    * row-count records, per-column varchar/int/constant-string blocks
+    * (LZ4-framed when that shrinks them, raw otherwise, exactly like the
+    * artifact), and a page of [[ColumnBinding]] records so
+    * [[decodeTables]] reads the file back through the same EXACT
+    * column-assignment path it uses on the committed artifact.
+    *
+    * This is evidence-bounded: columns beyond the artifact's observed
+    * encodings (non-String/Int types, >255-byte dictionary strings,
+    * int spans over 255) are rejected — [[HyperBinary.write]] remains
+    * the general-purpose container writer.
+    */
+  def writeNative(path: String, tables: Seq[(String, StructType, Seq[Row])]): Unit = {
+    tables.foreach { case (name, schema, rows) =>
+      require(schema.fields.forall(f =>
+        f.dataType == StringType || f.dataType == IntegerType),
+        s"writeNative: table $name: only String and Integer columns have " +
+          "evidenced native encodings; use HyperBinary.write for the rest")
+      require(rows.nonEmpty, s"writeNative: table $name has no rows")
+    }
+    val withNulls = tables.map { case (name, schema, _) =>
+      (name, schema, Array.fill(schema.fields.length)(0L))
+    }
+    val catalog = HyperBinary.catalogJson(withNulls, compatInt32 = false)
+      .getBytes(StandardCharsets.UTF_8)
+    val genesis = HyperBinary.catalogJson(Seq.empty, compatInt32 = false)
+      .getBytes(StandardCharsets.UTF_8)
+
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    def pad(to: Int): Unit = while (out.size() < to) out.write(0)
+    def align(): Unit = pad((out.size() + 15) / 16 * 16)
+    def putU32(v: Int): Unit = out.write(
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+    def putU64(v: Long): Unit = out.write(
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+
+    out.write(Array[Byte]('H', 'y', 'p', 'e', 'r', 8, 0, 0, 1))
+    pad(0x30)
+    putU64(2L)
+    pad(0x3a)
+    out.write(Array[Byte](1, 0))
+    pad(0x40)
+    putU64(0x2000L) // catalog offset
+    putU64(0L) // patched: data offset
+    putU64(0L) // patched: genesis offset
+    pad(0x2000)
+    out.write(catalog)
+    out.write('~')
+    putU32(HyperBinary.crc32cRaw(catalog :+ '~'.toByte))
+    align()
+    val dataOffset = out.size()
+
+    // per-table: row-count record, then one native block per column
+    val bindings = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long, Boolean)]
+    tables.zipWithIndex.foreach { case ((_, schema, rows), ti) =>
+      putU64(rows.size.toLong)
+      val rcBytes = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(rows.size.toLong).array()
+      putU32(HyperBinary.crc32cRaw(rcBytes))
+      align()
+      schema.fields.zipWithIndex.foreach { case (f, c) =>
+        val blockAt = out.size()
+        if (f.dataType == StringType &&
+            rows.iterator.map(_.getString(c)).toSet.size == 1) {
+          // constant-string record, uncompressed, self-framed at +0x50
+          val s = rows.head.getString(c).getBytes(StandardCharsets.UTF_8)
+          require(s.length <= 0x10,
+            "writeNative: constant strings over 16 bytes have no evidenced " +
+              "record shape; vary the column or use HyperBinary.write")
+          val rec = new Array[Byte](0x50)
+          val rb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+          rb.putLong(0x00, rows.size.toLong)
+          rb.putLong(0x18, 0x32L)
+          rb.putLong(0x30, s.length.toLong)
+          System.arraycopy(s, 0, rec, 0x40, s.length)
+          out.write(rec)
+          putU32(HyperBinary.crc32cRaw(rec))
+          bindings += ((ti, c + 1, blockAt.toLong, 0x50L, false))
+        } else {
+          val pay =
+            if (f.dataType == StringType)
+              encodeVarcharBlock(rows.map(_.getString(c)))
+            else encodeIntBlock(rows.map(_.getInt(c)))
+          val compressed = Lz4Block.compress(pay)
+          if (compressed.length + 8 < pay.length) {
+            val lenWord = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+              .putInt(pay.length).array()
+            out.write(lenWord)
+            out.write(compressed)
+            putU32(HyperBinary.crc32cRaw(lenWord ++ compressed))
+            bindings += ((ti, c + 1, blockAt.toLong,
+              (4 + compressed.length).toLong, true))
+          } else {
+            out.write(pay)
+            bindings += ((ti, c + 1, blockAt.toLong, pay.length.toLong, false))
+          }
+        }
+        align()
+      }
+    }
+
+    // binding-record page: one 0x30-byte record per column, 0x40-strided
+    // like the artifact's page region
+    align()
+    bindings.foreach { case (ti, ordinal, off, len, lz4) =>
+      pad((out.size() + 0x3f) / 0x40 * 0x40)
+      putU64(0x0004000000000000L | ordinal.toLong)
+      putU32(0)
+      putU32(ti)
+      putU64(len)
+      putU64(off)
+      putU64((len + 0x3f) / 0x40 * 0x40) // slot: 0x40-rounded span
+      putU64(if (lz4) 0x101L else 0x1L)
+    }
+
+    align()
+    val genesisOffset = out.size()
+    out.write(Array[Byte]('H', 'y', 'p', 'e', 'r', 'D', 'B', 0))
+    out.write(Array[Byte](1, 0, 0, 0, 1, 0, 2, 0))
+    out.write(java.util.UUID.nameUUIDFromBytes(catalog).toString
+      .replace("-", "").sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray)
+    putU64(1L)
+    pad(genesisOffset + 0x30)
+    putU32(0) // patched below
+    pad(genesisOffset + 0x40)
+    out.write(genesis)
+    putU32(HyperBinary.crc32cRaw(genesis))
+
+    val bytes = out.toByteArray
+    val patch = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    patch.putLong(0x48, dataOffset.toLong)
+    patch.putLong(0x50, genesisOffset.toLong)
+    patch.putLong(0x20, bytes.length.toLong)
+    patch.putInt(genesisOffset + 0x30,
+      HyperBinary.crc32cRaw(bytes, genesisOffset, genesisOffset + 0x30))
+    patch.putInt(0x0ffc, HyperBinary.crc32cRaw(bytes, 0x0000, 0x0ffc))
+    patch.putInt(0x1ffc, HyperBinary.crc32cRaw(bytes, 0x1000, 0x1ffc))
+    Files.write(Paths.get(path), bytes)
   }
 
   /** Decode the artifact into (table name, schema, rows), matching
@@ -281,12 +522,30 @@ object HyperArtifact {
     val root = mapper.readTree(catalog)
     val rels = root.get("relations")
 
-    val groups = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[DecodedColumn]]
-    cols.foreach(c => groups.getOrElseUpdate(c.rowCount, scala.collection.mutable.ArrayBuffer.empty) += c)
-    require(groups.size == rels.size(),
-      s"$path: ${groups.size} row-count groups but ${rels.size()} catalog relations")
+    // table grouping: by the binding records' table index when every
+    // decoded block has one (exact, and correct even when two tables
+    // share a row count); by row count in first-appearance order
+    // otherwise
+    val groups: Seq[Seq[DecodedColumn]] =
+      if (cols.forall(c => bindingOf.contains(c.offset)) &&
+          cols.map(c => bindingOf(c.offset).tableIndex).toSet ==
+            (0 until rels.size()).toSet) {
+        (0 until rels.size()).map(ti =>
+          cols.filter(c => bindingOf(c.offset).tableIndex == ti))
+      } else {
+        val byCount = scala.collection.mutable.LinkedHashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[DecodedColumn]]
+        cols.foreach(c => byCount.getOrElseUpdate(c.rowCount,
+          scala.collection.mutable.ArrayBuffer.empty) += c)
+        require(byCount.size == rels.size(),
+          s"$path: ${byCount.size} row-count groups but ${rels.size()} catalog relations")
+        byCount.values.map(_.toSeq).toSeq
+      }
 
-    groups.toSeq.zipWithIndex.map { case ((rowCount, tableCols), r) =>
+    groups.zipWithIndex.map { case (tableCols, r) =>
+      val rowCount = tableCols.head.rowCount
+      require(tableCols.forall(_.rowCount == rowCount),
+        s"$path: relation $r has blocks with differing row counts")
       val rel = rels.get(r)
       val name = rel.get("name").asText()
       val attrs = (0 until rel.get("attributes").size()).map { a =>

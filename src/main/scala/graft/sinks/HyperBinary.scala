@@ -180,7 +180,7 @@ object HyperBinary {
     * preamble, then one relation per table with attributes, nullCounts,
     * and the block-storage markers.
     */
-  private def catalogJson(tables: Seq[(String, StructType, Array[Long])],
+  private[sinks] def catalogJson(tables: Seq[(String, StructType, Array[Long])],
       compatInt32: Boolean): String = {
     val relations = tables.zipWithIndex.map { case ((name, schema, nullCounts), i) =>
       val attrs = schema.fields.map { f =>

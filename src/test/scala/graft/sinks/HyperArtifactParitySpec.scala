@@ -158,6 +158,44 @@ class HyperArtifactParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAf
       byOffset(0x2bc0L).blockOffset + byOffset(0x2bc0L).slotSize == 0x4bc0L)
   }
 
+  test("native-encoding writer round-trips through the artifact decoder") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // two tables with the SAME row count: forces the binding-record
+    // grouping path (row-count grouping cannot tell them apart); covers
+    // inline <=3-char dictionary strings, a constant-string record,
+    // LZ4-framed varchar + int blocks, and exact ordinal assignment
+    val s1 = StructType(Seq(
+      StructField("name", StringType), StructField("tag", StringType),
+      StructField("n", IntegerType)))
+    val r1 = Seq(
+      Row("alpha corporation", "fixed", 17),
+      Row("NY", "fixed", 60),
+      Row("beta industries", "fixed", 17),
+      Row("NY", "fixed", 200),
+      Row("gamma holdings ltd", "fixed", 17))
+    val s2 = StructType(Seq(
+      StructField("v", IntegerType), StructField("k", StringType)))
+    val r2 = Seq(
+      Row(5, "one"), Row(1, "two"), Row(5, "three"), Row(9, "four"), Row(1, "five"))
+    val path = Files.createTempDirectory("hyper-native").resolve("native.hyper").toString
+    HyperArtifact.writeNative(path, Seq(("t_one", s1, r1), ("t_two", s2, r2)))
+
+    val bindings = HyperArtifact.scanBindings(
+      Files.readAllBytes(Paths.get(path)))
+    assert(bindings.size == 5)
+    assert(bindings.map(b => (b.tableIndex, b.ordinal)).sorted ==
+      Seq((0, 1), (0, 2), (0, 3), (1, 1), (1, 2)))
+
+    val back = HyperArtifact.decodeTables(path)
+    assert(back.map(_._1) == Seq("t_one", "t_two"))
+    val Seq((_, bs1, br1), (_, bs2, br2)) = back
+    assert(bs1.fieldNames.toSeq == Seq("name", "tag", "n"))
+    assert(bs2.fieldNames.toSeq == Seq("v", "k"))
+    assert(br1.map(_.toSeq) == r1.map(_.toSeq))
+    assert(br2.map(_.toSeq) == r2.map(_.toSeq))
+  }
+
   test("Pipeline over the committed workbooks reproduces the artifact row-for-row") {
     assume(Files.exists(Paths.get(artifactPath)))
     val workDir = Files.createTempDirectory("artifact-parity").toString
