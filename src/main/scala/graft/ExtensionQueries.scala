@@ -179,6 +179,38 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Train/test decontamination: corpus docs sharing >= 10 distinct
+    // word-3-grams with a benchmark set (here: doc_id < 20 standing in
+    // for the held-out benchmark).
+    "d11_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramOverlapPairs(
+          Dedup.shingleRows(docs.filter(col("doc_id") >= 20), col("doc_id"), col("text")),
+          Dedup.shingleRows(docs.filter(col("doc_id") < 20), col("doc_id"), col("text")),
+          minCommon = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Deterministic stratified sampling: per-language mixture rates
+    // applied as a hash filter (en 50%, de 25%, rest 10%).
+    "t06_stratified_sample" -> ((s, dir) => {
+      TextFunctions.sampleByStratum(t(s, dir, "documents"),
+          col("lang"), col("doc_id"),
+          Seq("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Regex scrubbing scan: PII preset (email) plus a corpus-hitting
+    // pattern so the gate exercises nonzero counts in both engines.
+    "t07_regex_scan" -> ((s, dir) => {
+      TextFunctions.regexScan(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          Seq("email" -> TextFunctions.PiiPatterns.head._2,
+            "er_word" -> "\\b[a-z]+er\\b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (k=5 char grams, w=4 windows): the
     // guaranteed-coverage near-copy detection primitive; zero-shuffle
     // projection + explode.
@@ -493,6 +525,27 @@ object ExtensionQueries {
            SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "d11_decontamination" ->
+      s"""WITH $ShingleCte
+         SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS common
+         FROM sh c JOIN sh b ON c.s = b.s AND c.doc_id >= 20 AND b.doc_id < 20
+         GROUP BY 1, 2 HAVING count(*) >= 10
+         ORDER BY doc_id, bench_id""",
+
+    "t06_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10000 <
+           CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 ELSE 1000 END
+         ORDER BY doc_id""",
+
+    "t07_regex_scan" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS email_hits,
+           CAST(len(regexp_extract_all(text, '\b[a-z]+er\b')) AS INT) AS er_word_hits,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+            OR len(regexp_extract_all(text, '\b[a-z]+er\b')) > 0) AS has_hits
+         FROM documents ORDER BY doc_id""",
 
     "d09_containment" ->
       s"""WITH $ShingleCte,

@@ -202,6 +202,37 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Train/test DECONTAMINATION: for every (corpus doc, benchmark doc)
+    * pair sharing at least `minCommon` distinct n-gram shingles, the
+    * shared count — the standard contamination check before training on
+    * a scraped corpus (benchmark items leaked into training data score
+    * high here and get dropped). Same inverted-index join shape and
+    * scale profile as [[jaccardPairs]], but ASYMMETRIC: the benchmark
+    * side is orders of magnitude smaller than the corpus, so the
+    * shuffle is dominated by one pass over the corpus shingles and the
+    * group-by keys are bounded by true overlaps. `maxShingleDocFreq`
+    * prunes stop-shingles exactly as in [[jaccardPairs]] (frequency
+    * computed across both sides combined, so a shingle ubiquitous in
+    * the corpus cannot flood the join through a rare benchmark hit).
+    * Returns (doc_id, bench_id, common).
+    */
+  def ngramOverlapPairs(corpusShingles: DataFrame, benchShingles: DataFrame,
+      minCommon: Long = 1L, maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val tagged = corpusShingles.withColumn("__side", lit(0))
+      .unionByName(benchShingles.withColumn("__side", lit(1)))
+    val hs = hashedShingles(tagged.select(
+      struct(col("__side"), col("doc_id")).as("doc_id"), col("shingle")),
+      maxShingleDocFreq)
+    val a = hs.filter(col("doc_id.__side") === 0)
+      .select(col("doc_id.doc_id").as("doc_id"), col("h"))
+    val b = hs.filter(col("doc_id.__side") === 1)
+      .select(col("doc_id.doc_id").as("bench_id"), col("h"))
+    a.join(b, Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+  }
+
   /** Exact Jaccard for an explicit (small) candidate pair set — the
     * verification stage after LSH. The pair list is broadcast against
     * the shingle index twice, so cost is O(|pairs|·avg-shingles), never

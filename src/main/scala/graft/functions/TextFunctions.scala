@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -95,6 +95,60 @@ object TextFunctions {
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
+
+  /** PII detector presets for [[regexScan]]: the common training-data
+    * decontamination targets, written in the Java∩RE2 regex subset so
+    * the same pattern runs in Spark and any RE2-based oracle engine.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Per-pattern regex hit counts over a text column — the scrubbing /
+    * policy-filter primitive (PII detection with [[PiiPatterns]],
+    * boilerplate markers, blocklist terms). One output row per input
+    * row: `<name>_hits` ints per pattern plus a `has_hits` flag. Pure
+    * codegen'd projection — zero shuffle, linear scan, trivially
+    * partition-parallel at any corpus size.
+    */
+  def regexScan(df: DataFrame, id: Column, text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "regexScan: no patterns")
+    val hits = patterns.map { case (name, p) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).as(s"${name}_hits")
+    }
+    val any = patterns.map { case (name, _) => col(s"${name}_hits") > 0 }
+      .reduce(_ || _)
+    df.select(id.as("doc_id") +: hits: _*)
+      .withColumn("has_hits", any)
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff the portable
+    * hash of its key lands under the stratum's rate threshold
+    * (`pmod(hash(key), granularity) < rate·granularity`). Hash-based,
+    * never `rand()`: the sample is reproducible across runs, engines,
+    * and cluster topologies, a rerun or retry keeps exactly the same
+    * rows, and the same key samples consistently in every pipeline
+    * stage. Zero shuffle — a codegen'd filter over the scan. This is
+    * how a 100 TB corpus gets its per-language / per-source mixture
+    * weights applied without materializing anything.
+    */
+  def sampleByStratum(df: DataFrame, stratum: Column, key: Column,
+      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
+      granularity: Int = 10000): DataFrame = {
+    require(granularity > 0, "sampleByStratum: granularity must be positive")
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "sampleByStratum: rates must be in [0, 1]")
+    val threshold = rates.foldRight(
+      lit(math.round(defaultRate * granularity).toInt): Column) {
+      case ((name, rate), rest) =>
+        when(stratum === name, lit(math.round(rate * granularity).toInt))
+          .otherwise(rest)
+    }
+    df.filter(
+      pmod(portableHash64(key.cast(StringType)), lit(granularity.toLong)) < threshold)
+  }
 
   /** BPE-ish subword token count: alphabetic runs are split into ≤4-char
     * chunks (a cheap stand-in for byte-pair merges), digits and other

@@ -405,6 +405,68 @@ class DedupSimilaritySpec extends SparkSpec {
       s"quantized $got vs float $expected")
   }
 
+  test("regexScan: planted PII is detected, clean text is not") {
+    val planted = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk for details"),
+      (2L, "call 555-867-5309 or 555.867.5309 tomorrow"),
+      (3L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (4L, "perfectly clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.regexScan(planted, col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((1, 0, 0), (0, 2, 0), (0, 0, 2), (0, 0, 0)))
+    assert(out.map(_.getBoolean(4)).toSeq == Seq(true, true, true, false))
+  }
+
+  test("sampleByStratum: deterministic, rate-accurate, stable across reruns") {
+    val out = TextFunctions.sampleByStratum(docs, col("lang"), col("doc_id"),
+      Seq("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+    val again = TextFunctions.sampleByStratum(docs, col("lang"), col("doc_id"),
+      Seq("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // achieved per-stratum rates near the targets (hash uniformity)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(l: String) = byLang.getOrElse(l, 0L).toDouble / totals(l)
+    assert(math.abs(rate("en") - 0.5) < 0.15, s"en rate ${rate("en")}")
+    assert(math.abs(rate("de") - 0.25) < 0.15, s"de rate ${rate("de")}")
+    assert(rate("es") < 0.3 && rate("fr") < 0.3)
+    // rate 0 drops everything; rate 1 keeps everything
+    assert(TextFunctions.sampleByStratum(docs, col("lang"), col("doc_id"),
+      Seq(), defaultRate = 0.0).count() == 0)
+    assert(TextFunctions.sampleByStratum(docs, col("lang"), col("doc_id"),
+      Seq(), defaultRate = 1.0).count() == docs.count())
+  }
+
+  test("ngramOverlapPairs: planted benchmark leak found, disjoint text not") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim leak of the benchmark item inside a longer doc
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu suffix words"),
+      // entirely different vocabulary
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.ngramOverlapPairs(
+        Dedup.shingleRows(corpus, col("doc_id"), col("text")),
+        Dedup.shingleRows(bench, col("doc_id"), col("text")),
+        minCommon = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 100L, 10L))) // all 10 benchmark 3-grams shared
+    // a corpus doc identical to a benchmark id on the OTHER side stays
+    // distinct (sides are tagged, ids never collide across sides)
+    val self = Dedup.ngramOverlapPairs(
+      Dedup.shingleRows(bench, col("doc_id"), col("text")),
+      Dedup.shingleRows(bench, col("doc_id"), col("text")), minCommon = 1)
+    assert(self.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((100L, 100L)))
+  }
+
   test("langId picks markers deterministically; fingerprint normalizes") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
