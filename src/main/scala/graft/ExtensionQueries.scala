@@ -201,6 +201,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Group-wise top-k quality filter: the 5 longest documents per
+    // language (score = n_chars, deterministic doc_id tiebreak).
+    "t08_top_per_group" -> ((s, dir) => {
+      TextFunctions.topKPerGroup(t(s, dir, "documents"),
+          col("lang"), col("n_chars"), col("doc_id"), k = 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Regex scrubbing scan: PII preset (email) plus a corpus-hitting
     // pattern so the gate exercises nonzero counts in both engines.
     "t07_regex_scan" -> ((s, dir) => {
@@ -264,6 +273,20 @@ object ExtensionQueries {
     // windowed agg; same grouping the Structured Streaming path uses).
     "s01_event_window" -> ((s, dir) => {
       t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Exactly-once dedup under simulated redelivery: every event
+    // delivered twice, deduped by event_id, then the s01-shaped
+    // windowed aggregate — the batch dual of the streaming
+    // dropDuplicatesWithinWatermark path (EventsStreamSpec gates the
+    // streaming side against this result).
+    "s03_dedup_redelivery" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      streaming.EventsStream.dedupEvents(ev.unionByName(ev))
         .groupBy(date_trunc("hour", col("ts")).as("win_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -539,6 +562,15 @@ object ExtensionQueries {
            CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 ELSE 1000 END
          ORDER BY doc_id""",
 
+    "t08_top_per_group" ->
+      """SELECT lang, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5
+         ORDER BY lang, doc_id""",
+
     "t07_regex_scan" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS email_hits,
@@ -622,6 +654,17 @@ object ExtensionQueries {
            CASE WHEN hits > 0 THEN l ELSE 'und' END AS lang_pred
          FROM ranked WHERE rn = 1 ORDER BY doc_id"""
     },
+
+    // event_id is unique in the source (verified at every SF), so
+    // dedup-by-id over the doubled stream is exactly row-DISTINCT
+    "s03_dedup_redelivery" ->
+      """WITH d AS (
+           SELECT DISTINCT * FROM (
+             SELECT * FROM events UNION ALL SELECT * FROM events))
+         SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "s01_event_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

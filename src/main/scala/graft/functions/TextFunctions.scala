@@ -124,6 +124,25 @@ object TextFunctions {
       .withColumn("has_hits", any)
   }
 
+  /** Keep the top `k` rows per group by `score` (ties broken by
+    * `tiebreak`, which must be unique within a group for deterministic,
+    * engine-portable results) — the standard quality-filter /
+    * mixture-cap step: "best N documents per domain/language". One
+    * shuffle on the group key, then a codegen'd running rank; no global
+    * sort, no collect. At 100 TB the shuffle carries only (group, score,
+    * tiebreak, payload) rows — project before calling if the payload is
+    * wide.
+    */
+  def topKPerGroup(df: DataFrame, group: Column, score: Column,
+      tiebreak: Column, k: Int): DataFrame = {
+    require(k > 0, "topKPerGroup: k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(score.desc, tiebreak)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff the portable
     * hash of its key lands under the stratum's rate threshold
     * (`pmod(hash(key), granularity) < rate·granularity`). Hash-based,

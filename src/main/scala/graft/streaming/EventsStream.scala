@@ -38,9 +38,12 @@ object EventsStream {
     * unbounded state is the classic streaming OOM at 100 TB/day rates).
     */
   def windowedCounts(events: DataFrame,
-      window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+      window_ : String = "1 hour", watermark: String = "10 minutes",
+      setWatermark: Boolean = true): DataFrame =
+    // setWatermark = false when composing after an operator that already
+    // declared the event-time watermark (e.g. [[dedupEvents]]) — Spark
+    // disallows redefining it within one query
+    (if (setWatermark) events.withWatermark("ts", watermark) else events)
       .groupBy(window(col("ts"), window_), col("event_type"))
       // decimal-summed value: exact, order-independent arithmetic, so the
       // incremental stream aggregation is bit-identical to the batch
@@ -52,6 +55,24 @@ object EventsStream {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Exactly-once ingestion under at-least-once delivery: drop
+    * redelivered events by `event_id`. On a stream this is
+    * `dropDuplicatesWithinWatermark` — dedup state is EVICTED once the
+    * watermark passes an event's time, so state stays bounded no matter
+    * how long the stream runs (the plain streaming `dropDuplicates`
+    * keeps every id forever — the classic slow OOM); redeliveries are
+    * only expected within the delivery-retry horizon, which is what the
+    * watermark models. On a batch frame the same call is a plain
+    * dropDuplicates (batch sees all data at once). Composes in front of
+    * [[windowedCounts]]/[[sessionize]] — multiple stateful operators in
+    * one streaming query are supported on Spark 4.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   // ---- stateful sessionization ----------------------------------------
 

@@ -46,6 +46,42 @@ class EventsStreamSpec extends SparkSpec {
       s"stream/batch divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
   }
 
+  test("redelivery dedup: duplicated files stream to the exact batch result") {
+    // the same events written TWICE into the watched directory — an
+    // at-least-once source redelivering every file
+    val dir = Files.createTempDirectory("events-redeliver").toString
+    val ev = Tables.df(spark, sf(), "events").coalesce(1)
+    ev.write.mode("overwrite").parquet(s"$dir/first")
+    ev.write.mode("overwrite").parquet(s"$dir/second")
+    Files.newDirectoryStream(java.nio.file.Paths.get(s"$dir/first")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, java.nio.file.Paths.get(dir, "a_" + p.getFileName))
+    }
+    Files.newDirectoryStream(java.nio.file.Paths.get(s"$dir/second")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, java.nio.file.Paths.get(dir, "b_" + p.getFileName))
+    }
+
+    // dedup + windowed agg: two stateful operators in one query
+    val stream = EventsStream.windowedCounts(
+      EventsStream.dedupEvents(EventsStream.readEvents(spark, dir)),
+      setWatermark = false)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("dedup_out")
+      .select("win_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // expected: as if each event arrived exactly once
+    val expected = EventsStream.windowedCounts(
+        Tables.df(spark, sf(), "events"))
+      .select("win_start", "win_end", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"redelivered stream diverged: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
   test("watermark drops late events in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
