@@ -210,6 +210,14 @@ object ExtensionQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // TF-IDF: top-3 distinguishing terms per document (tf/df ranking —
+    // exact-integer division, engine-portable; see tfidfTopTerms doc).
+    "t09_tfidf_topterms" -> ((s, dir) => {
+      TextFunctions.tfidfTopTerms(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 3)
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     // Regex scrubbing scan: PII preset (email) plus a corpus-hitting
     // pattern so the gate exercises nonzero counts in both engines.
     "t07_regex_scan" -> ((s, dir) => {
@@ -570,6 +578,20 @@ object ExtensionQueries {
            FROM documents)
          WHERE rk <= 5
          ORDER BY lang, doc_id""",
+
+    "t09_tfidf_topterms" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(tf AS DOUBLE)/df DESC, term) AS rk
+           FROM tf JOIN dfq USING (term))
+         SELECT doc_id, term, tf, df FROM scored
+         WHERE rk <= 3 ORDER BY doc_id, term""",
 
     "t07_regex_scan" ->
       """SELECT doc_id,

@@ -143,6 +143,32 @@ object TextFunctions {
       .drop("__rank")
   }
 
+  /** Top-`k` distinguishing terms per document by TF-IDF rank. The
+    * score is `tf / df` — the same ranking as any classic
+    * `tf·log(N/df)` variant for a fixed corpus (monotone in tf and
+    * 1/df), but computed as ONE IEEE division of exact integers, so the
+    * ranking is bit-reproducible across engines and partial-aggregation
+    * orders (a log-based idf would differ by ulps between libm
+    * implementations). Ties break on the term text. Two aggregates (tf
+    * per (doc, term), df per term) + one join on term + the per-doc
+    * rank — no collect, no global sort; the df side is a per-term
+    * aggregate, broadcastable when the vocabulary is small and an
+    * ordinary shuffle join when it isn't.
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "tfidfTopTerms: k must be positive")
+    val w = df.select(id.as("doc_id"), explode(words(text)).as("term"))
+    val tf = w.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = w.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+    topKPerGroup(scored, col("doc_id"), col("score"), col("term"), k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff the portable
     * hash of its key lands under the stratum's rate threshold
     * (`pmod(hash(key), granularity) < rate·granularity`). Hash-based,

@@ -102,6 +102,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("round-6 operators: no cartesians, zero-shuffle scans, single-shuffle rank") {
+    // d11 decontamination: inverted-index equi-join, never a cartesian
+    val d11 = plan("d11_decontamination")
+    assert(!d11.contains("CartesianProduct") &&
+      !d11.contains("BroadcastNestedLoopJoin"),
+      s"d11 candidate stage degenerated to a cross product:\n$d11")
+    // t06 sampling + t07 regex scan: pure codegen'd filter/projection —
+    // the only exchange allowed is the output ORDER BY's range exchange
+    for (name <- Seq("t06_stratified_sample", "t07_regex_scan")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name shuffles beyond its output sort:\n$p")
+    }
+    // t08 top-k per group: one shuffle on the group key + the output
+    // sort; a global Sort over all rows before ranking would be wrong
+    val t08 = plan("t08_top_per_group")
+    assert("Exchange".r.findAllIn(t08).length <= 2,
+      s"t08 shuffles more than (group key, output sort):\n$t08")
+    assert(t08.contains("RunningWindowFunction") || t08.contains("Window"),
+      s"t08 lost its windowed rank:\n$t08")
+  }
+
   test("excel scan plans as a DSv2 BatchScan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan-xlsx").toString
