@@ -167,6 +167,24 @@ object ScaleCurve {
           Seq("table", "bucket"))
         .agg(sum(col("cn") * col("qn"))).first()
       if (v.isNullAt(0)) 0L else v.getLong(0)
+    }),
+    // d11 decontamination: Σ over shingle of corpus_df × bench_df — the
+    // inverted-index join's output rows against a FIXED benchmark (the
+    // ~20 lowest doc ids, whatever the corpus size; a benchmark does
+    // not grow with the corpus). The expected shape is sub-linear:
+    // corpus docs sharing no benchmark n-gram contribute nothing, so
+    // work tracks the benchmark-overlapping slice, not the corpus.
+    "d11_probe_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def hs(df: DataFrame) =
+        Dedup.shingleRows(df, col("doc_id"), col("text"))
+          .select(xxhash64(col("shingle")).as("h"))
+          .groupBy(col("h")).count()
+      val v = hs(d.filter(col("doc_id") >= 20)).withColumnRenamed("count", "cn").as("c")
+        .join(hs(d.filter(col("doc_id") < 20)).withColumnRenamed("count", "bn").as("b"),
+          Seq("h"))
+        .agg(sum(col("cn") * col("bn"))).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
     }))
 
   def workCounts(spark: SparkSession, outFile: String,

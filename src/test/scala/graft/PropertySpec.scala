@@ -34,6 +34,54 @@ class PropertySpec extends SparkSpec {
       a <- cellGen; b <- cellGen; c <- cellGen
     } yield (a, b, c)).map(_.take(30))
 
+  test("topKPerGroup: ≤ k rows per group, always including the group maximum") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 4)
+      v <- Gen.choose(-100, 100)
+    } yield (g, v)).map(_.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) })
+    forAllSampled2(rowsGen, Gen.choose(1, 4)) { (rows, k) =>
+      val df = rows.toDF("grp", "score", "id")
+      val kept = TextFunctions.topKPerGroup(df, col("grp"), col("score"), col("id"), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val perGroup = kept.groupBy(_._1)
+      perGroup.foreach { case (g, got) =>
+        val all = rows.filter(_._1 == g)
+        assert(got.length == math.min(k, all.size), s"group $g kept ${got.length}")
+        // the kept set is exactly the top-k by (score desc, id asc)
+        val expected = all.sortBy(t => (-t._2, t._3)).take(k).toSet
+        assert(got.toSet == expected, s"group $g kept wrong rows")
+      }
+      assert(perGroup.keySet == rows.map(_._1).toSet)
+    }
+  }
+
+  test("sampleByStratum: kept set is exactly the hash-threshold predicate") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(for {
+      s <- Gen.oneOf("a", "b", "c")
+      id <- Gen.choose(0L, 100000L)
+    } yield (s, id)).map(_.distinct)
+    forAllSampled2(rowsGen, Gen.choose(0, 10)) { (rows, tenths) =>
+      val rate = tenths / 10.0
+      val df = rows.toDF("stratum", "id")
+      val kept = TF.sampleByStratum(df, col("stratum"), col("id"),
+          Seq("a" -> rate), defaultRate = 1.0 - rate)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // recompute the predicate independently via the same portable hash
+      val hashes = df.select(col("stratum"), col("id"),
+          pmod(TF.portableHash64(col("id").cast(StringType)), lit(10000L)).as("h"))
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      val expected = rows.filter { case (s, id) =>
+        val threshold = if (s == "a") (rate * 10000).round else ((1.0 - rate) * 10000).round
+        hashes((s, id)) < threshold
+      }.toSet
+      assert(kept == expected)
+    }
+  }
+
   test("pivotStack: |stack| = Σ|parts| and provenance partitions the rows") {
     import spark.implicits._
     forAllSampled2(tableGen, tableGen) { (rowsA, rowsB) =>
