@@ -118,7 +118,10 @@ object HyperArtifact {
   private def parseVarchar(pay: Array[Byte]): Option[(Int, IndexedSeq[Any], Int)] = {
     if (pay.length < 0x40) return None
     val n = u64(pay, 0)
-    if (n <= 0 || n >= Int.MaxValue) return None
+    // the id stream needs ceil(n·width/8) bytes inside the payload, so
+    // any genuine block has n ≤ 8·payload — rejecting larger values here
+    // keeps a garbage u64 from driving a huge row-array allocation
+    if (n <= 0 || n > pay.length.toLong * 8) return None
     val a = u64(pay, 8)
     if (a < 0x30 || a + 0x38 >= pay.length) return None
     val dictCount = u64(pay, a.toInt + 0x28)
@@ -380,6 +383,9 @@ object HyperArtifact {
         s"writeNative: table $name: only String and Integer columns have " +
           "evidenced native encodings; use HyperBinary.write for the rest")
       require(rows.nonEmpty, s"writeNative: table $name has no rows")
+      require(rows.forall(r => schema.fields.indices.forall(!r.isNullAt(_))),
+        s"writeNative: table $name contains nulls — the artifact shows no " +
+          "null encoding (nullCounts all 0); use HyperBinary.write instead")
     }
     val withNulls = tables.map { case (name, schema, _) =>
       (name, schema, Array.fill(schema.fields.length)(0L))
