@@ -80,6 +80,7 @@ object Bench {
   private val bakedCostHint: Map[String, Double] = Map(
     // refreshed round 5 from the idle 69/69 run (bench_idle_69q.json)
     "t04_winnowing" -> 6.2,
+    "d12_dedup_near" -> 6.0, // r7: pairs + CC + anti-join ≈ d08 + ε
     "d07_simhash_pairs" -> 5.9,
     "d10_dup_clusters_star" -> 3.5,
     "d06_embedding_neardup" -> 2.7,
@@ -120,6 +121,32 @@ object Bench {
       else Map.empty[String, Double]
     }.getOrElse(Map.empty)
 
+  /** Sweep-phase watchdog cap for one sample, relative to the query's
+    * own cost hint (VERDICT r6 #1: the flat budget/8 cap let a single
+    * contention spike eat ~60 s for zero data, twice, starving two
+    * queries out of the sweep entirely). Bounded both ways so a
+    * poisoned hints file cannot reduce sweep coverage:
+    *   - floor 10 s — a hint poisoned LOW (or missing/NaN/negative)
+    *     cannot watchdog-kill a healthy query;
+    *   - ceiling budget/4 — a hint poisoned HIGH cannot let one sample
+    *     starve the rest of the sweep.
+    */
+  private[graft] def sweepCapS(hint: Double, budgetS: Double): Double = {
+    val h = if (hint.isNaN || hint <= 0) 1.0 else hint
+    math.min(budgetS / 4, math.max(5 * h, 10.0))
+  }
+
+  /** Whether this run's measured medians are safe to persist as the
+    * next run's ordering hints. A probe ratio over ~3 means the box was
+    * contended while we measured — the medians reflect co-tenant
+    * pressure, not query cost, and persisting them misorders the next
+    * sweep and suppresses its refine repeats (VERDICT r6 #2: the r6
+    * contended run wrote a02=58.4 s where idle is 0.9 s). Ratio 0 means
+    * the probes themselves failed: no signal, don't persist.
+    */
+  private[graft] def shouldPersistHints(probeRatio: Double): Boolean =
+    probeRatio > 0 && probeRatio <= 3.0
+
   /** Best-effort write of this run's measured costs (sorted cheapest
     * first for human diffing); failure is non-fatal — the hints are an
     * ordering optimization, not data.
@@ -141,7 +168,6 @@ object Bench {
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
     val hintsPath = sys.env.getOrElse("SPARK_GRAFT_COST_HINTS", "bench/cost_hints.json")
     val costHint = bakedCostHint ++ loadCostHints(hintsPath)
-    val sampleCapS = budgetS / 8
     val startNanos = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - startNanos) / 1e9
     def remainingS: Double = budgetS - elapsedS
@@ -185,8 +211,11 @@ object Bench {
         println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$nSamples,"errors":$errJson,"contention":$contention,"budget_expired":$expired,"skipped":$skipped,"elapsed":$elapsedS,"sf":"${esc(sfDir)}"}""")
         System.out.flush()
         // feed the next run's ordering with this run's measured costs
-        // (VERDICT r5 #3); only queries that actually sampled
-        if (medians.nonEmpty) saveCostHints(hintsPath, medians.toMap)
+        // (VERDICT r5 #3) — but ONLY from a quiet run: a contended
+        // run's medians are co-tenant noise and would poison the next
+        // sweep's ordering (VERDICT r6 #2)
+        if (medians.nonEmpty && shouldPersistHints(ratio))
+          saveCostHints(hintsPath, medians.toMap)
       }
     }
     // Backstop for external SIGTERM (driver `timeout`): partial data beats
@@ -261,15 +290,19 @@ object Bench {
 
     val queryFns = SparkEntry.queries
 
-    /** One measured sample of `name` under the watchdog; records the
-      * timing (or the first error) into the shared state. Returns the
-      * sample's seconds, or None on failure.
+    /** One measured sample of `name` under the watchdog with a
+      * per-sample cap; records the timing (or the first error) into the
+      * shared state. A failure AFTER the query already has a valid
+      * sample is keyed `name@refine` so the emitted JSON never lists
+      * the same query under both `queries` and `errors` — a measured
+      * query with a failed repeat is not a failed query.
+      * Returns the sample's seconds, or None on failure.
       */
-    def sampleOnce(name: String, attempt: Int): Option[Double] = {
+    def sampleOnce(name: String, attempt: Int, capS: Double): Option[Double] = {
       val fn = queryFns(name)
       // noop sink: full distributed execution incl. final sorts, no
       // driver materialization, nothing written
-      guarded(s"$name-$attempt", math.min(sampleCapS, math.max(remainingS, 1.0)))(
+      guarded(s"$name-$attempt", math.min(capS, math.max(remainingS, 1.0)))(
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
         case Right(t) =>
           samples.synchronized {
@@ -278,14 +311,20 @@ object Bench {
           }
           Some(t)
         case Left(err) =>
-          samples.synchronized { errors.getOrElseUpdate(name, err) }
+          samples.synchronized {
+            val hasSample = samples.get(name).exists(_.nonEmpty)
+            val key = if (hasSample) s"$name@refine" else name
+            errors.getOrElseUpdate(key, err)
+          }
           None
       }
     }
 
     // ---- phase 1: SWEEP — one sample of EVERY query, cheapest-first.
     // Coverage before precision (VERDICT r5 #2): nothing gets a second
-    // sample until everything has a first.
+    // sample until everything has a first. Per-query watchdog cap
+    // (VERDICT r6 #1): 5× the query's own hint, not budget/8 — one
+    // contention spike costs ~the query's own scale, not 60 s.
     val order = pending.toList
     val midpoint = order.size / 2
     var expired = false
@@ -293,8 +332,28 @@ object Bench {
       if (idx == midpoint) probe("mid")
       if (remainingS <= 0) expired = true
       else {
-        sampleOnce(name, attempt = 0)
+        sampleOnce(name, attempt = 0,
+          capS = sweepCapS(costHint.getOrElse(name, 1.0), budgetS))
         samples.synchronized { pending = pending.filterNot(_ == name) }
+      }
+    }
+
+    // ---- phase 1b: RETRY — watchdog-capped sweep queries get one more
+    // attempt BEFORE any refine samples (VERDICT r6 #1): coverage at
+    // n=1 for all queries beats extra samples for the cheap ones. The
+    // retry cap ignores the (possibly too-tight) hint: the full
+    // budget/4 ceiling, clamped to what's left.
+    val cappedInSweep = samples.synchronized {
+      errors.collect {
+        case (n, e) if e.startsWith("watchdog") &&
+          !samples.get(n).exists(_.nonEmpty) && queryFns.contains(n) => n
+      }.toList
+    }
+    for (name <- cappedInSweep if !expired) {
+      if (remainingS <= 0) expired = true
+      else {
+        samples.synchronized { errors.remove(name) }
+        sampleOnce(name, attempt = -1, capS = budgetS / 4)
       }
     }
 
@@ -313,7 +372,9 @@ object Bench {
       }
       for ((name, lastCost) <- byMeasured if !expired) {
         if (remainingS <= 0) expired = true
-        else if (lastCost < remainingS) sampleOnce(name, attempt = round)
+        else if (lastCost < remainingS)
+          // cap from the query's OWN phase-1 time — the best hint there is
+          sampleOnce(name, attempt = round, capS = sweepCapS(lastCost, budgetS))
       }
     }
 

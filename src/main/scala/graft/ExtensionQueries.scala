@@ -191,6 +191,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // End-to-end near-dedup (VERDICT r6 #5): pairs → CC → keep the
+    // min-id representative per cluster → surviving document rows.
+    // The one step a pipeline user otherwise wires by hand from the
+    // d03/d08 pieces, now a single call with a deterministic keep
+    // policy; the keepBy (quality-score) policy variant is spec-gated
+    // in DedupNearSpec.
+    "d12_dedup_near" -> ((s, dir) => {
+      Dedup.dedupNear(t(s, dir, "documents"), col("doc_id"), col("text"), 0.8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-language mixture rates
     // applied as a hash filter (en 50%, de 25%, rest 10%).
     "t06_stratified_sample" -> ((s, dir) => {
@@ -556,6 +568,24 @@ object ExtensionQueries {
            SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // keep-one near-dedup: survivors = docs that are either outside the
+    // near-dup pair graph or the min reachable id of their component —
+    // the same transitive closure as d08, flipped into a keep filter
+    "d12_dedup_near" ->
+      s"""WITH RECURSIVE $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang FROM documents d
+         LEFT JOIN cc ON cc.id = d.doc_id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "d11_decontamination" ->
       s"""WITH $ShingleCte

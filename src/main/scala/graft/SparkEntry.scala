@@ -593,12 +593,17 @@ object SparkEntry {
     // round-trip the data exactly. Integral columns infer as BIGINT from
     // Excel numeric cells; cast back to INT to match the parquet schema.
     "x03_excel_roundtrip" -> ((s, dir) => {
+      // per-PROCESS unique path: two JVMs running the same SF
+      // concurrently (correctness gate + bench) must not race a shared
+      // file — a reader of a half-written zip sees a corrupt xlsx
       val xlsx = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        s"graft_x03_${java.nio.file.Paths.get(dir).getFileName}.xlsx").toString
+        s"graft_x03_${java.nio.file.Paths.get(dir).getFileName}_" +
+          s"${ProcessHandle.current().pid()}.xlsx").toString
       sources.excel.XlsxWriter.write(xlsx, Seq(
         "nation" -> t(s, dir, "nation"),
         "region" -> t(s, dir, "region")))
+      new java.io.File(xlsx).deleteOnExit()
       val n = s.read.format("excel").option("sheet", "nation").load(xlsx)
       val r = s.read.format("excel").option("sheet", "region").load(xlsx)
       n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

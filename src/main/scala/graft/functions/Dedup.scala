@@ -486,6 +486,59 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-dedup: the one step a pipeline user otherwise
+    * wires by hand from the d03/d08 pieces (the reference's own dedup
+    * analogue — distinct-fsheet elimination, query_iterator.py:88-99 —
+    * is likewise a keep-one semantic). Composition:
+    *
+    *   shingles → exact-Jaccard pairs ≥ threshold → connected
+    *   components → keep ONE deterministic representative per cluster →
+    *   return the surviving input ROWS (schema unchanged).
+    *
+    * Keep policy: min id by default; pass `keepBy` to keep the
+    * highest-scoring member instead (e.g. `qualityScore(text)`), ties
+    * broken by min id so the result is deterministic either way.
+    *
+    * Scale shape: all heavy lifting is the existing pair/CC stages.
+    * The final keep step only touches CLUSTER MEMBERS (nodes with at
+    * least one near-dup edge — a small fraction of any real corpus,
+    * and already materialized by CC), so:
+    *   - min-id policy: zero new wide stages — the drop list is a
+    *     filter of the CC output, applied to `df` as a broadcast
+    *     anti-join;
+    *   - keepBy policy: one extra window over the member set (tiny vs
+    *     the corpus), then the same broadcast anti-join.
+    * If the drop list itself outgrows broadcast (a pathologically
+    * duplicate-heavy corpus), pass `broadcastDrops = false` for a
+    * shuffled anti-join instead — correctness is identical.
+    */
+  def dedupNear(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.8, n: Int = 3,
+      keepBy: Option[Column] = None,
+      broadcastDrops: Boolean = true,
+      maxIters: Int = 20): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+    val pairs = jaccardPairs(sh, threshold)
+    val cc = connectedComponents(pairs, maxIters)
+    val drops = keepBy match {
+      case None =>
+        // min-id representative: CC labels ARE min reachable id, so the
+        // drop list is exactly the non-representative members
+        cc.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("__drop_id"))
+      case Some(score) =>
+        val members = df.select(id.as("__m_id"), score.as("__m_score"))
+          .join(broadcast(cc), col("__m_id") === col("doc_id"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__m_score").desc, col("__m_id"))
+        members.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") > 1)
+          .select(col("__m_id").as("__drop_id"))
+    }
+    val dropSide = if (broadcastDrops) broadcast(drops) else drops
+    df.join(dropSide, id === col("__drop_id"), "left_anti")
+  }
+
   /** SimHash: `bits`-wide signature; bit j is the sign of the sum of
     * ±1 votes from each distinct word's portable hash bit j. Near-dups
     * land within small hamming distance (`bit_count(xor)`).

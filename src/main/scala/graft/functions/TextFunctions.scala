@@ -131,7 +131,10 @@ object TextFunctions {
     * shuffle on the group key, then a codegen'd running rank; no global
     * sort, no collect. At 100 TB the shuffle carries only (group, score,
     * tiebreak, payload) rows — project before calling if the payload is
-    * wide.
+    * wide. BATCH-ONLY: the rank window blocks on its whole partition, so
+    * this cannot incrementalize over a stream (TextStreamingSpec pins
+    * the loud failure); the streaming-composable operators are
+    * [[regexScan]] and [[sampleByStratum]].
     */
   def topKPerGroup(df: DataFrame, group: Column, score: Column,
       tiebreak: Column, k: Int): DataFrame = {
@@ -153,7 +156,9 @@ object TextFunctions {
     * per (doc, term), df per term) + one join on term + the per-doc
     * rank — no collect, no global sort; the df side is a per-term
     * aggregate, broadcastable when the vocabulary is small and an
-    * ordinary shuffle join when it isn't.
+    * ordinary shuffle join when it isn't. BATCH-ONLY: the distinct
+    * aggregate and rank window cannot incrementalize over a stream
+    * (TextStreamingSpec pins the loud failure).
     */
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
       k: Int = 3): DataFrame = {

@@ -132,7 +132,12 @@ object HyperArtifact {
     val raw = Array.tabulate(dc)(k => u32(pay, entriesAt + 4 * k))
     val idsAt = align16(entriesAt + 4 * dc)
     val width = math.max(1, 32 - Integer.numberOfLeadingZeros(dc - 1))
-    val idBytes = (n.toInt * width + 7) / 8
+    // Long arithmetic: n is only bounded by 8·payload (~2^27), so
+    // n·width can overflow Int and a garbage candidate would produce a
+    // negative idBytes / bogus heapAt instead of a clean rejection
+    val idBytesL = (n * width + 7) / 8
+    if (idsAt + idBytesL > pay.length) return None
+    val idBytes = idBytesL.toInt
     val heapAt = align16(idsAt + idBytes)
     var heapNeed = 0
     raw.foreach { w =>
@@ -223,8 +228,20 @@ object HyperArtifact {
     * checksum verified, payload classified varchar-then-int), a
     * frame-verified constant-string record, and a raw (uncompressed)
     * varchar block validated by its structural invariants.
+    *
+    * `rawWindow` maps a file offset to that record's known payload
+    * length (from a [[ColumnBinding]]): a raw block LARGER than the
+    * 64 KiB default window — which [[writeNative]] emits whenever LZ4
+    * fails to shrink a big block — is only findable through its
+    * binding, so [[decodeTables]] scans bindings first and feeds them
+    * here. Unknown offsets keep the default window, sized to the
+    * committed artifact's biggest raw block.
     */
-  def scanColumns(data: Array[Byte]): Seq[DecodedColumn] = {
+  def scanColumns(data: Array[Byte]): Seq[DecodedColumn] =
+    scanColumns(data, Map.empty)
+
+  def scanColumns(data: Array[Byte],
+      rawWindow: Map[Long, Int]): Seq[DecodedColumn] = {
     val cols = scala.collection.mutable.ArrayBuffer.empty[DecodedColumn]
     var pos = 0x2000
     while (pos + 16 < data.length) {
@@ -249,10 +266,27 @@ object HyperArtifact {
             hit = Some((n, vals, 0x54))
             advance = 0x60
           case None =>
-            val window = java.util.Arrays.copyOfRange(
-              data, pos, math.min(data.length, pos + (1 << 16)))
-            hit = parseVarchar(window).orElse(parseInt(window))
-            hit.foreach { case (_, _, consumed) => advance = align16(consumed) }
+            // Cheap header plausibility BEFORE materializing a window —
+            // without this the scan copies 64 KiB at nearly every
+            // 16-byte step through non-record regions (fileSize×64 KiB
+            // ≈ quadratic on large writeNative outputs). Both checks
+            // are implied by the parsers' own invariants, so no record
+            // the old scan found is lost: a varchar block has
+            // rowCount > 0 and its section pointer A within the
+            // window; an int block carries type tag 7 at +0x18.
+            val winLen = math.max(1 << 16, rawWindow.getOrElse(pos.toLong, 0))
+            val n0 = u64(data, pos)
+            val varcharish = pos + 16 <= data.length && {
+              val a0 = u64(data, pos + 8)
+              a0 >= 0x30 && a0 + 0x38 < winLen
+            }
+            val intish = pos + 0x20 <= data.length && u64(data, pos + 0x18) == 7L
+            if (n0 > 0 && n0 <= winLen.toLong * 8 && (varcharish || intish)) {
+              val window = java.util.Arrays.copyOfRange(
+                data, pos, math.min(data.length, pos + winLen))
+              hit = parseVarchar(window).orElse(parseInt(window))
+              hit.foreach { case (_, _, consumed) => advance = align16(consumed) }
+            }
         }
       }
       hit.foreach { case (n, vals, _) =>
@@ -518,10 +552,14 @@ object HyperArtifact {
     */
   def decodeTables(path: String): Seq[(String, StructType, Seq[Row])] = {
     val data = Files.readAllBytes(Paths.get(path))
-    val cols = scanColumns(data)
-    require(cols.nonEmpty, s"$path: no decodable column records found")
+    // bindings first: their payloadLength sizes the raw-parse window, so
+    // a raw (uncompressed) block bigger than the 64 KiB default — which
+    // writeNative emits when LZ4 cannot shrink it — still round-trips
     val bindingOf: Map[Long, ColumnBinding] =
       scanBindings(data).map(b => b.blockOffset -> b).toMap
+    val cols = scanColumns(data,
+      bindingOf.collect { case (off, b) if !b.lz4 => off -> b.payloadLen.toInt })
+    require(cols.nonEmpty, s"$path: no decodable column records found")
 
     val catalog = HyperBinary.catalogJsons(path).head
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -36,4 +36,43 @@ class BenchSpec extends AnyFunSuite {
     val parsed = Bench.parseCostHints("""{"a":1.5e-1,"b":2,"c":0.75}""")
     assert(parsed === Map("a" -> 0.15, "b" -> 2.0, "c" -> 0.75))
   }
+
+  // VERDICT r6 #1/#2: a poisoned hints file must not be able to reduce
+  // sweep coverage. The two levers a bad hint could pull are the
+  // per-sample watchdog cap (too tight → healthy query killed; too
+  // loose → one sample starves the sweep) and the hint persistence
+  // (a contended run's medians poisoning the next ordering).
+
+  test("sweepCapS bounds the watchdog cap for ANY hint value") {
+    val budget = 480.0
+    // a healthy query always gets at least 10 s regardless of the hint
+    assert(Bench.sweepCapS(0.0, budget) === 10.0)
+    assert(Bench.sweepCapS(-5.0, budget) === 10.0)
+    assert(Bench.sweepCapS(Double.NaN, budget) === 10.0)
+    assert(Bench.sweepCapS(1e-9, budget) === 10.0)
+    // a poisoned-HIGH hint can never take more than budget/4
+    assert(Bench.sweepCapS(1e9, budget) === budget / 4)
+    assert(Bench.sweepCapS(58.4, budget) === budget / 4) // r6's poisoned a02
+    // in the healthy range the cap tracks 5× the hint
+    assert(Bench.sweepCapS(6.0, budget) === 30.0)
+    assert(Bench.sweepCapS(2.0, budget) === 10.0) // 5×2 = 10 = the floor
+    // exhaustive sweep over pathological values: cap stays in
+    // [10, budget/4], so with B/4 ≥ 10 s per sample the sweep always
+    // reaches every query before the budget can be eaten by one entry
+    for (h <- Seq(Double.NegativeInfinity, -1.0, 0.0, 1e-300, 0.5, 1.0,
+        7.3, 100.0, 1e6, Double.PositiveInfinity, Double.NaN)) {
+      val cap = Bench.sweepCapS(h, budget)
+      assert(cap >= 10.0 && cap <= budget / 4, s"hint=$h cap=$cap")
+    }
+  }
+
+  test("contended-run medians are not persisted as hints") {
+    assert(!Bench.shouldPersistHints(6.24)) // r6's official-run ratio
+    assert(!Bench.shouldPersistHints(3.01))
+    assert(!Bench.shouldPersistHints(0.0)) // probes failed: no signal
+    assert(!Bench.shouldPersistHints(-1.0))
+    assert(Bench.shouldPersistHints(1.0))
+    assert(Bench.shouldPersistHints(2.24)) // r6's near-idle committed pass
+    assert(Bench.shouldPersistHints(3.0))
+  }
 }

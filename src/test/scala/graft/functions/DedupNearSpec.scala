@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end near-dedup composition (`Dedup.dedupNear`, VERDICT r6 #5):
+  * pairs → connected components → keep-one representative → surviving
+  * rows. The d12 gate proves the min-id policy against the DuckDB
+  * transitive-closure oracle on real data; here we pin the semantics on
+  * a corpus with KNOWN cluster structure, the keepBy policy (not
+  * SQL-expressible in the gate), and the plan shape.
+  */
+class DedupNearSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two exact-dup clusters ({1,2,5} and {6,7}) + two unique docs; word
+  // 3-gram Jaccard of identical texts = 1.0, of unrelated texts = 0
+  private lazy val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon", 0.2),
+    (2L, "alpha beta gamma delta epsilon", 0.9),
+    (5L, "alpha beta gamma delta epsilon", 0.5),
+    (3L, "one two three four five", 0.1),
+    (4L, "zebra yak xylophone walrus vulture", 0.3),
+    (6L, "red orange yellow green blue", 0.4),
+    (7L, "red orange yellow green blue", 0.4)
+  ).toDF("doc_id", "text", "score")
+
+  test("min-id policy keeps the smallest id per cluster plus all singletons") {
+    val out = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8)
+    // schema passes through unchanged
+    assert(out.columns.toSeq == Seq("doc_id", "text", "score"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("keepBy policy keeps the best-scoring member, ties broken by min id") {
+    val out = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+        keepBy = Some(col("score")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // cluster {1,2,5}: doc 2 has the top score; cluster {6,7}: scores
+    // tie at 0.4 so min id 6 wins; singletons 3,4 survive untouched
+    assert(out == Seq(2L, 3L, 4L, 6L))
+  }
+
+  test("shuffled-anti-join fallback produces the identical result") {
+    val a = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+        broadcastDrops = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("plan shape: the keep step is a broadcast anti-join (no new wide stage)") {
+    val out = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"expected an anti-join keep step:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"drop list must reach df as a BROADCAST anti-join — a shuffle " +
+        s"here would re-partition the full corpus at scale:\n$p")
+  }
+}
