@@ -158,6 +158,40 @@ class HyperArtifactParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAf
       byOffset(0x2bc0L).blockOffset + byOffset(0x2bc0L).slotSize == 0x4bc0L)
   }
 
+  test("object arena (header 0x40) walks to the artifact's complete directory") {
+    val data = Files.readAllBytes(Paths.get(artifactPath))
+    // live arena: header word 0x40 → descriptor 0xa540, exponent 8,
+    // 16 records, zero junk slots (a single malformed slot would void
+    // the walk — readObjectArena returns empty then)
+    val live = HyperArtifact.readObjectArena(data)
+    assert(live.size == 16)
+    assert(live.groupBy(_.objType).view.mapValues(_.size).toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 10, 5 -> 2))
+    // the 8 column records carried by the arena ARE the round-6 bindings
+    val colRecs = live.filter(r => r.objType == 4 && r.ordinal >= 1)
+    assert(colRecs.map(_.blockOffset).sorted ==
+      Seq(0x2880L, 0x2900L, 0x2980L, 0x2a80L, 0x2bc0L, 0x4bc0L, 0x4dc0L, 0x8540L))
+    // type 2 = the live catalog at 0x2000; type 1 = the genesis header
+    assert(live.find(_.objType == 2).get.blockOffset == 0x2000L)
+    assert(live.find(_.objType == 1).get.blockOffset == 0x5080L)
+    // row-count objects (type 4 ord 0) point at the known records
+    assert(live.filter(r => r.objType == 4 && r.ordinal == 0)
+      .map(r => (r.tableIndex, r.blockOffset)).sorted ==
+      Seq((0, 0x2840L), (1, 0x2b80L)))
+
+    // genesis arena at its fixed genesis-page position 0x54c0: the same
+    // geometry, holding exactly the genesis-state objects — and the
+    // SAME keys land in the SAME slots as in the live arena, proving
+    // slot choice is a pure key hash (the one unidentified field)
+    val genesis = HyperArtifact.readObjectArenaAt(data, 0x54c0L)
+    assert(genesis.size == 2)
+    assert(genesis.map(r => (r.objType, r.blockOffset)).sorted ==
+      Seq((1, 0x5080L), (2, 0x50c0L)))
+    val liveSlotOf = live.map(r => (r.objType, r.ordinal, r.tableIndex) -> r.slot).toMap
+    assert(genesis.forall(g =>
+      liveSlotOf((g.objType, g.ordinal, g.tableIndex)) == g.slot))
+  }
+
   test("native-encoding writer round-trips through the artifact decoder") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -194,6 +228,20 @@ class HyperArtifactParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAf
     assert(bs2.fieldNames.toSeq == Seq("v", "k"))
     assert(br1.map(_.toSeq) == r1.map(_.toSeq))
     assert(br2.map(_.toSeq) == r2.map(_.toSeq))
+
+    // r7: the written file carries BOTH arenas in the artifact's
+    // geometry — the live arena (header 0x40) indexes every object type
+    // exactly as the artifact does, and the genesis arena sits at
+    // genesisOffset + 0x440 with the two genesis-state objects
+    val nData = Files.readAllBytes(Paths.get(path))
+    val live = HyperArtifact.readObjectArena(nData)
+    assert(live.groupBy(_.objType).view.mapValues(_.size).toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 7, 5 -> 2)) // 2 rowcounts + 5 columns
+    val genesisOffset = java.nio.ByteBuffer.wrap(nData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0x50)
+    val gen = HyperArtifact.readObjectArenaAt(nData, genesisOffset + 0x440)
+    assert(gen.map(_.objType).sorted == Seq(1, 2))
+    assert(gen.find(_.objType == 1).get.blockOffset == genesisOffset)
   }
 
   test("Pipeline over the committed workbooks reproduces the artifact row-for-row") {
