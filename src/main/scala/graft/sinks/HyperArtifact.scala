@@ -130,9 +130,25 @@ object HyperArtifact {
     * round-6 full scan in [[decodeTables]]).
     */
   def readObjectArena(data: Array[Byte]): Seq[ObjectRecord] = {
-    if (data.length < 0x48) return Seq.empty
+    if (data.length < 0x58) return Seq.empty
     val ptr = u64(data, 0x40)
     if (ptr < 0x60 || ptr + 8 >= data.length) return Seq.empty
+    // header words 0x48/0x50 (identified r7): frame offset and total
+    // size of the arena region — when they look like that (frame
+    // inside a sane region that fits the file) the region's raw-CRC32C
+    // frame must verify; the artifact's does (0x3070/0x3080,
+    // crc@0xd5b0 over [0xa540, 0xd5b0)). Files whose header words
+    // don't match the shape (e.g. HyperBinary.write output) skip the
+    // check and fall through to per-slot validation.
+    val frameOff = u64(data, 0x48)
+    val regionSize = u64(data, 0x50)
+    if (frameOff > 0x40 && frameOff + 4 <= regionSize &&
+        regionSize <= (1 << 24) && ptr + regionSize <= data.length) {
+      val at = (ptr + frameOff).toInt
+      val want = u32(data, at)
+      if (want != 0 &&
+          want != HyperBinary.crc32cRaw(data, ptr.toInt, at)) return Seq.empty
+    }
     readObjectArenaAt(data, ptr)
   }
 
@@ -683,17 +699,35 @@ object HyperArtifact {
       (2, 0, 0, genesis.length.toLong, (genesisOffset + 0x40).toLong,
         0x400L, false))))
 
-    // live arena — the index root the reader reaches via header 0x40
+    // live arena — the index root the reader reaches via header 0x40.
+    // Region geometry per the artifact (r7 second pass): the arena
+    // descriptor+slots (0x3008 bytes), a trailing 0x1ada1ada extent
+    // record, a raw-CRC32C frame over the whole region at +0x3070
+    // (header word 0x48), total region size 0x3080 (header word 0x50).
     pad((out.size() + 0x3f) / 0x40 * 0x40)
     val arenaOffset = out.size()
     out.write(arenaBytes(objects.toSeq))
+    // extent record, id-1 shape (one (offset, size) pair — the
+    // artifact's id-N records carry N pairs): free/span accounting for
+    // the genesis→EOF region, magic 0x1ada1ada, then zeros to +0x3070
+    putU64(1L)
+    putU64(genesisOffset.toLong)
+    putU64(0L) // patched: EOF - genesisOffset
+    out.write(Array[Byte](0x1a, 0xda.toByte, 0x1a, 0xda.toByte, 0, 0, 0, 0))
+    pad(arenaOffset + 0x3070)
+    putU32(0) // patched: raw CRC32C over [arenaOffset, arenaOffset+0x3070)
+    pad(arenaOffset + 0x3080)
 
     val bytes = out.toByteArray
     val patch = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     patch.putLong(0x40, arenaOffset.toLong)
-    patch.putLong(0x48, dataOffset.toLong)
-    patch.putLong(0x50, genesisOffset.toLong)
+    patch.putLong(0x48, 0x3070L) // arena frame offset (identified r7)
+    patch.putLong(0x50, 0x3080L) // arena region size (identified r7)
     patch.putLong(0x20, bytes.length.toLong)
+    patch.putLong(arenaOffset + 0x3008 + 0x10,
+      (bytes.length - genesisOffset).toLong)
+    patch.putInt(arenaOffset + 0x3070,
+      HyperBinary.crc32cRaw(bytes, arenaOffset, arenaOffset + 0x3070))
     patch.putInt(genesisOffset + 0x30,
       HyperBinary.crc32cRaw(bytes, genesisOffset, genesisOffset + 0x30))
     patch.putInt(0x0ffc, HyperBinary.crc32cRaw(bytes, 0x0000, 0x0ffc))

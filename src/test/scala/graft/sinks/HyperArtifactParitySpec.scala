@@ -231,17 +231,32 @@ class HyperArtifactParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAf
 
     // r7: the written file carries BOTH arenas in the artifact's
     // geometry — the live arena (header 0x40) indexes every object type
-    // exactly as the artifact does, and the genesis arena sits at
+    // exactly as the artifact does, with the frame-verified region
+    // (header 0x48/0x50 = frame offset / region size) and a trailing
+    // 0x1ada1ada extent record; the genesis arena sits at
     // genesisOffset + 0x440 with the two genesis-state objects
     val nData = Files.readAllBytes(Paths.get(path))
     val live = HyperArtifact.readObjectArena(nData)
     assert(live.groupBy(_.objType).view.mapValues(_.size).toMap ==
       Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 7, 5 -> 2)) // 2 rowcounts + 5 columns
-    val genesisOffset = java.nio.ByteBuffer.wrap(nData)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0x50)
+    val nBuf = java.nio.ByteBuffer.wrap(nData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(nBuf.getLong(0x48) == 0x3070L && nBuf.getLong(0x50) == 0x3080L)
+    // genesis is located through the arena's type-1 object, as hyperd's
+    // reader would — not through any header word
+    val genesisOffset = live.find(_.objType == 1).get.blockOffset
     val gen = HyperArtifact.readObjectArenaAt(nData, genesisOffset + 0x440)
     assert(gen.map(_.objType).sorted == Seq(1, 2))
     assert(gen.find(_.objType == 1).get.blockOffset == genesisOffset)
+    // corrupting one arena byte must void the frame → decodeTables
+    // falls back to the scan path and still round-trips
+    val arenaPtr = nBuf.getLong(0x40)
+    nData((arenaPtr + 0x100).toInt) = (nData((arenaPtr + 0x100).toInt) ^ 0x7f).toByte
+    val corrupt = Files.createTempDirectory("hyper-corrupt").resolve("c.hyper")
+    Files.write(corrupt, nData)
+    assert(HyperArtifact.readObjectArena(nData).isEmpty)
+    val viaScan = HyperArtifact.decodeTables(corrupt.toString)
+    assert(viaScan.map(_._1) == Seq("t_one", "t_two"))
   }
 
   test("Pipeline over the committed workbooks reproduces the artifact row-for-row") {
