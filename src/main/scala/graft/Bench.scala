@@ -147,6 +147,31 @@ object Bench {
   private[graft] def shouldPersistHints(probeRatio: Double): Boolean =
     probeRatio > 0 && probeRatio <= 3.0
 
+  /** How far one run may drag a hint UP relative to the value on file.
+    * The probe-ratio gate catches sustained contention, but a burst
+    * BETWEEN probes slips through: the r7 run-6 pass self-reported
+    * quiet probes (0.33/0.26/0.23 s, ratio 1.41) yet a mid-run wave
+    * inflated d07's median from 6.7 s idle to 24.7 s, and a plain
+    * overwrite persisted it. Capping upward movement at 1.5× bounds
+    * any single burst's poisoning, while a genuine regression still
+    * propagates (geometrically, ~2 runs per doubling) and one quiet
+    * run restores the true value instantly (downward moves are taken
+    * as-is). Queries absent from this run (watchdog-killed or
+    * budget-skipped) keep their existing hint rather than vanishing
+    * back to the baked-in default.
+    */
+  private val hintRiseCap = 1.5
+
+  private[graft] def mergeCostHints(
+      existing: Map[String, Double],
+      measured: Map[String, Double]): Map[String, Double] =
+    existing ++ measured.map { case (n, c) =>
+      existing.get(n) match {
+        case Some(h) if h > 0 && c > h => n -> math.min(c, h * hintRiseCap)
+        case _                         => n -> c
+      }
+    }
+
   /** Best-effort write of this run's measured costs (sorted cheapest
     * first for human diffing); failure is non-fatal — the hints are an
     * ordering optimization, not data.
@@ -213,9 +238,11 @@ object Bench {
         // feed the next run's ordering with this run's measured costs
         // (VERDICT r5 #3) — but ONLY from a quiet run: a contended
         // run's medians are co-tenant noise and would poison the next
-        // sweep's ordering (VERDICT r6 #2)
+        // sweep's ordering (VERDICT r6 #2) — and even then only via a
+        // rise-capped merge, because a burst between quiet probes can
+        // inflate individual medians without moving the ratio
         if (medians.nonEmpty && shouldPersistHints(ratio))
-          saveCostHints(hintsPath, medians.toMap)
+          saveCostHints(hintsPath, mergeCostHints(loadCostHints(hintsPath), medians.toMap))
       }
     }
     // Backstop for external SIGTERM (driver `timeout`): partial data beats

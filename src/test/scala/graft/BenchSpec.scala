@@ -66,6 +66,39 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  // r7 run-6 evidence: three quiet probes (ratio 1.41) bracketed a
+  // contention burst that inflated d07's median 6.7 s → 24.7 s, and the
+  // plain overwrite persisted it. The merge bounds what one run can do.
+  test("mergeCostHints caps upward poisoning, takes downward moves as-is") {
+    val onFile = Map("d07_simhash_pairs" -> 6.7, "t04_winnowing" -> 6.5,
+      "q01_filter_project" -> 0.3)
+    // burst-poisoned run: d07 inflated ~4×, q01 measured faster, t04 absent
+    val burst = Map("d07_simhash_pairs" -> 24.7, "q01_filter_project" -> 0.25,
+      "d12_dedup_near" -> 3.3)
+    val merged = Bench.mergeCostHints(onFile, burst)
+    assert(merged("d07_simhash_pairs") === 6.7 * 1.5) // rise capped, not 24.7
+    assert(merged("q01_filter_project") === 0.25) // downward taken directly
+    assert(merged("t04_winnowing") === 6.5) // absent (watchdog-killed) retained
+    assert(merged("d12_dedup_near") === 3.3) // new query passes through
+    // one subsequent quiet run restores the true value instantly
+    val restored = Bench.mergeCostHints(merged, Map("d07_simhash_pairs" -> 6.7))
+    assert(restored("d07_simhash_pairs") === 6.7)
+    // and whatever a poisoned merge produces, the watchdog cap stays
+    // bounded — coverage cannot be reduced (VERDICT r6 done-criterion)
+    for ((_, h) <- merged) {
+      val cap = Bench.sweepCapS(h, 480.0)
+      assert(cap >= 10.0 && cap <= 120.0)
+    }
+  }
+
+  test("mergeCostHints ignores non-positive existing hints") {
+    // a zero/negative entry on file (hand-edited or truncated write)
+    // must not clamp a genuine measurement
+    val merged = Bench.mergeCostHints(Map("a" -> 0.0, "b" -> -2.0),
+      Map("a" -> 1.2, "b" -> 0.8))
+    assert(merged === Map("a" -> 1.2, "b" -> 0.8))
+  }
+
   test("contended-run medians are not persisted as hints") {
     assert(!Bench.shouldPersistHints(6.24)) // r6's official-run ratio
     assert(!Bench.shouldPersistHints(3.01))
