@@ -230,6 +230,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // Gopher-style repetition stats: distinct-word ratio, top-word and
+    // top-bigram fractions — zero-shuffle per-row folds over sorted
+    // word/bigram arrays (the boilerplate/loop-spam quality signal).
+    "t10_repetition" -> ((s, dir) => {
+      TextFunctions.repetitionStats(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Percentile-band outlier trim: keep documents whose length lies in
+    // the per-language [p10, p90] band (exact interpolated percentiles,
+    // broadcast back over the scan).
+    "t11_quantile_trim" -> ((s, dir) => {
+      TextFunctions.quantileTrim(t(s, dir, "documents"),
+          col("lang"), col("n_chars"), 0.10, 0.90)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Regex scrubbing scan: PII preset (email) plus a corpus-hitting
     // pattern so the gate exercises nonzero counts in both engines.
     "t07_regex_scan" -> ((s, dir) => {
@@ -361,6 +380,41 @@ object ExtensionQueries {
           asOfName = "last_event_ts")
         .select(col("o_orderkey"), col("custkey"), col("last_event_ts"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Binned range join: clicks falling inside the 6-hour window after
+    // a signup by the same user — the equi-join-on-(key, time-bin) +
+    // exact-filter shape that replaces the per-key cross product
+    // (operators.RangeJoin; bins of 1 h ⇒ ≤7 replicas per interval).
+    "a03_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("s_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      operators.RangeJoin.pointInInterval(clicks, signups,
+          pointTime = "c_ts", start = "s_ts", end = "s_end",
+          keys = Seq("c_user" -> "s_user"), binSeconds = 3600)
+        .select(col("click_id"), col("signup_id"))
+        .orderBy(col("click_id"), col("signup_id"))
+    }),
+
+    // Stream-stream interval join, batch form: purchases within 6 hours
+    // after a click by the same user (streaming.EventsStream.attribution;
+    // EventsStreamSpec gates the watermarked streaming run against this
+    // same result).
+    "s04_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      streaming.EventsStream.attribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizonMinutes = 360)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("value"))
+        .orderBy(col("click_id"), col("purchase_id"))
     }),
 
     // Two-phase (salted) aggregation for hot keys: result-identical to
@@ -622,6 +676,58 @@ object ExtensionQueries {
            FROM tf JOIN dfq USING (term))
          SELECT doc_id, term, tf, df FROM scored
          WHERE rk <= 3 ORDER BY doc_id, term""",
+
+    // word/bigram top frequencies via explode+group (the per-doc
+    // aggregation dual of Spark's zero-shuffle sorted-run fold —
+    // identical counts, exact-integer divisions)
+    "t10_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         ws AS (SELECT doc_id, sum(c) AS total, count(*) AS nd, max(c) AS top
+             FROM wc GROUP BY 1),
+         bl AS (SELECT doc_id, unnest(list_transform(range(1, len(wa)),
+               i -> wa[i]||' '||wa[i+1])) AS b
+             FROM (SELECT doc_id, string_split(text,' ') AS wa FROM documents)),
+         bc AS (SELECT doc_id, b, count(*) AS c FROM bl GROUP BY 1, 2),
+         bs AS (SELECT doc_id, sum(c) AS total, max(c) AS top
+             FROM bc GROUP BY 1)
+         SELECT ws.doc_id,
+           CAST(ws.total AS BIGINT) AS n_words,
+           CAST(ws.nd AS DOUBLE)/CAST(ws.total AS DOUBLE) AS distinct_ratio,
+           CAST(ws.top AS DOUBLE)/CAST(ws.total AS DOUBLE) AS top_word_frac,
+           CAST(bs.top AS DOUBLE)/CAST(bs.total AS DOUBLE) AS top_bigram_frac
+         FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+         ORDER BY ws.doc_id""",
+
+    // quantile_cont == Spark's interpolated percentile (the q39-gated
+    // equivalence)
+    "t11_quantile_trim" ->
+      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.10) AS lo,
+             quantile_cont(n_chars, 0.90) AS hi
+           FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN b ON d.lang = b.lang
+         WHERE CAST(d.n_chars AS DOUBLE) >= b.lo
+           AND CAST(d.n_chars AS DOUBLE) <= b.hi
+         ORDER BY d.doc_id""",
+
+    "a03_range_join" ->
+      """SELECT c.event_id AS click_id, s.event_id AS signup_id
+         FROM events c JOIN events s
+           ON c.user_id = s.user_id
+          AND c.event_type = 'click' AND s.event_type = 'signup'
+          AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 6 HOUR
+         ORDER BY click_id, signup_id""",
+
+    "s04_attribution" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, p.value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 360 MINUTE
+         ORDER BY click_id, purchase_id""",
 
     "t07_regex_scan" ->
       """SELECT doc_id,

@@ -272,4 +272,74 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Highest element frequency in a SORTED array, computed as the
+    * longest equal-run: a single left fold over the array (the
+    * `aggregate` higher-order function), so the whole computation stays
+    * a per-row projection — no explode, no (doc, term) shuffle. Empty
+    * arrays fold to 0.
+    */
+  private def maxRunLength(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast(StringType).as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && x === acc("prev"),
+          acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Gopher-style repetition statistics (Rae et al. 2021's quality
+    * rules): per document, the distinct-word ratio, the fraction of
+    * words taken by the single most frequent word, and the fraction of
+    * bigrams taken by the most frequent bigram — the standard signals
+    * for dropping looped/boilerplate documents from a training corpus.
+    *
+    * Entirely per-row arithmetic: words and bigrams are materialized
+    * array columns (the [[wordShingles]] HOF rule), top frequencies are
+    * longest-runs over locally sorted copies ([[maxRunLength]]), and
+    * every ratio is an exact-integer IEEE division — ZERO shuffle, so
+    * at 100 TB this is a pure map stage over the scan, and the result
+    * is bit-identical in any engine. `top_bigram_frac` is null for
+    * single-word documents (no bigrams exist).
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"), col("__w"),
+        wordShingles(col("__w"), 2).as("__b"))
+      .select(
+        col("doc_id"),
+        size(col("__w")).cast(LongType).as("n_words"),
+        (size(array_distinct(col("__w"))).cast(DoubleType)
+          / size(col("__w")).cast(DoubleType)).as("distinct_ratio"),
+        (maxRunLength(array_sort(col("__w"))).cast(DoubleType)
+          / size(col("__w")).cast(DoubleType)).as("top_word_frac"),
+        when(size(col("__b")) > 0,
+          maxRunLength(array_sort(col("__b"))).cast(DoubleType)
+            / size(col("__b")).cast(DoubleType)).as("top_bigram_frac"))
+
+  /** Keep rows whose `value` lies inside the stratum's
+    * [lo-quantile, hi-quantile] band (inclusive) — the outlier-trimming
+    * quality filter ("drop the shortest 10% and longest 10% per
+    * language"). Bounds are EXACT interpolated percentiles
+    * (`percentile`, the q39-gated function, bit-equal to DuckDB's
+    * `quantile_cont`), computed in one small per-stratum aggregate and
+    * broadcast back — the fact table is scanned twice but never
+    * shuffled, so at 100 TB the cost is two map stages plus a
+    * #strata-row broadcast.
+    */
+  def quantileTrim(df: DataFrame, stratum: Column, value: Column,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      s"quantileTrim: need 0 <= lo <= hi <= 1, got ($lo, $hi)")
+    val bounds = df.groupBy(stratum.as("__stratum"))
+      .agg(percentile(value, lit(lo)).as("__lo"),
+        percentile(value, lit(hi)).as("__hi"))
+    df.join(broadcast(bounds), stratum === col("__stratum"))
+      .filter(value.cast(DoubleType) >= col("__lo") &&
+        value.cast(DoubleType) <= col("__hi"))
+      .drop("__stratum", "__lo", "__hi")
+  }
 }

@@ -74,6 +74,42 @@ object EventsStream {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Click→purchase attribution: every (click, purchase) pair for the
+    * same user where the purchase lands within `horizonMinutes` after
+    * the click (inclusive bounds) — the canonical STREAM-STREAM interval
+    * join. On streams, both sides carry event-time watermarks and the
+    * join condition bounds `purchase_ts` to a finite window after
+    * `click_ts`, which is exactly what lets Structured Streaming EVICT
+    * join state: a buffered click older than watermark − horizon can
+    * never match again and is dropped, so state stays bounded at any
+    * rate (an unbounded-condition stream-stream join grows state
+    * forever — the slow OOM). On batch frames the watermarks are
+    * analyzer-eliminated and the same plan is an ordinary equi-join on
+    * user_id with a time-range filter — the s04-gated form; the
+    * streaming result is spec-gated equal to it (EventsStreamSpec).
+    * Batch at scale note: for a skewed pure-range workload prefer
+    * [[graft.operators.RangeJoin.pointInInterval]]; here the equi-key
+    * (user_id) already carries the join and the horizon filter prunes
+    * per-key pairs.
+    */
+  def attribution(clicks: DataFrame, purchases: DataFrame,
+      horizonMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
+    require(horizonMinutes > 0, "attribution: horizonMinutes must be positive")
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+      col("value"))
+    val c = if (clicks.isStreaming) c0.withWatermark("click_ts", watermark) else c0
+    val p = if (purchases.isStreaming) p0.withWatermark("purchase_ts", watermark) else p0
+    c.join(p,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Round-7 text-quality operators: Gopher-style repetition stats and
+  * percentile-band trimming.
+  */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats computes known values on crafted docs") {
+    val docs = Seq(
+      (1L, "a a a b"),        // 4 words, 2 distinct, top word 3, bigrams: "a a","a a","a b"
+      (2L, "x y z"),          // all distinct, top word 1, top bigram 1/2
+      (3L, "loop")            // single word: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+
+    assert(got(1L) == ((4L, 0.5, 0.75, 2.0 / 3.0)))
+    assert(got(2L) == ((3L, 1.0, 1.0 / 3.0, 0.5)))
+    assert(got(3L) == ((1L, 1.0, 1.0, null)))
+  }
+
+  test("repetitionStats flags a looped document against the corpus") {
+    val docs = Tables.df(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900000L, Seq.fill(40)("spam spam ham").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val stats = TextFunctions.repetitionStats(docs, col("doc_id"), col("text"))
+    // the planted looped doc has the corpus's highest top_bigram_frac
+    val top = stats.orderBy(col("top_bigram_frac").desc).select("doc_id")
+      .first().getLong(0)
+    assert(top == 900000L, s"looped doc not ranked most repetitive: $top")
+  }
+
+  test("repetitionStats is a zero-shuffle projection") {
+    val plan = TextFunctions.repetitionStats(
+        Tables.df(spark, sf(), "documents"), col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("quantileTrim keeps exactly the in-band rows per stratum") {
+    // stratum A: 1..10 → p10 = 1.9, p90 = 9.1 (interpolated) → keep 2..9
+    // stratum B: 100..104 → p10 = 100.4, p90 = 103.6 → keep 101..103
+    val df = ((1 to 10).map(v => ("A", v.toLong)) ++
+      (100 to 104).map(v => ("B", v.toLong))).toDF("s", "v")
+    val kept = TextFunctions.quantileTrim(df, col("s"), col("v"), 0.10, 0.90)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = ((2 to 9).map(v => ("A", v.toLong)) ++
+      (101 to 103).map(v => ("B", v.toLong))).toSet
+    assert(kept == expected, s"got $kept")
+  }
+
+  test("quantileTrim broadcasts the bounds (fact side not re-shuffled)") {
+    val plan = TextFunctions.quantileTrim(
+        Tables.df(spark, sf(), "documents"), col("lang"), col("n_chars"),
+        0.10, 0.90)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounds join is not broadcast:\n$plan")
+  }
+}

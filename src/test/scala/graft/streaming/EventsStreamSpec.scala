@@ -234,6 +234,43 @@ class EventsStreamSpec extends SparkSpec {
       s"cross-batch sessionization diverged: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
   }
 
+  test("stream-stream attribution join equals the gated s04 batch result") {
+    // two separately-watched directories — genuinely independent streams
+    val ev = Tables.df(spark, sf(), "events")
+    val cDir = Files.createTempDirectory("clicks-stream").toString
+    val pDir = Files.createTempDirectory("purchases-stream").toString
+    ev.filter(col("event_type") === "click").coalesce(2)
+      .write.mode("overwrite").parquet(cDir)
+    ev.filter(col("event_type") === "purchase").coalesce(2)
+      .write.mode("overwrite").parquet(pDir)
+
+    val out = EventsStream.attribution(
+      spark.readStream.schema(ev.schema).parquet(cDir),
+      spark.readStream.schema(ev.schema).parquet(pDir),
+      horizonMinutes = 360)
+    // inner stream-stream joins emit on match in append mode; the
+    // bounded time-range condition is what lets Spark EVICT buffered
+    // state, so this same query runs forever at constant memory
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("attr_out")
+      .select("click_id", "purchase_id", "user_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the driver-gated batch form (s04 hash-matches its DuckDB oracle),
+    // so equality here is transitively oracle parity for the stream
+    val want = graft.ExtensionQueries.queries("s04_attribution")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"s04 stream/batch divergence: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    assert(got.nonEmpty, "no attribution pairs — gate is vacuous")
+  }
+
   test("multimodal: partition-batched feature extraction is deterministic") {
     import graft.functions.Multimodal
     val media = Multimodal.syntheticMedia(Tables.df(spark, sf(), "documents"))
