@@ -203,6 +203,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing near-copy pairs: shared-fingerprint counts over the
+    // inverted fingerprint index (k=12 char grams, w=8 windows — the
+    // local-copy detector; doc-freq cap 20 exercises the stop-gram
+    // guard on this small-vocabulary corpus).
+    "d13_winnow_pairs" -> ((s, dir) => {
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.gramHashes(col("text"), 12).as("__g"))
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
+      Dedup.winnowPairs(fps, minShared = 5L, maxFpDocFreq = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Deterministic contiguous sequence packing: per-language training
+    // bins of ~2000 tokens (n_chars as the token proxy), start-offset
+    // bin assignment — one shuffle on the shard key, rerun-stable.
+    "t12_sequence_pack" -> ((s, dir) => {
+      TextFunctions.packSequences(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), col("n_chars"), budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-language mixture rates
     // applied as a hash filter (en 50%, de 25%, rest 10%).
     "t06_stratified_sample" -> ((s, dir) => {
@@ -676,6 +700,39 @@ object ExtensionQueries {
            FROM tf JOIN dfq USING (term))
          SELECT doc_id, term, tf, df FROM scored
          WHERE rk <= 3 ORDER BY doc_id, term""",
+
+    // same winnow pipeline as t04's oracle at (k=12, w=8), then the
+    // doc-freq cap and the shared-count self-join
+    "d13_winnow_pairs" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CASE WHEN length(text) < 12 THEN []::BIGINT[]
+                  ELSE list_transform(range(1, length(text) - 10),
+                    i -> CAST(('0x' || substr(md5(substr(text, i, 12)), 1, 14)) AS BIGINT))
+             END AS grams
+           FROM documents),
+         w AS (
+           SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(grams) - 7, 1) + 1),
+               j -> list_min(grams[j:j+7]))) AS fp
+           FROM g WHERE len(grams) > 0),
+         d AS (SELECT DISTINCT doc_id, fp FROM w),
+         freq AS (SELECT fp, count(*) AS df FROM d GROUP BY 1),
+         kept AS (SELECT d.doc_id, d.fp FROM d JOIN freq USING (fp)
+                  WHERE df <= 20)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5
+         ORDER BY id_a, id_b""",
+
+    "t12_sequence_pack" ->
+      """SELECT doc_id, lang,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+         FROM (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM documents)
+         ORDER BY doc_id""",
 
     // word/bigram top frequencies via explode+group (the per-doc
     // aggregation dual of Spark's zero-shuffle sorted-run fold —

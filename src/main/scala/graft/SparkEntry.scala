@@ -572,6 +572,23 @@ object SparkEntry {
       s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
     }),
 
+    // Round-7 dialect residuals, both formerly documented limits:
+    // GLOB character classes (→ anchored RLIKE regex — LIKE can't
+    // express [..]) and strftime datetime modifiers ('+1 month',
+    // 'start of month' → interval arithmetic + date_trunc, applied
+    // left-to-right as SQLite does before formatting).
+    "q43_dialect_glob_strftime" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val sqliteSql = """
+        SELECT o_orderkey,
+               strftime('%Y-%m', o_orderdate, '+1 month', 'start of month') AS next_month,
+               o_orderpriority AS prio
+        FROM orders
+        WHERE o_orderpriority GLOB '[12]-*' AND o_orderkey <= 3000
+        ORDER BY o_orderkey"""
+      s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
+    }),
+
     // Native recursive CTE (Spark 4.1 WITH RECURSIVE — formerly listed
     // as a dialect gap; it is fully supported): month generator joined
     // against orders.
@@ -934,6 +951,17 @@ object SparkEntry {
            o_totalprice AS price
          FROM orders
          WHERE o_orderpriority LIKE '%URGENT%' AND o_orderkey <= 2000
+         ORDER BY o_orderkey""",
+
+    // same modifier arithmetic unrolled (DuckDB's strftime takes
+    // (value, fmt) — reversed args, same directives)
+    "q43_dialect_glob_strftime" ->
+      """SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate + INTERVAL 1 MONTH), '%Y-%m') AS next_month,
+           o_orderpriority AS prio
+         FROM orders
+         WHERE regexp_matches(o_orderpriority, '^[12]-.*$')
+           AND o_orderkey <= 3000
          ORDER BY o_orderkey""",
 
     "q41_recursive_cte" ->

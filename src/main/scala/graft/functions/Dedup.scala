@@ -558,4 +558,37 @@ object Dedup {
     }.reduce(_ + _)
     sums.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** MOSS-style near-copy pairs over shared WINNOWING fingerprints
+    * (Schleimer et al., SIGMOD 2003 §5): every (id_a, id_b) sharing at
+    * least `minShared` fingerprints, with the shared count. Winnowing
+    * guarantees a fingerprint in every w-gram stretch, so any copied
+    * run of ≥ k + w − 1 characters yields shared fingerprints — this
+    * catches LOCAL verbatim copying (a paragraph lifted into an
+    * otherwise-different document) that whole-document Jaccard/SimHash
+    * dilute below threshold. Same inverted-index join shape and scale
+    * profile as [[jaccardPairs]]; `maxFpDocFreq` is the stop-gram
+    * guard (a fingerprint in df documents contributes df·(df−1)/2
+    * joined rows — boilerplate must be capped at corpus scale), as a
+    * broadcast anti-join of the tiny hot set.
+    *
+    * `fingerprints` is (doc_id, fp) — the exploded
+    * [[TextFunctions.winnowFromGrams]] output (distinct per doc by
+    * construction). Returns (id_a, id_b, shared).
+    */
+  def winnowPairs(fingerprints: DataFrame, minShared: Long = 2L,
+      maxFpDocFreq: Int = Int.MaxValue): DataFrame = {
+    val fp0 = fingerprints.select(col("doc_id"), col("fp"))
+    val fps =
+      if (maxFpDocFreq == Int.MaxValue) fp0
+      else fp0.join(
+        broadcast(fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxFpDocFreq).select(col("fp"))),
+        Seq("fp"), "left_anti")
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

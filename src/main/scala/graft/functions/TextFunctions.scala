@@ -320,6 +320,37 @@ object TextFunctions {
           maxRunLength(array_sort(col("__b"))).cast(DoubleType)
             / size(col("__b")).cast(DoubleType)).as("top_bigram_frac"))
 
+  /** Deterministic contiguous sequence packing: assign each document a
+    * training-batch bin so every bin holds ~`budget` tokens — the
+    * context-window packing step of an LLM data pipeline. Documents are
+    * laid out in `(stratum, order)` order and a document's bin is the
+    * bin its START offset falls in (`floor(cumBefore / budget)`), so
+    * assignment is greedy-contiguous: deterministic, rerun-stable, and
+    * reproducible in any engine (one window cumsum + one IEEE floor
+    * division of exact integers). A document longer than `budget`
+    * straddles bins and still gets exactly one (its start bin) —
+    * packers that split documents should explode on this output.
+    *
+    * One shuffle, on `stratum` (the same shard key real packers use —
+    * packing is per-shard, never global: a single global order would
+    * serialize the corpus through one partition). `order` must be
+    * unique per stratum for determinism (doc_id, not a score with
+    * ties). Returns the input plus a `bin` column.
+    */
+  def packSequences(df: DataFrame, stratum: Column, order: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "packSequences: budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(tokens.cast(LongType)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - tokens.cast(LongType)).cast(DoubleType)
+          / budget).cast(LongType))
+      .drop("__cum")
+  }
+
   /** Keep rows whose `value` lies inside the stratum's
     * [lo-quantile, hi-quantile] band (inclusive) — the outlier-trimming
     * quality filter ("drop the shortest 10% and longest 10% per

@@ -31,8 +31,14 @@ object SqliteDialect {
     *   2. GROUPS window frames → RANGE (over a hoisted `dense_rank()`
     *      for numeric bounds) — [[rewriteGroups]]; untranslatable
     *      shapes raise the friendly preflight error;
-    *   3. `expr GLOB 'pat'` → `expr LIKE '<translated>'`;
-    *   4. `strftime('fmt', expr)` → `date_format(expr, '<translated>')`;
+    *   3. `expr GLOB 'pat'` → `expr LIKE '<translated>'`, or
+    *      `expr RLIKE '<anchored regex>'` when the pattern carries
+    *      `[...]` character classes ([[globToRegex]], round 7);
+    *   4. `strftime('fmt', expr, mods…)` →
+    *      `date_format(<expr with modifiers applied>, '<translated>')`
+    *      — interval arithmetic / `start of` / `utc` modifiers
+    *      translate ([[applyTimeModifier]], round 7), the rest error
+    *      with the friendly diagnosis;
     *   5. every single-quoted literal is transcoded from SQLite lexing
     *      ('' escapes a quote, backslash is an ordinary character) to
     *      Spark default-parser lexing (backslash escapes active) —
@@ -84,13 +90,15 @@ object SqliteDialect {
   /** SQLite GLOB pattern → SQL LIKE pattern. GLOB is case-sensitive with
     * `*`/`?` wildcards (Spark LIKE is case-sensitive already, so only
     * the wildcards and escaping differ). `[...]` character classes have
-    * no LIKE equivalent — rejected with a clear error.
+    * no LIKE equivalent — [[rewriteGlob]] routes class patterns through
+    * [[globToRegex]]/RLIKE instead (round 7; formerly a documented
+    * dialect limit).
     */
   def globToLike(glob: String): String = {
     if (glob.exists(c => c == '[' || c == ']'))
       throw new UnsupportedSqlFeatureException("GLOB character classes",
-        s"'$glob' uses [...] which LIKE cannot express; use RLIKE with a " +
-          "regexp instead")
+        s"'$glob' uses [...] which LIKE cannot express (rewriteGlob " +
+          "translates these to RLIKE — call that instead)")
     val sb = new StringBuilder
     glob.foreach {
       case '*' => sb.append('%')
@@ -101,6 +109,57 @@ object SqliteDialect {
       case c => sb.append(c)
     }
     sb.toString
+  }
+
+  /** SQLite GLOB pattern → anchored Java regex (for Spark RLIKE) — the
+    * translation used when the pattern carries `[...]` character
+    * classes, which LIKE cannot express. GLOB matches the WHOLE string
+    * (RLIKE finds substrings), hence the `^…$` anchors. Class contents
+    * follow SQLite's rules: leading `^` negates, a `]` first in the
+    * class is literal, `a-z` ranges pass through; members that are Java
+    * class metacharacters are escaped. An unterminated `[` — which
+    * SQLite treats as a never-matching pattern — is rejected loudly
+    * instead (silently matching nothing would hide a typo).
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append('.'); i += 1
+        case '[' =>
+          val close = {
+            // leading ] (possibly after ^) is a literal member
+            var j = i + 1
+            if (j < glob.length && glob.charAt(j) == '^') j += 1
+            if (j < glob.length && glob.charAt(j) == ']') j += 1
+            while (j < glob.length && glob.charAt(j) != ']') j += 1
+            j
+          }
+          if (close >= glob.length)
+            throw new UnsupportedSqlFeatureException("unterminated GLOB class",
+              s"'$glob' has an unclosed [ — SQLite would match nothing; " +
+                "close the class or escape the bracket")
+          sb.append('[')
+          var j = i + 1
+          if (j < glob.length && glob.charAt(j) == '^') { sb.append('^'); j += 1 }
+          while (j < close) {
+            val c = glob.charAt(j)
+            if (c == '\\' || c == '[' || c == ']' || c == '&' || c == '^')
+              sb.append('\\')
+            sb.append(c)
+            j += 1
+          }
+          sb.append(']')
+          i = close + 1
+        case c =>
+          if ("\\.[]{}()*+?^$|".indexOf(c) >= 0) sb.append('\\')
+          sb.append(c)
+          i += 1
+      }
+    }
+    sb.append('$').toString
   }
 
   /** SQLite strftime format → Spark/Java datetime pattern.
@@ -536,8 +595,13 @@ object SqliteDialect {
             loop(s, kwEnd) // identifier named glob — skip past it
           else {
             val (glob, next) = readLiteral(s, afterKw)
-            val replaced = s.substring(0, kwStart) + "LIKE " +
-              sqliteLiteral(globToLike(glob))
+            // plain wildcards stay LIKE (codegen'd StartsWith/Contains
+            // specializations); character classes need RLIKE
+            val op =
+              if (glob.exists(c => c == '[' || c == ']'))
+                "RLIKE " + sqliteLiteral(globToRegex(glob))
+              else "LIKE " + sqliteLiteral(globToLike(glob))
+            val replaced = s.substring(0, kwStart) + op
             loop(replaced + s.substring(next), replaced.length)
           }
       }
@@ -545,10 +609,38 @@ object SqliteDialect {
     loop(sql, 0)
   }
 
-  /** `strftime('fmt', expr)` → `date_format(expr, '<translated>')` —
-    * note the argument order swap. SQLite's optional modifier arguments
-    * ('+1 day', 'localtime', …) are rejected with a friendly error.
-    * Nested calls are handled by recursing into the expression part.
+  /** One SQLite datetime modifier applied to a (Spark SQL) expression
+    * string — the left-to-right semantics of SQLite's
+    * `strftime(fmt, time, mod, mod, …)`. Supported (round 7; formerly
+    * all rejected): signed `±N day/hour/minute/second/month/year`
+    * arithmetic → `expr ± INTERVAL N UNIT`; `start of day/month/year` →
+    * `date_trunc`; `utc` → no-op (the engine pins the session to UTC,
+    * so times already ARE UTC). Still unsupported, loudly: `localtime`
+    * (needs a client zone the engine doesn't model), `weekday N`,
+    * `unixepoch`/`julianday`/`subsec` value reinterpretations, and
+    * fractional offsets.
+    */
+  private def applyTimeModifier(expr: String, mod: String): String = {
+    val Offset = """([+-])(\d+) (day|hour|minute|second|month|year)s?""".r
+    val StartOf = """start of (day|month|year)""".r
+    mod.trim.toLowerCase match {
+      case Offset(sign, n, unit) =>
+        s"($expr $sign INTERVAL $n ${unit.toUpperCase})"
+      case StartOf(unit) => s"date_trunc('${unit.toUpperCase}', $expr)"
+      case "utc" => expr
+      case other => throw new UnsupportedSqlFeatureException(
+        s"strftime modifier '$other'",
+        "supported modifiers: '±N day/hour/minute/second/month/year', " +
+          "'start of day/month/year', 'utc'")
+    }
+  }
+
+  /** `strftime('fmt', expr, mods…)` →
+    * `date_format(<expr with modifiers applied>, '<translated>')` —
+    * note the argument order swap. Literal modifier arguments translate
+    * per [[applyTimeModifier]]; non-literal ones are rejected with a
+    * friendly error. Nested calls are handled by recursing into the
+    * expression part.
     */
   private[pipeline] def rewriteStrftime(sql: String): String = {
     val m = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(
@@ -560,34 +652,50 @@ object SqliteDialect {
         if (fmtStart >= sql.length || sql.charAt(fmtStart) != '\'')
           throw new UnsupportedSqlFeatureException(
             "strftime with non-literal format",
-            "only strftime('<literal>', expr) can be translated")
+            "only strftime('<literal>', expr, …) can be translated")
         val (fmt, afterFmt) = readLiteral(sql, fmtStart)
         val comma = skipWs(sql, afterFmt)
         if (comma >= sql.length || sql.charAt(comma) != ',')
           throw new IllegalArgumentException(
             s"strftime requires a second argument in: $sql")
-        // scan the expression argument to the call's closing paren
+        // split the remaining arguments (expr, modifiers…) on top-level
+        // commas, up to the call's closing paren
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
         var i = comma + 1
         var depth = 0
         var inStr = false
         var end = -1
         while (i < sql.length && end < 0) {
           val c = sql.charAt(i)
-          if (c == '\'') inStr = !inStr
-          else if (!inStr && c == '(') depth += 1
+          if (c == '\'') { inStr = !inStr; cur.append(c) }
+          else if (!inStr && c == '(') { depth += 1; cur.append(c) }
           else if (!inStr && c == ')') {
-            if (depth == 0) end = i else depth -= 1
-          } else if (!inStr && c == ',' && depth == 0)
-            throw new UnsupportedSqlFeatureException("strftime modifiers",
-              "SQLite datetime modifier arguments have no direct Spark " +
-                "translation; apply date arithmetic to the column instead")
+            if (depth == 0) end = i else { depth -= 1; cur.append(c) }
+          } else if (!inStr && c == ',' && depth == 0) {
+            parts += cur.toString; cur.clear()
+          } else cur.append(c)
           i += 1
         }
         if (end < 0) throw new IllegalArgumentException(
           s"unterminated strftime call in: $sql")
-        val expr = sql.substring(comma + 1, end).trim
+        parts += cur.toString
+        val timeExpr = rewriteStrftime(parts.head.trim)
+        val wrapped = parts.tail.foldLeft(timeExpr) { (e, raw) =>
+          val t = raw.trim
+          if (t.length < 2 || t.charAt(0) != '\'')
+            throw new UnsupportedSqlFeatureException(
+              "strftime with a non-literal modifier",
+              s"modifier '$t' must be a string literal")
+          val (lit, after) = readLiteral(t, 0)
+          if (after != t.length)
+            throw new UnsupportedSqlFeatureException(
+              "strftime with a computed modifier",
+              s"modifier '$t' must be a plain string literal")
+          applyTimeModifier(e, lit)
+        }
         sql.substring(0, mm.start) +
-          s"date_format(${rewriteStrftime(expr)}, ${sqliteLiteral(strftimeToSpark(fmt))})" +
+          s"date_format($wrapped, ${sqliteLiteral(strftimeToSpark(fmt))})" +
           rewriteStrftime(sql.substring(end + 1))
     }
   }

@@ -57,6 +57,38 @@ class TextStatsSpec extends SparkSpec {
     assert(kept == expected, s"got $kept")
   }
 
+  test("packSequences: start-offset bins, straddling docs, determinism") {
+    // stratum A token runs: 800, 800, 800 → starts 0, 800, 1600 → bins
+    // 0, 0, 1 at budget 1000; a 2500-token doc then starts at 2400 →
+    // bin 2 (straddles into 4, still ONE row, start bin)
+    val df = Seq(
+      ("A", 1L, 800L), ("A", 2L, 800L), ("A", 3L, 800L), ("A", 4L, 2500L),
+      ("B", 1L, 100L), ("B", 2L, 950L)
+    ).toDF("s", "id", "n")
+    val got = TextFunctions.packSequences(df, col("s"), col("id"), col("n"), 1000L)
+      .select(col("s"), col("id"), col("bin"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("A", 1L) -> 0L, ("A", 2L) -> 0L, ("A", 3L) -> 1L, ("A", 4L) -> 2L,
+      ("B", 1L) -> 0L, ("B", 2L) -> 0L), s"got $got")
+
+    // rerun-stable under a different physical partitioning
+    val again = TextFunctions.packSequences(
+        df.repartition(7), col("s"), col("id"), col("n"), 1000L)
+      .select(col("s"), col("id"), col("bin"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
+  test("packSequences shuffles once, on the stratum key") {
+    val plan = TextFunctions.packSequences(
+        graft.Tables.df(spark, sf(), "documents"),
+        col("lang"), col("doc_id"), col("n_chars"), 2000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n$plan")
+  }
+
   test("quantileTrim broadcasts the bounds (fact side not re-shuffled)") {
     val plan = TextFunctions.quantileTrim(
         Tables.df(spark, sf(), "documents"), col("lang"), col("n_chars"),

@@ -74,14 +74,53 @@ class SqliteDialectSpec extends SparkSpec {
       SqliteDialect.preflight(
         """SELECT 'a\'b' AS s, sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t""")
     }
-    val g = intercept[UnsupportedSqlFeatureException] {
-      SqliteDialect.rewrite("SELECT * FROM t WHERE s GLOB '[abc]*'")
-    }
-    assert(g.getMessage.startsWith("unsupported: GLOB character classes"))
+    // round 7: GLOB classes and common strftime modifiers now TRANSLATE
+    // (formerly friendly errors); only the genuinely unmappable
+    // modifiers still error
     val m = intercept[UnsupportedSqlFeatureException] {
-      SqliteDialect.rewrite("SELECT strftime('%Y', ts, '+1 day') FROM t")
+      SqliteDialect.rewrite("SELECT strftime('%Y', ts, 'localtime') FROM t")
     }
-    assert(m.getMessage.startsWith("unsupported: strftime modifiers"))
+    assert(m.getMessage.startsWith("unsupported: strftime modifier 'localtime'"))
+    intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.rewrite("SELECT strftime('%Y', ts, 'weekday 1') FROM t")
+    }
+    intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.rewrite("SELECT strftime('%Y', ts, x) FROM t") // non-literal
+    }
+  }
+
+  test("globToRegex: classes, negation, anchoring, metachar escaping") {
+    assert(SqliteDialect.globToRegex("[12]-*") == "^[12]\\-.*$" ||
+      SqliteDialect.globToRegex("[12]-*") == "^[12]-.*$")
+    assert(SqliteDialect.globToRegex("a[^xy]?b.c") == "^a[^xy].b\\.c$")
+    assert(SqliteDialect.globToRegex("[]x]z") == "^[\\]x]z$")
+    assert(SqliteDialect.globToRegex("[a-f]*") == "^[a-f].*$")
+    intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.globToRegex("ab[cd")
+    }
+    // integrated: class pattern becomes RLIKE, plain pattern stays LIKE
+    assert(SqliteDialect.rewrite("SELECT * FROM t WHERE s GLOB '[ab]*'")
+      .contains("RLIKE '^[ab].*$'"))
+    assert(SqliteDialect.rewrite("SELECT * FROM t WHERE s GLOB 'ab*'")
+      .contains("LIKE 'ab%'"))
+  }
+
+  test("strftime modifiers: interval arithmetic, start-of, utc, left-to-right") {
+    val out = SqliteDialect.rewrite(
+      "SELECT strftime('%Y-%m', ts, '+1 month', 'start of month') FROM t")
+    assert(out.contains(
+      "date_format(date_trunc('MONTH', (ts + INTERVAL 1 MONTH)), 'yyyy-MM')"),
+      out)
+    val back = SqliteDialect.rewrite(
+      "SELECT strftime('%Y', ts, '-3 days', 'utc') FROM t")
+    assert(back.contains("date_format((ts - INTERVAL 3 DAY), 'yyyy')"), back)
+    // modifier order matters (SQLite applies left to right): start of
+    // month THEN +1 day lands on the 2nd; reversed lands on the 1st
+    val ordered = SqliteDialect.rewrite(
+      "SELECT strftime('%d', ts, 'start of month', '+1 day') FROM t")
+    assert(ordered.contains(
+      "date_format((date_trunc('MONTH', ts) + INTERVAL 1 DAY), 'dd')"),
+      ordered)
   }
 
   test("rewriteGroups: whole-peer-group bounds become RANGE verbatim") {
