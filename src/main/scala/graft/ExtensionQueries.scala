@@ -463,6 +463,40 @@ object ExtensionQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // JSONL round-trip: documents written as JSON-lines (the standard
+    // text-corpus interchange format) and read back through the
+    // built-in json source with an explicit schema — hash-matched
+    // against the parquet-reading oracle, proving the engine ingests
+    // the format corpora actually arrive in. Per-process path (same
+    // race rationale as x03).
+    "x04_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_x04_${java.nio.file.Paths.get(dir).getFileName}_" +
+          s"${ProcessHandle.current().pid()}").toString
+      docs.coalesce(2).write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ORC round-trip: same contract through the columnar ORC source —
+    // scan-format portability for warehouses that standardize on ORC.
+    "x05_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_x05_${java.nio.file.Paths.get(dir).getFileName}_" +
+          s"${ProcessHandle.current().pid()}").toString
+      docs.coalesce(2).write.mode("overwrite").orc(path)
+      s.read.schema(docs.schema).orc(path)
+        .orderBy(col("doc_id"))
+    }),
+
     // JSON property extraction + aggregation over the events props blob.
     "j01_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -927,6 +961,16 @@ object ExtensionQueries {
       """SELECT o_orderkey, c_name
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+
+    // the oracle reads the PARQUET table directly: a hash match proves
+    // the Spark jsonl/orc write+read round-trips the data exactly
+    "x04_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "x05_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
 
     "j01_json_extract" ->
       """SELECT event_type,

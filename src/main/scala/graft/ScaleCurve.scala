@@ -91,6 +91,13 @@ object ScaleCurve {
       Similarity.knnLsh(
         e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
         5, planes = 8, dims = 64)
+    }),
+    "d13_winnow_pairs" -> ((s, dir) => {
+      val fps = docs(s, dir)
+        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 12).as("__g"))
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
+      Dedup.winnowPairs(fps, minShared = 5L, maxFpDocFreq = 20)
     }))
 
   /** Candidate-stage WORK counts per operator — the environment-proof
@@ -174,6 +181,17 @@ object ScaleCurve {
     // not grow with the corpus). The expected shape is sub-linear:
     // corpus docs sharing no benchmark n-gram contribute nothing, so
     // work tracks the benchmark-overlapping slice, not the corpus.
+    // d13 winnowing pairs: Σ over CAP-SURVIVING fingerprints (df ≤ 20)
+    // of C(df,2) — the inverted fp index self-join's output rows after
+    // the boilerplate guard (the guard is part of the gate config, so
+    // the measured work is the work the gated plan actually does).
+    "d13_candidates" -> ((s, dir) => {
+      val f = docs(s, dir)
+        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 12).as("__g"))
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
+      pairSum(f.groupBy(col("fp")).count().filter(col("count") <= 20))
+    }),
     "d11_probe_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       def hs(df: DataFrame) =

@@ -89,4 +89,44 @@ class TextStreamingSpec extends SparkSpec {
     }
     assert(tfidf.getMessage.nonEmpty)
   }
+
+  test("repetitionStats composes over a stream unchanged, equal to the batch result") {
+    // round 7: pure per-row folds — stateless, so the same code
+    // incrementalizes with no watermark and no state store
+    val out = TextFunctions.repetitionStats(docsStream(),
+      col("doc_id"), col("text"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rep_stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("rep_stream_out").collect().map(_.toSeq).toSet
+    val expected = TextFunctions.repetitionStats(docsBatch,
+      col("doc_id"), col("text")).collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"stream/batch divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("packSequences and quantileTrim are batch-only and fail loudly on a stream") {
+    // blocking cumsum window — same class of failure as topKPerGroup
+    val pack = intercept[AnalysisException] {
+      val q = TextFunctions.packSequences(docsStream(),
+          col("lang"), col("doc_id"), col("n_chars"), 2000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("pack_stream_out").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(pack.getMessage.toLowerCase.contains("window") ||
+      pack.getMessage.toLowerCase.contains("streaming"))
+
+    // percentile aggregate + join on its own stream output
+    val trim = intercept[AnalysisException] {
+      val q = TextFunctions.quantileTrim(docsStream(),
+          col("lang"), col("n_chars"), 0.10, 0.90)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("trim_stream_out").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(trim.getMessage.nonEmpty)
+  }
 }
