@@ -627,6 +627,27 @@ object SparkEntry {
         .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
           col("n_name"), col("r_name"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    // A1+A13 date parity (round 7): timestamps written to xlsx the way
+    // Excel actually stores dates — serial number + date-format style —
+    // and read back through the DSv2 source's style-aware inference as
+    // TIMESTAMP (pandas datetime64 parity, SURVEY.md §1.2 row 3). The
+    // oracle reads the same rows from parquet, so a hash match proves
+    // serial↔timestamp conversion is exact both directions.
+    "x06_excel_dates" -> ((s, dir) => {
+      val xlsx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_x06_${java.nio.file.Paths.get(dir).getFileName}_" +
+          s"${ProcessHandle.current().pid()}.xlsx").toString
+      sources.excel.XlsxWriter.write(xlsx, Seq(
+        "orders" -> t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 1500)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))))
+      new java.io.File(xlsx).deleteOnExit()
+      s.read.format("excel").option("sheet", "orders").load(xlsx)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -994,6 +1015,11 @@ object SparkEntry {
     "x03_excel_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey
-         ORDER BY n_nationkey"""
+         ORDER BY n_nationkey""",
+
+    "x06_excel_dates" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+         FROM orders WHERE o_orderkey <= 1500
+         ORDER BY o_orderkey"""
   )
 }

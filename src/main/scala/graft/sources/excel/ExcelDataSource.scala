@@ -130,7 +130,10 @@ private[excel] object ExcelSchema {
           case None => entries.head._2
         }
         val shared = XlsxParser.sharedStrings(zip)
-        XlsxParser.foreachRow(zip, entry, shared)(f)
+        // date-styled numeric cells surface as timestamps (pandas
+        // parity; .xls legacy files keep serials numeric — documented)
+        XlsxParser.foreachRow(zip, entry, shared,
+          XlsxParser.dateStyles(zip), XlsxParser.date1904(zip))(f)
       } finally zip.close()
     }
 
@@ -140,6 +143,7 @@ private[excel] object ExcelSchema {
       var names: IndexedSeq[String] = IndexedSeq.empty
       val seenNumeric = mutable.ArrayBuffer.empty[Boolean] // all numeric so far
       val seenIntegral = mutable.ArrayBuffer.empty[Boolean]
+      val seenDate = mutable.ArrayBuffer.empty[Boolean]    // all date-styled
       val seenAny = mutable.ArrayBuffer.empty[Boolean]
       var width = 0
       var visited = 0
@@ -159,7 +163,8 @@ private[excel] object ExcelSchema {
             val w = if (cells.isEmpty) 0 else cells.map(_.col).max + 1
             if (w > width) width = w
             while (seenNumeric.length < width) {
-              seenNumeric += true; seenIntegral += true; seenAny += false
+              seenNumeric += true; seenIntegral += true
+              seenDate += true; seenAny += false
             }
             cells.foreach { c =>
               if (c.value.nonEmpty && c.col < seenNumeric.length) {
@@ -167,6 +172,7 @@ private[excel] object ExcelSchema {
                 if (!(c.isNumeric || isNumeric(c.value)))
                   seenNumeric(c.col) = false
                 if (!isIntegral(c.value)) seenIntegral(c.col) = false
+                if (!c.isDate) seenDate(c.col) = false
               }
             }
             visited += 1
@@ -178,6 +184,8 @@ private[excel] object ExcelSchema {
       val fields = names.zipWithIndex.map { case (n, i) =>
         val dt: DataType =
           if (!inferTypes) StringType
+          else if (i < seenAny.length && seenAny(i) && seenDate(i))
+            TimestampType // all-date-styled column: pandas datetime64 parity
           else if (i < seenAny.length && seenAny(i) && seenNumeric(i))
             if (seenIntegral(i)) LongType else DoubleType
           else StringType
@@ -284,6 +292,16 @@ private[excel] class ExcelPartitionReader(
                   catch { case _: NumberFormatException => null }
                 case BooleanType =>
                   java.lang.Boolean.valueOf(raw.trim == "true" || raw.trim == "1")
+                case TimestampType =>
+                  // `yyyy-MM-dd HH:mm:ss[.SSS]` (UTC wall time from the
+                  // serial conversion) → micros since epoch
+                  try {
+                    val t = raw.trim.replace(' ', 'T')
+                    val ldt = java.time.LocalDateTime.parse(t)
+                    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+                    java.lang.Long.valueOf(
+                      inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+                  } catch { case _: java.time.format.DateTimeParseException => null }
                 case _ => UTF8String.fromString(raw)
               }
             i += 1

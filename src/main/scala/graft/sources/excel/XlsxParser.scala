@@ -17,8 +17,147 @@ import scala.collection.mutable
   */
 object XlsxParser {
 
-  /** A parsed cell value: either raw text (string) or numeric text. */
-  final case class Cell(col: Int, value: String, isNumeric: Boolean)
+  /** A parsed cell value: raw text (string), numeric text, or — when the
+    * cell carried a DATE number format — the serial converted to
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` text with `isDate = true`.
+    */
+  final case class Cell(col: Int, value: String, isNumeric: Boolean,
+      isDate: Boolean = false)
+
+  /** Excel's 1900-system day-0 (1899-12-30T00:00:00Z — the offset that
+    * absorbs the format's historical 1900 leap-year quirk for all
+    * modern serials) and the 1904-system epoch, as epoch millis.
+    */
+  private val Epoch1900Ms = -2209161600000L
+  private val Epoch1904Ms = -2082844800000L
+  private val MsPerDay = 86400000L
+
+  /** Excel date serial → `yyyy-MM-dd HH:mm:ss[.SSS]` (UTC wall time —
+    * xlsx dates are zone-less; the engine pins sessions to UTC).
+    * Rounded to milliseconds: a serial double carries ~µs precision for
+    * modern dates, and rounding undoes the binary-fraction noise of
+    * time-of-day arithmetic.
+    */
+  def serialToDateTimeString(serial: Double, date1904: Boolean): String = {
+    val epoch = if (date1904) Epoch1904Ms else Epoch1900Ms
+    val ms = Math.round(serial * MsPerDay) + epoch
+    val i = java.time.Instant.ofEpochMilli(ms)
+    val dt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+    val base = f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d " +
+      f"${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d"
+    val millis = dt.getNano / 1000000
+    if (millis == 0) base else f"$base.$millis%03d"
+  }
+
+  /** Inverse of [[serialToDateTimeString]]'s epoch math, for writers. */
+  def millisToSerial(epochMs: Long, date1904: Boolean = false): Double = {
+    val epoch = if (date1904) Epoch1904Ms else Epoch1900Ms
+    (epochMs - epoch).toDouble / MsPerDay
+  }
+
+  /** Is a custom number-format code a DATE/TIME format? The openpyxl /
+    * pandas heuristic: any of the date-token letters (y m d h s)
+    * appearing OUTSIDE quoted literals, `[...]` sections (colors,
+    * conditions — but `[h]`/`[mm]`/`[ss]` elapsed-time tokens DO count),
+    * and backslash-escaped characters.
+    */
+  def isDateFormatCode(code: String): Boolean = {
+    var i = 0
+    var inQuote = false
+    while (i < code.length) {
+      val c = code.charAt(i)
+      if (inQuote) { if (c == '"') inQuote = false; i += 1 }
+      else c match {
+        case '"' => inQuote = true; i += 1
+        case '\\' => i += 2
+        case '[' =>
+          val close = code.indexOf(']', i)
+          val section = if (close < 0) code.substring(i + 1)
+            else code.substring(i + 1, close)
+          // elapsed-time tokens like [h] [mm] [ss] are date formats
+          if (section.nonEmpty &&
+              section.forall(ch => "hmsHMS".indexOf(ch) >= 0)) return true
+          i = if (close < 0) code.length else close + 1
+        case ch if "ymdhsYMDHS".indexOf(ch) >= 0 => return true
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  /** Style indexes (the `s=` attribute of cells) whose number format is
+    * a date/time format — builtin date ids (14-22, 27-36, 45-47) or a
+    * custom format code [[isDateFormatCode]] recognizes. Empty when the
+    * workbook has no styles part.
+    */
+  def dateStyles(zip: ZipFile): Set[Int] = {
+    val e = zip.getEntry("xl/styles.xml")
+    if (e == null) return Set.empty
+    val custom = mutable.Map.empty[Int, String] // numFmtId -> code
+    val xfFmts = mutable.ArrayBuffer.empty[Int] // xf order -> numFmtId
+    var inCellXfs = false
+    val r = xmlReader(zip.getInputStream(e))
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            var id = -1; var code: String = null
+            var i = 0
+            while (i < r.getAttributeCount) {
+              val ln = r.getAttributeLocalName(i)
+              if (ln == "numFmtId") id = r.getAttributeValue(i).toInt
+              if (ln == "formatCode") code = r.getAttributeValue(i)
+              i += 1
+            }
+            if (id >= 0 && code != null) custom(id) = code
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            var fmt = 0
+            var i = 0
+            while (i < r.getAttributeCount) {
+              if (r.getAttributeLocalName(i) == "numFmtId")
+                fmt = r.getAttributeValue(i).toInt
+              i += 1
+            }
+            xfFmts += fmt
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    } finally r.close()
+    def isDateFmt(id: Int): Boolean =
+      (id >= 14 && id <= 22) || (id >= 27 && id <= 36) ||
+        (id >= 45 && id <= 47) ||
+        custom.get(id).exists(isDateFormatCode)
+    xfFmts.zipWithIndex.collect {
+      case (fmt, idx) if isDateFmt(fmt) => idx
+    }.toSet
+  }
+
+  /** The workbook's `date1904` flag (Mac-epoch serials). */
+  def date1904(zip: ZipFile): Boolean = {
+    val wb = zip.getEntry("xl/workbook.xml")
+    if (wb == null) return false
+    val r = xmlReader(zip.getInputStream(wb))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT
+          && r.getLocalName == "workbookPr") {
+          var i = 0
+          while (i < r.getAttributeCount) {
+            if (r.getAttributeLocalName(i) == "date1904") {
+              val v = r.getAttributeValue(i)
+              return v == "1" || v.equalsIgnoreCase("true")
+            }
+            i += 1
+          }
+        }
+      }
+    } finally r.close()
+    false
+  }
 
   private def xmlReader(in: InputStream): XMLStreamReader = {
     val f = XMLInputFactory.newInstance()
@@ -121,7 +260,8 @@ object XlsxParser {
     * Each emitted row is (rowIndex0, cells). Runs `f` per row; returns
     * the number of rows visited (streaming — no row buffer kept).
     */
-  def foreachRow(zip: ZipFile, entryPath: String, shared: IndexedSeq[String])(
+  def foreachRow(zip: ZipFile, entryPath: String, shared: IndexedSeq[String],
+      dateStyleIdx: Set[Int] = Set.empty, date1904Flag: Boolean = false)(
       f: (Int, Seq[Cell]) => Unit): Int = {
     val e = zip.getEntry(entryPath)
     require(e != null, s"xlsx: missing worksheet entry $entryPath")
@@ -131,6 +271,7 @@ object XlsxParser {
     var cells = mutable.ArrayBuffer.empty[Cell]
     var cellCol = -1
     var cellType = "n"
+    var cellStyle = -1
     var inV = false
     var inIsT = false
     val text = new StringBuilder
@@ -149,12 +290,14 @@ object XlsxParser {
               i += 1
             }
           case "c" =>
-            cellType = "n"; cellCol = { autoCol += 1; autoCol }
+            cellType = "n"; cellStyle = -1; cellCol = { autoCol += 1; autoCol }
             var i = 0
             while (i < r.getAttributeCount) {
               val ln = r.getAttributeLocalName(i)
               if (ln == "r") { cellCol = colIndex(r.getAttributeValue(i)); autoCol = cellCol }
               if (ln == "t") cellType = r.getAttributeValue(i)
+              if (ln == "s") cellStyle =
+                try r.getAttributeValue(i).toInt catch { case _: NumberFormatException => -1 }
               i += 1
             }
           case "v" => inV = true; text.clear()
@@ -176,7 +319,18 @@ object XlsxParser {
                 Cell(cellCol, if (raw.trim == "1") "true" else "false",
                   isNumeric = false)
               case "str" => Cell(cellCol, raw, isNumeric = false)
-              case _     => Cell(cellCol, raw, isNumeric = true)
+              case _ =>
+                // a numeric cell with a DATE number format is a date —
+                // how xlsx actually stores dates (serial + style);
+                // pandas converts these to datetime64 (SURVEY.md §1.2
+                // row 3), so parity requires the same here
+                if (dateStyleIdx.contains(cellStyle))
+                  try Cell(cellCol,
+                    serialToDateTimeString(raw.trim.toDouble, date1904Flag),
+                    isNumeric = false, isDate = true)
+                  catch { case _: NumberFormatException =>
+                    Cell(cellCol, raw, isNumeric = true) }
+                else Cell(cellCol, raw, isNumeric = true)
             }
             cells += cell
           case "t" =>

@@ -79,6 +79,7 @@ object XlsxWriter {
         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
         """<Default Extension="xml" ContentType="application/xml"/>""" +
         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
         (if (sharedStrings)
           """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>"""
         else "") +
@@ -104,10 +105,27 @@ object XlsxWriter {
         (1 to n).map(i =>
           s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>"""
         ).mkString +
+        s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
         (if (sharedStrings)
-          s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>"""
+          s"""<Relationship Id="rId${n + 2}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>"""
         else "") +
         """</Relationships>""")
+      // styles: xf 0 = general; xf 1 = datetime (builtin numFmt 22,
+      // "m/d/yy h:mm"); xf 2 = date (builtin 14, "m/d/yy"). Written for
+      // every workbook so timestamp/date cells always have a style to
+      // reference — readers (ours, pandas/openpyxl) detect dates by it.
+      entry("xl/styles.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>""" +
+        """<fills count="1"><fill><patternFill patternType="none"/></fill></fills>""" +
+        """<borders count="1"><border/></borders>""" +
+        """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+        """<cellXfs count="3">""" +
+        """<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>""" +
+        """<xf numFmtId="22" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>""" +
+        """<xf numFmtId="14" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>""" +
+        """</cellXfs></styleSheet>""")
 
       sheets.zipWithIndex.foreach { case ((_, df), si) =>
         zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
@@ -143,6 +161,24 @@ object XlsxWriter {
                   w.write(s"""<c r="$ref"><v>${row.get(c)}</v></c>""")
                 case BooleanType =>
                   w.write(s"""<c r="$ref" t="b"><v>${if (row.getBoolean(c)) 1 else 0}</v></c>""")
+                case TimestampType =>
+                  // dates the way xlsx actually stores them: serial
+                  // number + date style (s="1" → numFmt 22), not text —
+                  // so pandas and our reader both get datetimes back
+                  val ts = row.getAs[java.sql.Timestamp](c)
+                  val serial = XlsxParser.millisToSerial(ts.getTime)
+                  w.write(s"""<c r="$ref" s="1"><v>$serial</v></c>""")
+                case TimestampNTZType =>
+                  // zone-less parquet timestamps surface as LocalDateTime;
+                  // Excel serials are zone-less too — direct wall-time map
+                  val ldt = row.getAs[java.time.LocalDateTime](c)
+                  val serial = XlsxParser.millisToSerial(
+                    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+                  w.write(s"""<c r="$ref" s="1"><v>$serial</v></c>""")
+                case DateType =>
+                  val d = row.getAs[java.sql.Date](c)
+                  val serial = XlsxParser.millisToSerial(d.getTime)
+                  w.write(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
                 case _ =>
                   w.write(stringCell(ref, String.valueOf(row.get(c))))
               }

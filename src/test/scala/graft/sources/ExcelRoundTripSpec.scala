@@ -56,6 +56,46 @@ class ExcelRoundTripSpec extends SparkSpec {
     assert(rows(2) == Row(3L, 3.0, "gamma, with comma", "z", "not a date"))
   }
 
+  test("date-styled cells round-trip as timestamps (pandas datetime64 parity)") {
+    import graft.sources.excel.XlsxParser
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-15 00:00:00")),          // date-only serial (integer)
+      (2L, ts("2024-01-15 13:45:30")),          // time-of-day fraction
+      (3L, ts("1999-12-31 23:59:59.250"))       // sub-second, pre-2000
+    ).toDF("id", "when")
+    val path = tmp("dates.xlsx")
+    XlsxWriter.write(path, Seq("Sheet1" -> df))
+
+    val back = spark.read.format("excel").option("sheet", "Sheet1").load(path)
+    assert(back.schema("when").dataType == TimestampType,
+      s"date-styled column not inferred as timestamp: ${back.schema}")
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    assert(got(1L) == ts("2024-01-15 00:00:00"))
+    assert(got(2L) == ts("2024-01-15 13:45:30"))
+    assert(got(3L) == ts("1999-12-31 23:59:59.250"))
+
+    // a column mixing date-styled and plain numeric cells stays the
+    // numeric/string path — only all-date columns become timestamps
+    // (mirrors inference discipline elsewhere in the reader)
+    val serial = XlsxParser.millisToSerial(ts("2024-01-15 00:00:00").getTime)
+    assert(serial == 45306.0, s"serial epoch math drifted: $serial")
+  }
+
+  test("date format-code detection: date codes yes, number codes no") {
+    import graft.sources.excel.XlsxParser.isDateFormatCode
+    assert(isDateFormatCode("yyyy-mm-dd"))
+    assert(isDateFormatCode("m/d/yy h:mm"))
+    assert(isDateFormatCode("[h]:mm:ss"))        // elapsed time
+    assert(isDateFormatCode("hh:mm AM/PM"))
+    assert(!isDateFormatCode("0.00"))
+    assert(!isDateFormatCode("#,##0"))
+    assert(!isDateFormatCode("0.00E+00"))
+    assert(!isDateFormatCode("\"date: y\"0.0"))  // y only inside quotes
+    assert(!isDateFormatCode("[Red]0.0"))        // color section, no date tokens
+  }
+
   test("longs above 2^53 round-trip exactly (no double truncation)") {
     val big = 9007199254740993L // 2^53 + 1: unrepresentable as a double
     val df = Seq((big, "a"), (Long.MaxValue - 1, "b"), (7L, "c"))
