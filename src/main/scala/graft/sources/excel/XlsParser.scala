@@ -196,6 +196,9 @@ object XlsParser {
     val BoolErr = 0x0205
     val Formula = 0x0006
     val StringRec = 0x0207
+    val FormatRec = 0x041E
+    val Xf = 0x00E0
+    val DateMode = 0x0022
     val SharedFmla = 0x04BC
     val ArrayRec = 0x0221
     val TableRec = 0x0236
@@ -344,14 +347,22 @@ object XlsParser {
       sb.toString
     }
 
-  /** Workbook-global state: the raw stream, sheet directory, and SST. */
+  /** Workbook-global state: the raw stream, sheet directory, SST, the
+    * per-XF date flags (FORMAT + XF records, same builtin-id ranges and
+    * custom-code heuristic as the xlsx styles path), and the DATEMODE
+    * 1904-epoch flag.
+    */
   private final case class Globals(stream: Array[Byte],
-      bounds: Vector[(String, Int)], sst: IndexedSeq[String])
+      bounds: Vector[(String, Int)], sst: IndexedSeq[String],
+      xfIsDate: IndexedSeq[Boolean], date1904: Boolean)
 
   private def parseGlobals(stream: Array[Byte]): Globals = {
-    // ---- globals substream: BOUNDSHEETs + SST
+    // ---- globals substream: BOUNDSHEETs + SST + FORMAT/XF/DATEMODE
     var bounds = Vector.empty[(String, Int)] // (name, sheet BOF position)
     var sstStrings: IndexedSeq[String] = IndexedSeq.empty
+    val customFmts = mutable.Map.empty[Int, String] // ifmt -> format code
+    val xfIfmts = mutable.ArrayBuffer.empty[Int]    // XF order -> ifmt
+    var date1904 = false
     val it = records(stream, 0).buffered
     var done = false
     while (it.hasNext && !done) {
@@ -366,11 +377,25 @@ object XlsParser {
           val conts = mutable.ArrayBuffer.empty[RawRecord]
           while (it.hasNext && it.head.id == Rec.Continue) conts += it.next()
           sstStrings = parseSst(r, conts.toSeq)
+        case Rec.FormatRec if r.data.length >= 5 =>
+          val ifmt = u16(r.data, 0)
+          val cch = u16(r.data, 2)
+          val flags = r.data(4) & 0xFF
+          customFmts(ifmt) = readInlineString(r.data, 5, cch, flags)
+        case Rec.Xf if r.data.length >= 4 =>
+          xfIfmts += u16(r.data, 2)
+        case Rec.DateMode if r.data.length >= 2 =>
+          date1904 = u16(r.data, 0) == 1
         case Rec.Eof => done = true
         case _ => ()
       }
     }
-    Globals(stream, bounds, sstStrings)
+    def isDateFmt(ifmt: Int): Boolean =
+      (ifmt >= 14 && ifmt <= 22) || (ifmt >= 27 && ifmt <= 36) ||
+        (ifmt >= 45 && ifmt <= 47) ||
+        customFmts.get(ifmt).exists(XlsxParser.isDateFormatCode)
+    Globals(stream, bounds, sstStrings,
+      xfIfmts.map(isDateFmt).toIndexedSeq, date1904)
   }
 
   /** One sheet substream, starting at its BOUNDSHEET-recorded BOF. */
@@ -381,6 +406,14 @@ object XlsParser {
       val cells = mutable.SortedMap.empty[Int, mutable.ArrayBuffer[Cell]]
       def add(row: Int, c: Cell): Unit =
         cells.getOrElseUpdate(row, mutable.ArrayBuffer.empty) += c
+      // a numeric cell whose XF carries a date format is a DATE — the
+      // same style-based storage as xlsx (serial + format), so legacy
+      // workbooks get the identical pandas-datetime64 parity
+      def numCell(col: Int, ixfe: Int, d: Double): Cell =
+        if (ixfe >= 0 && ixfe < g.xfIsDate.length && g.xfIsDate(ixfe))
+          Cell(col, XlsxParser.serialToDateTimeString(d, g.date1904),
+            isNumeric = false, isDate = true)
+        else Cell(col, numToString(d), isNumeric = true)
       val rit = records(stream, bofPos).buffered
       var inSheet = true
       if (rit.hasNext && rit.head.id == Rec.Bof) rit.next()
@@ -401,20 +434,18 @@ object XlsParser {
                 isNumeric = false))
           case Rec.Number =>
             add(u16(r.data, 0),
-              Cell(u16(r.data, 2), numToString(f64(r.data, 6)), isNumeric = true))
+              numCell(u16(r.data, 2), u16(r.data, 4), f64(r.data, 6)))
           case Rec.Rk =>
             add(u16(r.data, 0),
-              Cell(u16(r.data, 2), numToString(decodeRk(i32(r.data, 6))),
-                isNumeric = true))
+              numCell(u16(r.data, 2), u16(r.data, 4), decodeRk(i32(r.data, 6))))
           case Rec.MulRk =>
             val row = u16(r.data, 0)
             val colFirst = u16(r.data, 2)
             val n = (r.data.length - 6) / 6
             var k = 0
             while (k < n) {
-              add(row, Cell(colFirst + k,
-                numToString(decodeRk(i32(r.data, 4 + k * 6 + 2))),
-                isNumeric = true))
+              add(row, numCell(colFirst + k, u16(r.data, 4 + k * 6),
+                decodeRk(i32(r.data, 4 + k * 6 + 2))))
               k += 1
             }
           case Rec.BoolErr =>
@@ -453,7 +484,7 @@ object XlsParser {
                 case _ => () // error / empty result
               }
             } else {
-              add(row, Cell(colIdx, numToString(f64(r.data, 6)), isNumeric = true))
+              add(row, numCell(colIdx, u16(r.data, 4), f64(r.data, 6)))
             }
           case _ => ()
         }

@@ -336,6 +336,57 @@ class XlsSourceSpec extends SparkSpec {
     assert(XlsParser.decodeRk(rk) == 2.5)
   }
 
+  test(".xls date cells: FORMAT/XF/DATEMODE -> timestamps (round 7)") {
+    // one-sheet workbook with date-styled numerics: XF 1 -> custom
+    // format "yyyy-mm-dd" (ifmt 164), XF 2 -> builtin 22 (m/d/yy h:mm)
+    def sheet: Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(bof(0x0010))
+      def label(row: Int, c: Int, s: String): Array[Byte] =
+        record(0x0204, w => w.u16(row).u16(c).u16(0)
+          .u16(s.length).u8(0).ascii(s))
+      b.write(label(0, 0, "id"))
+      b.write(label(0, 1, "when"))
+      // serial 45306.5 = 2024-01-15 12:00:00; 36525.25 = 1999-12-31 06:00
+      b.write(record(0x027E, w => w.u16(1).u16(0).u16(0).u32(rkInt(1))))
+      b.write(record(0x0203, w => w.u16(1).u16(1).u16(1).f64(45306.5)))
+      b.write(record(0x027E, w => w.u16(2).u16(0).u16(0).u32(rkInt(2))))
+      b.write(record(0x0203, w => w.u16(2).u16(1).u16(2).f64(36525.25)))
+      b.write(eof)
+      b.toByteArray
+    }
+    def globals(sPos: Int): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(bof(0x0005))
+      b.write(record(0x0022, w => w.u16(0))) // DATEMODE: 1900 system
+      val code = "yyyy-mm-dd"
+      b.write(record(0x041E, w => w.u16(164)
+        .u16(code.length).u8(0).ascii(code)))
+      def xf(ifmt: Int): Array[Byte] =
+        record(0x00E0, w => w.u16(0).u16(ifmt).u16(0)
+          .u16(0).u16(0).u16(0).u16(0).u16(0).u16(0).u16(0))
+      b.write(xf(0)); b.write(xf(164)); b.write(xf(22))
+      b.write(record(0x0085, w => w.u32(sPos).u16(0)
+        .u8(5).u8(0).ascii("Dates")))
+      b.write(eof)
+      b.toByteArray
+    }
+    val gLen = globals(0).length
+    val dir = Files.createTempDirectory("xls-dates")
+    val f = dir.resolve("dates.xls")
+    Files.write(f, cfb(globals(gLen) ++ sheet))
+
+    val df = spark.read.format("excel").load(f.toString)
+    assert(df.schema == StructType(Seq(
+      StructField("id", LongType), StructField("when", TimestampType))),
+      df.schema.toString)
+    val got = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-15 12:00:00.0"),
+      (2L, "1999-12-31 06:00:00.0")), got.toString)
+  }
+
   test("spark.read.format(\"excel\") on .xls: inference, values, sheet option") {
     val f = fixture()
     val df = spark.read.format("excel").load(f.toString)
