@@ -482,6 +482,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
+    // CSV via pandas) through Spark's csv source — header + explicit
+    // schema, quoted fields, hash-matched against the parquet oracle.
+    "x07_csv_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_x07_${java.nio.file.Paths.get(dir).getFileName}_" +
+          s"${ProcessHandle.current().pid()}").toString
+      docs.coalesce(2).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      s.read.schema(docs.schema).option("header", "true").csv(path)
+        .orderBy(col("doc_id"))
+    }),
+
     // ORC round-trip: same contract through the columnar ORC source —
     // scan-format portability for warehouses that standardize on ORC.
     "x05_orc_roundtrip" -> ((s, dir) => {
@@ -969,6 +986,10 @@ object ExtensionQueries {
          FROM documents ORDER BY doc_id""",
 
     "x05_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "x07_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 
