@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.functions.{Dedup, Graph, Similarity, TextFunctions}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events` (the scale extensions beyond the reference's own surface):
@@ -200,6 +200,16 @@ object ExtensionQueries {
     "d12_dedup_near" -> ((s, dir) => {
       Dedup.dedupNear(t(s, dir, "documents"), col("doc_id"), col("text"), 0.8)
         .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic quantized PageRank over the near-dup pair graph —
+    // the authority/quality prior of web-scale curation, in exact
+    // ppm-integer arithmetic so 5 power iterations hash-match the
+    // oracle's unrolled CTEs (the e03 k-means precedent).
+    "g01_pagerank" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      Graph.pageRank(Dedup.jaccardPairs(sh, 0.8), iters = 5)
         .orderBy(col("doc_id"))
     }),
 
@@ -751,6 +761,28 @@ object ExtensionQueries {
            FROM tf JOIN dfq USING (term))
          SELECT doc_id, term, tf, df FROM scored
          WHERE rk <= 3 ORDER BY doc_id, term""",
+
+    // the same 5 quantized power iterations, unrolled — integer floor
+    // divisions make every step engine-exact (e03 precedent)
+    "g01_pagerank" -> {
+      def sweep(k: Int) =
+        s"""it$k AS (
+           |  SELECT e.dst AS id,
+           |    CAST(150000 + SUM(((s.pr * 850000) // 1000000) // d.deg)
+           |         AS BIGINT) AS pr
+           |  FROM edges e
+           |  JOIN it${k - 1} s ON s.id = e.src
+           |  JOIN deg d ON d.id = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      s"""WITH $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+         it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         ${sweep(1)}, ${sweep(2)}, ${sweep(3)}, ${sweep(4)}, ${sweep(5)}
+         SELECT id AS doc_id, pr FROM it5 ORDER BY doc_id"""
+    },
 
     // same winnow pipeline as t04's oracle at (k=12, w=8), then the
     // doc-freq cap and the shared-count self-join

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Graph.pageRank]]: deterministic quantized authority ranking. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("symmetric graphs rank equally; hubs outrank leaves") {
+    // triangle: all three nodes structurally identical
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val triRanks = Graph.pageRank(tri).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(triRanks.values.toSet.size == 1,
+      s"triangle nodes must rank equally: $triRanks")
+
+    // star: the hub collects every leaf's full contribution
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L))
+      .toDF("id_a", "id_b")
+    val ranks = Graph.pageRank(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(10L) > ranks(1L),
+      s"hub must outrank leaves: $ranks")
+    assert(Seq(1L, 2L, 3L, 4L).map(ranks).toSet.size == 1,
+      "symmetric leaves must rank equally")
+  }
+
+  test("deterministic across partitioning (exact integer arithmetic)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val a = Graph.pageRank(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank(pairs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"partitioning changed ranks: ${a.diff(b)}")
+  }
+
+  test("scores stay in sane ppm bounds (mass only leaks via floor)") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ranks = Graph.pageRank(pairs, iters = 10).collect()
+      .map(r => r.getLong(1))
+    // base (150k) is the floor; total mass can't exceed the initial
+    // 3M by construction (floor divisions only ever LOSE mass)
+    assert(ranks.forall(_ >= 150000L), ranks.mkString(","))
+    assert(ranks.sum <= 3000000L, s"mass created: ${ranks.sum}")
+  }
+}
