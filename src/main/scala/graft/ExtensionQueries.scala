@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Dedup, Graph, Similarity, TextFunctions}
+import graft.functions.{Curation, Dedup, Graph, Similarity, TextFunctions}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events` (the scale extensions beyond the reference's own surface):
@@ -200,6 +200,20 @@ object ExtensionQueries {
     "d12_dedup_near" -> ((s, dir) => {
       Dedup.dedupNear(t(s, dir, "documents"), col("doc_id"), col("text"), 0.8)
         .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The one-call curation recipe: language filter → near-dedup
+    // keep-one → per-language mixture sampling → sequence packing —
+    // every stage individually gated elsewhere (d12/t06/t12), composed
+    // here end-to-end against ONE composed oracle.
+    "p01_curation_recipe" -> ((s, dir) => {
+      Curation.curate(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"),
+          langs = Seq("en", "de", "fr"), tokens = col("n_chars"),
+          rates = Seq("en" -> 0.5, "de" -> 0.5), defaultRate = 0.25,
+          budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("bin"))
         .orderBy(col("doc_id"))
     }),
 
@@ -761,6 +775,52 @@ object ExtensionQueries {
            FROM tf JOIN dfq USING (term))
          SELECT doc_id, term, tf, df FROM scored
          WHERE rk <= 3 ORDER BY doc_id, term""",
+
+    // the d12 transitive-closure oracle over the language-FILTERED
+    // corpus, then the t06 hash filter and the t12 cumsum packing —
+    // every fragment identical to its stand-alone gated form
+    "p01_curation_recipe" ->
+      """WITH RECURSIVE
+         base AS (SELECT * FROM documents WHERE lang IN ('en','de','fr')),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM base))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(common AS DOUBLE)/(ca.n + cb.n - common) AS jaccard
+           FROM prs
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b),
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         surv AS (
+           SELECT d.* FROM base d
+           LEFT JOIN cc ON cc.id = d.doc_id
+           WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id),
+         samp AS (
+           SELECT * FROM surv
+           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10000 <
+             CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 5000
+                  ELSE 2500 END)
+         SELECT doc_id, lang,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+         FROM (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM samp)
+         ORDER BY doc_id""",
 
     // the same 5 quantized power iterations, unrolled — integer floor
     // divisions make every step engine-exact (e03 precedent)

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** [[Curation.curate]]: the composed one-call recipe keeps its stage
+  * contracts.
+  */
+class CurationSpec extends SparkSpec {
+
+  private val langs = Seq("en", "de", "fr")
+  private lazy val out = Curation.curate(
+    Tables.df(spark, sf(), "documents"),
+    col("doc_id"), col("text"), col("lang"),
+    langs = langs, tokens = col("n_chars"),
+    rates = Seq("en" -> 0.5, "de" -> 0.5), defaultRate = 0.25,
+    budget = 2000L).cache()
+
+  test("only allow-listed languages survive, with bins assigned") {
+    val gotLangs = out.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(gotLangs.subsetOf(langs.toSet), gotLangs.toString)
+    assert(out.filter(col("bin").isNull).count() == 0)
+    assert(out.count() > 0, "recipe filtered everything — gate is vacuous")
+  }
+
+  test("at most one survivor per near-dup cluster (dedup before sampling)") {
+    val docs = Tables.df(spark, sf(), "documents")
+      .filter(col("lang").isInCollection(langs))
+    val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"))
+    val cc = Dedup.connectedComponents(Dedup.jaccardPairs(sh, 0.8))
+    val perCluster = out.join(cc, Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(perCluster == 0, s"$perCluster clusters kept multiple members")
+  }
+
+  test("bins are contiguous per language starting at 0") {
+    val bins = out.groupBy(col("lang"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        count_distinct(col("bin")).as("n"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getLong(1) == 0L, s"${r.getString(0)}: min bin ${r.getLong(1)}")
+      // start-offset binning fills bins in order; a document longer
+      // than the budget can straddle (skipping at most one bin index
+      // is impossible with budget >= max token count — n_chars <= 553)
+      assert(r.getLong(3) == r.getLong(2) + 1,
+        s"${r.getString(0)}: non-contiguous bins")
+    }
+  }
+}
