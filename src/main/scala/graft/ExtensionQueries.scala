@@ -241,6 +241,34 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup semantic dedup (arXiv:2303.09540): deterministic k-means
+    // clusters (the e03 Lloyd quantizer, bit-reproducible), within-
+    // cluster quantized-cosine scan, min-id keep-one. Same planted
+    // duplicates as d06 so the gate has real drops — each plant is
+    // identical to its original, lands in the same cluster at cos 1.0,
+    // and the larger planted id is the one marked kept=false.
+    "d14_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val checked = emb.filter(
+        assert_true(col("vec_id") < 100000,
+          lit("d14: vec_id >= 100000 collides with planted duplicates — " +
+            "raise the plant offset")).isNull)
+      val planted = checked.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Similarity.semanticDedup(checked.unionByName(planted), k = 8,
+          threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Sliding word-window chunking: 32-token chunks advancing by 24
+    // (8-token overlap) — the document→embedding/context-window prep
+    // step; zero-shuffle row-multiplier.
+    "t13_chunk_docs" -> ((s, dir) => {
+      TextFunctions.chunkDocuments(t(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Deterministic contiguous sequence packing: per-language training
     // bins of ~2000 tokens (n_chars as the token proxy), start-offset
     // bin assignment — one shuffle on the shard key, rerun-stable.
@@ -739,6 +767,75 @@ object ExtensionQueries {
          LEFT JOIN cc ON cc.id = d.doc_id
          WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    // mirrors Similarity.semanticDedup exactly: the e03 Lloyd sweeps
+    // (quantized longs, integer sq-distance, floor(sum/count + 0.5)
+    // means) over the plant-extended corpus, then the within-cluster
+    // cosine scan with the min-id keep-one policy
+    "d14_semantic_dedup" -> {
+      val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      def sweep(n: Int, prev: String) = s"""
+        a$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc CROSS JOIN $prev),
+        u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
+      s"""WITH qc AS (
+           SELECT vec_id, embedding, $qv AS q FROM (
+             SELECT vec_id, embedding FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000, embedding FROM embeddings
+             WHERE vec_id % 50 = 0)),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
+             FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
+         ${sweep(1, "c0")}, ${sweep(2, "c1")}, ${sweep(3, "c2")},
+         assigned AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
+               / (sqrt(CAST(${dotQ("a.embedding", "a.embedding")} AS DOUBLE))
+                  * sqrt(CAST(${dotQ("b.embedding", "b.embedding")} AS DOUBLE)))
+               >= 0.95)
+         SELECT v.vec_id, CAST(v.centroid_id AS INT) AS centroid_id,
+           (d.vec_id IS NULL) AS kept
+         FROM assigned v LEFT JOIN drops d ON v.vec_id = d.vec_id
+         ORDER BY v.vec_id"""
+    },
+
+    // mirrors TextFunctions.chunkDocuments: window 32, stride 24, the
+    // same greatest(1, floor((n-w+s-1)/s)+1) chunk count and 1-based
+    // inclusive slicing
+    "t13_chunk_docs" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+           FROM documents),
+         nb AS (
+           SELECT doc_id, toks, n,
+             greatest(1, CAST(floor(CAST(n - 32 + 24 - 1 AS DOUBLE) / 24) AS INT) + 1) AS nc
+           FROM base),
+         ex AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM nb)
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, i*24+1, i*24+32), ' ') AS chunk_text,
+           CAST(least(32, n - i*24) AS INT) AS n_tokens
+         FROM ex ORDER BY doc_id, chunk_id""",
 
     "d11_decontamination" ->
       s"""WITH $ShingleCte

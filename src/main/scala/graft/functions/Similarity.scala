@@ -382,6 +382,62 @@ object Similarity {
     knnLsh(corpus, queries, k, autoPlanes(n, targetOccupancy), dims, tables)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, public): cluster the corpus with the
+    * deterministic quantized Lloyd's quantizer ([[ivfTrain]] — seeded
+    * by lowest ids, integer-rounded means, bit-reproducible), assign
+    * every vector to its nearest centroid ([[ivfAssign]]), and inside
+    * each cluster mark as NOT-kept any vector with a smaller-id
+    * neighbour at quantized cosine ≥ `threshold` — the deterministic
+    * keep-one policy (min id survives). Returns every corpus row as
+    * (vec_id, centroid_id, kept).
+    *
+    * Scale shape: training is O(iters·n·k) broadcast-join work with
+    * k·dims driver state; assignment is one broadcast join (the corpus
+    * never shuffles); the duplicate scan is ONE shuffle on centroid_id
+    * plus within-cluster pairing. The published SemDeDup recipe keeps
+    * the quadratic within-cluster term bounded by growing k with the
+    * corpus (expected cluster size n/k ≈ constant) — that is what
+    * [[semanticDedupAuto]] applies. Past the k where ivfTrain's driver
+    * state binds (~millions of centroids at 64 dims), the LSH-bucketed
+    * [[cosineNearDupPairs]] family is the no-driver-state alternative
+    * with the same verify arithmetic.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
+      iters: Int = 3): DataFrame = {
+    require(k > 1, "semanticDedup: need k > 1 clusters")
+    val centroids = ivfTrain(emb, k, iters)
+    val assigned = ivfAssign(emb, centroids)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineQ(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid_id"), col("__dup").isNull.as("kept"))
+  }
+
+  /** k sized for [[semanticDedup]] so expected cluster size stays at
+    * `targetClusterSize` — the SemDeDup scaling rule (k ∝ n keeps the
+    * within-cluster pairwise term linear overall).
+    */
+  def autoClusters(corpusSize: Long, targetClusterSize: Int = 256): Int = {
+    require(corpusSize > 0 && targetClusterSize > 0)
+    math.max(2, math.ceil(corpusSize.toDouble / targetClusterSize).toInt)
+  }
+
+  /** [[semanticDedup]] with k from [[autoClusters]] — the at-scale
+    * default, same `corpusSize` contract as [[cosineNearDupPairsAuto]].
+    */
+  def semanticDedupAuto(emb: DataFrame, threshold: Double,
+      corpusSize: Long = 0L, targetClusterSize: Int = 256,
+      iters: Int = 3): DataFrame = {
+    val n = if (corpusSize > 0) corpusSize else emb.count()
+    semanticDedup(emb, autoClusters(n, targetClusterSize), threshold, iters)
+  }
+
   /** Bucket id from an ALREADY-quantized vector column — callers that
     * compute many buckets should materialize the quantized array first
     * (see [[cosineNearDupPairs]]) so each plane's aggregate reads a

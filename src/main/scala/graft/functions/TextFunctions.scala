@@ -351,6 +351,44 @@ object TextFunctions {
       .drop("__cum")
   }
 
+  /** Sliding word-window chunking: split each document into
+    * `window`-token chunks advancing by `stride` tokens (overlap =
+    * `window - stride`) — the step that turns raw documents into
+    * bounded-length pieces for embedding / context-window training, the
+    * inverse concern of [[packSequences]] (which bins whole documents
+    * UP to a budget; this cuts documents DOWN to one). Chunk count per
+    * document is `max(1, ceil((n - window) / stride) + 1)` so every
+    * token is covered and a short document still yields its one chunk.
+    *
+    * Returns (doc_id, chunk_id, chunk_text, n_tokens), `chunk_id`
+    * 0-based within the document. ZERO shuffle: tokenize, a per-row
+    * `sequence` of chunk starts, one `explode`, and `slice`/
+    * `array_join` projections — all inside whole-stage codegen; output
+    * rows ≈ input tokens / stride, so the operator is a map-side
+    * row-multiplier that parallelizes with the scan at any corpus
+    * size. The chunk-count arithmetic is one IEEE double division of
+    * small exact integers, bit-reproducible across engines (the d14/t09
+    * convention).
+    */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, "chunkDocuments: window must be positive")
+    require(stride > 0 && stride <= window,
+      "chunkDocuments: need 0 < stride <= window")
+    val nc = greatest(lit(1),
+      floor((col("__n") - window + stride - 1).cast(DoubleType) / stride)
+        .cast(IntegerType) + 1)
+    df.select(id.as("doc_id"), words(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("chunk_id", explode(sequence(lit(0), nc - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(window)),
+          " ").as("chunk_text"),
+        least(lit(window), col("__n") - col("chunk_id") * stride)
+          .cast(IntegerType).as("n_tokens"))
+  }
+
   /** Keep rows whose `value` lies inside the stratum's
     * [lo-quantile, hi-quantile] band (inclusive) — the outlier-trimming
     * quality filter ("drop the shortest 10% and longest 10% per

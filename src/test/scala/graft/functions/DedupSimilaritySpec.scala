@@ -467,6 +467,46 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq((100L, 100L)))
   }
 
+  test("semanticDedup drops planted duplicates by min id, keeps the rest") {
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.semanticDedup(corpus, k = 8, threshold = 0.95).cache()
+    val n = emb.count(); val p = planted.count()
+    assert(p > 0, "fixture should yield at least one plant")
+    assert(out.count() == n + p, "every corpus row must be returned")
+    // each plant is identical to its smaller-id original → same cluster,
+    // cos 1.0 → the PLANT (larger id) is dropped, the original kept
+    val keptSet = out.filter(col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    val plantIds = planted.select("vec_id").as[Long].collect().toSet
+    assert(plantIds.intersect(keptSet).isEmpty,
+      "planted duplicates must be dropped")
+    val origIds = plantIds.map(_ - 100000)
+    assert(origIds.subsetOf(keptSet), "originals of plants must survive")
+    // the corpus has no organic pairs at 0.95 (the d06 one-pair-per-plant
+    // fixture semantics) — so kept = everything except the plants
+    assert(out.filter(!col("kept")).count() == p)
+    // plant and original agree on centroid_id (identical vectors)
+    val cids = out.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    origIds.foreach(o => assert(cids(o) == cids(o + 100000)))
+  }
+
+  test("autoClusters applies the SemDeDup k-proportional-to-n rule") {
+    assert(Similarity.autoClusters(256000, 256) == 1000)
+    assert(Similarity.autoClusters(1, 256) == 2) // floor of 2 clusters
+    assert(Similarity.autoClusters(300, 256) == 2) // ceil(300/256)
+    // the auto overload reproduces the explicit-k drop decision for
+    // identical twins regardless of k (same cluster by construction)
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val auto = Similarity.semanticDedupAuto(
+      emb.unionByName(planted), 0.95, targetClusterSize = 16)
+    assert(auto.filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+      == planted.select("vec_id").as[Long].collect().toSet)
+  }
+
   test("langId picks markers deterministically; fingerprint normalizes") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),

@@ -89,6 +89,43 @@ class TextStatsSpec extends SparkSpec {
       s"expected exactly one Exchange:\n$plan")
   }
 
+  test("chunkDocuments: coverage, overlap, short docs, exact boundaries") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three words"),                       // shorter than window
+      (3L, (1 to 9).map(i => s"x$i").mkString(" ")))  // ragged tail
+      .toDF("doc_id", "text")
+    val out = TextFunctions.chunkDocuments(
+        docs, col("doc_id"), col("text"), window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // n=10, w=4, s=3 → ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6
+    assert(byDoc(1L).length == 3)
+    assert(byDoc(1L)(0).getString(2) == "w1 w2 w3 w4")
+    assert(byDoc(1L)(1).getString(2) == "w4 w5 w6 w7") // 1-token overlap
+    assert(byDoc(1L)(2).getString(2) == "w7 w8 w9 w10")
+    assert(byDoc(1L).forall(_.getInt(3) == 4))
+    // a doc shorter than the window still yields its one full chunk
+    assert(byDoc(2L).length == 1)
+    assert(byDoc(2L)(0).getString(2) == "only three words")
+    assert(byDoc(2L)(0).getInt(3) == 3)
+    // ragged tail: last chunk is short but every token is covered
+    assert(byDoc(3L).length == 3)
+    assert(byDoc(3L)(2).getString(2) == "x7 x8 x9")
+    assert(byDoc(3L)(2).getInt(3) == 3)
+    // chunk ids are 0-based and dense per doc
+    byDoc.values.foreach(rows =>
+      assert(rows.map(_.getInt(1)).toSeq == rows.indices.toSeq))
+  }
+
+  test("chunkDocuments is a zero-shuffle row-multiplying projection") {
+    val plan = TextFunctions.chunkDocuments(
+        Tables.df(spark, sf(), "documents"), col("doc_id"), col("text"),
+        window = 32, stride = 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("quantileTrim broadcasts the bounds (fact side not re-shuffled)") {
     val plan = TextFunctions.quantileTrim(
         Tables.df(spark, sf(), "documents"), col("lang"), col("n_chars"),
