@@ -192,6 +192,23 @@ object ScaleCurve {
           explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
       pairSum(f.groupBy(col("fp")).count().filter(col("count") <= 20))
     }),
+    // d14 semantic dedup: Σ over cluster of C(size,2) — the within-
+    // cluster pairwise term, measured twice: at FIXED k=8 (expected to
+    // grow ~quadratically, the anti-pattern) and at the autoClusters
+    // k ∝ n sizing (expected ~linear — the SemDeDup contract the auto
+    // overload enforces). Assignment uses the same ivfTrain/ivfAssign
+    // path as the gate.
+    "d14_pairs_fixed_k" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val a = Similarity.ivfAssign(e, Similarity.ivfTrain(e, 8, 3))
+      pairSum(a.groupBy(col("centroid_id")).count())
+    }),
+    "d14_pairs_auto_k" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val k = Similarity.autoClusters(e.count(), 64)
+      val a = Similarity.ivfAssign(e, Similarity.ivfTrain(e, k, 3))
+      pairSum(a.groupBy(col("centroid_id")).count())
+    }),
     "d11_probe_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       def hs(df: DataFrame) =
