@@ -57,6 +57,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: full coverage, bounded chunks, exact reconstruction") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val docGen = Gen.nonEmptyListOf(
+      Gen.choose(1, 60).map(n => (1 to n).map(i => s"t$i").mkString(" ")))
+      .map(_.zipWithIndex.map { case (txt, i) => (i.toLong, txt) })
+    val cfgGen = for {
+      w <- Gen.choose(1, 12)
+      s <- Gen.choose(1, w)
+    } yield (w, s)
+    forAllSampled2(docGen, cfgGen) { case (docs, (w, s)) =>
+      val out = TextFunctions.chunkDocuments(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), w, s)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      docs.foreach { case (id, txt) =>
+        val toks = txt.split(" ").toSeq
+        val chunks = out.filter(_._1 == id).sortBy(_._2)
+        // dense 0-based ids, every chunk within [1, w] tokens
+        assert(chunks.map(_._2).toSeq == chunks.indices.toSeq)
+        assert(chunks.forall(c => c._4 >= 1 && c._4 <= w))
+        // n_tokens is truthful and stride reconstruction is exact:
+        // chunk i starts at token i*s and matches the source slice
+        chunks.foreach { case (_, i, text, n) =>
+          val expected = toks.slice(i * s, i * s + w)
+          assert(text == expected.mkString(" "))
+          assert(n == expected.length)
+        }
+        // coverage: the union of chunk spans is every token index
+        val covered = chunks.flatMap { case (_, i, _, n) =>
+          (i * s) until (i * s + n) }.toSet
+        assert(covered == toks.indices.toSet,
+          s"doc $id: uncovered tokens with w=$w s=$s n=${toks.size}")
+      }
+    }
+  }
+
   test("sampleByStratum: kept set is exactly the hash-threshold predicate") {
     import graft.functions.{TextFunctions => TF}
     import spark.implicits._

@@ -67,6 +67,39 @@ class TextStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("semanticDedup is batch-only and fails loudly at call time on a stream") {
+    val embBatch = Tables.df(spark, sf(), "embeddings")
+    val dir = Files.createTempDirectory("emb-stream").toString
+    embBatch.coalesce(2).write.mode("overwrite").parquet(dir)
+    val embStream = spark.readStream.schema(embBatch.schema).parquet(dir)
+    // ivfTrain's driver-side seed collect cannot run on an unbounded
+    // source: the failure must surface when semanticDedup is CALLED,
+    // not as a silent per-micro-batch retrain
+    val e = intercept[AnalysisException] {
+      graft.functions.Similarity.semanticDedup(embStream, k = 8,
+        threshold = 0.95)
+    }
+    assert(e.getMessage.toLowerCase.contains("stream"))
+  }
+
+  test("chunkDocuments composes over a stream unchanged, equal to the batch result") {
+    val out = TextFunctions.chunkDocuments(docsStream(),
+      col("doc_id"), col("text"), window = 32, stride = 24)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("chunk_stream_out").collect()
+      .map(_.toSeq).toSet
+    val expected = TextFunctions.chunkDocuments(docsBatch,
+        col("doc_id"), col("text"), window = 32, stride = 24)
+      .collect().map(_.toSeq).toSet
+    // a stateless row-multiplying projection: the streamed chunk set is
+    // exactly the batch chunk set, whatever the file/micro-batch split
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("topKPerGroup and tfidfTopTerms are batch-only and fail loudly on a stream") {
     // blocking rank window: no incremental execution exists
     val topk = intercept[AnalysisException] {
