@@ -241,6 +241,21 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental snapshot dedup: odd doc_ids are the arriving batch,
+    // even ids the accumulated corpus — drop batch docs near-duping the
+    // corpus (asymmetric cross-side Jaccard), then keep-one within the
+    // batch. The planted pair structure exercises BOTH stages: pairs
+    // straddling the parity split die in stage 1, all-odd clusters
+    // collapse to their min id in stage 2.
+    "d15_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupIncremental(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), threshold = 0.8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup semantic dedup (arXiv:2303.09540): deterministic k-means
     // clusters (the e03 Lloyd quantizer, bit-reproducible), within-
     // cluster quantized-cosine scan, min-id keep-one. Same planted
@@ -764,6 +779,42 @@ object ExtensionQueries {
            SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
          cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
          SELECT d.doc_id, d.lang FROM documents d
+         LEFT JOIN cc ON cc.id = d.doc_id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
+         ORDER BY d.doc_id""",
+
+    // the two-stage d15 semantic: cross-parity Jaccard drop, then the
+    // d12 transitive-closure keep-one restricted to the survivors
+    "d15_incremental_dedup" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         xp AS (SELECT a.doc_id AS nid, b.doc_id AS oid, count(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2),
+         xdup AS (SELECT DISTINCT nid FROM xp
+                  JOIN cnt ca ON ca.doc_id = nid
+                  JOIN cnt cb ON cb.doc_id = oid
+                  WHERE CAST(common AS DOUBLE)/(ca.n + cb.n - common) >= 0.8),
+         s1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+                AND doc_id NOT IN (SELECT nid FROM xdup)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               WHERE a.doc_id IN (SELECT doc_id FROM s1)
+                 AND b.doc_id IN (SELECT doc_id FROM s1)
+               GROUP BY 1, 2),
+         pj AS (SELECT id_a, id_b FROM p
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE CAST(common AS DOUBLE)/(ca.n + cb.n - common) >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pj
+                   UNION SELECT id_b, id_a FROM pj),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN s1 ON s1.doc_id = d.doc_id
          LEFT JOIN cc ON cc.id = d.doc_id
          WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
          ORDER BY d.doc_id""",

@@ -233,6 +233,66 @@ object Dedup {
       .filter(col("common") >= minCommon)
   }
 
+  /** Cross-corpus exact Jaccard: every (new, existing) document pair
+    * sharing ≥ 1 shingle, scored `common / (|A|+|B|−common)` over the
+    * two inverted indexes — [[ngramOverlapPairs]]'s asymmetric join
+    * shape with [[jaccardPairs]]'s verdict. Sides are tagged before the
+    * optional hot-shingle cap (a boilerplate shingle is boilerplate
+    * whichever side it appears on) and keep separate per-doc counts, so
+    * ids may collide across snapshots without mixing sides. Returns
+    * (doc_id, old_id, jaccard), `doc_id` from the NEW side.
+    */
+  def crossJaccardPairs(newShingles: DataFrame, oldShingles: DataFrame,
+      threshold: Double, maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val tagged = newShingles.withColumn("__side", lit(0))
+      .unionByName(oldShingles.withColumn("__side", lit(1)))
+    val hs = hashedShingles(tagged.select(
+      struct(col("__side"), col("doc_id")).as("doc_id"), col("shingle")),
+      maxShingleDocFreq)
+    val a = hs.filter(col("doc_id.__side") === 0)
+      .select(col("doc_id.doc_id").as("doc_id"), col("h"))
+    val b = hs.filter(col("doc_id.__side") === 1)
+      .select(col("doc_id.doc_id").as("old_id"), col("h"))
+    val cA = a.groupBy(col("doc_id")).agg(count(lit(1)).as("__na"))
+    val cB = b.groupBy(col("old_id")).agg(count(lit(1)).as("__nb"))
+    a.join(b, Seq("h"))
+      .groupBy(col("doc_id"), col("old_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(cA, Seq("doc_id")).join(cB, Seq("old_id"))
+      .select(col("doc_id"), col("old_id"),
+        (col("common").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dedup for snapshot ingestion: drop from `newDf`
+    * every document that near-duplicates the EXISTING corpus
+    * ([[crossJaccardPairs]]), then keep-one within the remaining batch
+    * ([[dedupNear]]). Returns the surviving `newDf` rows — the set safe
+    * to append to the corpus.
+    *
+    * Scale shape: the cross-side stage is the inverted-index join of
+    * the new batch's shingles against the existing index, so its cost
+    * tracks the increment times per-shingle doc frequency — never
+    * corpus × corpus (the d11 decontamination asymmetry; at 100 TB the
+    * daily batch is orders of magnitude smaller than the accumulated
+    * corpus, and the measured d11 curve shows probe work anchored to
+    * the small side). The within-batch stage is d12 on the increment
+    * alone. The drop list is bounded by the batch, hence broadcast.
+    */
+  def dedupIncremental(newDf: DataFrame, existing: DataFrame,
+      id: Column, text: Column, threshold: Double = 0.8, n: Int = 3,
+      maxShingleDocFreq: Int = Int.MaxValue,
+      keepBy: Option[Column] = None): DataFrame = {
+    val dupOfOld = crossJaccardPairs(
+        shingleRows(newDf, id, text, n), shingleRows(existing, id, text, n),
+        threshold, maxShingleDocFreq)
+      .select(col("doc_id").as("__drop_id")).distinct()
+    val stage1 = newDf.join(broadcast(dupOfOld),
+      id === col("__drop_id"), "left_anti")
+    dedupNear(stage1, id, text, threshold, n, keepBy)
+  }
+
   /** Exact Jaccard for an explicit (small) candidate pair set — the
     * verification stage after LSH. The pair list is broadcast against
     * the shingle index twice, so cost is O(|pairs|·avg-shingles), never

@@ -52,6 +52,53 @@ class DedupNearSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dedupIncremental: corpus dups die first, then within-batch keep-one") {
+    // existing corpus: the {alpha...} text and one unique doc
+    val existing = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "keep this corpus document intact")
+    ).toDF("doc_id", "text")
+    // batch: 1 duplicates the corpus (dropped in stage 1), {2,3} are a
+    // within-batch cluster cross-unique to the corpus (stage 2 keeps 2),
+    // 4 is genuinely new
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "red orange yellow green blue"),
+      (3L, "red orange yellow green blue"),
+      (4L, "zebra yak xylophone walrus vulture")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(batch, existing,
+        col("doc_id"), col("text"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 4L))
+    // a batch id EQUAL to a corpus id must not mix sides: batch doc 100
+    // (unique text) survives even though corpus doc 100 exists
+    val collide = Seq((100L, "totally different arriving text here"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.dedupIncremental(collide, existing,
+        col("doc_id"), col("text"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out2 == Seq(100L))
+    // keepBy passes through to the within-batch stage
+    val scored = batch.withColumn("score",
+      when(col("doc_id") === 3, 9.0).otherwise(1.0))
+    val out3 = Dedup.dedupIncremental(scored, existing,
+        col("doc_id"), col("text"), 0.8, keepBy = Some(col("score")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out3 == Seq(3L, 4L))
+  }
+
+  test("crossJaccardPairs scores the asymmetric pairs exactly") {
+    val a = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b = Seq((7L, "alpha beta gamma delta epsilon"),
+      (8L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    val got = Dedup.crossJaccardPairs(
+        Dedup.shingleRows(a, col("doc_id"), col("text")),
+        Dedup.shingleRows(b, col("doc_id"), col("text")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 7L, 1.0)))
+  }
+
   test("plan shape: the keep step is a broadcast anti-join (no new wide stage)") {
     val out = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8)
     val p = out.queryExecution.executedPlan.toString
