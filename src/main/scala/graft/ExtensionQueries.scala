@@ -275,6 +275,14 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Corpus vocabulary table: top-50 terms by corpus tf with df and
+    // cumulative token coverage — the tokenizer/vocab-budget view.
+    "t14_vocab_coverage" -> ((s, dir) => {
+      TextFunctions.vocabCoverage(t(s, dir, "documents"),
+          col("doc_id"), col("text"), topN = 50)
+        .orderBy(col("rank"))
+    }),
+
     // Sliding word-window chunking: 32-token chunks advancing by 24
     // (8-token overlap) — the document→embedding/context-window prep
     // step; zero-shuffle row-multiplier.
@@ -869,6 +877,24 @@ object ExtensionQueries {
          FROM assigned v LEFT JOIN drops d ON v.vec_id = d.vec_id
          ORDER BY v.vec_id"""
     },
+
+    // mirrors TextFunctions.vocabCoverage: tf-desc/term rank, top 50,
+    // running-tf-sum over the exact integer total
+    "t14_vocab_coverage" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         stats AS (SELECT term, count(*) AS tf,
+             count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+         tot AS (SELECT sum(tf) AS total FROM stats),
+         top AS (SELECT term, tf, df,
+             row_number() OVER (ORDER BY tf DESC, term) AS rank
+           FROM stats ORDER BY tf DESC, term LIMIT 50)
+         SELECT CAST(rank AS INT) AS rank, term, tf, df,
+           CAST(sum(tf) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / total AS coverage
+         FROM top, tot ORDER BY rank""",
 
     // mirrors TextFunctions.chunkDocuments: window 32, stride 24, the
     // same greatest(1, floor((n-w+s-1)/s)+1) chunk count and 1-based
