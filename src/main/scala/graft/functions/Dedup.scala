@@ -20,6 +20,74 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Candidate-pair strategy for the composed one-call entry points
+    * ([[dedupNear]], [[dedupIncremental]], [[Curation.curate]]) — the
+    * scale dial SCALE.md's 100 TB rule ("on a full corpus, always
+    * LSH-gate first") requires to be REACHABLE from the APIs a
+    * pipeline user actually calls, not only from the building blocks:
+    *
+    *   - [[Exact]]: inverted-index Jaccard over every shingle-sharing
+    *     pair (the d03 stage). Complete recall; join cost is Σ df²
+    *     over shingle doc frequencies, so at corpus scale it NEEDS
+    *     `maxShingleDocFreq` (boilerplate shingles otherwise make the
+    *     self-join quadratic). Right for batches / per-partition runs
+    *     that fit the quadratic budget.
+    *   - [[MinHashLsh]]: MinHash signatures → banded buckets →
+    *     candidate pairs → EXACT Jaccard verify on candidates only
+    *     (the d04 + [[jaccardForPairs]] composition) — near-linear
+    *     candidate generation, the 100 TB default. Recall is
+    *     probabilistic in (bands, rowsPerBand) — identical docs always
+    *     collide; borderline pairs may be missed — while the verify
+    *     stage removes every false positive, so emitted scores are
+    *     exact either way.
+    *
+    * Both honor the stop-shingle guard: hot shingles leave the index
+    * BEFORE any signature/pairing work, and the verified score is the
+    * exact Jaccard over the pruned shingle space ([[hotShingles]] is
+    * the accounting in both modes).
+    */
+  sealed trait PairStrategy { def maxShingleDocFreq: Int }
+
+  /** Exact inverted-index pairing (d03) with the stop-shingle guard. */
+  final case class Exact(maxShingleDocFreq: Int = Int.MaxValue)
+    extends PairStrategy
+
+  /** LSH-gated pairing (d04 candidates, exact verify). `maxBucketSize`
+    * is [[lshCandidatePairs]]'s hot-bucket guard; `broadcastPairs`
+    * controls the verify join (set false when the candidate list
+    * outgrows broadcast — correctness is identical).
+    */
+  final case class MinHashLsh(bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucketSize: Int = Int.MaxValue,
+      maxShingleDocFreq: Int = Int.MaxValue,
+      broadcastPairs: Boolean = true) extends PairStrategy
+
+  /** Near-dup pairs ≥ `threshold` under the chosen [[PairStrategy]] —
+    * the pluggable pair stage behind [[dedupNear]]. Returns
+    * (id_a, id_b, jaccard) in both modes.
+    */
+  def nearDupPairs(shingles: DataFrame, threshold: Double,
+      strategy: PairStrategy = Exact()): DataFrame = strategy match {
+    case Exact(maxDf) => jaccardPairs(shingles, threshold, maxDf)
+    case MinHashLsh(bands, rowsPerBand, maxBucket, maxDf, bcast) =>
+      val sh = guardShingles(shingles, maxDf)
+      val cands = lshCandidatePairs(
+        minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand,
+        maxBucket)
+      jaccardForPairs(sh, cands, threshold, bcast)
+  }
+
+  /** Shingle-text-level stop-shingle guard (the [[hashedShingles]]
+    * rule applied BEFORE signature computation, for stages that need
+    * the shingle text): drops shingles in more than `maxDocFreq` docs
+    * via a broadcast anti-join of the tiny hot set.
+    */
+  private def guardShingles(shingles: DataFrame, maxDocFreq: Int): DataFrame =
+    if (maxDocFreq == Int.MaxValue) shingles
+    else shingles.join(
+      broadcast(hotShingles(shingles, maxDocFreq).select(col("shingle"))),
+      Seq("shingle"), "left_anti")
+
   /** Exact dedup: keep the minimum-id row per key. Single shuffle on the
     * key; at scale this is the cheapest possible dedup (map-side partial
     * aggregation halves the shuffle volume).
