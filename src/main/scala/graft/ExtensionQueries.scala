@@ -256,6 +256,48 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d12's one-call near-dedup under the MinHashLsh PairStrategy — the
+    // 100 TB path (banded candidate generation, exact verify) reached
+    // from the SAME composed entry point a pipeline user calls. The
+    // oracle mirrors the LSH gate exactly (same md5 signatures, same
+    // banding as d04), so the comparison is deterministic even where
+    // LSH recall is probabilistic: both sides see the same candidates.
+    "d16_dedup_near_lsh" -> ((s, dir) => {
+      Dedup.dedupNear(t(s, dir, "documents"), col("doc_id"), col("text"), 0.8,
+          strategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // d15's two-stage incremental dedup with the within-batch stage
+    // LSH-gated (the strategy pass-through dedupIncremental →
+    // dedupNear) — cross-corpus stage unchanged (already asymmetric /
+    // increment-anchored), batch stage runs banded candidates + exact
+    // verify instead of the full inverted-index self-join.
+    "d17_incremental_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupIncremental(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), threshold = 0.8,
+          strategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // p01's curation recipe with the dedup stage LSH-gated (the
+    // pairStrategy pass-through Curation.curate → dedupNear) — the
+    // at-scale configuration of the one-call pipeline.
+    "p02_curation_lsh" -> ((s, dir) => {
+      Curation.curate(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"),
+          langs = Seq("en", "de", "fr"), tokens = col("n_chars"),
+          rates = Seq("en" -> 0.5, "de" -> 0.5), defaultRate = 0.25,
+          budget = 2000L,
+          pairStrategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+        .select(col("doc_id"), col("lang"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup semantic dedup (arXiv:2303.09540): deterministic k-means
     // clusters (the e03 Lloyd quantizer, bit-reproducible), within-
     // cluster quantized-cosine scan, min-id keep-one. Same planted
@@ -826,6 +868,152 @@ object ExtensionQueries {
          LEFT JOIN cc ON cc.id = d.doc_id
          WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    // d12's keep-one transitive closure with the pair stage LSH-gated:
+    // the d04 signature/banding CTEs generate candidates, exact Jaccard
+    // verifies them, then the same CC → keep-one as d12. Mirrors
+    // dedupNear(strategy = MinHashLsh(4, 2)) exactly — both sides see
+    // identical md5 signatures, so the gate is deterministic even where
+    // LSH recall is probabilistic.
+    "d16_dedup_near_lsh" -> {
+      val sigCols = (0 until 8).map(j => s"min(md5('$j:'||s)) AS mh$j").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${b * 2}||'|'||mh${b * 2 + 1} AS key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $JaccardCtes,
+         sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         buckets AS ($bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         p AS (SELECT c.id_a, c.id_b FROM cand c
+               JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+               WHERE j.jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang FROM documents d
+         LEFT JOIN cc ON cc.id = d.doc_id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
+
+    // d15's two-stage semantic with the within-batch pair stage gated
+    // by LSH candidates (signatures are per-doc, so computing buckets
+    // over all docs and joining only s1-s1 pairs equals banding the
+    // batch survivors alone — pj already restricts both endpoints to
+    // s1, so the cand join is the LSH gate and nothing else).
+    "d17_incremental_lsh" -> {
+      val sigCols = (0 until 8).map(j => s"min(md5('$j:'||s)) AS mh$j").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${b * 2}||'|'||mh${b * 2 + 1} AS key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $ShingleCte,
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         xp AS (SELECT a.doc_id AS nid, b.doc_id AS oid, count(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2),
+         xdup AS (SELECT DISTINCT nid FROM xp
+                  JOIN cnt ca ON ca.doc_id = nid
+                  JOIN cnt cb ON cb.doc_id = oid
+                  WHERE CAST(common AS DOUBLE)/(ca.n + cb.n - common) >= 0.8),
+         s1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+                AND doc_id NOT IN (SELECT nid FROM xdup)),
+         sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         buckets AS ($bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               WHERE a.doc_id IN (SELECT doc_id FROM s1)
+                 AND b.doc_id IN (SELECT doc_id FROM s1)
+               GROUP BY 1, 2),
+         pj AS (SELECT id_a, id_b FROM p
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE CAST(common AS DOUBLE)/(ca.n + cb.n - common) >= 0.8),
+         pl AS (SELECT pj.id_a, pj.id_b FROM pj
+                JOIN cand c ON c.id_a = pj.id_a AND c.id_b = pj.id_b),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pl
+                   UNION SELECT id_b, id_a FROM pl),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN s1 ON s1.doc_id = d.doc_id
+         LEFT JOIN cc ON cc.id = d.doc_id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
+
+    // p01's composed oracle with the dedup stage LSH-gated: signatures
+    // and banding over the language-FILTERED shingles (curate filters
+    // before dedup), candidates verified by exact Jaccard, then the
+    // same sample + pack stages as p01.
+    "p02_curation_lsh" -> {
+      val sigCols = (0 until 8).map(j => s"min(md5('$j:'||s)) AS mh$j").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${b * 2}||'|'||mh${b * 2 + 1} AS key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE
+         base AS (SELECT * FROM documents WHERE lang IN ('en','de','fr')),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM base))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         buckets AS ($bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(common AS DOUBLE)/(ca.n + cb.n - common) AS jaccard
+           FROM prs
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b),
+         p AS (SELECT c.id_a, c.id_b FROM cand c
+               JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+               WHERE j.jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         surv AS (
+           SELECT d.* FROM base d
+           LEFT JOIN cc ON cc.id = d.doc_id
+           WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id),
+         samp AS (
+           SELECT * FROM surv
+           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10000 <
+             CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 5000
+                  ELSE 2500 END)
+         SELECT doc_id, lang,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+         FROM (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM samp)
+         ORDER BY doc_id"""
+    },
 
     // mirrors Similarity.semanticDedup exactly: the e03 Lloyd sweeps
     // (quantized longs, integer sq-distance, floor(sum/count + 0.5)

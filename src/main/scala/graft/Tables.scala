@@ -17,12 +17,14 @@ object Tables {
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-      // vectorized reader rejects. Read the nanos as a long (legacy flag)
-      // and convert to a microsecond timestamp (the data is µs-precision,
-      // so the truncation is lossless). The flag is only consulted while
-      // the relation is being resolved, so it is saved/restored around
-      // the read — later parquet reads in the session are unaffected.
+      // events.parquet has shipped ts as either parquet TIMESTAMP(NANOS)
+      // (which Spark's vectorized reader rejects — read the nanos as a
+      // long via the legacy flag, then truncate losslessly to µs) or a
+      // plain µs timestamp (NTZ). Normalize both to the session-zone
+      // TimestampType every downstream consumer expects. The flag is
+      // only consulted while the relation is being resolved, so it is
+      // saved/restored around the read — later parquet reads in the
+      // session are unaffected.
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prior = spark.conf.getOption(key)
       spark.conf.set(key, "true")
@@ -32,8 +34,12 @@ object Tables {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)
         }
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .select(raw.columns.map(col): _*)
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      }
+      raw.withColumn("ts", ts).select(raw.columns.map(col): _*)
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -37,15 +37,21 @@ object Curation {
     *                 rest
     * @param budget   tokens per training bin
     * @param jaccardThreshold near-dup pair threshold
+    * @param pairStrategy candidate-pair strategy for the dedup stage —
+    *                 [[Dedup.Exact]] (complete recall, quadratic in hot
+    *                 shingles) or [[Dedup.MinHashLsh]] (the 100 TB
+    *                 default: banded candidates, exact verify)
     * @return the surviving rows plus their `bin` assignment
     */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
       langs: Seq[String], tokens: Column,
       rates: Seq[(String, Double)], defaultRate: Double,
-      budget: Long, jaccardThreshold: Double = 0.8): DataFrame = {
+      budget: Long, jaccardThreshold: Double = 0.8,
+      pairStrategy: Dedup.PairStrategy = Dedup.Exact()): DataFrame = {
     require(langs.nonEmpty, "curate: empty language allow-list")
     val filtered = docs.filter(lang.isInCollection(langs))
-    val deduped = Dedup.dedupNear(filtered, id, text, jaccardThreshold)
+    val deduped = Dedup.dedupNear(filtered, id, text, jaccardThreshold,
+      strategy = pairStrategy)
     val sampled = TextFunctions.sampleByStratum(
       deduped, lang, id, rates, defaultRate)
     TextFunctions.packSequences(sampled, lang, id, tokens, budget)

@@ -351,26 +351,33 @@ object Dedup {
   def dedupIncremental(newDf: DataFrame, existing: DataFrame,
       id: Column, text: Column, threshold: Double = 0.8, n: Int = 3,
       maxShingleDocFreq: Int = Int.MaxValue,
-      keepBy: Option[Column] = None): DataFrame = {
+      keepBy: Option[Column] = None,
+      strategy: PairStrategy = Exact()): DataFrame = {
     val dupOfOld = crossJaccardPairs(
         shingleRows(newDf, id, text, n), shingleRows(existing, id, text, n),
         threshold, maxShingleDocFreq)
       .select(col("doc_id").as("__drop_id")).distinct()
     val stage1 = newDf.join(broadcast(dupOfOld),
       id === col("__drop_id"), "left_anti")
-    dedupNear(stage1, id, text, threshold, n, keepBy)
+    dedupNear(stage1, id, text, threshold, n, keepBy, strategy = strategy)
   }
 
   /** Exact Jaccard for an explicit (small) candidate pair set — the
-    * verification stage after LSH. The pair list is broadcast against
-    * the shingle index twice, so cost is O(|pairs|·avg-shingles), never
-    * the full pairwise join.
+    * verification stage after LSH. With `broadcastPairs = true`
+    * (default) the pair list is broadcast against the shingle index
+    * twice, so cost is O(|pairs|·avg-shingles), never the full pairwise
+    * join. Set `broadcastPairs = false` when the candidate list itself
+    * outgrows the broadcast budget (a duplicate-heavy corpus at full
+    * scale) — the joins then shuffle on the id keys; correctness is
+    * identical.
     */
   def jaccardForPairs(shingles: DataFrame, pairs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastPairs: Boolean = true): DataFrame = {
     val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = broadcast(pairs.select(col("id_a"), col("id_b")))
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+    val pairSide = if (broadcastPairs) broadcast(p0) else p0
+    val common = pairSide
       .join(hs.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(hs.as("sb"),
         col("id_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
@@ -644,9 +651,10 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3,
       keepBy: Option[Column] = None,
       broadcastDrops: Boolean = true,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      strategy: PairStrategy = Exact()): DataFrame = {
     val sh = shingleRows(df, id, text, n)
-    val pairs = jaccardPairs(sh, threshold)
+    val pairs = nearDupPairs(sh, threshold, strategy)
     val cc = connectedComponents(pairs, maxIters)
     val drops = keepBy match {
       case None =>

@@ -107,4 +107,105 @@ class DedupNearSpec extends SparkSpec {
       s"drop list must reach df as a BROADCAST anti-join — a shuffle " +
         s"here would re-partition the full corpus at scale:\n$p")
   }
+
+  test("MinHashLsh strategy keeps the same survivors as Exact on a " +
+      "total-recall corpus (identical texts always collide)") {
+    val exact = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val lsh = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+      strategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+    assert(lsh.columns.toSeq == Seq("doc_id", "text", "score"))
+    assert(lsh.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == exact)
+    // keepBy composes with the strategy
+    val scored = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+        keepBy = Some(col("score")),
+        strategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scored == Seq(2L, 3L, 4L, 6L))
+  }
+
+  test("dedupIncremental threads the strategy into its within-batch stage") {
+    val existing = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "red orange yellow green blue"),
+      (3L, "red orange yellow green blue"),
+      (4L, "zebra yak xylophone walrus vulture")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(batch, existing,
+        col("doc_id"), col("text"), 0.8,
+        strategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 4L))
+  }
+
+  /** Joins whose condition equates two shingle-hash attributes WITHOUT
+    * any doc-id equality gate — the Σ df² self-join shape the LSH
+    * strategy exists to avoid. Exact's pair stage is exactly one of
+    * these; in the LSH plan the only h = h join is the candidate-gated
+    * verify (which also equates a pair id to a doc id).
+    */
+  private def ungatedShingleSelfJoins(
+      df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isDefined =>
+        val eqs = j.condition.get.collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference) => (a.name, b.name)
+        }
+        val hEq = eqs.exists { case (a, b) => a == "h" && b == "h" }
+        val idGate = eqs.exists { case (a, b) => a != "h" || b != "h" }
+        if (hEq && !idGate) 1 else 0
+    }.sum
+  }
+
+  test("plan shape: Exact pairs ARE the full shingle self-join; the LSH " +
+      "plan contains none (banded candidates + gated verify only)") {
+    val sh = Dedup.shingleRows(corpus, col("doc_id"), col("text"))
+    val exactPairs = Dedup.nearDupPairs(sh, 0.8, Dedup.Exact())
+    val lshPairs = Dedup.nearDupPairs(sh, 0.8,
+      Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+    assert(ungatedShingleSelfJoins(exactPairs) == 1,
+      s"Exact must pair via the inverted-index self-join:\n" +
+        exactPairs.queryExecution.optimizedPlan)
+    assert(ungatedShingleSelfJoins(lshPairs) == 0,
+      s"LSH plan must never contain an ungated shingle self-join:\n" +
+        lshPairs.queryExecution.optimizedPlan)
+    // and the signatures actually made it into the plan
+    assert(lshPairs.queryExecution.optimizedPlan.toString.contains("md5"))
+  }
+
+  test("jaccardForPairs: broadcastPairs=false is hash-identical and drops " +
+      "the broadcast from the pair side of the plan") {
+    val sh = Dedup.shingleRows(corpus, col("doc_id"), col("text"))
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh, 8), 4, 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val bc = Dedup.jaccardForPairs(sh, cands, 0.8)
+    val nb = Dedup.jaccardForPairs(sh, cands, 0.8, broadcastPairs = false)
+    assert(bc.collect().map(key).sortBy(identity).toSeq ==
+      nb.collect().map(key).sortBy(identity).toSeq)
+    assert(bc.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "default path must carry the broadcast hint on the pair list")
+    assert(!nb.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "broadcastPairs=false must leave NO broadcast hint anywhere — the " +
+        "pair join then shuffles on the id keys (driver-safe at scale)")
+    // with auto-broadcast off, the unhinted plan must show no
+    // BroadcastExchange at all — proving the flag, not the size
+    // estimator, decides the join strategy
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nb2 = Dedup.jaccardForPairs(sh, cands, 0.8, broadcastPairs = false)
+      assert(!nb2.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        s"pair side must not materialize a BroadcastExchange:\n" +
+          nb2.queryExecution.executedPlan)
+      val bc2 = Dedup.jaccardForPairs(sh, cands, 0.8)
+      assert(bc2.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "hinted path must still broadcast under threshold -1")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
