@@ -284,6 +284,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document line dedup (CCNet/RefinedWeb-style): documents
+    // segmented into non-overlapping 10-word chunks (the corpus has no
+    // natural newlines), each distinct chunk kept only at its first
+    // corpus occurrence, text reassembled in order. Sub-document
+    // granularity — the boilerplate-stripping pass whole-doc dedup
+    // can't express.
+    "d18_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = split(col("text"), " ")
+      val nch = ceil(size(w) / lit(10.0)).cast(IntegerType)
+      val segged = d.withColumn("__seg",
+        concat_ws("\n", transform(sequence(lit(0), nch - 1),
+          i => concat_ws(" ", slice(w, i * lit(10) + lit(1), lit(10))))))
+      Dedup.dedupLines(segged, col("doc_id"), col("__seg"))
+        .orderBy(col("doc_id"))
+    }),
+
     // p01's curation recipe with the dedup stage LSH-gated (the
     // pairStrategy pass-through Curation.curate → dedupNear) — the
     // at-scale configuration of the one-call pipeline.
@@ -954,6 +971,30 @@ object ExtensionQueries {
          WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
          ORDER BY d.doc_id"""
     },
+
+    // mirrors dedupLines over the same 10-word chunking: first corpus
+    // occurrence per distinct chunk = min (doc_id, position), encoded
+    // order-isomorphically as doc_id*1e6+idx (positions are far below
+    // 1e6); 1-based idx vs Spark's 0-based is order-preserving so the
+    // keeper choice and reassembly order agree exactly
+    "d18_line_dedup" ->
+      """WITH seg AS (
+           SELECT doc_id, list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)),
+             i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS sg
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         lines AS (SELECT doc_id, u.i AS idx, u.line FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(sg)+1),
+             i -> {'i': i, 'line': sg[i]})) AS u FROM seg)),
+         perdoc AS (SELECT line, doc_id, min(idx) AS midx FROM lines GROUP BY 1, 2),
+         keepers AS (SELECT line, min(doc_id*1000000+midx) AS k FROM perdoc GROUP BY line),
+         kept AS (SELECT l.doc_id, l.idx, l.line FROM lines l
+                  JOIN keepers kk ON kk.line = l.line
+                    AND l.doc_id*1000000+l.idx = kk.k),
+         rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+                     FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.text, '') AS text
+         FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     // p01's composed oracle with the dedup stage LSH-gated: signatures
     // and banding over the language-FILTERED shingles (curate filters

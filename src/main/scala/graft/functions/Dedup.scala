@@ -675,6 +675,76 @@ object Dedup {
     df.join(dropSide, id === col("__drop_id"), "left_anti")
   }
 
+  /** Cross-document LINE dedup — the CCNet/RefinedWeb-style boilerplate
+    * removal that operates BELOW document granularity: each distinct
+    * line (or paragraph/segment — any `sep`-delimited unit) survives
+    * only at its FIRST corpus occurrence (min (doc_id, position));
+    * every later occurrence, in the same document or any other, is
+    * removed. Whole-document dedup ships two documents that share a
+    * navigation header verbatim; line dedup strips the header from the
+    * second one. Returns (doc_id, text) — one row per input row, text
+    * reassembled from the surviving lines in original order (empty
+    * string when nothing survives).
+    *
+    * `maxLineDocFreq` additionally drops EVERY occurrence of lines
+    * present in more than that many documents (true boilerplate —
+    * cookie banners, license footers — where even the first occurrence
+    * is noise). Accounting mirror: [[hotLines]].
+    *
+    * Scale shape (100 TB-ready):
+    *   - one partial-aggregatable shuffle per aggregate — (line-hash,
+    *     doc) → min position, then line-hash → (first occurrence, doc
+    *     freq). Map-side combine collapses boilerplate BEFORE the
+    *     shuffle, so a line in 10⁹ docs ships one row per map task,
+    *     not 10⁹ rows (the skew-safety argument for aggregating
+    *     instead of a row_number window over the hash, whose sort
+    *     would concentrate the hot line in one partition);
+    *   - the keeper join is on the line hash with exactly one keeper
+    *     row per hash — a hash join with no fan-out (AQE skew-join
+    *     splits the hot-hash partitions);
+    *   - reassembly is one aggregate on doc_id (input-bounded);
+    *   - lines join/shuffle as xxhash64 longs, never the line text
+    *     (same collision argument as [[jaccardPairs]]).
+    */
+  def dedupLines(df: DataFrame, id: Column, text: Column,
+      sep: String = "\n", maxLineDocFreq: Int = Int.MaxValue): DataFrame = {
+    val lines = df.select(id.as("doc_id"), text.as("__text"))
+      .select(col("doc_id"),
+        posexplode(split(col("__text"),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val perDoc = lines.groupBy(col("h"), col("doc_id"))
+      .agg(min(col("idx")).as("__midx"))
+    val keepers = perDoc.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("__midx"))).as("k"),
+        count(lit(1)).as("__docf"))
+      .filter(col("__docf") <= maxLineDocFreq)
+      .select(col("h"), col("k.doc_id").as("__k_doc"),
+        col("k.__midx").as("__k_idx"))
+    val kept = lines.join(keepers, Seq("h"))
+      .filter(col("doc_id") === col("__k_doc") && col("idx") === col("__k_idx"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s("line"))).as("__kept"))
+    df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
+
+  /** Accounting for [[dedupLines]]'s `maxLineDocFreq` guard: (line,
+    * doc_freq) for every line the cap drops entirely — persist or log
+    * next to the dedup output so a capped run reports what it removed.
+    */
+  def hotLines(df: DataFrame, id: Column, text: Column,
+      sep: String = "\n", maxLineDocFreq: Int = Int.MaxValue): DataFrame =
+    df.select(id.as("doc_id"), text.as("__text"))
+      .select(col("doc_id"),
+        explode(split(col("__text"),
+          java.util.regex.Pattern.quote(sep))).as("line"))
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxLineDocFreq)
+
   /** SimHash: `bits`-wide signature; bit j is the sign of the sum of
     * ±1 votes from each distinct word's portable hash bit j. Near-dups
     * land within small hamming distance (`bit_count(xor)`).
