@@ -191,6 +191,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // d11's decontamination behind the bloom pre-screen: the benchmark
+    // shingle hashes fold into one bloom filter, the corpus side passes
+    // a codegen'd might_contain before the overlap join. Output is
+    // bit-identical to d11 (no false negatives; the exact join drops
+    // the false positives) — the oracle IS d11's oracle — while the
+    // shuffle carries only benchmark-hitting + fpp-riding shingles.
+    "d19_decontamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramOverlapPairsBloom(
+          Dedup.shingleRows(docs.filter(col("doc_id") >= 20), col("doc_id"), col("text")),
+          Dedup.shingleRows(docs.filter(col("doc_id") < 20), col("doc_id"), col("text")),
+          minCommon = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // End-to-end near-dedup (VERDICT r6 #5): pairs → CC → keep the
     // min-id representative per cluster → surviving document rows.
     // The one step a pipeline user otherwise wires by hand from the
@@ -1144,6 +1159,15 @@ object ExtensionQueries {
          FROM ex ORDER BY doc_id, chunk_id""",
 
     "d11_decontamination" ->
+      s"""WITH $ShingleCte
+         SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS common
+         FROM sh c JOIN sh b ON c.s = b.s AND c.doc_id >= 20 AND b.doc_id < 20
+         GROUP BY 1, 2 HAVING count(*) >= 10
+         ORDER BY doc_id, bench_id""",
+
+    // the bloom pre-screen is exact (no false negatives, false
+    // positives die in the join), so d19's oracle is d11's verbatim
+    "d19_decontamination_bloom" ->
       s"""WITH $ShingleCte
          SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS common
          FROM sh c JOIN sh b ON c.s = b.s AND c.doc_id >= 20 AND b.doc_id < 20

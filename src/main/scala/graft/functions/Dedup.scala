@@ -301,6 +301,48 @@ object Dedup {
       .filter(col("common") >= minCommon)
   }
 
+  /** [[ngramOverlapPairs]] behind a BLOOM-FILTER pre-screen on the
+    * corpus side — same output, bit-for-bit, radically less shuffle at
+    * corpus scale. The benchmark's distinct shingle hashes fold into
+    * one bloom filter (a distributed aggregate over the SMALL side;
+    * the driver holds only the filter bytes — ~1.2 MB at fpp 0.01 per
+    * million benchmark shingles, the d11 asymmetry in sketch form),
+    * and the corpus shingles pass a codegen'd `might_contain` BEFORE
+    * the overlap join. Correctness is exact, not approximate:
+    *   - a bloom filter has NO false negatives, so every shingle with
+    *     a true benchmark occurrence reaches the join;
+    *   - false positives (≈ `fpp` of the corpus) just ride along and
+    *     find no bench partner — the exact join drops them;
+    *   - the bloom tests a shingle's hash, so all occurrences of a
+    *     shingle pass or fail together — the `maxShingleDocFreq`
+    *     accounting over survivors is unchanged (pruned shingles have
+    *     no bench occurrence, hence produced no pairs and no relevant
+    *     guard state).
+    * At 100 TB this turns the decontamination shuffle from "every
+    * corpus shingle" into "benchmark-hitting shingles + fpp·corpus" —
+    * the filter does its work inside the scan stage, before any
+    * exchange.
+    */
+  def ngramOverlapPairsBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
+      minCommon: Long = 1L, maxShingleDocFreq: Int = Int.MaxValue,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.{GraftExpressionBridge => Bridge}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val benchHashes = benchShingles
+      .select(xxhash64(col("shingle")).as("__h")).distinct()
+    // expected-items count: one cheap job on the small side (metadata-
+    // bounded next to the corpus pass the bloom then saves)
+    val n = math.max(1L, benchHashes.count())
+    val bf = benchHashes.stat.bloomFilter("__h", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bos.toByteArray)),
+      Bridge.expression(xxhash64(col("shingle")))))
+    ngramOverlapPairs(corpusShingles.filter(mightContain), benchShingles,
+      minCommon, maxShingleDocFreq)
+  }
+
   /** Cross-corpus exact Jaccard: every (new, existing) document pair
     * sharing ≥ 1 shingle, scored `common / (|A|+|B|−common)` over the
     * two inverted indexes — [[ngramOverlapPairs]]'s asymmetric join

@@ -88,6 +88,51 @@ class DedupNearSpec extends SparkSpec {
     assert(out3 == Seq(3L, 4L))
   }
 
+  test("ngramOverlapPairsBloom equals the exact path bit-for-bit and " +
+      "actually pre-screens the corpus side") {
+    val corpusDocs = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"), // leaks benchmark 1
+      (21L, "one two three four five six seven"),
+      (22L, "totally unrelated corpus words here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val cs = Dedup.shingleRows(corpusDocs, col("doc_id"), col("text"))
+    val bs = Dedup.shingleRows(bench, col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val exact = rows(Dedup.ngramOverlapPairs(cs, bs, minCommon = 2))
+    val bloom = rows(Dedup.ngramOverlapPairsBloom(cs, bs, minCommon = 2))
+    assert(exact == bloom)
+    assert(exact.nonEmpty, "fixture must produce a real contamination hit")
+    // the pre-screen really fires: doc 22's shingles (no bench overlap)
+    // never reach the join input
+    val screened = cs.filter(
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.GraftExpressionBridge.expression(lit {
+            val h = bs.select(xxhash64(col("shingle")).as("__h")).distinct()
+            val bf = h.stat.bloomFilter("__h", 100L, 0.01)
+            val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+            bos.toByteArray
+          }),
+          org.apache.spark.sql.GraftExpressionBridge.expression(
+            xxhash64(col("shingle"))))))
+    val screenedDocs = screened.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(screenedDocs.contains(20L) && !screenedDocs.contains(22L),
+      s"bloom must keep the leaking doc and drop the unrelated one: $screenedDocs")
+    // and the probe is a codegen'd filter, not a UDF
+    val plan = Dedup.ngramOverlapPairsBloom(cs, bs, minCommon = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"probe must stay inside codegen:\n$plan")
+  }
+
   test("crossJaccardPairs scores the asymmetric pairs exactly") {
     val a = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val b = Seq((7L, "alpha beta gamma delta epsilon"),
