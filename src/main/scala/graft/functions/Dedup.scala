@@ -823,10 +823,23 @@ object Dedup {
     * `fingerprints` is (doc_id, fp) — the exploded
     * [[TextFunctions.winnowFromGrams]] output (distinct per doc by
     * construction). Returns (id_a, id_b, shared).
+    *
+    * `materialize` (default true) localCheckpoints the fingerprint
+    * frame first: the composition reads it three times (doc-freq
+    * guard, both self-join sides) and the typical producer — a
+    * zero-shuffle [[TextFunctions.gramHashes]] projection — has no
+    * exchange for Spark to reuse, so without materialization the
+    * per-character hashing re-runs per consumer (measured 2.7× on the
+    * d13 shape). The checkpoint is ~the corpus's fingerprint fraction
+    * (≈ 2/(w+1) of grams); on a cluster prefer an explicit
+    * `persist`/`checkpoint` of the input and pass `materialize =
+    * false` if recompute is genuinely cheaper than storage.
     */
   def winnowPairs(fingerprints: DataFrame, minShared: Long = 2L,
-      maxFpDocFreq: Int = Int.MaxValue): DataFrame = {
-    val fp0 = fingerprints.select(col("doc_id"), col("fp"))
+      maxFpDocFreq: Int = Int.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    val fpIn = fingerprints.select(col("doc_id"), col("fp"))
+    val fp0 = if (materialize) fpIn.localCheckpoint() else fpIn
     val fps =
       if (maxFpDocFreq == Int.MaxValue) fp0
       else fp0.join(
