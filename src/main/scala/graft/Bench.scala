@@ -78,6 +78,17 @@ object Bench {
     * measured costs when `bench/cost_hints.json` exists.
     */
   private val bakedCostHint: Map[String, Double] = Map(
+    // round 9 additions (measured idle, sf0.1 local[32])
+    "d17_incremental_lsh" -> 8.7,
+    "d15_incremental_dedup" -> 8.0,
+    "d13_winnow_pairs" -> 6.6,
+    "g01_pagerank" -> 5.7,
+    "d14_semantic_dedup" -> 3.9,
+    "d16_dedup_near_lsh" -> 3.6,
+    "p02_curation_lsh" -> 3.2,
+    "p01_curation_recipe" -> 2.4,
+    "d18_line_dedup" -> 1.5,
+    "d19_decontamination_bloom" -> 1.5,
     // refreshed round 5 from the idle 69/69 run (bench_idle_69q.json)
     "t04_winnowing" -> 6.2,
     "d12_dedup_near" -> 6.0, // r7: pairs + CC + anti-join ≈ d08 + ε
