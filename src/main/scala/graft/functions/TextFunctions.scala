@@ -86,30 +86,19 @@ object TextFunctions {
     *
     * Pure codegen'd projection — zero shuffle, O(grams·w) per document.
     */
-  def winnowFromGrams(grams: Column, w: Int = 4): Column = {
-    require(w >= 1, "winnowFromGrams: w must be >= 1")
-    // Sparse-table sliding minimum, O(grams·log w) whole-array zip_with
-    // rounds instead of O(grams·w) per-window slice+array_min (the
-    // naive form allocates a w-slice per window; at 12-gram/8-window
-    // settings that was the bench's hottest projection). Level k holds
-    // min over a width-2^k window; two overlapping power-of-two windows
-    // cover any w. zip_with null-pads the shifted side and least()
-    // skips nulls, so trailing partial windows clamp exactly like
-    // slice() does — including the fewer-than-w-grams case, whose
-    // single window is the global min. Values are bit-identical to the
-    // slice form (same mins), so oracles are unaffected.
-    def shiftMin(m: Column, off: Int): Column =
-      zip_with(m, slice(m, lit(off + 1), greatest(size(m) - off, lit(1))),
-        (a, b) => least(a, b))
-    val p = Integer.highestOneBit(w) // largest power of two <= w
-    var m = grams
-    var width = 1
-    while (width < p) { m = shiftMin(m, width); width *= 2 }
-    val full = if (w == p) m else shiftMin(m, w - p)
+  def winnowFromGrams(grams: Column, w: Int = 4): Column =
+    // per-window slice+array_min, O(grams·w). A sparse-table sliding
+    // min (zip_with levels) was tried and measured SLOWER here:
+    // higher-order functions evaluate interpreted, and each zip_with
+    // level's tree references the previous level twice, so the nested
+    // form re-evaluates 2^levels ≈ w times anyway — with full-array
+    // allocations instead of w-slices. The window cost is dominated by
+    // the gram hashing either way; see winnowPairs(materialize).
     array_distinct(
       when(size(grams) === 0, array().cast(ArrayType(LongType)))
-        .otherwise(slice(full, lit(1), greatest(size(grams) - (w - 1), lit(1)))))
-  }
+        .otherwise(transform(
+          sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+          j => array_min(slice(grams, j, lit(w))))))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
