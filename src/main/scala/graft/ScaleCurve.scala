@@ -220,6 +220,48 @@ object ScaleCurve {
           Seq("h"))
         .agg(sum(col("cn") * col("bn"))).first()
       if (v.isNullAt(0)) 0L else v.getLong(0)
+    }),
+    // d18 line dedup: total (doc, line) occurrence rows — the volume of
+    // BOTH aggregates' input and the keeper join's probe side. Expected
+    // exponent 1.0: every stage is a hash aggregate or a 1-row-per-hash
+    // join; nothing is quadratic in anything.
+    "d18_line_rows" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = split(col("text"), " ")
+      val nch = ceil(size(w) / lit(10.0)).cast("int")
+      d.withColumn("__seg", concat_ws("\n",
+          transform(sequence(lit(0), nch - 1),
+            i => concat_ws(" ", slice(w, i * lit(10) + lit(1), lit(10))))))
+        .select(col("doc_id"),
+          explode(split(col("__seg"), "\n")).as("line"))
+        .count()
+    }),
+    // d19 bloom pre-screen: corpus shingle rows BEFORE vs AFTER the
+    // benchmark bloom filter (fixed 20-doc benchmark, fpp 0.01). The
+    // surviving fraction is the decontamination join's actual shuffle
+    // volume; against a FIXED benchmark it should SHRINK relative to
+    // the corpus as the corpus grows — the at-scale argument for the
+    // pre-screen (the d11 asymmetry moved into the scan stage).
+    "d19_corpus_shingle_rows" -> ((s, dir) =>
+      Dedup.shingleRows(docs(s, dir).filter(col("doc_id") >= 20),
+        col("doc_id"), col("text")).count()),
+    "d19_prescreen_survivors" -> ((s, dir) => {
+      import org.apache.spark.sql.{GraftExpressionBridge => Bridge}
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val d = docs(s, dir)
+      val bench = Dedup.shingleRows(d.filter(col("doc_id") < 20),
+        col("doc_id"), col("text"))
+      val bh = bench.select(xxhash64(col("shingle")).as("__h")).distinct()
+      val n = math.max(1L, bh.count())
+      val bf = bh.stat.bloomFilter("__h", n, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Dedup.shingleRows(d.filter(col("doc_id") >= 20),
+          col("doc_id"), col("text"))
+        .filter(Bridge.column(BloomFilterMightContain(
+          Bridge.expression(lit(bos.toByteArray)),
+          Bridge.expression(xxhash64(col("shingle"))))))
+        .count()
     }))
 
   def workCounts(spark: SparkSession, outFile: String,
