@@ -299,6 +299,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d07's banded SimHash pairs at the AUTO-SIZED signature width —
+    // the at-scale configuration (autoSimhashBits grows the band chunks
+    // ~log2(n) to hold bucket occupancy constant), reached through the
+    // one-call simhashPairsAuto and oracle-verified end-to-end: the
+    // oracle derives the same width from count(*) and scans all pairs
+    // (banding is complete for the hamming bound, so results agree at
+    // any width). 16 bits at sf0.01, 32 at sf0.1 — the gate proves the
+    // sizing rule, not one hardcoded width.
+    "d20_simhash_auto" -> ((s, dir) => {
+      Dedup.simhashPairsAuto(t(s, dir, "documents"), col("doc_id"), col("text"),
+          maxHamming = 3, targetOccupancy = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Cross-document line dedup (CCNet/RefinedWeb-style): documents
     // segmented into non-overlapping 10-word chunks (the corpus has no
     // natural newlines), each distinct chunk kept only at its first
@@ -986,6 +1000,32 @@ object ExtensionQueries {
          WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
          ORDER BY d.doc_id"""
     },
+
+    // mirrors simhashPairsAuto: bits = 4·min(14, max(4, ceil(log2(n/32))))
+    // from the corpus count (autoSimhashBits with maxHamming 3,
+    // targetOccupancy 32), dynamic-width signatures via a per-bit vote
+    // join, then the complete all-pairs hamming scan the banded plan
+    // equals
+    "d20_simhash_auto" ->
+      """WITH params AS (
+           SELECT CAST(4 * least(14, greatest(4,
+             CAST(ceil(log2(count(*) / 32.0)) AS BIGINT))) AS INT) AS bits
+           FROM documents),
+         wr AS (SELECT DISTINCT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+         h AS (SELECT doc_id, CAST(('0x'||substr(md5(w),1,14)) AS BIGINT) AS h FROM wr),
+         bitsj AS (SELECT unnest(range(0, bits)) AS j FROM params),
+         votes AS (SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN bitsj GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+           FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY id_a, id_b""",
 
     // mirrors dedupLines over the same 10-word chunking: first corpus
     // occurrence per distinct chunk = min (doc_id, position), encoded
