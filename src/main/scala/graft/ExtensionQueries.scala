@@ -284,6 +284,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d12's keep-one under the Containment PairStrategy: edges where
+    // common/min(|A|,|B|) >= 0.8 — subset duplication (d09's scorer)
+    // handled by the same one-call dedupNear, catching embedded-copy
+    // duplicates symmetric Jaccard dilutes below threshold.
+    "d21_dedup_near_containment" -> ((s, dir) => {
+      Dedup.dedupNear(t(s, dir, "documents"), col("doc_id"), col("text"), 0.8,
+          strategy = Dedup.Containment())
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // d15's two-stage incremental dedup with the within-batch stage
     // LSH-gated (the strategy pass-through dedupIncremental →
     // dedupNear) — cross-corpus stage unchanged (already asymmetric /
@@ -948,6 +959,31 @@ object ExtensionQueries {
          WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
          ORDER BY d.doc_id"""
     },
+
+    // d12's transitive closure with containment edges: same CC →
+    // keep-one, pair predicate common/min(na, nb) >= 0.8
+    "d21_dedup_near_containment" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b FROM prs
+               JOIN cnt ca ON ca.doc_id = id_a
+               JOIN cnt cb ON cb.doc_id = id_b
+               WHERE CAST(common AS DOUBLE) / least(ca.n, cb.n) >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang FROM documents d
+         LEFT JOIN cc ON cc.id = d.doc_id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     // d15's two-stage semantic with the within-batch pair stage gated
     // by LSH candidates (signatures are per-doc, so computing buckets

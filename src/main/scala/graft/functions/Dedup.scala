@@ -62,6 +62,16 @@ object Dedup {
       maxShingleDocFreq: Int = Int.MaxValue,
       broadcastPairs: Boolean = true) extends PairStrategy
 
+  /** Containment pairing (the d09 scorer): edge when
+    * `common / min(|A|, |B|) ≥ threshold` — catches SUBSET duplication
+    * (a document embedded verbatim in a larger one scores ~1.0 here
+    * while its symmetric Jaccard can be arbitrarily low, so
+    * Jaccard-keyed dedup ships the duplicate). Same inverted-index
+    * join shape and `maxShingleDocFreq` guard as [[Exact]].
+    */
+  final case class Containment(maxShingleDocFreq: Int = Int.MaxValue)
+    extends PairStrategy
+
   /** Near-dup pairs ≥ `threshold` under the chosen [[PairStrategy]] —
     * the pluggable pair stage behind [[dedupNear]]. Returns
     * (id_a, id_b, jaccard) in both modes.
@@ -69,6 +79,7 @@ object Dedup {
   def nearDupPairs(shingles: DataFrame, threshold: Double,
       strategy: PairStrategy = Exact()): DataFrame = strategy match {
     case Exact(maxDf) => jaccardPairs(shingles, threshold, maxDf)
+    case Containment(maxDf) => containmentPairs(shingles, threshold, maxDf)
     case MinHashLsh(bands, rowsPerBand, maxBucket, maxDf, bcast) =>
       val sh = guardShingles(shingles, maxDf)
       val cands = lshCandidatePairs(

@@ -170,6 +170,25 @@ class DedupNearSpec extends SparkSpec {
     assert(scored == Seq(2L, 3L, 4L, 6L))
   }
 
+  test("Containment strategy drops a doc embedded verbatim in a larger one " +
+      "that Jaccard keeps") {
+    val df = Seq(
+      // doc 2 = doc 1's text embedded in a much larger document:
+      // containment(1,2) = 1.0, jaccard(1,2) well below 0.8
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon one two three four five six " +
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen"),
+      (3L, "unrelated corpus document words here")
+    ).toDF("doc_id", "text")
+    val jac = Dedup.dedupNear(df, col("doc_id"), col("text"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val con = Dedup.dedupNear(df, col("doc_id"), col("text"), 0.8,
+        strategy = Dedup.Containment())
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(jac == Seq(1L, 2L, 3L), "Jaccard ships the embedded duplicate")
+    assert(con == Seq(1L, 3L), "Containment collapses it to the min id")
+  }
+
   test("dedupIncremental threads the strategy into its within-batch stage") {
     val existing = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
