@@ -72,6 +72,48 @@ object Dedup {
   final case class Containment(maxShingleDocFreq: Int = Int.MaxValue)
     extends PairStrategy
 
+  object MinHashLsh {
+
+    /** Banded-LSH collision probability for a pair at Jaccard `s`
+      * under (bands, rowsPerBand): `1 − (1 − s^r)^b` — the S-curve
+      * whose inflection `(1/b)^(1/r)` the banding trades around.
+      */
+    def recallAt(s: Double, bands: Int, rowsPerBand: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+    /** The sizing rule for [[MinHashLsh]], applied not just documented
+      * (the `autoPlanes` / `autoSimhashBits` discipline): the MOST
+      * SELECTIVE (bands, rowsPerBand) whose recall at `threshold` is
+      * ≥ `minRecall` within a signature budget of `maxSignature` =
+      * bands·rowsPerBand minhashes. Larger r sharpens the S-curve
+      * (fewer sub-threshold false candidates reach the verify join —
+      * the work that grows with the corpus); for each r the smallest
+      * sufficient b is `ceil(ln(1−minRecall) / ln(1−t^r))`, and the
+      * largest r whose (b·r) fits the budget wins. The default budget
+      * 16 matches one 128-bit digest worth of 8-byte minhashes per
+      * two docs — signatures stay a rounding error next to the shingle
+      * index. Throws if even r = 1 cannot reach `minRecall` within the
+      * budget (raise `maxSignature` or lower `minRecall`).
+      */
+    def sized(threshold: Double, minRecall: Double = 0.95,
+        maxSignature: Int = 16): MinHashLsh = {
+      require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+      require(minRecall > 0 && minRecall < 1, "minRecall must be in (0, 1)")
+      val fits = (1 to maxSignature).flatMap { r =>
+        val b = math.ceil(
+          math.log(1.0 - minRecall) /
+            math.log(1.0 - math.pow(threshold, r))).toInt.max(1)
+        if (b * r <= maxSignature) Some((b, r)) else None
+      }
+      require(fits.nonEmpty,
+        s"MinHashLsh.sized: no (bands, rows) within $maxSignature minhashes " +
+          s"reaches recall $minRecall at threshold $threshold — raise " +
+          "maxSignature or lower minRecall")
+      val (b, r) = fits.maxBy(_._2)
+      MinHashLsh(bands = b, rowsPerBand = r)
+    }
+  }
+
   /** Near-dup pairs ≥ `threshold` under the chosen [[PairStrategy]] —
     * the pluggable pair stage behind [[dedupNear]]. Returns
     * (id_a, id_b, jaccard) in both modes.

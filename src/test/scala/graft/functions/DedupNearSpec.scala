@@ -205,6 +205,33 @@ class DedupNearSpec extends SparkSpec {
     assert(out == Seq(2L, 4L))
   }
 
+  test("MinHashLsh.sized picks the sharpest banding that meets the recall " +
+      "floor within the signature budget") {
+    val cfg = Dedup.MinHashLsh.sized(0.8, minRecall = 0.95, maxSignature = 16)
+    assert(cfg.bands * cfg.rowsPerBand <= 16)
+    assert(Dedup.MinHashLsh.recallAt(0.8, cfg.bands, cfg.rowsPerBand) >= 0.95)
+    // no sharper r fits: either the budget breaks or so would recall
+    val sharper = (cfg.rowsPerBand + 1 to 16).forall { r =>
+      val bNeeded = math.ceil(
+        math.log(0.05) / math.log(1.0 - math.pow(0.8, r))).toInt.max(1)
+      bNeeded * r > 16
+    }
+    assert(sharper, s"a sharper r than ${cfg.rowsPerBand} fits the budget")
+    // the S-curve is selective where it should be: sub-threshold pairs
+    // collide far less often than threshold pairs
+    assert(Dedup.MinHashLsh.recallAt(0.4, cfg.bands, cfg.rowsPerBand) <
+      0.5 * Dedup.MinHashLsh.recallAt(0.8, cfg.bands, cfg.rowsPerBand))
+    // the sized config runs end-to-end through dedupNear
+    val out = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+        strategy = cfg)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L, 6L))
+    // unreachable floors fail loudly, never silently under-recall
+    intercept[IllegalArgumentException] {
+      Dedup.MinHashLsh.sized(0.1, minRecall = 0.999, maxSignature = 4)
+    }
+  }
+
   /** Joins whose condition equates two shingle-hash attributes WITHOUT
     * any doc-id equality gate — the Σ df² self-join shape the LSH
     * strategy exists to avoid. Exact's pair stage is exactly one of
