@@ -376,6 +376,16 @@ object ExtensionQueries {
 
     // Corpus vocabulary table: top-50 terms by corpus tf with df and
     // cumulative token coverage — the tokenizer/vocab-budget view.
+    // Corpus-relative word-rank quality score (the integer-exact CCNet
+    // LM-filter proxy): mean corpus-frequency rank of each document's
+    // word occurrences — stopword soup scores low, rare-token garble
+    // high, engine-exact (no libm log).
+    "t15_word_rank_score" -> ((s, dir) => {
+      TextFunctions.wordRankScore(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t14_vocab_coverage" -> ((s, dir) => {
       TextFunctions.vocabCoverage(t(s, dir, "documents"),
           col("doc_id"), col("text"), topN = 50)
@@ -1197,6 +1207,21 @@ object ExtensionQueries {
          FROM assigned v LEFT JOIN drops d ON v.vec_id = d.vec_id
          ORDER BY v.vec_id"""
     },
+
+    // mean corpus-frequency rank per doc: dense_rank over (count desc,
+    // word), exact integer sum, ONE final IEEE division
+    "t15_word_rank_score" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         ranked AS (SELECT w, CAST(dense_rank() OVER
+             (ORDER BY count(*) DESC, w) AS BIGINT) AS rank
+           FROM w GROUP BY w)
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(rank) AS BIGINT) AS rank_sum,
+           CAST(sum(rank) AS DOUBLE) / count(*) AS mean_rank
+         FROM w JOIN ranked USING (w)
+         GROUP BY doc_id
+         ORDER BY doc_id""",
 
     // mirrors TextFunctions.vocabCoverage: tf-desc/term rank, top 50,
     // running-tf-sum over the exact integer total

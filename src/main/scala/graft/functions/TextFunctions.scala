@@ -392,6 +392,44 @@ object TextFunctions {
       .select(col("rank"), col("term"), col("tf"), col("df"), col("coverage"))
   }
 
+  /** Corpus-relative word-rank quality score — the integer-exact proxy
+    * for the CCNet-style language-model quality filter
+    * (arXiv:1911.00359 uses LM perplexity; log-probabilities are libm
+    * floats that drift across engines, so this uses the frequency RANK
+    * of each word instead): every vocabulary word gets its dense rank
+    * by corpus frequency (rank 1 = most frequent, ties broken by the
+    * word for determinism), and a document scores the MEAN RANK of its
+    * word occurrences. Boilerplate- and stopword-heavy documents score
+    * low; rare-token soup (the classic spam/garble signature) scores
+    * high; the useful middle survives a two-sided [[quantileTrim]].
+    * Exact integer sums; the single final division is one IEEE op,
+    * bit-identical on any engine (the `dsum` discipline).
+    *
+    * Returns (doc_id, n_words, rank_sum, mean_rank).
+    *
+    * Scale shape: word explode + one vocab aggregate + the rank join
+    * (shuffles on the word — bounded by corpus token count) + one
+    * doc aggregate. The rank itself is a windowed sort of the VOCAB
+    * (no partition key — like [[vocabCoverage]] the sort is
+    * vocabulary-bounded, ~10⁷ rows for a word vocab at any corpus
+    * size, a rounding error next to the corpus-bounded stages; for
+    * sub-word/n-gram vocabularies swap in a sort + zipWithIndex).
+    */
+  def wordRankScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = df.select(id.as("doc_id"), explode(words(text)).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    val ranked = w.groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", dense_rank().over(win).cast(LongType))
+      .select(col("w"), col("rank"))
+    w.join(ranked, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("rank")).as("rank_sum"))
+      .withColumn("mean_rank",
+        col("rank_sum").cast(DoubleType) / col("n_words"))
+  }
+
   /** Sliding word-window chunking: split each document into
     * `window`-token chunks advancing by `stride` tokens (overlap =
     * `window - stride`) — the step that turns raw documents into

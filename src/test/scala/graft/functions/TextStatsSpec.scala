@@ -134,4 +134,20 @@ class TextStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"bounds join is not broadcast:\n$plan")
   }
+
+  test("wordRankScore: mean corpus-frequency rank, ties broken by word") {
+    import spark.implicits._
+    // corpus counts: the=4 (rank 1), beta=2 (rank 2), alpha=1 and
+    // rare=1 tie at count 1 -> alpha rank 3, rare rank 4 (word order)
+    val df = Seq(
+      (1L, "the the the beta"),
+      (2L, "the beta alpha rare")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.wordRankScore(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L + 1 + 1 + 2, 5.0 / 4)))
+    assert(out(2L) == ((4L, 1L + 2 + 3 + 4, 10.0 / 4)),
+      "stopword-heavy doc 1 scores below the rare-token doc 2")
+  }
 }
