@@ -91,6 +91,7 @@ object Bench {
     "d19_decontamination_bloom" -> 1.5,
     "d20_simhash_auto" -> 3.8,
     "d21_dedup_near_containment" -> 3.2,
+    "t15_word_rank_score" -> 1.5,
     // refreshed round 5 from the idle 69/69 run (bench_idle_69q.json)
     "t04_winnowing" -> 6.2,
     "d12_dedup_near" -> 6.0, // r7: pairs + CC + anti-join ≈ d08 + ε
