@@ -589,6 +589,30 @@ object SparkEntry {
       s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
     }),
 
+    // Round-9 dialect residual (formerly a documented "genuinely
+    // untranslatable" limit): window-frame EXCLUDE clauses, emulated
+    // for decomposable aggregates as frame-minus-exclusion window
+    // arithmetic (SqliteDialect.rewriteExclude). All three exclusion
+    // kinds over real peer groups (coarse year key ⇒ ties), plus a
+    // well-ordered ROWS frame for CURRENT ROW; the oracle runs DuckDB's
+    // NATIVE EXCLUDE — a true semantics check, not a mirrored unroll.
+    "q44_window_exclude" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val sqliteSql = """
+        SELECT o_custkey, o_orderkey,
+               sum(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s_cur,
+               sum(o_orderkey % 100) OVER (PARTITION BY o_custkey
+                 ORDER BY strftime('%Y', o_orderdate) EXCLUDE GROUP) AS s_grp,
+               sum(o_orderkey % 100) OVER (PARTITION BY o_custkey
+                 ORDER BY strftime('%Y', o_orderdate) EXCLUDE TIES) AS s_ties,
+               count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY strftime('%Y', o_orderdate) EXCLUDE GROUP) AS c_grp
+        FROM orders WHERE o_orderkey <= 4000
+        ORDER BY o_custkey, o_orderkey"""
+      s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
+    }),
+
     // Native recursive CTE (Spark 4.1 WITH RECURSIVE — formerly listed
     // as a dialect gap; it is fully supported): month generator joined
     // against orders.
@@ -984,6 +1008,25 @@ object SparkEntry {
          WHERE regexp_matches(o_orderpriority, '^[12]-.*$')
            AND o_orderkey <= 3000
          ORDER BY o_orderkey""",
+
+    // DuckDB runs the EXCLUDE clauses natively (verified: sum -> NULL /
+    // count -> 0 on emptied frames) — the emulation is checked against
+    // real engine semantics, not a mirror of itself
+    "q44_window_exclude" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s_cur,
+           CAST(sum(o_orderkey % 100) OVER (PARTITION BY o_custkey
+             ORDER BY strftime(o_orderdate, '%Y')
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS s_grp,
+           CAST(sum(o_orderkey % 100) OVER (PARTITION BY o_custkey
+             ORDER BY strftime(o_orderdate, '%Y')
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS BIGINT) AS s_ties,
+           count(*) OVER (PARTITION BY o_custkey
+             ORDER BY strftime(o_orderdate, '%Y')
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS c_grp
+         FROM orders WHERE o_orderkey <= 4000
+         ORDER BY o_custkey, o_orderkey""",
 
     "q41_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (

@@ -50,7 +50,8 @@ object SqliteDialect {
     */
   def rewrite(sql: String): String =
     transcodeLiterals(
-      rewriteStrftime(rewriteGlob(rewriteGroups(rewriteDoubleQuoted(sql)))))
+      rewriteStrftime(rewriteGlob(rewriteGroups(rewriteExclude(
+        rewriteDoubleQuoted(sql))))))
 
   /** Genuine frame syntax — a frame bound always ends in PRECEDING /
     * FOLLOWING / CURRENT ROW, so a column that happens to be named
@@ -79,12 +80,19 @@ object SqliteDialect {
     * ARE supported by Spark 4.1's native WITH RECURSIVE.)
     */
   def preflight(sql: String): Unit = {
-    if (GroupsFramePat.findFirstIn(maskStrings(sql, backslashEscapes = true)).isDefined)
+    val m = maskStrings(sql, backslashEscapes = true)
+    if (GroupsFramePat.findFirstIn(m).isDefined)
       throw new UnsupportedSqlFeatureException("GROUPS window frames",
         "Spark windows support ROWS and RANGE frames only; enable " +
           "spark.graft.sqlite.dialect (the rewrite emulates GROUPS as " +
           "RANGE over dense_rank()), or rewrite the frame as ROWS " +
           "(identical when the ORDER BY key is unique)")
+    if ("(?i)\\bEXCLUDE\\s+(NO\\s+OTHERS|CURRENT\\s+ROW|GROUP|TIES)\\b".r
+        .findFirstIn(m).isDefined)
+      throw new UnsupportedSqlFeatureException("window frame EXCLUDE clause",
+        "Spark has no frame exclusion; enable spark.graft.sqlite.dialect " +
+          "(the rewrite emulates EXCLUDE for SUM/COUNT/AVG as " +
+          "frame-minus-exclusion window arithmetic)")
   }
 
   /** SQLite GLOB pattern → SQL LIKE pattern. GLOB is case-sensitive with
@@ -308,6 +316,168 @@ object SqliteDialect {
     * EXCLUDE clauses and non-literal bounds are genuinely
     * untranslatable and always rejected.
     */
+  /** Window-frame EXCLUDE clause emulation (SQLite window grammar,
+    * sqlite.org/windowfunctions.html §2.2; Spark has no frame
+    * exclusion): for DECOMPOSABLE aggregates the excluded result is
+    * arithmetic over two windows — the original frame minus the
+    * exclusion, where the exclusion is built from the current row's
+    * value and/or the PEER-GROUP window (`RANGE BETWEEN CURRENT ROW
+    * AND CURRENT ROW` over the same partition/order):
+    *
+    *   - `EXCLUDE CURRENT ROW`: subtract the row's own contribution;
+    *   - `EXCLUDE GROUP`:      subtract the peer window's aggregate;
+    *   - `EXCLUDE TIES`:       subtract peers, add the row back;
+    *   - `EXCLUDE NO OTHERS`:  a no-op — the clause is dropped.
+    *
+    * SUM wraps the subtraction in a CASE so an exclusion that empties
+    * the frame of non-null values yields NULL (the SQLite/DuckDB
+    * semantic); COUNT yields 0 by the same arithmetic naturally; AVG
+    * is the SUM/COUNT composition with one final IEEE division.
+    * Exact for integer/decimal columns (integer frame sums subtract
+    * losslessly); float columns can differ from a native-EXCLUDE
+    * engine by summation-order ULPs.
+    *
+    * MIN/MAX (not decomposable — removing one value can expose any
+    * earlier one, which no pair of windows reconstructs), EXCLUDE on a
+    * GROUPS frame (rejected with the GROUPS error downstream), DISTINCT
+    * aggregates, and specs without ORDER BY (every row is a peer —
+    * restructure instead) all raise the friendly error.
+    */
+  private[pipeline] def rewriteExclude(sql: String): String = {
+    val masked = maskStrings(sql, backslashEscapes = false)
+    val ExcludeKinds = "\\bEXCLUDE\\s+(NO\\s+OTHERS|CURRENT\\s+ROW|GROUP|TIES)\\b"
+    if ("(?i)\\bEXCLUDE\\b".r.findFirstIn(masked).isEmpty) return sql
+
+    case class Edit(start: Int, end: Int, text: String)
+    val edits = scala.collection.mutable.ArrayBuffer.empty[Edit]
+    // an EXCLUDE on a GROUPS frame is left in place for rewriteGroups'
+    // own (more specific) rejection
+    var leftForGroups = false
+
+    for (m <- "(?i)\\bOVER\\s*\\(".r.findAllMatchIn(masked)) {
+      val open = m.end - 1
+      var i = open + 1
+      var d = 1
+      while (i < masked.length && d > 0) {
+        if (masked.charAt(i) == '(') d += 1
+        else if (masked.charAt(i) == ')') d -= 1
+        i += 1
+      }
+      if (d != 0) throw new IllegalArgumentException(
+        s"unbalanced window specification in: $sql")
+      val close = i - 1
+      val span = masked.substring(open + 1, close)
+      val spanDepth = parenDepths(span)
+      def topMatch(pat: String) =
+        ("(?i)" + pat).r.findAllMatchIn(span).find(mm => spanDepth(mm.start) == 0)
+      val hasExclude = topMatch("\\bEXCLUDE\\b").isDefined
+      val skipForGroups = topMatch("\\bGROUPS\\b").isDefined
+      if (hasExclude && skipForGroups) leftForGroups = true
+      if (hasExclude && !skipForGroups) {
+        val exM = topMatch(ExcludeKinds)
+          .getOrElse(throw new UnsupportedSqlFeatureException(
+            "window frame EXCLUDE clause",
+            s"cannot parse the exclusion in '${sql.substring(open + 1, close)}'"))
+        if (span.substring(exM.end).trim.nonEmpty)
+          throw new UnsupportedSqlFeatureException(
+            "window frame EXCLUDE clause",
+            "EXCLUDE must be the final clause of the frame specification")
+        val kind = exM.group(1).toUpperCase.replaceAll("\\s+", " ")
+        if (kind == "NO OTHERS") {
+          edits += Edit(open + 1 + exM.start, open + 1 + exM.end, "")
+        } else {
+          if (topMatch("\\bORDER\\s+BY\\b").isEmpty)
+            throw new UnsupportedSqlFeatureException(
+              s"EXCLUDE $kind without ORDER BY",
+              "every partition row is a peer of every other; aggregate " +
+                "without the window or add an ORDER BY")
+          // the aggregate call immediately before OVER
+          var p = m.start - 1
+          while (p >= 0 && Character.isWhitespace(masked.charAt(p))) p -= 1
+          if (p < 0 || masked.charAt(p) != ')')
+            throw new UnsupportedSqlFeatureException(
+              s"EXCLUDE $kind",
+              "the emulation rewrites '<aggregate>(<arg>) OVER (...)' " +
+                "shapes; name the aggregate call directly before OVER")
+          val argClose = p
+          var d2 = 1
+          p -= 1
+          while (p >= 0 && d2 > 0) {
+            if (masked.charAt(p) == ')') d2 += 1
+            else if (masked.charAt(p) == '(') d2 -= 1
+            p -= 1
+          }
+          val argOpen = p + 1
+          var idStart = argOpen
+          while (idStart > 0 && (Character.isLetterOrDigit(masked.charAt(idStart - 1))
+            || masked.charAt(idStart - 1) == '_')) idStart -= 1
+          val fn = sql.substring(idStart, argOpen).trim.toUpperCase
+          val arg = sql.substring(argOpen + 1, argClose).trim
+          if ("(?i)^DISTINCT\\b".r.findFirstIn(arg).isDefined)
+            throw new UnsupportedSqlFeatureException(
+              s"EXCLUDE $kind with DISTINCT",
+              "distinct windowed aggregates do not decompose; deduplicate " +
+                "in a subquery first")
+          if (fn != "SUM" && fn != "COUNT" && fn != "AVG")
+            throw new UnsupportedSqlFeatureException(
+              s"EXCLUDE $kind with $fn",
+              "only SUM/COUNT/AVG decompose into frame-minus-exclusion " +
+                "window arithmetic (MIN/MAX cannot — removing a value can " +
+                "expose any earlier one); restructure with a self-join")
+          val star = arg == "*"
+          if (star && fn != "COUNT")
+            throw new UnsupportedSqlFeatureException(
+              s"EXCLUDE $kind with $fn(*)", "only COUNT takes *")
+          // frame spec without the EXCLUDE tail; peers spec = partition
+          // + order only, peer-group RANGE frame
+          val frameSpec = sql.substring(open + 1, open + 1 + exM.start).trim
+          val fIdx = topMatch("\\b(ROWS|RANGE)\\b").map(_.start)
+            .getOrElse(exM.start)
+          val peersSpec = sql.substring(open + 1, open + 1 + math.min(fIdx, exM.start)).trim +
+            " RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+          val F = s"OVER ($frameSpec)"
+          val P = s"OVER ($peersSpec)"
+          val curCnt =
+            if (star) "1" else s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+          val cntArg = if (star) "*" else arg
+          val (sumX, cntX) = kind match {
+            case "CURRENT ROW" =>
+              (s"COALESCE(($arg), 0)", curCnt)
+            case "GROUP" =>
+              (s"COALESCE((SUM($arg) $P), 0)", s"(COUNT($cntArg) $P)")
+            case "TIES" =>
+              (s"(COALESCE((SUM($arg) $P), 0) - COALESCE(($arg), 0))",
+                s"((COUNT($cntArg) $P) - $curCnt)")
+          }
+          val replacement = fn match {
+            case "COUNT" => s"((COUNT($cntArg) $F) - $cntX)"
+            case "SUM" =>
+              s"(CASE WHEN (COUNT($arg) $F) - $cntX = 0 THEN NULL " +
+                s"ELSE (SUM($arg) $F) - $sumX END)"
+            case "AVG" =>
+              s"(CASE WHEN (COUNT($arg) $F) - $cntX = 0 THEN NULL " +
+                s"ELSE CAST((SUM($arg) $F) - $sumX AS DOUBLE) / " +
+                s"((COUNT($arg) $F) - $cntX) END)"
+          }
+          edits += Edit(idStart, close + 1, replacement)
+        }
+      }
+    }
+    val edited = edits.sortBy(-_.start).foldLeft(sql) { (s, e) =>
+      s.substring(0, e.start) + e.text + s.substring(e.end)
+    }
+    // an EXCLUDE the OVER scan never visited (named WINDOW clause)
+    // would otherwise surface as a raw Catalyst parse error
+    if (!leftForGroups && ("(?i)" + ExcludeKinds).r.findFirstIn(
+        maskStrings(edited, backslashEscapes = false)).isDefined)
+      throw new UnsupportedSqlFeatureException(
+        "EXCLUDE in a named WINDOW clause",
+        "the EXCLUDE emulation rewrites frames written inline in an " +
+          "OVER (...) spec only; move the frame from the WINDOW " +
+          "definition into each OVER clause")
+    edited
+  }
+
   private[pipeline] def rewriteGroups(sql: String): String = {
     val masked = maskStrings(sql, backslashEscapes = false)
     if (GroupsIntentPat.findFirstIn(masked).isEmpty) return sql

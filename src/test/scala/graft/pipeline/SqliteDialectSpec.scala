@@ -123,6 +123,52 @@ class SqliteDialectSpec extends SparkSpec {
       ordered)
   }
 
+  test("rewriteExclude: SUM/COUNT semantics match the SQLite spec on a " +
+      "crafted ties dataset, empty exclusion gives NULL/0") {
+    val from = " FROM VALUES (1,10,'a'),(2,20,'a'),(3,30,'b') AS t(i,v,k) "
+    val rows = spark.sql(SqliteDialect.rewrite(
+      "SELECT i," +
+        " sum(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s1," +
+        " sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS s2," +
+        " sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS s3," +
+        " count(*) OVER (ORDER BY k EXCLUDE GROUP) AS c1," +
+        " sum(v) OVER (ORDER BY k ROWS 1 PRECEDING EXCLUDE NO OTHERS) AS s4" +
+        from + "ORDER BY i"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // hand-checked against DuckDB's native EXCLUDE on the same data
+    assert(rows == Seq((1, 20L, 30L, 40L, 0L, 10L),
+      (2, 40L, 30L, 50L, 0L, 30L), (3, 20L, 30L, 60L, 2L, 50L)))
+    // exclusion that empties the frame: SUM -> NULL, COUNT -> 0
+    val edge = spark.sql(SqliteDialect.rewrite(
+      "SELECT i," +
+        " sum(v) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE GROUP) AS es," +
+        " count(v) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE GROUP) AS ec" +
+        from + "WHERE i <= 2 ORDER BY i")).collect()
+    assert(edge.forall(r => r.isNullAt(1) && r.getLong(2) == 0L))
+  }
+
+  test("rewriteExclude: friendly errors for the undecomposable shapes") {
+    def err(sql: String): String =
+      intercept[UnsupportedSqlFeatureException] {
+        SqliteDialect.rewriteExclude(sql)
+      }.getMessage
+    assert(err("SELECT min(v) OVER (ORDER BY k EXCLUDE GROUP) FROM t")
+      .contains("MIN"))
+    assert(err("SELECT sum(DISTINCT v) OVER (ORDER BY k EXCLUDE TIES) FROM t")
+      .contains("DISTINCT"))
+    assert(err("SELECT sum(v) OVER (PARTITION BY p EXCLUDE GROUP) FROM t")
+      .contains("ORDER BY"))
+    assert(err("SELECT sum(v) OVER w FROM t WINDOW w AS (ORDER BY k EXCLUDE GROUP)")
+      .contains("WINDOW"))
+    // EXCLUDE on a GROUPS frame is left for rewriteGroups' own error
+    val g = "SELECT sum(v) OVER (ORDER BY k GROUPS UNBOUNDED PRECEDING EXCLUDE GROUP) FROM t"
+    assert(SqliteDialect.rewriteExclude(g) == g)
+    assert(intercept[UnsupportedSqlFeatureException] {
+      SqliteDialect.rewrite(g)
+    }.getMessage.contains("GROUPS"))
+  }
+
   test("rewriteGroups: whole-peer-group bounds become RANGE verbatim") {
     val out = SqliteDialect.rewriteGroups(
       "SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
