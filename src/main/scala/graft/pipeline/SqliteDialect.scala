@@ -793,15 +793,29 @@ object SqliteDialect {
   private def applyTimeModifier(expr: String, mod: String): String = {
     val Offset = """([+-])(\d+) (day|hour|minute|second|month|year)s?""".r
     val StartOf = """start of (day|month|year)""".r
+    val Weekday = """weekday ([0-6])""".r
     mod.trim.toLowerCase match {
       case Offset(sign, n, unit) =>
         s"($expr $sign INTERVAL $n ${unit.toUpperCase})"
       case StartOf(unit) => s"date_trunc('${unit.toUpperCase}', $expr)"
       case "utc" => expr
+      // SQLite: advance to the next date where weekday = N (0 =
+      // Sunday), no change if already there. Spark dayofweek is
+      // 1-based Sunday, so the forward distance is (N − (dow−1)) mod 7
+      // days — added as an INTERVAL to preserve the time of day
+      // exactly as SQLite does.
+      case Weekday(n) =>
+        s"($expr + make_interval(0, 0, 0, " +
+          s"(($n - (dayofweek($expr) - 1)) % 7 + 7) % 7, 0, 0, 0))"
+      // SQLite: reinterpret the raw value as unix epoch SECONDS
+      // (only meaningful as the first modifier over a numeric value;
+      // SQLite itself ignores the prior interpretation, so applying
+      // it to the original expression is the faithful reading).
+      case "unixepoch" => s"timestamp_seconds($expr)"
       case other => throw new UnsupportedSqlFeatureException(
         s"strftime modifier '$other'",
         "supported modifiers: '±N day/hour/minute/second/month/year', " +
-          "'start of day/month/year', 'utc'")
+          "'start of day/month/year', 'utc', 'weekday 0-6', 'unixepoch'")
     }
   }
 

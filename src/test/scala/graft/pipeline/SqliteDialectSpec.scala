@@ -81,8 +81,11 @@ class SqliteDialectSpec extends SparkSpec {
       SqliteDialect.rewrite("SELECT strftime('%Y', ts, 'localtime') FROM t")
     }
     assert(m.getMessage.startsWith("unsupported: strftime modifier 'localtime'"))
+    // round 9: 'weekday N' and 'unixepoch' now TRANSLATE (no throw)
+    SqliteDialect.rewrite("SELECT strftime('%Y', ts, 'weekday 1') FROM t")
+    SqliteDialect.rewrite("SELECT strftime('%Y', v, 'unixepoch') FROM t")
     intercept[UnsupportedSqlFeatureException] {
-      SqliteDialect.rewrite("SELECT strftime('%Y', ts, 'weekday 1') FROM t")
+      SqliteDialect.rewrite("SELECT strftime('%Y', ts, 'julianday') FROM t")
     }
     intercept[UnsupportedSqlFeatureException] {
       SqliteDialect.rewrite("SELECT strftime('%Y', ts, x) FROM t") // non-literal
@@ -121,6 +124,31 @@ class SqliteDialectSpec extends SparkSpec {
     assert(ordered.contains(
       "date_format((date_trunc('MONTH', ts) + INTERVAL 1 DAY), 'dd')"),
       ordered)
+  }
+
+  test("strftime 'weekday N' / 'unixepoch' modifiers run with SQLite " +
+      "semantics (round-9 residuals, formerly documented limits)") {
+    // 2024-01-03 is a Wednesday: weekday 0 -> next Sunday 2024-01-07;
+    // a date already on the target weekday stays put
+    val rows = spark.sql(SqliteDialect.rewrite(
+      "SELECT strftime('%Y-%m-%d', d, 'weekday 0') AS wd" +
+        " FROM VALUES (TIMESTAMP '2024-01-03 10:30:00')," +
+        " (TIMESTAMP '2024-01-07 00:00:00') AS t(d) ORDER BY d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("2024-01-07", "2024-01-07"))
+    // time of day is preserved across the jump (SQLite keeps it)
+    val tod = spark.sql(SqliteDialect.rewrite(
+      "SELECT strftime('%H', d, 'weekday 0') AS h" +
+        " FROM VALUES (TIMESTAMP '2024-01-03 10:30:00') AS t(d)"))
+      .collect().head.getString(0)
+    assert(tod == "10")
+    // unixepoch reinterprets a numeric value as epoch seconds (UTC
+    // session): 1092941466 = 2004-08-19 (sqlite.org's own example)
+    val ue = spark.sql(SqliteDialect.rewrite(
+      "SELECT strftime('%Y-%m-%d', v, 'unixepoch') AS e" +
+        " FROM VALUES (1092941466) AS t(v)"))
+      .collect().head.getString(0)
+    assert(ue == "2004-08-19")
   }
 
   test("rewriteExclude: SUM/COUNT semantics match the SQLite spec on a " +
