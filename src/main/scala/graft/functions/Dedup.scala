@@ -448,13 +448,21 @@ object Dedup {
       maxShingleDocFreq: Int = Int.MaxValue,
       keepBy: Option[Column] = None,
       strategy: PairStrategy = Exact()): DataFrame = {
+    val newSh = shingleRows(newDf, id, text, n)
     val dupOfOld = crossJaccardPairs(
-        shingleRows(newDf, id, text, n), shingleRows(existing, id, text, n),
+        newSh, shingleRows(existing, id, text, n),
         threshold, maxShingleDocFreq)
       .select(col("doc_id").as("__drop_id")).distinct()
     val stage1 = newDf.join(broadcast(dupOfOld),
       id === col("__drop_id"), "left_anti")
-    dedupNear(stage1, id, text, threshold, n, keepBy, strategy = strategy)
+    // stage-2 shingles = the batch index already built for stage 1,
+    // minus the dropped docs — the same broadcast anti-join, reusing
+    // the distinct-exchange instead of re-splitting/re-exploding the
+    // batch (shingles are per-doc, so filtering rows ≡ re-deriving)
+    val stage1Sh = newSh.join(broadcast(dupOfOld),
+      col("doc_id") === col("__drop_id"), "left_anti")
+    dedupNearFromShingles(stage1, stage1Sh, id, threshold, keepBy,
+      strategy = strategy)
   }
 
   /** Exact Jaccard for an explicit (small) candidate pair set — the
@@ -747,8 +755,24 @@ object Dedup {
       keepBy: Option[Column] = None,
       broadcastDrops: Boolean = true,
       maxIters: Int = 20,
+      strategy: PairStrategy = Exact()): DataFrame =
+    dedupNearFromShingles(df, shingleRows(df, id, text, n), id, threshold,
+      keepBy, broadcastDrops, maxIters, strategy)
+
+  /** [[dedupNear]] over a PRECOMPUTED shingle index — the composition
+    * seam [[dedupIncremental]] uses to reuse the batch's shingles
+    * across both of its stages instead of re-exploding the documents.
+    * `shingles` must be [[shingleRows]]-shaped output covering exactly
+    * `df`'s rows (shingles are per-document, so filtering index rows
+    * is equivalent to re-deriving the index from filtered documents).
+    */
+  def dedupNearFromShingles(df: DataFrame, shingles: DataFrame, id: Column,
+      threshold: Double = 0.8,
+      keepBy: Option[Column] = None,
+      broadcastDrops: Boolean = true,
+      maxIters: Int = 20,
       strategy: PairStrategy = Exact()): DataFrame = {
-    val sh = shingleRows(df, id, text, n)
+    val sh = shingles
     val pairs = nearDupPairs(sh, threshold, strategy)
     val cc = connectedComponents(pairs, maxIters)
     val drops = keepBy match {
