@@ -191,6 +191,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // The one-call decontamination: corpus docs sharing >= 10 distinct
+    // 3-gram shingles with the benchmark (doc_id < 20) are dropped,
+    // surviving rows returned — the composed form of d11/d19 with the
+    // bloom pre-screen on by default.
+    "d22_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20),
+          col("doc_id"), col("text"), minCommon = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // d11's decontamination behind the bloom pre-screen: the benchmark
     // shingle hashes fold into one bloom filter, the corpus side passes
     // a codegen'd might_contain before the overlap join. Output is
@@ -1265,6 +1278,19 @@ object ExtensionQueries {
          FROM sh c JOIN sh b ON c.s = b.s AND c.doc_id >= 20 AND b.doc_id < 20
          GROUP BY 1, 2 HAVING count(*) >= 10
          ORDER BY doc_id, bench_id""",
+
+    // the keep-filter flip of d11: corpus docs (doc_id >= 20) survive
+    // unless they share >= 10 shingles with any benchmark doc
+    "d22_decontaminate" ->
+      s"""WITH $ShingleCte,
+         hits AS (
+           SELECT DISTINCT c.doc_id FROM sh c JOIN sh b ON c.s = b.s
+           WHERE c.doc_id >= 20 AND b.doc_id < 20
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 10)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id >= 20
+           AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY d.doc_id""",
 
     // the bloom pre-screen is exact (no false negatives, false
     // positives die in the join), so d19's oracle is d11's verbatim

@@ -396,6 +396,34 @@ object Dedup {
       minCommon, maxShingleDocFreq)
   }
 
+  /** One-call train/test DECONTAMINATION: drop from `corpus` every
+    * document sharing at least `minCommon` distinct n-gram shingles
+    * with the benchmark set — the composed form of
+    * [[ngramOverlapPairs]] (or its bloom-prescreened variant; the
+    * round-9 one-call-API discipline: the scale path reachable without
+    * hand-wiring). Returns the surviving corpus rows, schema unchanged.
+    *
+    * Scale shape: the pair stage is the d11/d19 asymmetric join (cost
+    * anchored to the benchmark side; `bloomPrescreen` additionally
+    * kills the non-overlapping corpus shingles inside the scan stage —
+    * measured 98.75% of the shuffle at the x10 curve point); the drop
+    * list is bounded by true overlaps, hence broadcast for the final
+    * anti-join.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, minCommon: Long = 10L, n: Int = 3,
+      maxShingleDocFreq: Int = Int.MaxValue,
+      bloomPrescreen: Boolean = true, fpp: Double = 0.01): DataFrame = {
+    val cs = shingleRows(corpus, id, text, n)
+    val bs = shingleRows(bench, id, text, n)
+    val hits =
+      if (bloomPrescreen)
+        ngramOverlapPairsBloom(cs, bs, minCommon, maxShingleDocFreq, fpp)
+      else ngramOverlapPairs(cs, bs, minCommon, maxShingleDocFreq)
+    val drops = hits.select(col("doc_id").as("__drop_id")).distinct()
+    corpus.join(broadcast(drops), id === col("__drop_id"), "left_anti")
+  }
+
   /** Cross-corpus exact Jaccard: every (new, existing) document pair
     * sharing ≥ 1 shingle, scored `common / (|A|+|B|−common)` over the
     * two inverted indexes — [[ngramOverlapPairs]]'s asymmetric join

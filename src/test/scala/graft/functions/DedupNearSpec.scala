@@ -131,6 +131,17 @@ class DedupNearSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"probe must stay inside codegen:\n$plan")
+    // the one-call decontaminate drops exactly the leaking doc, same
+    // result with the pre-screen on or off, schema passed through
+    val kept = Dedup.decontaminate(corpusDocs, bench,
+      col("doc_id"), col("text"), minCommon = 2)
+    assert(kept.columns.toSeq == corpusDocs.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(21L, 22L))
+    val keptExact = Dedup.decontaminate(corpusDocs, bench,
+        col("doc_id"), col("text"), minCommon = 2, bloomPrescreen = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptExact == Seq(21L, 22L))
   }
 
   test("crossJaccardPairs scores the asymmetric pairs exactly") {
