@@ -38,16 +38,18 @@ object Curation {
     * @param budget   tokens per training bin
     * @param jaccardThreshold near-dup pair threshold
     * @param pairStrategy candidate-pair strategy for the dedup stage —
-    *                 [[Dedup.Exact]] (complete recall, quadratic in hot
-    *                 shingles) or [[Dedup.MinHashLsh]] (the 100 TB
-    *                 default: banded candidates, exact verify)
+    *                 [[Dedup.Auto]] (default: guarded exact below the
+    *                 documented corpus-size budget, recall-floor-sized
+    *                 [[Dedup.MinHashLsh]] above it), or an explicit
+    *                 [[Dedup.Exact]] / [[Dedup.MinHashLsh]] /
+    *                 [[Dedup.Containment]] to pin the mode
     * @return the surviving rows plus their `bin` assignment
     */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
       langs: Seq[String], tokens: Column,
       rates: Seq[(String, Double)], defaultRate: Double,
       budget: Long, jaccardThreshold: Double = 0.8,
-      pairStrategy: Dedup.PairStrategy = Dedup.Exact()): DataFrame = {
+      pairStrategy: Dedup.PairStrategy = Dedup.Auto()): DataFrame = {
     require(langs.nonEmpty, "curate: empty language allow-list")
     val filtered = docs.filter(lang.isInCollection(langs))
     val deduped = Dedup.dedupNear(filtered, id, text, jaccardThreshold,

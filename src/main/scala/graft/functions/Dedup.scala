@@ -44,7 +44,11 @@ object Dedup {
     * Both honor the stop-shingle guard: hot shingles leave the index
     * BEFORE any signature/pairing work, and the verified score is the
     * exact Jaccard over the pruned shingle space ([[hotShingles]] is
-    * the accounting in both modes).
+    * the accounting in both modes). [[Containment]] swaps the scorer
+    * for subset-duplication detection; [[Auto]] (the composed APIs'
+    * default) picks guarded-[[Exact]] vs recall-floor-sized
+    * [[MinHashLsh]] from the corpus size, so the naive call is
+    * scale-safe by construction.
     */
   sealed trait PairStrategy { def maxShingleDocFreq: Int }
 
@@ -71,6 +75,35 @@ object Dedup {
     */
   final case class Containment(maxShingleDocFreq: Int = Int.MaxValue)
     extends PairStrategy
+
+  /** Corpus-size-adaptive pairing — the scale-safe DEFAULT for the
+    * composed entry points ([[dedupNear]], [[dedupIncremental]],
+    * [[Curation.curate]]): resolves to [[Exact]] with a FINITE
+    * stop-shingle guard while the corpus fits the documented quadratic
+    * budget (`docCount ≤ maxExactDocs` — complete recall where the
+    * Σ df² join is affordable), and to [[MinHashLsh.sized]] at the
+    * dedup threshold (recall ≥ 0.95 banding, same finite guard) above
+    * it. This removes the 100 TB footgun of an unguarded-exact
+    * default: a naive `dedupNear(df, id, text)` call now takes the
+    * banded-candidate path exactly when corpus size demands it, and
+    * boilerplate shingles are capped in BOTH modes. Resolution costs
+    * one count of the input — metadata-cheap against columnar sources
+    * and a rounding error next to the pair join it sizes; pass an
+    * explicit strategy to skip the count and pin the mode.
+    */
+  final case class Auto(maxExactDocs: Long = 100000L,
+      maxShingleDocFreq: Int = 10000) extends PairStrategy
+
+  /** [[Auto]] resolution at a known corpus size (by-name, so the count
+    * job only runs when the strategy actually is [[Auto]]).
+    */
+  private[graft] def resolveStrategy(strategy: PairStrategy,
+      threshold: Double, docCount: => Long): PairStrategy = strategy match {
+    case Auto(maxExact, maxDf) =>
+      if (docCount <= maxExact) Exact(maxDf)
+      else MinHashLsh.sized(threshold).copy(maxShingleDocFreq = maxDf)
+    case s => s
+  }
 
   object MinHashLsh {
 
@@ -100,10 +133,17 @@ object Dedup {
       require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
       require(minRecall > 0 && minRecall < 1, "minRecall must be in (0, 1)")
       val fits = (1 to maxSignature).flatMap { r =>
-        val b = math.ceil(
-          math.log(1.0 - minRecall) /
-            math.log(1.0 - math.pow(threshold, r))).toInt.max(1)
-        if (b * r <= maxSignature) Some((b, r)) else None
+        // log1p(-t^r), not log(1 - t^r): for small thresholds t^r
+        // underflows the subtraction (1.0 - t^r == 1.0 in doubles),
+        // log returns 0 and the division collapses b to a garbage
+        // value that "fits" with recall ≈ 0 — log1p is exact for tiny
+        // t^r. The recallAt re-check below is the defensive floor.
+        val bReal = math.ceil(
+          math.log1p(-minRecall) / math.log1p(-math.pow(threshold, r)))
+        if (bReal >= 1.0 && bReal * r <= maxSignature &&
+            recallAt(threshold, bReal.toInt, r) >= minRecall)
+          Some((bReal.toInt, r))
+        else None
       }
       require(fits.nonEmpty,
         s"MinHashLsh.sized: no (bands, rows) within $maxSignature minhashes " +
@@ -116,18 +156,31 @@ object Dedup {
 
   /** Near-dup pairs ≥ `threshold` under the chosen [[PairStrategy]] —
     * the pluggable pair stage behind [[dedupNear]]. Returns
-    * (id_a, id_b, jaccard) in both modes.
+    * (id_a, id_b, score) in EVERY mode — the score column is aliased
+    * uniformly so callers can switch strategy without rewiring
+    * downstream selects; its meaning is per-strategy (exact Jaccard
+    * for [[Exact]]/[[MinHashLsh]]/[[Auto]], containment for
+    * [[Containment]] — the building blocks [[jaccardPairs]] /
+    * [[containmentPairs]] keep their semantic names).
     */
   def nearDupPairs(shingles: DataFrame, threshold: Double,
-      strategy: PairStrategy = Exact()): DataFrame = strategy match {
-    case Exact(maxDf) => jaccardPairs(shingles, threshold, maxDf)
-    case Containment(maxDf) => containmentPairs(shingles, threshold, maxDf)
+      strategy: PairStrategy = Auto()): DataFrame = strategy match {
+    case Exact(maxDf) =>
+      jaccardPairs(shingles, threshold, maxDf)
+        .withColumnRenamed("jaccard", "score")
+    case Containment(maxDf) =>
+      containmentPairs(shingles, threshold, maxDf)
+        .withColumnRenamed("containment", "score")
     case MinHashLsh(bands, rowsPerBand, maxBucket, maxDf, bcast) =>
       val sh = guardShingles(shingles, maxDf)
       val cands = lshCandidatePairs(
         minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand,
         maxBucket)
       jaccardForPairs(sh, cands, threshold, bcast)
+        .withColumnRenamed("jaccard", "score")
+    case a: Auto =>
+      nearDupPairs(shingles, threshold, resolveStrategy(a, threshold,
+        shingles.select(col("doc_id")).distinct().count()))
   }
 
   /** Shingle-text-level stop-shingle guard (the [[hashedShingles]]
@@ -141,14 +194,23 @@ object Dedup {
       broadcast(hotShingles(shingles, maxDocFreq).select(col("shingle"))),
       Seq("shingle"), "left_anti")
 
-  /** Exact dedup: keep the minimum-id row per key. Single shuffle on the
-    * key; at scale this is the cheapest possible dedup (map-side partial
-    * aggregation halves the shuffle volume).
+  /** Exact dedup: keep the minimum-id row per key (id ties broken by
+    * the remaining columns, so the result is deterministic). ONE
+    * shuffle as a partial-aggregatable min over (id, row) structs —
+    * map-side combine collapses each key's duplicates BEFORE the
+    * exchange, so a hot key (empty text, a boilerplate document
+    * repeated 10⁹ times) ships one row per map task instead of
+    * concentrating its whole group into a single task's window sort.
+    * [[dedupLines]] states the same rule ("a partial-aggregatable
+    * min, never a row_number window"); this is its whole-row form.
+    * Requires orderable column types (no maps) — the normal case for
+    * a dedup input.
     */
   def dedupExact(df: DataFrame, key: Column, id: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(id)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    df.groupBy(key.as("__dedup_key"))
+      .agg(min(struct(id.as("__ord_id") +: cols.map(col(_)): _*)).as("__keep"))
+      .select(cols.map(c => col(s"__keep.`$c`").as(c)): _*)
   }
 
   /** Duplicate groups: key → representative id + multiplicity (> 1). */
@@ -413,7 +475,8 @@ object Dedup {
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: Column,
       text: Column, minCommon: Long = 10L, n: Int = 3,
       maxShingleDocFreq: Int = Int.MaxValue,
-      bloomPrescreen: Boolean = true, fpp: Double = 0.01): DataFrame = {
+      bloomPrescreen: Boolean = true, fpp: Double = 0.01,
+      broadcastDrops: Boolean = true): DataFrame = {
     val cs = shingleRows(corpus, id, text, n)
     val bs = shingleRows(bench, id, text, n)
     val hits =
@@ -421,7 +484,11 @@ object Dedup {
         ngramOverlapPairsBloom(cs, bs, minCommon, maxShingleDocFreq, fpp)
       else ngramOverlapPairs(cs, bs, minCommon, maxShingleDocFreq)
     val drops = hits.select(col("doc_id").as("__drop_id")).distinct()
-    corpus.join(broadcast(drops), id === col("__drop_id"), "left_anti")
+    // drop list ≤ true overlaps — broadcastable in the normal case, but
+    // a heavily contaminated corpus breaks the bound: pass
+    // broadcastDrops = false there for a shuffled anti-join instead
+    val dropSide = if (broadcastDrops) broadcast(drops) else drops
+    corpus.join(dropSide, id === col("__drop_id"), "left_anti")
   }
 
   /** Cross-corpus exact Jaccard: every (new, existing) document pair
@@ -475,7 +542,7 @@ object Dedup {
       id: Column, text: Column, threshold: Double = 0.8, n: Int = 3,
       maxShingleDocFreq: Int = Int.MaxValue,
       keepBy: Option[Column] = None,
-      strategy: PairStrategy = Exact()): DataFrame = {
+      strategy: PairStrategy = Auto()): DataFrame = {
     val newSh = shingleRows(newDf, id, text, n)
     val dupOfOld = crossJaccardPairs(
         newSh, shingleRows(existing, id, text, n),
@@ -783,7 +850,7 @@ object Dedup {
       keepBy: Option[Column] = None,
       broadcastDrops: Boolean = true,
       maxIters: Int = 20,
-      strategy: PairStrategy = Exact()): DataFrame =
+      strategy: PairStrategy = Auto()): DataFrame =
     dedupNearFromShingles(df, shingleRows(df, id, text, n), id, threshold,
       keepBy, broadcastDrops, maxIters, strategy)
 
@@ -799,10 +866,16 @@ object Dedup {
       keepBy: Option[Column] = None,
       broadcastDrops: Boolean = true,
       maxIters: Int = 20,
-      strategy: PairStrategy = Exact()): DataFrame = {
+      strategy: PairStrategy = Auto()): DataFrame = {
     val sh = shingles
-    val pairs = nearDupPairs(sh, threshold, strategy)
+    val resolved = resolveStrategy(strategy, threshold, df.count())
+    val pairs = nearDupPairs(sh, threshold, resolved)
     val cc = connectedComponents(pairs, maxIters)
+    // broadcastDrops also governs the keepBy member/label join below:
+    // the CC label set has one row per clustered doc — unbounded on a
+    // duplicate-heavy corpus — so the same flag that shuffles the drop
+    // anti-join must shuffle this join too (no unconditional broadcast
+    // on a corpus-sized frame).
     val drops = keepBy match {
       case None =>
         // min-id representative: CC labels ARE min reachable id, so the
@@ -810,8 +883,9 @@ object Dedup {
         cc.filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id").as("__drop_id"))
       case Some(score) =>
+        val ccSide = if (broadcastDrops) broadcast(cc) else cc
         val members = df.select(id.as("__m_id"), score.as("__m_score"))
-          .join(broadcast(cc), col("__m_id") === col("doc_id"))
+          .join(ccSide, col("__m_id") === col("doc_id"))
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("__m_score").desc, col("__m_id"))
         members.withColumn("__rk", row_number().over(w))

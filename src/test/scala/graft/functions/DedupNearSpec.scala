@@ -243,6 +243,96 @@ class DedupNearSpec extends SparkSpec {
     }
   }
 
+  test("MinHashLsh.sized survives t^r underflow and defends the recall floor") {
+    // t = 0.3 at budget 32: (b = 9, r = 1) is the valid config — the old
+    // log(1 - t^r) form underflowed at r = 32 (1.0 - t^32 == 1.0 in
+    // doubles), collapsed b to 1, and returned (1, 32) with recall ~ 0
+    val cfg = Dedup.MinHashLsh.sized(0.3, maxSignature = 32)
+    assert(cfg.bands * cfg.rowsPerBand <= 32)
+    assert(Dedup.MinHashLsh.recallAt(0.3, cfg.bands, cfg.rowsPerBand) >= 0.95,
+      s"recall floor broken: $cfg")
+    // t = 0.09 at the default budget genuinely cannot reach the floor:
+    // loud failure, never a recall-0 config
+    intercept[IllegalArgumentException] { Dedup.MinHashLsh.sized(0.09) }
+    // and every returned config across a threshold sweep meets the floor
+    for (t <- Seq(0.2, 0.35, 0.5, 0.65, 0.8, 0.95)) {
+      val c = Dedup.MinHashLsh.sized(t, maxSignature = 32)
+      assert(Dedup.MinHashLsh.recallAt(t, c.bands, c.rowsPerBand) >= 0.95,
+        s"recall floor broken at t=$t: $c")
+    }
+  }
+
+  test("Auto strategy: guarded Exact below the size budget, sized LSH above") {
+    assert(Dedup.resolveStrategy(Dedup.Auto(), 0.8, 100L) ==
+      Dedup.Exact(10000))
+    Dedup.resolveStrategy(Dedup.Auto(), 0.8, 200000L) match {
+      case m: Dedup.MinHashLsh =>
+        assert(m.maxShingleDocFreq == 10000, "finite guard must survive")
+        assert(Dedup.MinHashLsh.recallAt(0.8, m.bands, m.rowsPerBand) >= 0.95)
+      case other => fail(s"expected MinHashLsh above the budget, got $other")
+    }
+    // explicit strategies pass through untouched — even unguarded Exact
+    assert(Dedup.resolveStrategy(Dedup.Exact(), 0.8, 1L << 40) ==
+      Dedup.Exact())
+    // the default end-to-end call resolves to Exact here and matches it
+    val auto = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+        strategy = Dedup.Exact())
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(auto == exact)
+  }
+
+  /** User-requested broadcast-hint count across every join of the
+    * optimized plan — hint-level, so the assertion holds regardless of
+    * AQE or auto-broadcast size estimates.
+    */
+  private def broadcastHintCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        Seq(j.hint.leftHint, j.hint.rightHint).flatten
+          .count(_.strategy.contains(BROADCAST))
+    }.sum
+  }
+
+  test("broadcastDrops=false removes EVERY broadcast from the keepBy path " +
+      "(cc member join included) and keeps the result identical") {
+    val bcast = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+      keepBy = Some(col("score")), strategy = Dedup.Exact())
+    val shuffled = Dedup.dedupNear(corpus, col("doc_id"), col("text"), 0.8,
+      keepBy = Some(col("score")), broadcastDrops = false,
+      strategy = Dedup.Exact())
+    assert(broadcastHintCount(bcast) >= 2,
+      "default path should broadcast both the cc labels and the drop list")
+    assert(broadcastHintCount(shuffled) == 0,
+      s"broadcastDrops=false must leave no unconditional broadcast:\n" +
+        shuffled.queryExecution.optimizedPlan)
+    assert(
+      bcast.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        shuffled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("decontaminate broadcastDrops=false is hash-identical, broadcast-free") {
+    val corpusDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated corpus document here"),
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val bench = Seq((90L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bc = Dedup.decontaminate(corpusDf, bench, col("doc_id"), col("text"),
+      minCommon = 2L)
+    val nb = Dedup.decontaminate(corpusDf, bench, col("doc_id"), col("text"),
+      minCommon = 2L, broadcastDrops = false)
+    assert(broadcastHintCount(nb) == 0,
+      s"broadcastDrops=false must drop the hint:\n${nb.queryExecution.optimizedPlan}")
+    assert(bc.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      nb.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(nb.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
   /** Joins whose condition equates two shingle-hash attributes WITHOUT
     * any doc-id equality gate — the Σ df² self-join shape the LSH
     * strategy exists to avoid. Exact's pair stage is exactly one of

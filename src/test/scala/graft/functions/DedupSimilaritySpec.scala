@@ -17,6 +17,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("exact dedup is a partial-aggregatable min, never a window sort") {
+    val df = Seq((1L, "same"), (3L, "same"), (2L, "other")).toDF("id", "txt")
+    val out = Dedup.dedupExact(df, col("txt"), col("id"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the skew argument: a hot key must map-side combine, not
+    // concentrate its whole group into one task's window sort
+    assert(!plan.contains("Window"), s"window sort in dedupExact plan:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"expected map-side partial min in dedupExact plan:\n$plan")
+    // schema passes through unchanged
+    assert(out.columns.toSeq == Seq("id", "txt"))
+  }
+
   test("duplicate groups surface planted copies") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "txt")
     val g = Dedup.duplicateGroups(df, col("txt"), col("id")).collect()
