@@ -342,6 +342,16 @@ object SqliteDialect {
     * GROUPS frame (rejected with the GROUPS error downstream), DISTINCT
     * aggregates, and specs without ORDER BY (every row is a peer —
     * restructure instead) all raise the friendly error.
+    *
+    * Containment guards (the arithmetic is only exact when the frame
+    * provably contains what it subtracts): frames whose literal bounds
+    * never span the current row (`ROWS BETWEEN 3 PRECEDING AND 1
+    * PRECEDING`), non-literal bounds, GROUP/TIES on a BOUNDED ROWS
+    * frame (tied peers can lie outside it and ties are not statically
+    * detectable — RANGE/default/whole-partition frames are exempt, as
+    * peers always sit at value-distance 0), and nested EXCLUDE windows
+    * (overlapping rewrite spans) are all rejected rather than
+    * rewritten approximately.
     */
   private[pipeline] def rewriteExclude(sql: String): String = {
     val masked = maskStrings(sql, backslashEscapes = false)
@@ -428,11 +438,75 @@ object SqliteDialect {
           if (star && fn != "COUNT")
             throw new UnsupportedSqlFeatureException(
               s"EXCLUDE $kind with $fn(*)", "only COUNT takes *")
+          // Containment guard (translate-exactly-or-throw): the
+          // frame-minus-exclusion arithmetic subtracts the exclusion as
+          // if the frame wholly contained it, so it is only exact when
+          // that provably holds. Peers always sit inside a RANGE (or
+          // default) frame that spans the current row — peers are at
+          // value-distance 0 — but in a ROWS frame tied peers can lie
+          // outside ANY bound, and ties are not statically detectable,
+          // so GROUP/TIES on ROWS frames are rejected. Every exclusion
+          // kind subtracts values anchored at the current row, so the
+          // literal bounds must span it (a 'BETWEEN 3 PRECEDING AND 1
+          // PRECEDING' frame never contains the row being subtracted);
+          // non-literal bounds cannot be verified statically.
+          val fM = topMatch("\\b(ROWS|RANGE)\\b")
+          fM.foreach { fm =>
+            val body = span.substring(fm.end, exM.start).trim
+            val Btw = "(?is)^BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r
+            val (startB, endB) = body match {
+              case Btw(s0, e0) => (s0, e0)
+              case b => (b, "CURRENT ROW")
+            }
+            def rel(bound: String): Int = {
+              val b = bound.trim.replaceAll("\\s+", " ").toUpperCase
+              val Pre = "^(\\d+) PRECEDING$".r
+              val Fol = "^(\\d+) FOLLOWING$".r
+              b match {
+                case "UNBOUNDED PRECEDING" => Int.MinValue
+                case "UNBOUNDED FOLLOWING" => Int.MaxValue
+                case "CURRENT ROW" => 0
+                case Pre(n) => if (BigInt(n) == 0) 0 else -1
+                case Fol(n) => if (BigInt(n) == 0) 0 else 1
+                case _ => throw new UnsupportedSqlFeatureException(
+                  s"EXCLUDE $kind with non-literal frame bound " +
+                    s"'${bound.trim}'",
+                  "whether the frame contains the exclusion cannot be " +
+                    "verified statically; use literal bounds or remove " +
+                    "the EXCLUDE clause")
+              }
+            }
+            val (startRel, endRel) = (rel(startB), rel(endB))
+            if (startRel > 0 || endRel < 0)
+              throw new UnsupportedSqlFeatureException(
+                s"EXCLUDE $kind on a frame that never contains the " +
+                  "current row",
+                s"the frame '$body' excludes the current row" +
+                  (if (kind == "TIES") " (which TIES re-adds)" else "") +
+                  ", so subtracting its value corrupts the aggregate; " +
+                  "restructure with a self-join")
+            // GROUP/TIES subtract the WHOLE peer group, so the frame
+            // must contain every peer: always true for RANGE frames
+            // spanning the current row (peers sit at value-distance 0)
+            // and for whole-partition ROWS frames, but any bounded ROWS
+            // frame can cut tied peers off — and ties are not
+            // statically detectable — so those are rejected
+            if ((kind == "GROUP" || kind == "TIES") &&
+                fm.group(1).equalsIgnoreCase("ROWS") &&
+                !(startRel == Int.MinValue && endRel == Int.MaxValue))
+              throw new UnsupportedSqlFeatureException(
+                s"EXCLUDE $kind on a bounded ROWS frame",
+                "tied peers can lie outside a bounded ROWS frame and " +
+                  "ties are not statically detectable, so subtracting " +
+                  "the full peer group is not exact; use a RANGE (or " +
+                  "default, or ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+                  "UNBOUNDED FOLLOWING) frame, or restructure with a " +
+                  "self-join")
+          }
           // frame spec without the EXCLUDE tail; peers spec = partition
           // + order only, peer-group RANGE frame
           val frameSpec = sql.substring(open + 1, open + 1 + exM.start).trim
-          val fIdx = topMatch("\\b(ROWS|RANGE)\\b").map(_.start)
-            .getOrElse(exM.start)
+          val fIdx = fM.map(_.start).getOrElse(exM.start)
           val peersSpec = sql.substring(open + 1, open + 1 + math.min(fIdx, exM.start)).trim +
             " RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
           val F = s"OVER ($frameSpec)"
@@ -462,6 +536,18 @@ object SqliteDialect {
           edits += Edit(idStart, close + 1, replacement)
         }
       }
+    }
+    // overlapping spans mean a nested rewrite (an excluded aggregate
+    // whose ARGUMENT contains its own OVER … EXCLUDE): the descending-
+    // start splice would apply both edits to overlapping text and emit
+    // corrupted SQL — reject instead of corrupting
+    edits.sortBy(_.start).sliding(2).foreach { w =>
+      if (w.size == 2 && w(1).start < w(0).end)
+        throw new UnsupportedSqlFeatureException(
+          "nested EXCLUDE windows",
+          "an excluded aggregate whose argument itself contains a " +
+            "window with EXCLUDE cannot be rewritten in place; compute " +
+            "the inner window in a subquery first")
     }
     val edited = edits.sortBy(-_.start).foldLeft(sql) { (s, e) =>
       s.substring(0, e.start) + e.text + s.substring(e.end)

@@ -197,6 +197,49 @@ class SqliteDialectSpec extends SparkSpec {
     }.getMessage.contains("GROUPS"))
   }
 
+  test("rewriteExclude: containment guards reject frames that do not " +
+      "provably contain the exclusion") {
+    def err(sql: String): String =
+      intercept[UnsupportedSqlFeatureException] {
+        SqliteDialect.rewriteExclude(sql)
+      }.getMessage
+    // a frame whose bounds never span the current row: subtracting the
+    // current row's value (or re-adding it, for TIES) would corrupt it
+    assert(err("SELECT sum(v) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING " +
+      "AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t")
+      .contains("never contains"))
+    assert(err("SELECT sum(v) OVER (ORDER BY i ROWS BETWEEN 1 FOLLOWING " +
+      "AND 3 FOLLOWING EXCLUDE GROUP) FROM t")
+      .contains("never contains"))
+    assert(err("SELECT sum(v) OVER (ORDER BY i RANGE BETWEEN 5 PRECEDING " +
+      "AND 2 PRECEDING EXCLUDE CURRENT ROW) FROM t")
+      .contains("never contains"))
+    // bounded ROWS frames with GROUP/TIES: tied peers can lie outside
+    // the frame and ties are not statically detectable
+    assert(err("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t")
+      .contains("bounded ROWS"))
+    assert(err("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING " +
+      "AND 2 FOLLOWING EXCLUDE TIES) FROM t")
+      .contains("bounded ROWS"))
+    // non-literal bounds cannot be verified statically
+    assert(err("SELECT sum(v) OVER (ORDER BY i ROWS BETWEEN n PRECEDING " +
+      "AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t")
+      .contains("non-literal"))
+    // nested EXCLUDE windows would produce overlapping rewrite spans
+    assert(err("SELECT sum(v + sum(v) OVER (ORDER BY k EXCLUDE GROUP)) " +
+      "OVER (ORDER BY k EXCLUDE GROUP) FROM t")
+      .contains("nested"))
+    // still-allowed shapes: spanning ROWS with CURRENT ROW, whole-
+    // partition ROWS with GROUP/TIES, zero-width literals, RANGE frames
+    SqliteDialect.rewriteExclude("SELECT sum(v) OVER (ORDER BY i ROWS " +
+      "BETWEEN 2 PRECEDING AND 0 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+    SqliteDialect.rewriteExclude("SELECT sum(v) OVER (ORDER BY k ROWS " +
+      "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) FROM t")
+    SqliteDialect.rewriteExclude("SELECT sum(v) OVER (ORDER BY k RANGE " +
+      "BETWEEN 5 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t")
+  }
+
   test("rewriteGroups: whole-peer-group bounds become RANGE verbatim") {
     val out = SqliteDialect.rewriteGroups(
       "SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
