@@ -772,6 +772,37 @@ object ExtensionQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image decode (javax.imageio, JDK built-in) + perceptual
+    // hashes: PNG fixtures derive their pixels from md5(text), so the
+    // oracle recomputes the expected aHash/dHash from md5(text) in pure
+    // SQL — a Spark-side fault in codec decode, area pooling, or hash
+    // math breaks the hash match (a true codec round-trip check, not a
+    // mirrored stub). TRUE decoded dims are gated too: 8x7 base, 16x14
+    // planted nearest-neighbor upscale.
+    "m03_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      functions.Multimodal.imageFeatures(
+          functions.Multimodal.syntheticImages(docs)
+            .as[functions.Multimodal.MediaRow])
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // Image NEAR-DUP pairs: banded-hamming self-join over the 56-bit
+    // aHash (Dedup.simhashPairs pigeonhole banding — complete recall,
+    // no cartesian). Every planted resized re-encode lands at hamming
+    // 0; the oracle brute-forces the pair set from its SQL-recomputed
+    // hashes, so candidate generation AND verification are both gated.
+    "m04_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      functions.Multimodal.imageNearDupPairs(
+          functions.Multimodal.syntheticImages(docs)
+            .as[functions.Multimodal.MediaRow], maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal metadata projection + frame-sample plan: binary payload
     // column stays pruned out of the scan (metadata-only stage).
     "m01_media_meta" -> ((s, dir) => {
@@ -1766,6 +1797,49 @@ object ExtensionQueries {
            CASE WHEN doc_id % 3 = 2 THEN
              CAST(least(floor(CAST(octet_length(encode(text)) AS DOUBLE) * 100 / 1000) + 1, 16) AS INT)
            END AS n_frames
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+
+    // The oracle recomputes the perceptual hashes from md5(text) — the
+    // same pixel source syntheticImages renders into PNG — so the
+    // Spark side's ImageIO decode + integer area pooling + hash math
+    // must reproduce them exactly through a real codec round trip.
+    "m03_image_phash" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id < 60),
+         px AS (
+           SELECT d.doc_id, g.i,
+             (strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 2, 1)) - 1) AS p
+           FROM d, generate_series(0, 55) AS g(i)),
+         px2 AS (SELECT doc_id, i, p, sum(p) OVER (PARTITION BY doc_id) AS s FROM px),
+         hs AS (
+           SELECT a.doc_id,
+             CAST(sum(CASE WHEN 56 * a.p > a.s THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS ahash,
+             CAST(sum(CASE WHEN a.p > b.p THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS dhash
+           FROM px2 a JOIN px b
+             ON b.doc_id = a.doc_id AND b.i = (a.i // 8) * 8 + ((a.i % 8) + 1) % 8
+           GROUP BY a.doc_id)
+         SELECT doc_id * 2 AS media_id, 8 AS width, 7 AS height, ahash, dhash FROM hs
+         UNION ALL
+         SELECT doc_id * 2 + 1, 16, 14, ahash, dhash FROM hs
+         ORDER BY media_id""",
+
+    "m04_image_neardup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id < 60),
+         px AS (
+           SELECT d.doc_id, g.i,
+             (strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 2, 1)) - 1) AS p
+           FROM d, generate_series(0, 55) AS g(i)),
+         px2 AS (SELECT doc_id, i, p, sum(p) OVER (PARTITION BY doc_id) AS s FROM px),
+         hs AS (SELECT a.doc_id,
+             CAST(sum(CASE WHEN 56 * a.p > a.s THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS ahash
+           FROM px2 a GROUP BY a.doc_id),
+         m AS (SELECT doc_id * 2 AS media_id, ahash FROM hs
+               UNION ALL SELECT doc_id * 2 + 1, ahash FROM hs)
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+                CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+         FROM m a JOIN m b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+         ORDER BY id_a, id_b"""
   )
 }

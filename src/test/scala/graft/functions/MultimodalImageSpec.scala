@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Real image decode ([[Multimodal.imageFeatures]], javax.imageio) and
+  * perceptual-hash near-dup: true dims, codec round-trip exactness,
+  * resize invariance of the pooled hashes, hand-computed hash values,
+  * and the banded-hamming pair stage. The m03/m04 gates check the same
+  * pipeline against a DuckDB oracle that recomputes the hashes from
+  * md5(text) in SQL.
+  */
+class MultimodalImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDs(n: Int) = {
+    val docs = Tables.df(spark, sf(), "documents").filter(col("doc_id") < n)
+    Multimodal.syntheticImages(docs).as[Multimodal.MediaRow]
+  }
+
+  test("imageFeatures: ImageIO decode extracts TRUE dims; a 2x nearest-" +
+      "neighbor upscale pools back to identical aHash/dHash") {
+    val feats = Multimodal.imageFeatures(mediaDs(12)).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats.size == 24, "every planted PNG must decode")
+    feats.keys.filter(_ % 2 == 0).foreach { b =>
+      val (base, up) = (feats(b), feats(b + 1))
+      assert((base.width, base.height) == (8, 7), s"true dims of $b")
+      assert((up.width, up.height) == (16, 14), s"true dims of ${b + 1}")
+      assert(base.ahash == up.ahash && base.dhash == up.dhash,
+        s"resize must not move the perceptual hash (media $b)")
+      assert(base.ahash >= 0 && base.ahash < (1L << 56),
+        "56-bit signatures stay non-negative")
+    }
+  }
+
+  test("hash math matches a hand-computed fixture (the oracle's SQL mirror)") {
+    // pixels = md5("x") bytes cycled over 56 cells — exactly what
+    // syntheticImages renders and what the m03 oracle recomputes
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest("x".getBytes("UTF-8"))
+    val cells = Array.tabulate(56)(i => dig(i % 16) & 0xff)
+    val sum = cells.map(_.toLong).sum
+    var expA = 0L
+    var expD = 0L
+    for (i <- 0 until 56) {
+      if (56L * cells(i) > sum) expA |= (1L << i)
+      val r = i / 8
+      val c = i % 8
+      if (cells(i) > cells(r * 8 + (c + 1) % 8)) expD |= (1L << i)
+    }
+    assert(Multimodal.aHash(cells) == expA)
+    assert(Multimodal.dHash(cells, 8, 7) == expD)
+    // and end-to-end through PNG encode -> ImageIO decode -> pool
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    val f = Multimodal.imageFeatures(
+      Multimodal.syntheticImages(one).as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+    assert(f(2L).ahash == expA && f(2L).dhash == expD,
+      "codec round-trip must reproduce the exact pixel-derived hashes")
+    assert(f(3L).ahash == expA && f(3L).dhash == expD)
+  }
+
+  test("undecodable blobs are skipped, not fatal") {
+    val junk = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(2L, "image", Array.empty[Byte]))
+      .toDS()
+    val good = mediaDs(3)
+    val out = Multimodal.imageFeatures(good.unionByName(junk)).collect()
+    assert(out.map(_.media_id).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L),
+      "the six real PNGs survive; the two junk blobs drop out")
+  }
+
+  test("imageNearDupPairs finds every planted resized duplicate at " +
+      "hamming 0, via banded candidates (no cartesian)") {
+    val media = mediaDs(20)
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 6)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = (0L until 20L).map(d => (d * 2, d * 2 + 1)).toSet
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(gotSet),
+      s"missed planted dups: ${planted.diff(gotSet)}")
+    assert(got.filter(p => planted((p._1, p._2))).forall(_._3 == 0),
+      "a lossless re-encode + exact upscale is hamming 0")
+    // completeness: banded pairs == brute-force pairs over the hashes
+    val feats = Multimodal.imageFeatures(media).collect()
+    val brute = (for {
+      a <- feats; b <- feats
+      if a.media_id < b.media_id
+      if java.lang.Long.bitCount(a.ahash ^ b.ahash) <= 6
+    } yield (a.media_id, b.media_id)).toSet
+    assert(gotSet == brute, "pigeonhole banding must be recall-complete")
+  }
+}
