@@ -58,6 +58,31 @@ object ExtensionQueries {
   private def dotQ(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ${q(s"$a[i]")} * ${q(s"$b[i]")})) AS BIGINT)"
 
+  /** DuckDB quantized cosine of two embedding columns (mirrors
+    * Similarity.cosineQ: exact integer dots, one IEEE division).
+    */
+  private def cosQ(a: String, b: String) =
+    s"""CAST(${dotQ(a, b)} AS DOUBLE)
+       / (sqrt(CAST(${dotQ(a, a)} AS DOUBLE))
+          * sqrt(CAST(${dotQ(b, b)} AS DOUBLE)))"""
+
+  /** DuckDB LSH bucket expression for hyperplane table `tableIdx` of a
+    * multi-table configuration — the same deterministic sign literals as
+    * `Similarity.lshBucketsNative` with planeOffset = tableIdx·planes,
+    * so both engines compute identical bucket ids (the e02 single-table
+    * precedent, generalized).
+    */
+  private def bucketSql(embCol: String, planes: Int, dims: Int,
+      tableIdx: Int): String = {
+    val all = Similarity.planeSigns((tableIdx + 1) * planes, dims)
+    (0 until planes).map { p =>
+      val lst = all(tableIdx * planes + p).mkString("[", ",", "]")
+      s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len($embCol)+1),
+         i -> ${q(s"$embCol[i]")} * ($lst)[i])) AS BIGINT) > 0
+         THEN ${1L << p} ELSE 0 END)"""
+    }.mkString(" + ")
+  }
+
   // ---- queries ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -754,6 +779,37 @@ object ExtensionQueries {
       Similarity.knnIvf(assigned, cents, queries, 5, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Cross-corpus ANN JOIN: both sides large (an even/odd split of the
+    // corpus — neither is a broadcastable query set), top-3 per left row
+    // via the 2-table LSH-bucketed shuffle join. The oracle recomputes
+    // both hyperplane tables from the same sign literals, so candidate
+    // generation AND ranking are bit-gated (e02 precedent, multi-table).
+    "e04_ann_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annJoin(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          k = 3, planes = 8, dims = 64, tables = 2)
+        .orderBy(col("left_id"), col("rank"))
+    }),
+
+    // Embedding-space decontamination: planted exact copies of bench
+    // vectors inside the corpus must drop (deterministic LSH recall for
+    // identical vectors: same bucket in every table); survivors are
+    // gated. Neither side is broadcast — the candidate stage is the
+    // annJoin shuffle join.
+    "e05_embedding_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .unionByName(emb.filter(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + lit(100000L)))
+      val bench = emb.filter(col("vec_id") < 10)
+      Similarity.decontaminateByEmbedding(corpus, bench, 0.999,
+          planes = 8, dims = 64, tables = 2)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
     }),
 
     // Multimodal decode/feature-extract stage: partition-batched kernel
@@ -1781,6 +1837,66 @@ object ExtensionQueries {
            FROM scored)
          SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+    },
+
+    "e04_ann_join" -> {
+      // candidates = bucket collision in table 0 OR table 1; UNION
+      // dedups multi-table pairs exactly as firstMatchingTable does
+      // (emit-once per colliding pair)
+      val b0 = bucketSql("embedding", 8, 64, 0)
+      val b1 = bucketSql("embedding", 8, 64, 1)
+      s"""WITH lv AS (SELECT vec_id, embedding, $b0 AS b0, $b1 AS b1
+             FROM embeddings WHERE vec_id % 2 = 0),
+         rv AS (SELECT vec_id, embedding, $b0 AS b0, $b1 AS b1
+             FROM embeddings WHERE vec_id % 2 = 1),
+         cand AS (
+           SELECT l.vec_id AS left_id, r.vec_id AS right_id
+           FROM lv l JOIN rv r ON l.b0 = r.b0
+           UNION
+           SELECT l.vec_id, r.vec_id
+           FROM lv l JOIN rv r ON l.b1 = r.b1),
+         scored AS (
+           SELECT c.left_id, c.right_id,
+             ${cosQ("l.embedding", "r.embedding")} AS cos
+           FROM cand c
+           JOIN lv l ON l.vec_id = c.left_id
+           JOIN rv r ON r.vec_id = c.right_id),
+         ranked AS (
+           SELECT left_id, right_id, cos,
+             row_number() OVER (PARTITION BY left_id
+               ORDER BY cos DESC, right_id) AS rn
+           FROM scored)
+         SELECT left_id, right_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 3 ORDER BY left_id, rank"""
+    },
+
+    "e05_embedding_decontam" -> {
+      val b0 = bucketSql("embedding", 8, 64, 0)
+      val b1 = bucketSql("embedding", 8, 64, 1)
+      s"""WITH corpus AS (
+           SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10
+           UNION ALL
+           SELECT vec_id + 100000, embedding, label
+           FROM embeddings WHERE vec_id < 5),
+         bench AS (SELECT vec_id, embedding
+             FROM embeddings WHERE vec_id < 10),
+         cv AS (SELECT vec_id, embedding, $b0 AS b0, $b1 AS b1 FROM corpus),
+         bv AS (SELECT vec_id, embedding, $b0 AS b0, $b1 AS b1 FROM bench),
+         cand AS (
+           SELECT c.vec_id AS cid, b.vec_id AS bid
+           FROM cv c JOIN bv b ON c.b0 = b.b0
+           UNION
+           SELECT c.vec_id, b.vec_id
+           FROM cv c JOIN bv b ON c.b1 = b.b1),
+         drops AS (
+           SELECT DISTINCT c.cid
+           FROM cand c
+           JOIN cv v ON v.vec_id = c.cid
+           JOIN bv b ON b.vec_id = c.bid
+           WHERE ${cosQ("v.embedding", "b.embedding")} >= 0.999)
+         SELECT vec_id, label FROM corpus
+         WHERE vec_id NOT IN (SELECT cid FROM drops)
+         ORDER BY vec_id"""
     },
 
     "m02_media_features" ->

@@ -98,6 +98,31 @@ object ScaleCurve {
         .select(col("doc_id"),
           explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
       Dedup.winnowPairs(fps, minShared = 5L, maxFpDocFreq = 20)
+    }),
+    // round-10 curve additions: the COMPOSED one-call paths the r9
+    // verdict asked to evidence at scale (gate configs d16/d17/d22),
+    // plus the large×large ANN join (e04 gate config)
+    "d16_dedup_near_lsh" -> ((s, dir) =>
+      Dedup.dedupNear(docs(s, dir), col("doc_id"), col("text"), 0.8,
+        strategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))),
+    "d17_incremental_lsh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupIncremental(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), threshold = 0.8,
+        strategy = Dedup.MinHashLsh(bands = 4, rowsPerBand = 2))
+    }),
+    "d22_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d.filter(col("doc_id") >= 20),
+        d.filter(col("doc_id") < 20),
+        col("doc_id"), col("text"), minCommon = 10)
+    }),
+    "e04_ann_join" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.annJoin(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        k = 3, planes = 8, dims = 64, tables = 2)
     }))
 
   /** Candidate-stage WORK counts per operator — the environment-proof
@@ -245,6 +270,58 @@ object ScaleCurve {
     "d19_corpus_shingle_rows" -> ((s, dir) =>
       Dedup.shingleRows(docs(s, dir).filter(col("doc_id") >= 20),
         col("doc_id"), col("text")).count()),
+    // d17 incremental dedup, cross stage: Σ over shingle hash of
+    // batch_df × corpus_df — the inverted-index join's output volume
+    // for the parity-split gate config. Replicas keep shingle vocab
+    // disjoint across copies, so per-shingle doc freq stays constant as
+    // the corpus grows and the probe volume should scale ~linearly —
+    // the claim this counter checks (a shared-vocabulary corpus instead
+    // needs the finite maxShingleDocFreq the Auto strategy defaults).
+    // d16's candidate work IS d04_candidates (same signatures, same
+    // banding); d22's shuffle volume IS the d19 pair of counters — both
+    // already on the curve, so only the d17 cross stage is new here.
+    "d17_cross_probe_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def hs(df: DataFrame) =
+        Dedup.shingleRows(df, col("doc_id"), col("text"))
+          .select(xxhash64(col("shingle")).as("h"))
+          .groupBy(col("h")).count()
+      val v = hs(d.filter(col("doc_id") % 2 === 0)).withColumnRenamed("count", "cn").as("c")
+        .join(hs(d.filter(col("doc_id") % 2 === 1)).withColumnRenamed("count", "bn").as("b"),
+          Seq("h"))
+        .agg(sum(col("cn") * col("bn"))).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }),
+    // e04 ANN join: Σ over (table, bucket) of left_m × right_m — the
+    // bucketed shuffle join's output volume at the FIXED 8-plane gate
+    // config (expected ~quadratic: both sides grow; the at-scale knob
+    // is autoPlanes, measured as e04_auto_planes alongside — occupancy
+    // held constant makes the per-left candidate count flat, so the
+    // total grows ~linearly with the left side).
+    "e04_bucket_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def bk(df: DataFrame) =
+        tableBuckets(df, 8, 64, 2).groupBy(col("table"), col("bucket")).count()
+      val v = bk(e.filter(col("vec_id") % 2 === 0)).withColumnRenamed("count", "ln").as("l")
+        .join(bk(e.filter(col("vec_id") % 2 === 1)).withColumnRenamed("count", "rn").as("r"),
+          Seq("table", "bucket"))
+        .agg(sum(col("ln") * col("rn"))).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }),
+    "e04_auto_planes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val left = e.filter(col("vec_id") % 2 === 0)
+      val right = e.filter(col("vec_id") % 2 === 1)
+      val planes = Similarity.autoPlanes(
+        math.max(left.count(), right.count()), 32)
+      def bk(df: DataFrame) =
+        tableBuckets(df, planes, 64, 2).groupBy(col("table"), col("bucket")).count()
+      val v = bk(left).withColumnRenamed("count", "ln").as("l")
+        .join(bk(right).withColumnRenamed("count", "rn").as("r"),
+          Seq("table", "bucket"))
+        .agg(sum(col("ln") * col("rn"))).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }),
     "d19_prescreen_survivors" -> ((s, dir) => {
       import org.apache.spark.sql.{GraftExpressionBridge => Bridge}
       import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain

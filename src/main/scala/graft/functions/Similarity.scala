@@ -382,6 +382,99 @@ object Similarity {
     knnLsh(corpus, queries, k, autoPlanes(n, targetOccupancy), dims, tables)
   }
 
+  /** Cross-corpus ANN as a JOIN: for every `left` vector, the top-k
+    * nearest `right` vectors by quantized cosine — with BOTH sides
+    * large. [[knnBrute]]/[[knnLsh]] require a broadcastable query set;
+    * this is the shape when neither side fits in a broadcast (embedding
+    * decontamination of one 100 TB corpus against another, cross-corpus
+    * linking, retrieval-index construction).
+    *
+    * Plan shape: each side explodes to `tables` (t, bucket) LSH rows via
+    * the shared [[bucketRows]] projection (quantize + bucket once per
+    * vector), the candidate stage is ONE shuffle hash equi-join on
+    * (t, bucket) — `hint("shuffle_hash")` pins the strategy so Catalyst
+    * never "helpfully" broadcasts a side whose stats look small —
+    * multi-table duplicate candidates collapse via the codegen'd
+    * [[firstMatchingTable]] filter (no dropDuplicates shuffle), and the
+    * per-left top-k is a window over `left_id` (candidate count per left
+    * row is bounded by tables × bucket occupancy, so no skewed window
+    * partition). No cartesian, no broadcast of either corpus, anywhere.
+    *
+    * Recall per true neighbor is 1−(1−p^planes)^tables (p = 1−θ/π);
+    * size `planes` to the corpus with [[annJoinAuto]] and buy recall
+    * with `tables` (OR-amplification).
+    *
+    * Schema in: (vec_id, embedding) on both sides.
+    * Schema out: (left_id, right_id, rank, cos).
+    */
+  def annJoin(left: DataFrame, right: DataFrame, k: Int,
+      planes: Int = 8, dims: Int = 64, tables: Int = 2): DataFrame = {
+    val scored = annScoredCandidates(left, right, planes, dims, tables)
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("cos").desc, col("right_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("left_id"), col("right_id"), col("rank"), col("cos"))
+  }
+
+  /** The [[annJoin]] candidate+verify stage without the per-left top-k:
+    * (left_id, right_id, cos) for every LSH-colliding cross pair. One
+    * shuffle hash equi-join on (t, bucket), no broadcast of either side.
+    */
+  private def annScoredCandidates(left: DataFrame, right: DataFrame,
+      planes: Int, dims: Int, tables: Int): DataFrame = {
+    val l = bucketRows(left, planes, dims, tables)
+      .select(col("vec_id").as("left_id"), col("embedding").as("l_emb"),
+        col("buckets").as("lb"), col("t"), col("bucket"))
+    val r = bucketRows(right, planes, dims, tables)
+      .select(col("vec_id").as("right_id"), col("embedding").as("r_emb"),
+        col("buckets").as("rb"), col("t"), col("bucket"))
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("t", "bucket"))
+      .filter(firstMatchingTable(col("lb"), col("rb"), tables))
+      .select(col("left_id"), col("right_id"),
+        cosineQ(col("l_emb"), col("r_emb")).as("cos"))
+  }
+
+  /** [[annJoin]] with `planes` sized by [[autoPlanes]] to the LARGER
+    * side (candidate work per bucket is left_m × right_m, so the bigger
+    * side sets occupancy). Same `size` contract as the other Auto
+    * overloads: pass known counts to skip the sizing count jobs.
+    */
+  def annJoinAuto(left: DataFrame, right: DataFrame, k: Int,
+      leftSize: Long = 0L, rightSize: Long = 0L, dims: Int = 64,
+      tables: Int = 2, targetOccupancy: Int = 32): DataFrame = {
+    val nl = if (leftSize > 0) leftSize else left.count()
+    val nr = if (rightSize > 0) rightSize else right.count()
+    annJoin(left, right, k,
+      autoPlanes(math.max(nl, nr), targetOccupancy), dims, tables)
+  }
+
+  /** Embedding-space decontamination: drop every `corpus` vector whose
+    * quantized cosine against ANY `bench` vector is ≥ `threshold` —
+    * the semantic complement to the n-gram
+    * [[graft.functions.Dedup.decontaminate]] (paraphrased benchmark
+    * leakage shares no 8-gram but sits at cos ≥ 0.9). Returns surviving
+    * corpus rows.
+    *
+    * Both sides may be large: the candidate stage is [[annJoin]]'s
+    * bucketed shuffle join (no broadcast of either side), verification
+    * is exact quantized cosine on candidates only, and the contaminated
+    * id set — bounded by true near-benchmark rows, NOT corpus size —
+    * drops out through a left-anti join. `broadcastDrops = false`
+    * switches that anti-join to shuffle for heavily-contaminated
+    * corpora, same escape hatch as `Dedup.decontaminate`.
+    */
+  def decontaminateByEmbedding(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, planes: Int = 8, dims: Int = 64, tables: Int = 2,
+      broadcastDrops: Boolean = true): DataFrame = {
+    val contaminated =
+      annScoredCandidates(corpus, bench, planes, dims, tables)
+        .filter(col("cos") >= threshold)
+        .select(col("left_id").as("vec_id")).distinct()
+    val drops = if (broadcastDrops) broadcast(contaminated) else contaminated
+    corpus.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540, public): cluster the corpus with the
     * deterministic quantized Lloyd's quantizer ([[ivfTrain]] — seeded

@@ -520,6 +520,86 @@ class DedupSimilaritySpec extends SparkSpec {
       == planted.select("vec_id").as[Long].collect().toSet)
   }
 
+  test("annJoin: no cartesian, no broadcast of either corpus; exact scores") {
+    val left = emb.filter(col("vec_id") % 2 === 0)
+    val right = emb.filter(col("vec_id") % 2 === 1)
+    val out = Similarity.annJoin(left, right, k = 3, planes = 8, dims = 64,
+      tables = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the contract: BOTH sides large — the candidate stage must be a
+    // shuffled join, never a broadcast (stats at test scale would
+    // otherwise let Catalyst broadcast a side and mask the 100 TB shape)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in annJoin plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast join in annJoin plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected shuffled hash candidate join:\n$plan")
+
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // rank is 1..k, dense per left_id, ordered by cos desc
+    val byLeft = rows.groupBy(_.getLong(0))
+    byLeft.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_.getDouble(3)).toSeq
+        == sorted.map(_.getDouble(3)).sortBy(-_).toSeq)
+    }
+    // scores are the exact quantized cosine (spot-check against a
+    // direct recomputation for one returned pair)
+    val r0 = rows.head
+    val recomputed = left.filter(col("vec_id") === r0.getLong(0)).as("l")
+      .crossJoin(right.filter(col("vec_id") === r0.getLong(1)).as("r"))
+      .select(Similarity.cosineQ(col("l.embedding"), col("r.embedding")))
+      .head.getDouble(0)
+    assert(math.abs(recomputed - r0.getDouble(3)) == 0.0)
+  }
+
+  test("annJoin finds planted cross-corpus twins; auto overload sizes planes") {
+    // right = exact copies of 5 left vectors (new ids): identical
+    // vectors share every bucket in every table, so recall for them is
+    // deterministic — each must come back as its twin's rank-1 at cos 1
+    val left = emb.filter(col("vec_id") < 100)
+    val twins = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 200000L)
+    val right = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+      .unionByName(twins)
+    val out = Similarity.annJoin(left, right, k = 1, planes = 6, dims = 64,
+        tables = 2)
+      .filter(col("left_id") < 5).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 200000L,
+        s"left ${r.getLong(0)}: expected twin, got ${r.getLong(1)}")
+      assert(r.getDouble(3) >= 0.9999)
+    }
+    // the Auto overload sizes planes by the larger side
+    val auto = Similarity.annJoinAuto(left, right, k = 1,
+      leftSize = 100L, rightSize = 105L, tables = 2)
+    assert(auto.filter(col("left_id") < 5).count() == 5)
+  }
+
+  test("decontaminateByEmbedding drops planted bench copies, keeps the rest") {
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .unionByName(emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+    val bench = emb.filter(col("vec_id") < 10)
+    val survivors = Similarity.decontaminateByEmbedding(
+      corpus, bench, 0.999, planes = 8, dims = 64, tables = 2)
+    assert(survivors.columns.toSeq == corpus.columns.toSeq)
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    // every planted copy dropped
+    (0L until 5L).foreach(i => assert(!ids.contains(100000L + i)))
+    // non-broadcast drop path computes the identical survivor set
+    val shuffled = Similarity.decontaminateByEmbedding(
+        corpus, bench, 0.999, planes = 8, dims = 64, tables = 2,
+        broadcastDrops = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(shuffled == ids)
+  }
+
   test("langId picks markers deterministically; fingerprint normalizes") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
