@@ -613,6 +613,27 @@ object SparkEntry {
       s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
     }),
 
+    // Round-10 widening of the EXCLUDE emulation: MIN/MAX under
+    // EXCLUDE CURRENT ROW on ROWS frames via frame-splitting
+    // (LEAST/GREATEST over the sub-frames strictly before/after the
+    // current row). Three frame shapes exercise both-sides, left-only
+    // (running max: NULL at each partition head), and right-only
+    // splits. The oracle runs DuckDB's NATIVE EXCLUDE again.
+    "q45_window_exclude_minmax" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val sqliteSql = """
+        SELECT o_custkey, o_orderkey,
+               min(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mn,
+               max(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS mx_run,
+               min(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS mn_fwd
+        FROM orders WHERE o_orderkey <= 4000
+        ORDER BY o_custkey, o_orderkey"""
+      s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
+    }),
+
     // Native recursive CTE (Spark 4.1 WITH RECURSIVE — formerly listed
     // as a dialect gap; it is fully supported): month generator joined
     // against orders.
@@ -1025,6 +1046,17 @@ object SparkEntry {
            count(*) OVER (PARTITION BY o_custkey
              ORDER BY strftime(o_orderdate, '%Y')
              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS c_grp
+         FROM orders WHERE o_orderkey <= 4000
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q45_window_exclude_minmax" ->
+      """SELECT o_custkey, o_orderkey,
+           min(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mn,
+           max(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS mx_run,
+           min(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS mn_fwd
          FROM orders WHERE o_orderkey <= 4000
          ORDER BY o_custkey, o_orderkey""",
 

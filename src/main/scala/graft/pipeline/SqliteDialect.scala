@@ -92,7 +92,8 @@ object SqliteDialect {
       throw new UnsupportedSqlFeatureException("window frame EXCLUDE clause",
         "Spark has no frame exclusion; enable spark.graft.sqlite.dialect " +
           "(the rewrite emulates EXCLUDE for SUM/COUNT/AVG as " +
-          "frame-minus-exclusion window arithmetic)")
+          "frame-minus-exclusion window arithmetic and for MIN/MAX by " +
+          "splitting the ROWS frame around the current row)")
   }
 
   /** SQLite GLOB pattern → SQL LIKE pattern. GLOB is case-sensitive with
@@ -337,11 +338,20 @@ object SqliteDialect {
     * losslessly); float columns can differ from a native-EXCLUDE
     * engine by summation-order ULPs.
     *
-    * MIN/MAX (not decomposable — removing one value can expose any
-    * earlier one, which no pair of windows reconstructs), EXCLUDE on a
-    * GROUPS frame (rejected with the GROUPS error downstream), DISTINCT
-    * aggregates, and specs without ORDER BY (every row is a peer —
-    * restructure instead) all raise the friendly error.
+    * MIN/MAX are not decomposable by subtraction (removing one value
+    * can expose any earlier one), but they MERGE: for `EXCLUDE CURRENT
+    * ROW` on an explicit literal-bounded ROWS frame, the frame splits
+    * into the two contiguous ROWS sub-frames strictly before and
+    * strictly after the current row, and LEAST/GREATEST of the two
+    * sub-aggregates (null-skipping; NULL only when both sub-frames are
+    * empty) is the exact excluded result. MIN/MAX with GROUP/TIES
+    * (peer positions are runtime data), MIN/MAX on RANGE or default
+    * frames (value distances cannot be split positionally),
+    * order-statistic aggregates (median/percentile — neither
+    * subtractable nor mergeable), EXCLUDE on a GROUPS frame (rejected
+    * with the GROUPS error downstream), DISTINCT aggregates, and specs
+    * without ORDER BY (every row is a peer — restructure instead) all
+    * raise the friendly error.
     *
     * Containment guards (the arithmetic is only exact when the frame
     * provably contains what it subtracts): frames whose literal bounds
@@ -428,12 +438,30 @@ object SqliteDialect {
               s"EXCLUDE $kind with DISTINCT",
               "distinct windowed aggregates do not decompose; deduplicate " +
                 "in a subquery first")
-          if (fn != "SUM" && fn != "COUNT" && fn != "AVG")
+          val isSplitFn = fn == "MIN" || fn == "MAX"
+          if (fn != "SUM" && fn != "COUNT" && fn != "AVG" && !isSplitFn)
             throw new UnsupportedSqlFeatureException(
               s"EXCLUDE $kind with $fn",
-              "only SUM/COUNT/AVG decompose into frame-minus-exclusion " +
-                "window arithmetic (MIN/MAX cannot — removing a value can " +
-                "expose any earlier one); restructure with a self-join")
+              "SUM/COUNT/AVG decompose into frame-minus-exclusion window " +
+                "arithmetic and MIN/MAX split the frame around the " +
+                "current row; other aggregates (order statistics like " +
+                "median/percentile) do neither — restructure with a " +
+                "self-join")
+          // MIN/MAX do NOT decompose by subtraction (removing a value
+          // can expose any earlier one), but they MERGE: the frame minus
+          // the current row is two contiguous ROWS sub-frames, and
+          // LEAST/GREATEST of the two sub-aggregates (both null-skipping
+          // in Spark, NULL only when both sub-frames are empty) is the
+          // exact excluded result. Positional splitting needs a ROWS
+          // frame and only EXCLUDE CURRENT ROW has a statically known
+          // position — GROUP/TIES depend on runtime peer locations.
+          if (isSplitFn && kind != "CURRENT ROW")
+            throw new UnsupportedSqlFeatureException(
+              s"EXCLUDE $kind with $fn",
+              "MIN/MAX are emulated by splitting the ROWS frame around " +
+                "the current row, which only EXCLUDE CURRENT ROW " +
+                "permits (GROUP/TIES exclusions depend on runtime peer " +
+                "positions); restructure with a self-join")
           val star = arg == "*"
           if (star && fn != "COUNT")
             throw new UnsupportedSqlFeatureException(
@@ -451,7 +479,7 @@ object SqliteDialect {
           // PRECEDING' frame never contains the row being subtracted);
           // non-literal bounds cannot be verified statically.
           val fM = topMatch("\\b(ROWS|RANGE)\\b")
-          fM.foreach { fm =>
+          val bounds = fM.map { fm =>
             val body = span.substring(fm.end, exM.start).trim
             val Btw = "(?is)^BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r
             val (startB, endB) = body match {
@@ -502,7 +530,41 @@ object SqliteDialect {
                   "default, or ROWS BETWEEN UNBOUNDED PRECEDING AND " +
                   "UNBOUNDED FOLLOWING) frame, or restructure with a " +
                   "self-join")
+            (fm, startB.trim, endB.trim, startRel, endRel)
           }
+          val replacement = if (isSplitFn) {
+            // frame-splitting path: MIN/MAX(arg) over the frame minus
+            // the current row = LEAST/GREATEST over the two ROWS
+            // sub-frames strictly before and strictly after it
+            val (fm, startB, endB, startRel, endRel) = bounds.getOrElse(
+              throw new UnsupportedSqlFeatureException(
+                s"EXCLUDE CURRENT ROW with $fn on the default frame",
+                "the default RANGE frame cannot be split at the current " +
+                  "row's position; write an explicit ROWS frame"))
+            if (!fm.group(1).equalsIgnoreCase("ROWS"))
+              throw new UnsupportedSqlFeatureException(
+                s"EXCLUDE CURRENT ROW with $fn on a RANGE frame",
+                "RANGE bounds are value distances, so the frame cannot " +
+                  "be split at the current row's position; use a ROWS " +
+                  "frame")
+            val prefix = sql.substring(open + 1, open + 1 + fm.start).trim
+            def sub(frame: String) = s"($fn($arg) OVER ($prefix $frame))"
+            val leftF =
+              if (startRel < 0) Some(s"ROWS BETWEEN $startB AND 1 PRECEDING")
+              else None
+            val rightF =
+              if (endRel > 0) Some(s"ROWS BETWEEN 1 FOLLOWING AND $endB")
+              else None
+            val combine = if (fn == "MIN") "LEAST" else "GREATEST"
+            (leftF, rightF) match {
+              case (Some(lf), Some(rf)) => s"$combine(${sub(lf)}, ${sub(rf)})"
+              case (Some(lf), None) => sub(lf)
+              case (None, Some(rf)) => sub(rf)
+              // frame = exactly the current row, which is excluded:
+              // NULL with the argument's type
+              case (None, None) => s"(CASE WHEN 1=0 THEN ($arg) END)"
+            }
+          } else {
           // frame spec without the EXCLUDE tail; peers spec = partition
           // + order only, peer-group RANGE frame
           val frameSpec = sql.substring(open + 1, open + 1 + exM.start).trim
@@ -523,7 +585,7 @@ object SqliteDialect {
               (s"(COALESCE((SUM($arg) $P), 0) - COALESCE(($arg), 0))",
                 s"((COUNT($cntArg) $P) - $curCnt)")
           }
-          val replacement = fn match {
+          fn match {
             case "COUNT" => s"((COUNT($cntArg) $F) - $cntX)"
             case "SUM" =>
               s"(CASE WHEN (COUNT($arg) $F) - $cntX = 0 THEN NULL " +
@@ -532,6 +594,7 @@ object SqliteDialect {
               s"(CASE WHEN (COUNT($arg) $F) - $cntX = 0 THEN NULL " +
                 s"ELSE CAST((SUM($arg) $F) - $sumX AS DOUBLE) / " +
                 s"((COUNT($arg) $F) - $cntX) END)"
+          }
           }
           edits += Edit(idStart, close + 1, replacement)
         }

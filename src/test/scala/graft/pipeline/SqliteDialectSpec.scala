@@ -240,6 +240,49 @@ class SqliteDialectSpec extends SparkSpec {
       "BETWEEN 5 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t")
   }
 
+  test("rewriteExclude: MIN/MAX split the ROWS frame around the current row") {
+    val from = " FROM VALUES (1,30),(2,10),(3,20),(4,5) AS t(i,v) "
+    val rows = spark.sql(SqliteDialect.rewrite(
+      "SELECT i," +
+        " min(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS mn," +
+        " max(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS mxr," +
+        " min(v) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mnf," +
+        " min(v) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW) AS mz" +
+        from + "ORDER BY i")).collect()
+    def cell(r: Int, c: Int): Option[Int] =
+      if (rows(r).isNullAt(c)) None else Some(rows(r).getInt(c))
+    // hand-checked against DuckDB's native EXCLUDE on the same data:
+    // both-sides split, left-only (running max, NULL at the head),
+    // right-only, and the emptied single-row frame
+    assert((0 until 4).map(r => (cell(r, 1), cell(r, 2), cell(r, 3), cell(r, 4))) ==
+      Seq((Some(10), None, Some(10), None),
+        (Some(20), Some(30), Some(5), None),
+        (Some(5), Some(30), Some(5), None),
+        (Some(20), Some(30), None, None)))
+  }
+
+  test("rewriteExclude: MIN/MAX split-path rejections stay friendly") {
+    def err(sql: String): String =
+      intercept[UnsupportedSqlFeatureException] {
+        SqliteDialect.rewriteExclude(sql)
+      }.getMessage
+    // RANGE bounds are value distances — no positional split
+    assert(err("SELECT min(v) OVER (ORDER BY i RANGE BETWEEN 5 PRECEDING " +
+      "AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t")
+      .contains("RANGE"))
+    // the default frame is RANGE too
+    assert(err("SELECT max(v) OVER (ORDER BY i EXCLUDE CURRENT ROW) FROM t")
+      .contains("default frame"))
+    // peer positions are runtime data: GROUP/TIES never split
+    assert(err("SELECT max(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) FROM t")
+      .contains("MAX"))
+    // order statistics neither subtract nor merge
+    assert(err("SELECT median(v) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING " +
+      "AND 2 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+      .contains("median"))
+  }
+
   test("rewriteGroups: whole-peer-group bounds become RANGE verbatim") {
     val out = SqliteDialect.rewriteGroups(
       "SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
