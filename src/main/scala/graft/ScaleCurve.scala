@@ -272,22 +272,27 @@ object ScaleCurve {
         col("doc_id"), col("text")).count()),
     // d17 incremental dedup, cross stage: Σ over shingle hash of
     // batch_df × corpus_df — the inverted-index join's output volume
-    // for the parity-split gate config. Replicas keep shingle vocab
-    // disjoint across copies, so per-shingle doc freq stays constant as
-    // the corpus grows and the probe volume should scale ~linearly —
-    // the claim this counter checks (a shared-vocabulary corpus instead
-    // needs the finite maxShingleDocFreq the Auto strategy defaults).
+    // for a half/half batch-vs-corpus split. The split is BY ID HASH,
+    // not the gate's parity: replica ids are id·replicas + r, so parity
+    // aligns exactly with the replica tag at even replica counts and
+    // the disjoint replica vocabularies would zero the cross volume —
+    // a generator artifact, not the operator's shape. Replicas keep
+    // per-shingle doc freq constant as the corpus grows, so the probe
+    // volume should scale ~linearly — the claim this counter checks (a
+    // shared-vocabulary corpus instead needs the finite
+    // maxShingleDocFreq the Auto strategy defaults).
     // d16's candidate work IS d04_candidates (same signatures, same
     // banding); d22's shuffle volume IS the d19 pair of counters — both
     // already on the curve, so only the d17 cross stage is new here.
     "d17_cross_probe_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
+      val side = pmod(xxhash64(col("doc_id")), lit(2))
       def hs(df: DataFrame) =
         Dedup.shingleRows(df, col("doc_id"), col("text"))
           .select(xxhash64(col("shingle")).as("h"))
           .groupBy(col("h")).count()
-      val v = hs(d.filter(col("doc_id") % 2 === 0)).withColumnRenamed("count", "cn").as("c")
-        .join(hs(d.filter(col("doc_id") % 2 === 1)).withColumnRenamed("count", "bn").as("b"),
+      val v = hs(d.filter(side === 0)).withColumnRenamed("count", "cn").as("c")
+        .join(hs(d.filter(side === 1)).withColumnRenamed("count", "bn").as("b"),
           Seq("h"))
         .agg(sum(col("cn") * col("bn"))).first()
       if (v.isNullAt(0)) 0L else v.getLong(0)
@@ -343,10 +348,14 @@ object ScaleCurve {
 
   def workCounts(spark: SparkSession, outFile: String,
       dirs: Seq[(String, String)]): Unit = {
+    // same comma-separated substring filter as time mode
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
+    val selected = work.filter { case (q, _) =>
+      filter.forall(_.exists(q.contains)) }
     val results = dirs.map { case (label, dir) =>
       val nDocs = docs(spark, dir).count()
       val nEmb = emb(spark, dir).count()
-      val counts = work.map { case (name, fn) =>
+      val counts = selected.map { case (name, fn) =>
         val c = fn(spark, dir)
         println(s"[scalecurve] $label $name work=$c")
         name -> c

@@ -34,7 +34,7 @@ def main(path: str) -> None:
         + " | fit exp | last-decade exp |")
     print("|---" * (len(labels) + 3) + "|")
     for q in queries:
-        rows_key = "embeddings" if q.startswith(("d06", "e02")) else "docs"
+        rows_key = "embeddings" if q.startswith(("d06", "e02", "e04")) else "docs"
         pts = [(data[l][rows_key], data[l]["queries"][q]["min"])
                for l in labels
                if q in data[l]["queries"] and rows_key in data[l]]
