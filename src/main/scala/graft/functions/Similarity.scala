@@ -408,8 +408,10 @@ object Similarity {
     * Schema out: (left_id, right_id, rank, cos).
     */
   def annJoin(left: DataFrame, right: DataFrame, k: Int,
-      planes: Int = 8, dims: Int = 64, tables: Int = 2): DataFrame = {
-    val scored = annScoredCandidates(left, right, planes, dims, tables)
+      planes: Int = 8, dims: Int = 64, tables: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val scored = annScoredCandidates(left, right, planes, dims, tables,
+      maxBucketSize)
     val w = Window.partitionBy(col("left_id"))
       .orderBy(col("cos").desc, col("right_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -420,20 +422,58 @@ object Similarity {
   /** The [[annJoin]] candidate+verify stage without the per-left top-k:
     * (left_id, right_id, cos) for every LSH-colliding cross pair. One
     * shuffle hash equi-join on (t, bucket), no broadcast of either side.
+    *
+    * `maxBucketSize` is the hot-bucket guard — the one skew mode
+    * [[autoPlanes]] CANNOT fix: occupancy sizing assumes vectors spread
+    * across buckets, but a pile of near-identical vectors (a template
+    * embedding, all-zero rows) lands in ONE bucket of EVERY table at
+    * any plane count, and a cell with l·r members does l·r work.
+    * (t, bucket) cells where EITHER side exceeds the cap are dropped
+    * from both sides before the join via a broadcast anti-join (the hot
+    * set is tiny by definition). Dropping a cell is a recall trade-off,
+    * never silent: [[annDroppedBuckets]] with the same arguments
+    * enumerates exactly what the cap suppressed.
     */
   private def annScoredCandidates(left: DataFrame, right: DataFrame,
-      planes: Int, dims: Int, tables: Int): DataFrame = {
-    val l = bucketRows(left, planes, dims, tables)
+      planes: Int, dims: Int, tables: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val l0 = bucketRows(left, planes, dims, tables)
       .select(col("vec_id").as("left_id"), col("embedding").as("l_emb"),
         col("buckets").as("lb"), col("t"), col("bucket"))
-    val r = bucketRows(right, planes, dims, tables)
+    val r0 = bucketRows(right, planes, dims, tables)
       .select(col("vec_id").as("right_id"), col("embedding").as("r_emb"),
         col("buckets").as("rb"), col("t"), col("bucket"))
+    val (l, r) =
+      if (maxBucketSize == Int.MaxValue) (l0, r0)
+      else {
+        val hot = broadcast(
+          annDroppedBuckets(left, right, planes, dims, tables, maxBucketSize)
+            .select(col("t"), col("bucket")).distinct())
+        (l0.join(hot, Seq("t", "bucket"), "left_anti"),
+          r0.join(hot, Seq("t", "bucket"), "left_anti"))
+      }
     l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("t", "bucket"))
       .filter(firstMatchingTable(col("lb"), col("rb"), tables))
       .select(col("left_id"), col("right_id"),
         cosineQ(col("l_emb"), col("r_emb")).as("cos"))
   }
+
+  /** The accounting side of the [[annJoin]]/[[decontaminateByEmbedding]]
+    * `maxBucketSize` guard: (t, bucket, side, bucket_size) for every
+    * (table, bucket) cell the cap drops, labeled with which input
+    * exceeded it. One aggregate per side — run it whenever the cap is
+    * active so a capped run always reports what it skipped instead of
+    * silently under-recalling.
+    */
+  def annDroppedBuckets(left: DataFrame, right: DataFrame,
+      planes: Int, dims: Int, tables: Int, maxBucketSize: Int): DataFrame =
+    Seq(("left", left), ("right", right)).map { case (side, df) =>
+      bucketRows(df, planes, dims, tables)
+        .groupBy(col("t"), col("bucket"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .filter(col("bucket_size") > maxBucketSize)
+        .withColumn("side", lit(side))
+    }.reduce(_ unionByName _)
 
   /** [[annJoin]] with `planes` sized by [[autoPlanes]] to the LARGER
     * side (candidate work per bucket is left_m × right_m, so the bigger
@@ -442,11 +482,13 @@ object Similarity {
     */
   def annJoinAuto(left: DataFrame, right: DataFrame, k: Int,
       leftSize: Long = 0L, rightSize: Long = 0L, dims: Int = 64,
-      tables: Int = 2, targetOccupancy: Int = 32): DataFrame = {
+      tables: Int = 2, targetOccupancy: Int = 32,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val nl = if (leftSize > 0) leftSize else left.count()
     val nr = if (rightSize > 0) rightSize else right.count()
     annJoin(left, right, k,
-      autoPlanes(math.max(nl, nr), targetOccupancy), dims, tables)
+      autoPlanes(math.max(nl, nr), targetOccupancy), dims, tables,
+      maxBucketSize)
   }
 
   /** Embedding-space decontamination: drop every `corpus` vector whose
@@ -466,9 +508,10 @@ object Similarity {
     */
   def decontaminateByEmbedding(corpus: DataFrame, bench: DataFrame,
       threshold: Double, planes: Int = 8, dims: Int = 64, tables: Int = 2,
-      broadcastDrops: Boolean = true): DataFrame = {
+      broadcastDrops: Boolean = true,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val contaminated =
-      annScoredCandidates(corpus, bench, planes, dims, tables)
+      annScoredCandidates(corpus, bench, planes, dims, tables, maxBucketSize)
         .filter(col("cos") >= threshold)
         .select(col("left_id").as("vec_id")).distinct()
     val drops = if (broadcastDrops) broadcast(contaminated) else contaminated

@@ -581,6 +581,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto.filter(col("left_id") < 5).count() == 5)
   }
 
+  test("annJoin maxBucketSize drops degenerate cells with accounting") {
+    // a pile of 60 copies of ONE vector on the right: identical vectors
+    // share every bucket in every table at ANY plane count — the skew
+    // mode autoPlanes cannot fix, only the cap can
+    val left = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val pileSrc = emb.filter(col("vec_id") === 0).select("embedding")
+    val pile = spark.range(60).toDF("i")
+      .crossJoin(pileSrc)
+      .select((col("i") + 300000L).as("vec_id"), col("embedding"))
+    val right = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .select("vec_id", "embedding")
+      .unionByName(pile)
+    val uncapped = Similarity.annJoin(left, right, k = 60,
+      planes = 6, dims = 64, tables = 2)
+    val capped = Similarity.annJoin(left, right, k = 60,
+      planes = 6, dims = 64, tables = 2, maxBucketSize = 50)
+    // uncapped: vector 0's twin pile all collide with it at cos 1
+    assert(uncapped.filter(col("left_id") === 0 &&
+      col("right_id") >= 300000L).count() == 60)
+    // capped: the pile's cells are gone from the join entirely
+    assert(capped.filter(col("right_id") >= 300000L).count() == 0)
+    // and the accounting names the dropped cells on the right side
+    val dropped = Similarity.annDroppedBuckets(left, right,
+      planes = 6, dims = 64, tables = 2, maxBucketSize = 50).collect()
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(r => r.getAs[String]("side") == "right" &&
+      r.getAs[Long]("bucket_size") > 50))
+  }
+
   test("decontaminateByEmbedding drops planted bench copies, keeps the rest") {
     val corpus = emb.filter(col("vec_id") >= 10)
       .unionByName(emb.filter(col("vec_id") < 5)
