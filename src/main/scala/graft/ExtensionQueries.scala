@@ -859,6 +859,24 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // REAL audio decode (javax.sound.sampled, JDK built-in) over RIFF/
+    // WAVE PCM16 fixtures whose samples derive from md5(text): the
+    // oracle recomputes TRUE sample rate (fmt chunk), sample count
+    // (data chunk), duration, and exact integer energy from md5 math
+    // in pure SQL — a container+PCM round-trip check. Each doc emits a
+    // minimal container AND an identical-PCM variant behind an extra
+    // LIST chunk; both must decode to the same features (chunk-walking
+    // robustness, not offset assumptions).
+    "m05_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      functions.Multimodal.audioFeatures(
+          functions.Multimodal.syntheticWavs(docs)
+            .as[functions.Multimodal.MediaRow])
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // Multimodal metadata projection + frame-sample plan: binary payload
     // column stays pruned out of the scan (metadata-only stage).
     "m01_media_meta" -> ((s, dir) => {
@@ -1937,6 +1955,27 @@ object ExtensionQueries {
          SELECT doc_id * 2 AS media_id, 8 AS width, 7 AS height, ahash, dhash FROM hs
          UNION ALL
          SELECT doc_id * 2 + 1, 16, 14, ahash, dhash FROM hs
+         ORDER BY media_id""",
+
+    "m05_audio_features" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx,
+             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+             CAST(64 + (doc_id % 3) * 16 AS BIGINT) AS n
+           FROM documents WHERE doc_id < 60),
+         sm AS (
+           SELECT d.doc_id, d.rate, d.n,
+             ((strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 2, 1)) - 1)
+              - 128) * 256 AS s
+           FROM d, generate_series(0, 95) AS g(i) WHERE g.i < d.n),
+         f AS (
+           SELECT doc_id, rate AS sample_rate, n AS n_samples,
+             n * 1000 // rate AS duration_ms,
+             CAST(sum(s * s) AS BIGINT) AS energy
+           FROM sm GROUP BY doc_id, rate, n)
+         SELECT doc_id * 2 AS media_id, sample_rate, n_samples, duration_ms, energy FROM f
+         UNION ALL
+         SELECT doc_id * 2 + 1, sample_rate, n_samples, duration_ms, energy FROM f
          ORDER BY media_id""",
 
     "m04_image_neardup" ->

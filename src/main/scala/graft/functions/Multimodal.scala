@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * BMP / GIF) drives [[imageFeatures]], which extracts true
   * width/height and 56-bit aHash/dHash perceptual signatures feeding
   * the banded-hamming machinery ([[Dedup.simhashPairs]]) for image
-  * near-dup detection ([[imageNearDupPairs]]). The AUDIO/VIDEO decode
-  * kernels stay STUBBED with a deterministic fake (no audio/video
-  * codecs exist in this container) — what is real and tested there is
+  * near-dup detection ([[imageNearDupPairs]]). AUDIO decode is REAL
+  * for RIFF/WAVE PCM: `javax.sound.sampled` (JDK built-in) drives
+  * [[audioFeatures]] — true sample rate from the fmt chunk, true
+  * sample count from the data chunk, exact integer energy. The VIDEO
+  * decode kernel stays STUBBED with a deterministic fake (no video
+  * codec exists in this container) — what is real and tested there is
   * everything Spark cares about at 100 TB: the schema contract, the
   * batch shape (mapPartitions over iterators, never per-row JVM
   * setup), partition sizing (media rows are MBs — `maxRecordsPerBatch`/
@@ -305,9 +308,122 @@ object Multimodal {
       }.toDF("media_id", "kind", "content")
   }
 
+  case class AudioFeatures(media_id: Long, sample_rate: Int,
+      n_samples: Long, duration_ms: Long, energy: Long)
+
+  /** REAL audio decode, partition-batched: `javax.sound.sampled`
+    * (JDK built-in — RIFF/WAVE with PCM payloads) parses each blob's
+    * container for real: the TRUE sample rate comes from the fmt
+    * chunk, the TRUE sample count from the data chunk length, and
+    * `energy` is the exact integer Σ sample² over the decoded 16-bit
+    * PCM stream — deterministic, so an engine-independent oracle can
+    * recompute every output from the same sample source (the m05 gate
+    * does, from md5-derived fixtures). `duration_ms` is integer
+    * `n_samples·1000 / sample_rate`. Undecodable blobs are SKIPPED
+    * (corrupt audio is routine in web corpora) — diff input vs output
+    * ids for the accounting. Multi-channel input is refused as
+    * undecodable rather than silently averaged. Scale shape mirrors
+    * [[imageFeatures]]: one iterator pass, ~40-byte output rows, the
+    * binary column dies at this stage boundary. VIDEO decode remains
+    * the honest [[StubDecoder]] seam (no video codec in the JDK).
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        if (ais == null) None
+        else {
+          val fmt = ais.getFormat
+          val ok = fmt.getChannels == 1 &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!ok) { ais.close(); None }
+          else {
+            val bytes = ais.readAllBytes()
+            ais.close()
+            val n = bytes.length / 2
+            var energy = 0L
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+              energy += s.toLong * s
+              i += 1
+            }
+            val rate = math.round(fmt.getSampleRate)
+            Some(AudioFeatures(m.media_id, rate, n.toLong,
+              n.toLong * 1000L / rate, energy))
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic WAV fixtures for the m05 gate: per document, a real
+    * RIFF/WAVE container (PCM16 mono, little-endian) whose sample i is
+    * `(b − 128)·256` for b = byte (i mod 16) of `md5(text)`, with
+    * sample rate `8000 + (doc_id % 4)·4000` and sample count
+    * `64 + (doc_id % 3)·16` — every gated output recomputable from
+    * `md5(text)` in pure SQL, so a Spark-side fault in container
+    * parsing, PCM decoding, or the energy sum fails the gate. Emitted
+    * twice per doc: base = 2·doc_id (minimal RIFF), variant =
+    * 2·doc_id + 1 (identical PCM behind an extra LIST/INFO chunk
+    * between fmt and data — a container-robustness plant: a reader
+    * that assumes chunk offsets instead of walking the chunk list
+    * breaks on it, and both ids must gate identical features).
+    */
+  def syntheticWavs(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val dig = md5.digest(text.getBytes("UTF-8"))
+          val rate = 8000 + (id % 4).toInt * 4000
+          val n = 64 + (id % 3).toInt * 16
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((dig(i % 16) & 0xff) - 128) * 256
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          def u32(v: Int) = Array[Byte](
+            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+          def u16(v: Int) = Array[Byte](
+            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+          def chunk(tag: String, body: Array[Byte]) =
+            tag.getBytes("US-ASCII") ++ u32(body.length) ++ body
+          val fmtChunk = chunk("fmt ", u16(1) ++ u16(1) ++ u32(rate) ++
+            u32(rate * 2) ++ u16(2) ++ u16(16))
+          val dataChunk = chunk("data", pcm)
+          def wav(extra: Array[Byte]): Array[Byte] = {
+            val body = "WAVE".getBytes("US-ASCII") ++
+              fmtChunk ++ extra ++ dataChunk
+            "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+          }
+          val list = chunk("LIST",
+            "INFO".getBytes("US-ASCII") ++
+              chunk("ICMT", "graft fixture ".getBytes("US-ASCII")))
+          Seq((id * 2, "audio", wav(Array.emptyByteArray)),
+            (id * 2 + 1, "audio", wav(list)))
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
   /** Deterministic fake decode: stable per-content pseudo-features.
     * The `???`-shaped seam a real codec implementation replaces (for
-    * AUDIO/VIDEO — images now decode for real via [[imageFeatures]]).
+    * VIDEO — images decode for real via [[imageFeatures]], WAV audio
+    * via [[audioFeatures]]).
     */
   private[functions] class StubDecoder(dim: Int) extends Serializable {
     def checksum(bytes: Array[Byte]): Long = {

@@ -94,4 +94,62 @@ class MultimodalImageSpec extends SparkSpec {
     } yield (a.media_id, b.media_id)).toSet
     assert(gotSet == brute, "pigeonhole banding must be recall-complete")
   }
+
+  test("audioFeatures: real WAV container parse — true rate/count from " +
+      "chunks, exact energy, LIST-chunk variant identical") {
+    val docs = Tables.df(spark, sf(), "documents").filter(col("doc_id") < 12)
+    val feats = Multimodal.audioFeatures(
+        Multimodal.syntheticWavs(docs).as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 24, "every fixture WAV must decode")
+    feats.keys.filter(_ % 2 == 0).foreach { b =>
+      val (base, variant) = (feats(b), feats(b + 1))
+      val id = b / 2
+      assert(base.sample_rate == 8000 + (id % 4) * 4000,
+        s"true fmt-chunk rate of media $b")
+      assert(base.n_samples == 64 + (id % 3) * 16,
+        s"true data-chunk sample count of media $b")
+      assert(base.duration_ms ==
+        base.n_samples * 1000L / base.sample_rate)
+      assert(base.energy > 0L)
+      // identical PCM behind an extra LIST chunk: the decoder must walk
+      // chunks, not assume offsets — all features identical but the id
+      assert(variant.copy(media_id = b) == base,
+        s"LIST-chunk container variant of media $b must decode equal")
+    }
+    // hand-check energy for one doc against the md5 derivation the
+    // oracle uses: sample i = (md5byte(i%16) - 128) * 256
+    val one = docs.filter(col("doc_id") === 0)
+      .select(col("text")).collect().head.getString(0)
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(one.getBytes("UTF-8"))
+    val n = 64
+    val expected = (0 until n).map { i =>
+      val s = ((dig(i % 16) & 0xff) - 128) * 256L
+      s * s
+    }.sum
+    assert(feats(0L).energy == expected, "energy must equal the md5 math")
+  }
+
+  test("audioFeatures skips undecodable and refuses multi-channel blobs") {
+    val junk = Seq(
+      Multimodal.MediaRow(1L, "audio", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRow(2L, "audio",
+        "RIFF0000WAVEjunk".getBytes("US-ASCII"))).toDS()
+    assert(Multimodal.audioFeatures(junk).count() == 0)
+    // a stereo WAV parses but is refused (no silent channel averaging)
+    val stereo = {
+      def u32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def u16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      val pcm = Array.fill[Byte](32)(7)
+      val fmt = "fmt ".getBytes("US-ASCII") ++ u32(16) ++ u16(1) ++ u16(2) ++
+        u32(8000) ++ u32(8000 * 4) ++ u16(4) ++ u16(16)
+      val data = "data".getBytes("US-ASCII") ++ u32(pcm.length) ++ pcm
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+      "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+    }
+    val ds = Seq(Multimodal.MediaRow(3L, "audio", stereo)).toDS()
+    assert(Multimodal.audioFeatures(ds).count() == 0)
+  }
 }
