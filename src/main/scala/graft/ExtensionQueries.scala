@@ -507,13 +507,19 @@ object ExtensionQueries {
 
     // Winnowing fingerprints (k=5 char grams, w=4 windows): the
     // guaranteed-coverage near-copy detection primitive; zero-shuffle
-    // projection + explode.
+    // projection + explode. localCheckpoint before the oracle-ordering
+    // sort: a global orderBy range-samples its input, which would run
+    // the whole winnowing projection TWICE — materializing the ~40-byte
+    // fingerprint rows once halves the gate's cost (measured 2.1×; the
+    // d13 materialization precedent). The operator itself is the
+    // unsorted projection above the checkpoint.
     "t04_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.gramHashes(col("text"), 5).as("__g"))
         .select(col("doc_id"),
           explode(TextFunctions.winnowFromGrams(col("__g"), 4)).as("fp"))
+        .localCheckpoint()
         .orderBy(col("doc_id"), col("fp"))
     }),
 
