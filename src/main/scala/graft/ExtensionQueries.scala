@@ -287,9 +287,7 @@ object ExtensionQueries {
     "d13_winnow_pairs" -> ((s, dir) => {
       val fps = t(s, dir, "documents")
         .select(col("doc_id"),
-          TextFunctions.gramHashes(col("text"), 12).as("__g"))
-        .select(col("doc_id"),
-          explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
+          explode(TextFunctions.winnowFingerprints(col("text"), 12, 8)).as("fp"))
       Dedup.winnowPairs(fps, minShared = 5L, maxFpDocFreq = 20)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -506,19 +504,17 @@ object ExtensionQueries {
     }),
 
     // Winnowing fingerprints (k=5 char grams, w=4 windows): the
-    // guaranteed-coverage near-copy detection primitive; zero-shuffle
-    // projection + explode. localCheckpoint before the oracle-ordering
-    // sort: a global orderBy range-samples its input, which would run
-    // the whole winnowing projection TWICE — materializing the ~40-byte
-    // fingerprint rows once halves the gate's cost (measured 2.1×; the
-    // d13 materialization precedent). The operator itself is the
-    // unsorted projection above the checkpoint.
+    // guaranteed-coverage near-copy detection primitive — the fused
+    // native WinnowFingerprints expression (one md5 per gram on raw
+    // byte ranges, primitive sliding min; bit-identical to the HOF
+    // pipeline the oracle mirrors, measured ~10× faster).
+    // localCheckpoint before the oracle-ordering sort: a global
+    // orderBy range-samples its input, which would run the projection
+    // twice. The operator itself is the unsorted projection.
     "t04_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextFunctions.gramHashes(col("text"), 5).as("__g"))
-        .select(col("doc_id"),
-          explode(TextFunctions.winnowFromGrams(col("__g"), 4)).as("fp"))
+          explode(TextFunctions.winnowFingerprints(col("text"), 5, 4)).as("fp"))
         .localCheckpoint()
         .orderBy(col("doc_id"), col("fp"))
     }),

@@ -83,9 +83,8 @@ object ScaleCurve {
         bits = 56, maxHamming = 3)),
     "t04_winnowing" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 5).as("__g"))
         .select(col("doc_id"),
-          explode(TextFunctions.winnowFromGrams(col("__g"), 4)).as("fp"))),
+          explode(TextFunctions.winnowFingerprints(col("text"), 5, 4)).as("fp"))),
     "e02_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.knnLsh(
@@ -94,9 +93,8 @@ object ScaleCurve {
     }),
     "d13_winnow_pairs" -> ((s, dir) => {
       val fps = docs(s, dir)
-        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 12).as("__g"))
         .select(col("doc_id"),
-          explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
+          explode(TextFunctions.winnowFingerprints(col("text"), 12, 8)).as("fp"))
       Dedup.winnowPairs(fps, minShared = 5L, maxFpDocFreq = 20)
     }),
     // round-10 curve additions: the COMPOSED one-call paths the r9
@@ -187,8 +185,7 @@ object ScaleCurve {
     }),
     "t04_fingerprints" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 5).as("__g"))
-        .select(explode(TextFunctions.winnowFromGrams(col("__g"), 4)).as("fp"))
+        .select(explode(TextFunctions.winnowFingerprints(col("text"), 5, 4)).as("fp"))
         .count()),
     "e02_probe_pairs" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -212,9 +209,8 @@ object ScaleCurve {
     // the measured work is the work the gated plan actually does).
     "d13_candidates" -> ((s, dir) => {
       val f = docs(s, dir)
-        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 12).as("__g"))
         .select(col("doc_id"),
-          explode(TextFunctions.winnowFromGrams(col("__g"), 8)).as("fp"))
+          explode(TextFunctions.winnowFingerprints(col("text"), 12, 8)).as("fp"))
       pairSum(f.groupBy(col("fp")).count().filter(col("count") <= 20))
     }),
     // d14 semantic dedup: Σ over cluster of C(size,2) — the within-

@@ -100,6 +100,23 @@ object TextFunctions {
           sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
           j => array_min(slice(grams, j, lit(w))))))
 
+  /** Fused native winnowing — [[gramHashes]] + [[winnowFromGrams]] in
+    * ONE pass via the codegen'd
+    * [[graft.functions.expressions.WinnowFingerprints]] expression:
+    * the text's bytes are walked once, each gram digests its byte
+    * range in place, and the window minima fold over a primitive long
+    * array. BIT-IDENTICAL output to the HOF pipeline (same md5-based
+    * gram hash, same clamped windows, same first-occurrence dedup),
+    * measured ~10× faster on the t04 shape — prefer this for
+    * production fingerprinting; keep the composable pieces when a
+    * pipeline needs the intermediate gram array. One deliberate
+    * difference: NULL text returns NULL here, where the HOF pipeline
+    * leaks a `[null]` singleton (a `greatest(null, 1)` wart) —
+    * spec-pinned in WinnowFingerprintsSpec.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.expressions.WinnowFingerprints(text, k, w)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 
