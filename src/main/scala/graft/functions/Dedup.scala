@@ -221,12 +221,22 @@ object Dedup {
 
   /** Distinct word-shingle set per document, exploded to
     * (id, shingle) rows — the inverted-index base for Jaccard/MinHash.
+    *
+    * The dedup is IN-ROW (`array_distinct` before the explode), not a
+    * `.distinct()` of the exploded stream: a document's repeats are the
+    * only duplicates possible when `id` is unique per input row (every
+    * caller's contract — ids are document keys), and a global distinct
+    * would shuffle the ENTIRE (doc, shingle) stream — the widest
+    * intermediate in every shingle-based operator — on a key no
+    * downstream stage groups by (they re-shuffle on the shingle hash).
+    * At corpus scale that removed shuffle is the difference between one
+    * wide exchange per dedup run and zero.
     */
   def shingleRows(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), TextFunctions.words(text).as("__w"))
       .select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("__w"), n)).as("shingle"))
-      .distinct()
+        explode(array_distinct(TextFunctions.wordShingles(col("__w"), n)))
+          .as("shingle"))
 
   /** k MinHash signature values per document, computed in ONE aggregate
     * pass (k min() columns over the exploded shingles) — no per-seed
