@@ -250,17 +250,38 @@ object Dedup {
         (1 until k).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")): _*)
 
-  /** Banded bucket rows (doc_id, band, key) behind [[lshCandidatePairs]]
-    * and [[lshDroppedBuckets]].
+  /** Banded bucket rows (doc_id, keys, band, key) behind
+    * [[lshCandidatePairs]] and [[lshDroppedBuckets]]: the full band-key
+    * array is computed once per document and carried through the
+    * explode, so the multi-band duplicate-pair dedup can be a codegen
+    * filter over data already on the joined row (see
+    * [[lshCandidatePairs]]) instead of a distinct() shuffle.
     */
   private def lshBucketRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandKeys = (0 until bands).map { b =>
+    val keyCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("key"))
+      concat_ws("|", parts: _*)
     }
-    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    sigs.select(col("doc_id"), array(keyCols: _*).as("keys"))
+      .select(col("doc_id"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "key")))
   }
+
+  /** First-matching-band dedup predicate over two band-key arrays joined
+    * at band `band`: true iff no lower-indexed band already collided, so
+    * a pair colliding in several bands is emitted exactly once — by a
+    * codegen'd array-element comparison, not a distinct() shuffle of the
+    * candidate set. CASE-chain shaped (not an OR of `band = i AND …`
+    * arms) for the same exchange-reuse reason as
+    * `Similarity.firstMatchingTable`.
+    */
+  private def firstMatchingBand(ka: Column, kb: Column, bands: Int): Column =
+    (0 until bands).foldRight(lit(false)) { (t, elseBranch) =>
+      val earlierAllDiffer = (0 until t)
+        .map(k => !(element_at(ka, k + 1) === element_at(kb, k + 1)))
+        .foldLeft(lit(true))(_ && _)
+      when(col("band") === t, earlierAllDiffer).otherwise(elseBranch)
+    }
 
   /** LSH banding: (bands × rowsPerBand) signature values → one bucket key
     * per band; docs sharing any bucket become candidate pairs. Candidate
@@ -278,6 +299,11 @@ object Dedup {
     * [[lshDroppedBuckets]] with the same arguments to enumerate exactly
     * which buckets (and how many members) the cap suppressed, and log
     * or persist that accounting next to the dedup output.
+    *
+    * Pairs colliding in several bands emit ONCE via the codegen'd
+    * [[firstMatchingBand]] filter over the band-key arrays already on
+    * the joined rows — no distinct() shuffle of the candidate set (the
+    * same shape as the simhash and hyperplane-LSH candidate stages).
     */
   def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
@@ -288,13 +314,14 @@ object Dedup {
         broadcast(lshDroppedBuckets(sigs, bands, rowsPerBand, maxBucketSize)
           .select(col("band"), col("key"))),
         Seq("band", "key"), "left_anti")
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val a = buckets.select(col("doc_id").as("id_a"), col("keys").as("ka"),
+      col("band"), col("key"))
+    val b = buckets.select(col("doc_id").as("id_b"), col("keys").as("kb"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b") &&
+        firstMatchingBand(col("ka"), col("kb"), bands))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** The accounting side of [[lshCandidatePairs]]'s `maxBucketSize`
