@@ -124,6 +124,30 @@ class PlanSpec extends SparkSpec {
       s"t08 lost its windowed rank:\n$t08")
   }
 
+  test("round-10 shuffle removals stay removed: shingleRows in-row dedup, " +
+      "LSH first-matching-band candidates") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.df(spark, sf("sf0.001"), "documents")
+    // shingleRows: zero Exchange — the per-document dedup must be the
+    // in-row array_distinct, never a global distinct() of the widest
+    // stream in every shingle-based operator
+    val sr = functions.Dedup.shingleRows(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!sr.contains("Exchange"),
+      s"shingleRows shuffles — the in-row dedup regressed:\n$sr")
+    // lshCandidatePairs: exactly the signature aggregate's exchange(s) —
+    // no extra exchange for a candidate-pair distinct(), and no
+    // HashAggregate keyed on (id_a, id_b)
+    val cand = functions.Dedup.lshCandidatePairs(
+        functions.Dedup.minhashSignatures(
+          functions.Dedup.shingleRows(docs, col("doc_id"), col("text")), 8),
+        bands = 4, rowsPerBand = 2)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!cand.contains("keys=[id_a"),
+      s"LSH candidates re-aggregate on the pair — distinct() is back:\n$cand")
+  }
+
   test("excel scan plans as a DSv2 BatchScan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan-xlsx").toString
