@@ -1006,22 +1006,23 @@ object Dedup {
   /** SimHash: `bits`-wide signature; bit j is the sign of the sum of
     * ±1 votes from each distinct word's portable hash bit j. Near-dups
     * land within small hamming distance (`bit_count(xor)`).
+    *
+    * Computed by the fused native
+    * [[graft.functions.expressions.SimHashSignature]] expression as a
+    * ZERO-SHUFFLE projection: SimHash is a per-document function, but
+    * the relational formulation (explode → distinct → groupBy vote
+    * sums — what the d05/d07/d20 oracles still mirror, bit-identically)
+    * paid two wide exchanges of the (doc, word) stream to compute it.
+    * In-row there is no explode, no distinct, no aggregation — the
+    * signature stage is embarrassingly parallel at any corpus size.
+    * Wordless documents produce no signature row (same as the
+    * relational form, where they produced no word rows).
     */
-  def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
-    val wordRows = df.select(id.as("doc_id"),
-        explode(TextFunctions.words(text)).as("w"))
-      .distinct()
-      .withColumn("h", TextFunctions.portableHash64(col("w")))
-    val bitVotes = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val sums = wordRows.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until bits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame =
+    df.select(id.as("doc_id"),
+        expressions.SimHashSignature(TextFunctions.words(text), bits)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** MOSS-style near-copy pairs over shared WINNOWING fingerprints
     * (Schleimer et al., SIGMOD 2003 §5): every (id_a, id_b) sharing at

@@ -63,14 +63,6 @@ object WinnowFingerprints {
     GraftExpressionBridge.column(
       WinnowFingerprints(GraftExpressionBridge.expression(text), k, w))
 
-  // MessageDigest is stateful and not thread-safe; expression instances
-  // can be shared across local-mode task threads, so the digest is
-  // per-thread, reset per gram.
-  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** The fused kernel. Public static so generated code can call it. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     val nChars = text.numChars()
@@ -89,19 +81,11 @@ object WinnowFingerprints {
 
     val numGrams = nChars - k + 1
     val grams = new Array[Long](numGrams)
-    val md = mdLocal.get()
     val dig = new Array[Byte](16)
     var i = 0
     while (i < numGrams) {
-      md.reset()
-      md.update(bytes, bound(i), bound(i + k) - bound(i))
-      md.digest(dig, 0, 16)
       // first 14 hex chars base-16 = first 7 digest bytes big-endian
-      grams(i) =
-        ((dig(0) & 0xffL) << 48) | ((dig(1) & 0xffL) << 40) |
-          ((dig(2) & 0xffL) << 32) | ((dig(3) & 0xffL) << 24) |
-          ((dig(4) & 0xffL) << 16) | ((dig(5) & 0xffL) << 8) |
-          (dig(6) & 0xffL)
+      grams(i) = PortableHash56.hash(bytes, bound(i), bound(i + k) - bound(i), dig)
       i += 1
     }
 

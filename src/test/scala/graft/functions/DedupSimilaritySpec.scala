@@ -158,6 +158,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("simhash: native zero-shuffle projection equals the relational form") {
+    // the relational formulation the oracles mirror: explode words →
+    // distinct → per-bit ±1 vote sums → sign fold
+    def relational(df: org.apache.spark.sql.DataFrame, bits: Int) = {
+      val wordRows = df.select(col("doc_id"),
+          explode(TextFunctions.words(col("text"))).as("w"))
+        .distinct()
+        .withColumn("h", TextFunctions.portableHash64(col("w")))
+      val bitVotes = (0 until bits).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$j")
+      }
+      val sums = wordRows.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      val sig = (0 until bits).map { j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      sums.select(col("doc_id"), sig.as("simhash"))
+    }
+    val base = docs.select(col("doc_id"), col("text"))
+    for (bits <- Seq(16, 56)) {
+      val nat = Dedup.simhash(base, col("doc_id"), col("text"), bits)
+        .as[(Long, Long)].collect().toMap
+      val rel = relational(base, bits).as[(Long, Long)].collect().toMap
+      assert(nat == rel, s"native/relational simhash divergence at $bits bits")
+    }
+    // empty text tokenizes to [""] (split semantics) and gets the ""
+    // word's signature in BOTH forms; null text yields no word array
+    // and is dropped in both
+    val edge = Seq((1L, "some words here"), (2L, ""),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhash(edge, col("doc_id"), col("text"), 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+    // and the signature stage is a pure projection: zero Exchange
+    val plan = Dedup.simhash(base, col("doc_id"), col("text"), 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"native simhash must not shuffle:\n$plan")
+  }
+
   test("simhashPairs: 64-bit-wide band (maxHamming=0) buckets exactly, not all-to-one") {
     // width-64 band: (1L << 64) is a mod-64 shift in Scala, so a naive
     // mask computes 0 and collapses every signature into one bucket
