@@ -231,12 +231,17 @@ object Dedup {
     * downstream stage groups by (they re-shuffle on the shingle hash).
     * At corpus scale that removed shuffle is the difference between one
     * wide exchange per dedup run and zero.
+    *
+    * The shingle build itself is the fused native
+    * [[graft.functions.expressions.DistinctWordShingles]] expression
+    * (one pass over the word array, dedup included) — bit-identical to
+    * `array_distinct(wordShingles(words, n))`, without the
+    * interpreted per-window lambda evaluation.
     */
   def shingleRows(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
-    df.select(id.as("doc_id"), TextFunctions.words(text).as("__w"))
-      .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.wordShingles(col("__w"), n)))
-          .as("shingle"))
+    df.select(id.as("doc_id"),
+      explode(expressions.DistinctWordShingles(TextFunctions.words(text), n))
+        .as("shingle"))
 
   /** k MinHash signature values per document, computed in ONE aggregate
     * pass (k min() columns over the exploded shingles) — no per-seed

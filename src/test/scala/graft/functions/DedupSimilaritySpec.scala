@@ -37,6 +37,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(g(0).getAs[Long]("keep_id") == 1L && g(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("native distinct shingles equal array_distinct(wordShingles) exactly") {
+    import graft.functions.expressions.DistinctWordShingles
+    val base = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, "one two"), // below n=3 words: empty
+        (900002L, "a b c a b c a b c"), // repeats: dedup matters
+        (900003L, "x  y   z w"), // multi-space: split artifacts preserved
+        (900004L, "héllo wörld 你好 one two")) // multi-byte
+        .toDF("doc_id", "text"))
+    for (n <- Seq(2, 3)) {
+      val bad = base.select(
+          array_distinct(TextFunctions.wordShingles(
+            TextFunctions.words(col("text")), n)).as("hof"),
+          DistinctWordShingles(TextFunctions.words(col("text")), n).as("nat"))
+        .filter(not(col("hof") <=> col("nat"))).count()
+      assert(bad == 0L, s"native/HOF shingle divergence at n=$n")
+    }
+  }
+
   test("minhash+LSH candidates achieve full recall on high-jaccard pairs") {
     val sh = Dedup.shingleRows(docs, col("doc_id"), col("text")).cache()
     val truth = Dedup.jaccardPairs(sh, 0.8)
