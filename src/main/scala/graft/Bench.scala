@@ -78,6 +78,9 @@ object Bench {
     * measured costs when `bench/cost_hints.json` exists.
     */
   private val bakedCostHint: Map[String, Double] = Map(
+    // round 10 additions (estimated from the d18/e03 shapes)
+    "d23_repeated_spans" -> 2.5,
+    "e06_cluster_sample" -> 1.0,
     // round 9 additions (measured idle, sf0.1 local[32])
     "d17_incremental_lsh" -> 8.7,
     "d15_incremental_dedup" -> 8.0,

@@ -20,6 +20,12 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.df(s, dir, name)
 
+  /** d23's planted boilerplate sentence (11 words — four duplicated
+    * 8-word windows per later carrier, so coverage-union is exercised).
+    */
+  private val SpanSlogan =
+    "subscribe to our newsletter for the latest updates and exclusive offers"
+
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
@@ -374,6 +380,24 @@ object ExtensionQueries {
         concat_ws("\n", transform(sequence(lit(0), nch - 1),
           i => concat_ws(" ", slice(w, i * lit(10) + lit(1), lit(10))))))
       Dedup.dedupLines(segged, col("doc_id"), col("__seg"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact-substring span removal (arXiv:2107.06499): an 11-word
+    // boilerplate sentence appended to every 7th document must survive
+    // only in its first carrier; every later carrier loses exactly
+    // that span, and naturally duplicated 8-word windows (the corpus's
+    // near-dup plants) are trimmed too. The oracle replays the window /
+    // first-occurrence / coverage-union / reassembly algebra on the
+    // gram STRINGS (the hash-free mirror of the xxhash64 windows), so
+    // all four stages are hash-gated.
+    "d23_repeated_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + SpanSlogan)))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeRepeatedSpans(planted, col("doc_id"), col("text"), k = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -814,6 +838,20 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Cluster-balanced diversity sample: equal per-cluster quota (5
+    // nearest-to-centroid prototypes) over the deterministic Lloyd
+    // partition — the density-skew-correcting subset selection. The
+    // oracle unrolls the same 3 training sweeps as e03 over the FULL
+    // corpus, then mirrors the assignment distance and the
+    // (dist, vec_id) within-cluster rank, so training, assignment, and
+    // quota selection are all hash-gated (exact integer arithmetic
+    // throughout).
+    "e06_cluster_sample" -> ((s, dir) => {
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
+          k = 8, perCluster = 5)
+        .orderBy(col("centroid_id"), col("rank"))
+    }),
+
     // Multimodal decode/feature-extract stage: partition-batched kernel
     // over binary payloads (deterministic stub decoder). The gated
     // projection (media_id, kind, n_bytes) is deterministic SQL over
@@ -1216,6 +1254,37 @@ object ExtensionQueries {
          SELECT d.doc_id, coalesce(r.text, '') AS text
          FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    // mirrors Dedup.removeRepeatedSpans with k = 8 on the gram strings:
+    // same 1-based positions, min(doc_id, p) first occurrence as the
+    // d18 doc_id*1000000+p encoding (positions are corpus-word-bounded,
+    // far below 1e6), coverage union via DISTINCT, space reassembly.
+    "d23_repeated_spans" ->
+      s"""WITH base AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' $SpanSlogan'
+                ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+         toks AS (SELECT doc_id, u.i AS idx, u.tok FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+             i -> {'i': i, 'tok': w[i]})) AS u FROM t)),
+         wins AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-6),
+             p -> {'p': p, 'g': array_to_string(w[p:p+7], ' ')})) AS u FROM t)),
+         dups AS (SELECT g, min(doc_id*1000000+p) AS f FROM wins GROUP BY g
+                  HAVING count(*) > 1),
+         covered AS (SELECT DISTINCT doc_id, idx FROM (
+           SELECT w.doc_id, unnest(range(w.p, w.p+8)) AS idx
+           FROM wins w JOIN dups d ON d.g = w.g
+           WHERE w.doc_id*1000000 + w.p <> d.f)),
+         kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM toks tk
+                  ANTI JOIN covered c
+                    ON c.doc_id = tk.doc_id AND c.idx = tk.idx),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+                     FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, coalesce(r.text, '') AS text
+         FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
 
     // p01's composed oracle with the dedup stage LSH-gated: signatures
     // and banding over the language-FILTERED shingles (curate filters
@@ -1917,6 +1986,48 @@ object ExtensionQueries {
          SELECT vec_id, label FROM corpus
          WHERE vec_id NOT IN (SELECT cid FROM drops)
          ORDER BY vec_id"""
+    },
+
+    "e06_cluster_sample" -> {
+      // mirrors Similarity.clusterBalancedSample: the e03 Lloyd sweeps
+      // over the FULL corpus, nearest-centroid assignment keeping the
+      // integer distance, (dist, vec_id) rank within each cluster.
+      val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      def sweep(n: Int, prev: String) = s"""
+        a$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc CROSS JOIN $prev),
+        u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
+      s"""WITH qc AS (SELECT vec_id, $qv AS q FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
+             FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
+         ${sweep(1, "c0")}, ${sweep(2, "c1")}, ${sweep(3, "c2")},
+         assigned AS (
+           SELECT vec_id, centroid_id, dist FROM (
+             SELECT v.vec_id, c.centroid_id,
+               CAST(${sqd("v.q", "c.c")} AS BIGINT) AS dist,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
+         ranked AS (
+           SELECT vec_id, centroid_id, dist,
+             row_number() OVER (PARTITION BY centroid_id
+               ORDER BY dist, vec_id) AS rn
+           FROM assigned)
+         SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id, dist,
+           CAST(rn AS INT) AS rank
+         FROM ranked WHERE rn <= 5 ORDER BY centroid_id, rank"""
     },
 
     "m02_media_features" ->

@@ -1074,4 +1074,71 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Exact-SUBSTRING dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 §4.1, adapted from
+    * token suffix arrays to word windows): every k-word window that
+    * occurs more than once in the corpus — in another document or
+    * repeated within the same one — keeps only its FIRST occurrence
+    * (min (doc_id, position)); the word span of every later occurrence
+    * is removed from its document. This is the remedy for verbatim
+    * passage reuse (quotes, templated paragraphs, syndicated intros)
+    * that document-level dedup never fires on and line dedup misses
+    * when the copied run doesn't align with line boundaries. Returns
+    * (doc_id, text) — one row per input row, text reassembled from the
+    * surviving words in original order ('' when nothing survives;
+    * documents shorter than k words pass through with their words
+    * space-rejoined).
+    *
+    * The suffix-array formulation is inherently single-machine; the
+    * window-hash formulation is the same guarantee — any duplicated
+    * run of ≥ k words contains a duplicated k-window — re-expressed as
+    * relational algebra Spark can distribute:
+    *   - window hashes are a zero-shuffle per-row projection (the
+    *     [[TextFunctions.gramHashes]] shape over words, not chars);
+    *     occurrences ship as (hash, doc, pos) — 20 bytes per corpus
+    *     word, never the window text;
+    *   - duplicate detection is ONE partial-aggregatable shuffle on
+    *     the hash (min(struct(doc,pos)) + count): a boilerplate window
+    *     in 10⁹ documents collapses map-side to one row per map task;
+    *   - marking later occurrences is a hash equi-join of the
+    *     occurrence stream with the duplicated-window set (AQE splits
+    *     the hot hashes); span coverage explodes ONLY marked windows
+    *     (k rows each, bounded by duplicated volume, deduped per
+    *     word by `distinct` before the anti-join);
+    *   - reassembly is one input-bounded aggregate per document.
+    * No stage sorts the corpus and no stage is quadratic in anything
+    * but true duplication volume.
+    */
+  def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    val words = df.select(id.as("doc_id"), split(text, " ").as("w"))
+    val toks = words.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
+    val wins = words.select(col("doc_id"), posexplode(
+        when(size(col("w")) < k, array().cast(ArrayType(LongType)))
+          .otherwise(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            p => xxhash64(concat_ws(" ", slice(col("w"), p, lit(k)))))))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val dups = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), col("first.doc_id").as("__f_doc"),
+        col("first.p").as("__f_p"))
+    val covered = wins.join(dups, Seq("h"))
+      .filter(!(col("doc_id") === col("__f_doc") && col("p") === col("__f_p")))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1)))
+        .as("idx"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s("tok"))).as("__kept"))
+    df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
 }

@@ -574,6 +574,49 @@ object Similarity {
     semanticDedup(emb, autoClusters(n, targetClusterSize), threshold, iters)
   }
 
+  /** Cluster-balanced diversity sample: an equal per-cluster quota over
+    * the deterministic quantized-Lloyd partition of the embedding space
+    * — the coverage-preserving subset selection a curation pipeline
+    * runs where a uniform sample would mirror the corpus's density
+    * skew (web boilerplate clusters keep their bulk, rare domains
+    * vanish). Cluster with [[ivfTrain]] (bit-reproducible), assign
+    * with the [[ivfAssign]] arithmetic keeping the integer distance,
+    * then keep the `perCluster` vectors NEAREST their centroid
+    * (ties → min vec_id) — each cluster's prototypes. Returns
+    * (vec_id, centroid_id, dist, rank), rank 1-based within cluster.
+    *
+    * Scale shape: training/assignment are the e03-gated broadcast
+    * stages (the corpus never shuffles to cluster). The quota filter
+    * is a rank-over-(centroid, dist) window whose `rank <= perCluster`
+    * predicate Spark rewrites to a WindowGroupLimit: every map task
+    * keeps its own top-`perCluster` per cluster BEFORE the exchange,
+    * so the shuffle carries ≤ perCluster·tasks rows per cluster, not
+    * the cluster's full population — the window's k-partitions-only
+    * parallelism never sees corpus-sized partitions.
+    */
+  def clusterBalancedSample(emb: DataFrame, k: Int, perCluster: Int,
+      iters: Int = 3): DataFrame = {
+    require(k > 1 && perCluster > 0,
+      "clusterBalancedSample: need k > 1 clusters and a positive quota")
+    val centroids = ivfTrain(emb, k, iters)
+    val assigned = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", sqDistQ(col("q"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("dist"))
+    assigned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("centroid_id"))
+          .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rank") <= perCluster)
+      .select(col("vec_id"), col("centroid_id"), col("dist"),
+        col("rank").cast(IntegerType))
+  }
+
   /** Bucket id from an ALREADY-quantized vector column — callers that
     * compute many buckets should materialize the quantized array first
     * (see [[cosineNearDupPairs]]) so each plane's aggregate reads a

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Exact-substring span removal (`Dedup.removeRepeatedSpans`,
+  * arXiv:2107.06499 §4.1 adapted to word windows): any k-word window
+  * occurring more than once in the corpus keeps only its first
+  * occurrence; every later occurrence's span is removed. The d23 gate
+  * proves the operator against the DuckDB oracle on real data; here we
+  * pin the semantics on corpora with known duplication structure and
+  * the skew-safe plan shape.
+  */
+class RepeatedSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], k: Int): Map[Long, String] =
+    Dedup.removeRepeatedSpans(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("a copied k-word passage survives only in its first carrier") {
+    val passage = "one two three four"
+    val out = run(Seq(
+      (1L, s"intro $passage outro"),
+      (2L, s"different opening here $passage and a different close"),
+      (3L, "entirely unrelated words nowhere repeated at all")
+    ), k = 4)
+    assert(out(1L) == s"intro $passage outro", "first carrier unchanged")
+    assert(out(2L) == "different opening here and a different close",
+      "later carrier loses exactly the copied span")
+    assert(out(3L) == "entirely unrelated words nowhere repeated at all")
+  }
+
+  test("within-document repeats keep the first occurrence only") {
+    val out = run(Seq(
+      (1L, "a b c d x y z a b c d")
+    ), k = 4)
+    assert(out(1L) == "a b c d x y z")
+  }
+
+  test("overlapping duplicated windows merge into one removed span") {
+    // the shared run is 6 words at k=4 — three overlapping duplicated
+    // windows in doc 2 whose coverage must union, not stack
+    val run6 = "p q r s t u"
+    val out = run(Seq(
+      (1L, s"first $run6 tail"),
+      (2L, s"second $run6 ending")
+    ), k = 4)
+    assert(out(1L) == s"first $run6 tail")
+    assert(out(2L) == "second ending")
+  }
+
+  test("documents shorter than k words pass through; empty stays empty") {
+    val out = run(Seq(
+      (1L, "too short"),
+      (2L, "too short"), // duplicated, but no k-window exists
+      (3L, "")
+    ), k = 4)
+    assert(out(1L) == "too short")
+    assert(out(2L) == "too short")
+    assert(out(3L) == "")
+  }
+
+  test("a fully-duplicated later document empties out") {
+    val body = "m n o p q r"
+    val out = run(Seq((1L, body), (2L, body)), k = 4)
+    assert(out(1L) == body)
+    assert(out(2L) == "")
+  }
+
+  test("duplicate detection aggregates partially — no window sort over the corpus") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Dedup.removeRepeatedSpans(df, col("doc_id"), col("text"), 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial min")
+        || plan.contains("HashAggregate"),
+      s"expected partial-aggregatable duplicate detection, got:\n$plan")
+    assert(!plan.contains("RunningWindowFunction"),
+      "no window sort in the duplicate-detection stage")
+  }
+}
