@@ -81,6 +81,7 @@ object Bench {
     // round 10 additions (estimated from the d18/e03 shapes)
     "d23_repeated_spans" -> 2.5,
     "e06_cluster_sample" -> 1.0,
+    "t16_gopher_rules" -> 1.0,
     // round 9 additions (measured idle, sf0.1 local[32])
     "d17_incremental_lsh" -> 8.7,
     "d15_incremental_dedup" -> 8.0,
@@ -271,6 +272,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // many short queries in one long-lived session: materialized
+      // indexes (localCheckpoint blocks) are only reclaimed by the
+      // ContextCleaner after a driver GC, and a large heap may not GC
+      // for the whole run — periodic GC keeps the block manager from
+      // accumulating dead checkpoints (measured 3.6x on a late-running
+      // dedup query without it)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

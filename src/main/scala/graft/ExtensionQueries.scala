@@ -572,6 +572,42 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher quality rules (arXiv:2112.11446 A1.1): the hard keep/drop
+    // web-corpus filter. Documents are segmented into 10-word lines
+    // (d18 precedent — the corpus has no newlines), then planted
+    // violations exercise each rule: all-bullet docs (%50), ellipsis-
+    // heavy line endings (%13), '#' symbol floods (%7), and a
+    // stopword-bearing line (%3) that makes those docs PASS while the
+    // unmutated corpus fails the stop-word presence rule — both
+    // verdicts and every intermediate ratio are hash-gated.
+    "t16_gopher_rules" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = split(col("text"), " ")
+      val nch = ceil(size(w) / lit(10.0)).cast(IntegerType)
+      val segged = concat_ws("\n", transform(sequence(lit(0), nch - 1),
+        i => concat_ws(" ", slice(w, i * lit(10) + lit(1), lit(10)))))
+      val mutated = d.select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, lit("• alpha\n• beta\n• gamma"))
+          .when(col("doc_id") % 13 === 0, concat(segged,
+            lit("\nto be continued...\nmore soon...\nthe end...")))
+          .when(col("doc_id") % 7 === 0, concat(segged,
+            lit(" # # # # # # # # # # # #")))
+          .when(col("doc_id") % 3 === 0, concat(segged,
+            lit("\nthe fate of rain and snow that we have lived with")))
+          .otherwise(segged).as("text"))
+      val g = TextFunctions.gopherRules(col("text"))
+      mutated.select(col("doc_id"),
+          g.getField("n_words").as("n_words"),
+          g.getField("mean_word_len").as("mean_word_len"),
+          g.getField("symbol_word_ratio").as("symbol_word_ratio"),
+          g.getField("bullet_line_ratio").as("bullet_line_ratio"),
+          g.getField("ellipsis_line_ratio").as("ellipsis_line_ratio"),
+          g.getField("alpha_word_ratio").as("alpha_word_ratio"),
+          g.getField("n_stopwords").as("n_stopwords"),
+          g.getField("pass").as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic vs the labeled lang column.
     "t03_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1725,6 +1761,52 @@ object ExtensionQueries {
              + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
                  / length(text) * 10.0, 1.0)) * 0.2 AS quality
          FROM documents ORDER BY doc_id""",
+
+    // mirrors TextFunctions.gopherRules over the same segmentation +
+    // planted mutations: words split on \s+ (string_split_regex),
+    // lines on chr(10); ratios are identical IEEE divisions of
+    // identical integers, so the pass verdicts hash-match exactly.
+    "t16_gopher_rules" ->
+      """WITH seg AS (SELECT doc_id,
+           array_to_string(list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)),
+             i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')), chr(10)) AS t0
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         base AS (SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0 THEN '• alpha' || chr(10) || '• beta' || chr(10) || '• gamma'
+                WHEN doc_id % 13 = 0 THEN t0 || chr(10) || 'to be continued...' || chr(10) || 'more soon...' || chr(10) || 'the end...'
+                WHEN doc_id % 7 = 0 THEN t0 || ' # # # # # # # # # # # #'
+                WHEN doc_id % 3 = 0 THEN t0 || chr(10) || 'the fate of rain and snow that we have lived with'
+                ELSE t0 END AS text
+           FROM seg),
+         feat AS (SELECT doc_id, text,
+           string_split_regex(text, '\s+') AS wds,
+           string_split(text, chr(10)) AS lns FROM base),
+         m AS (SELECT doc_id,
+           CAST(len(wds) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
+           ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
+             + (length(text) - length(regexp_replace(text, '[#…]', '', 'g'))))
+             / CAST(len(wds) AS DOUBLE) AS symbol_word_ratio,
+           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
+             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
+             /len(lns) AS bullet_line_ratio,
+           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
+             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
+           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
+             /len(wds) AS alpha_word_ratio,
+           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
+           FROM feat)
+         SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+           n_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND alpha_word_ratio >= 0.8
+            AND n_stopwords >= 2) AS pass
+         FROM m ORDER BY doc_id""",
 
     "t03_langid" -> {
       val markerSelects = TextFunctions.langMarkers.map { case (lang, ms) =>

@@ -11,6 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // many short queries in one long-lived session: materialized
+      // indexes (localCheckpoint blocks) are only reclaimed by the
+      // ContextCleaner after a driver GC, and a large heap may not GC
+      // for the whole run — periodic GC keeps the block manager from
+      // accumulating dead checkpoints (measured 3.6x on a late-running
+      // dedup query without it)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -164,15 +164,18 @@ object Dedup {
     * [[containmentPairs]] keep their semantic names).
     */
   def nearDupPairs(shingles: DataFrame, threshold: Double,
-      strategy: PairStrategy = Auto()): DataFrame = strategy match {
+      strategy: PairStrategy = Auto(),
+      materialize: Boolean = true): DataFrame = strategy match {
     case Exact(maxDf) =>
-      jaccardPairs(shingles, threshold, maxDf)
+      jaccardPairs(shingles, threshold, maxDf, materialize)
         .withColumnRenamed("jaccard", "score")
     case Containment(maxDf) =>
-      containmentPairs(shingles, threshold, maxDf)
+      containmentPairs(shingles, threshold, maxDf, materialize)
         .withColumnRenamed("containment", "score")
     case MinHashLsh(bands, rowsPerBand, maxBucket, maxDf, bcast) =>
-      val sh = guardShingles(shingles, maxDf)
+      val sh0 = guardShingles(shingles, maxDf)
+      // signature AND verify stages read the (guarded) shingle frame
+      val sh = if (materialize) sh0.localCheckpoint() else sh0
       val cands = lshCandidatePairs(
         minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand,
         maxBucket)
@@ -180,7 +183,7 @@ object Dedup {
         .withColumnRenamed("jaccard", "score")
     case a: Auto =>
       nearDupPairs(shingles, threshold, resolveStrategy(a, threshold,
-        shingles.select(col("doc_id")).distinct().count()))
+        shingles.select(col("doc_id")).distinct().count()), materialize)
   }
 
   /** Shingle-text-level stop-shingle guard (the [[hashedShingles]]
@@ -961,7 +964,10 @@ object Dedup {
     // the caller already persists the index (dedupIncremental does).
     val sh = if (materialize) shingles.localCheckpoint() else shingles
     val resolved = resolveStrategy(strategy, threshold, df.count())
-    val pairs = nearDupPairs(sh, threshold, resolved)
+    // sh is already materialized above — the pair stage must not
+    // checkpoint it a second time (double the block-manager garbage
+    // for zero reuse gain)
+    val pairs = nearDupPairs(sh, threshold, resolved, materialize = false)
     val cc = connectedComponents(pairs, maxIters)
     // broadcastDrops also governs the keepBy member/label join below:
     // the CC label set has one row per clustered doc — unbounded on a

@@ -264,6 +264,77 @@ object TextFunctions {
     (lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2)
   }
 
+  /** The Gopher stop-word presence set (Rae et al., rule 8). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    * Appendix A1.1) — the published web-corpus filter, as one
+    * zero-shuffle codegen projection. Returns a struct with every rule
+    * input and the combined verdict:
+    *   (n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+    *    ellipsis_line_ratio, alpha_word_ratio, n_stopwords, pass)
+    * where pass = word count within [minWords, maxWords], mean word
+    * length within [minMeanWordLen, maxMeanWordLen], '#'/ellipsis
+    * symbols per word ≤ maxSymbolWordRatio, bullet-starting lines ≤
+    * maxBulletLineRatio, ellipsis-ending lines ≤ maxEllipsisLineRatio,
+    * words containing an alphabetic character ≥ minAlphaWordRatio, and
+    * at least minStopwords [[GopherStopwords]] occurrences — the
+    * paper's published defaults throughout. Distinct from
+    * [[qualityScore]] (a soft 0-1 ranking signal): this is the hard
+    * keep/drop gate pipelines run first.
+    *
+    * Per-document arithmetic only — embarrassingly parallel at any
+    * corpus size, no shuffle, no UDF.
+    */
+  def gopherRules(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwords: Int = 2): Column = {
+    val toks = words(text)
+    val nWords = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+      .cast(DoubleType) / nWords
+    val nSymbols =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
+        (length(text) - length(regexp_replace(text, "[#…]", "")))
+    val symbolRatio = nSymbols.cast(DoubleType) / nWords
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => {
+      val t = ltrim(l)
+      t.startsWith("•") || t.startsWith("-") || t.startsWith("*")
+    }))
+    val bulletRatio = nBullet.cast(DoubleType) / nLines
+    val nEllLine = size(filter(lines, l => {
+      val t = rtrim(l)
+      t.endsWith("...") || t.endsWith("…")
+    }))
+    val ellipsisRatio = nEllLine.cast(DoubleType) / nLines
+    val alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast(DoubleType) / nWords
+    val nStop = size(filter(toks, w => w.isInCollection(GopherStopwords)))
+    struct(
+      nWords.cast(LongType).as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      nStop.cast(LongType).as("n_stopwords"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolWordRatio &&
+        bulletRatio <= maxBulletLineRatio &&
+        ellipsisRatio <= maxEllipsisLineRatio &&
+        alphaRatio >= minAlphaWordRatio &&
+        nStop >= minStopwords).as("pass"))
+  }
+
   /** Language-marker table for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
