@@ -121,7 +121,16 @@ object ScaleCurve {
       Similarity.annJoin(
         e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
         k = 3, planes = 8, dims = 64, tables = 2)
-    }))
+    }),
+    // round-10-tail curve additions: exact-substring span removal (the
+    // d23 gate config minus the planted slogan — the corpus's own
+    // duplication volume drives the marked-window term) and the
+    // cluster-balanced sample (e06 gate config; the quota window must
+    // stay flat per-cluster as the corpus grows)
+    "d23_repeated_spans" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(docs(s, dir), col("doc_id"), col("text"), 8)),
+    "e06_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(emb(s, dir), k = 8, perCluster = 5)))
 
   /** Candidate-stage WORK counts per operator — the environment-proof
     * scaling evidence. Wall time on a contended box measures the box;
@@ -340,6 +349,25 @@ object ScaleCurve {
           Bridge.expression(lit(bos.toByteArray)),
           Bridge.expression(xxhash64(col("shingle"))))))
         .count()
+    }),
+    // d23 exact-substring spans: later-occurrence (marked) window rows
+    // — Σ over duplicated k-window hashes of (occurrences − 1), the
+    // coverage explode's input volume (its output is k × this before
+    // the per-word distinct). Replicas repeat the plant structure, so
+    // duplication volume — and this counter — should scale ~linearly
+    // with the corpus; nothing else in the operator exceeds one row
+    // per corpus word.
+    "d23_marked_windows" -> ((s, dir) => {
+      val w = docs(s, dir).select(split(col("text"), " ").as("w"))
+      val wins = w.select(explode(
+        when(size(col("w")) < 8,
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))
+          .otherwise(transform(sequence(lit(1), size(col("w")) - 7),
+            p => xxhash64(concat_ws(" ", slice(col("w"), p, lit(8))))))).as("h"))
+      val v = wins.groupBy(col("h")).count().filter(col("count") > 1)
+        .agg(sum(col("count") - 1)).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
     }))
 
   def workCounts(spark: SparkSession, outFile: String,
