@@ -16,8 +16,9 @@ object Verify {
       // ContextCleaner after a driver GC, and a large heap may not GC
       // for the whole run — periodic GC keeps the block manager from
       // accumulating dead checkpoints (measured 3.6x on a late-running
-      // dedup query without it)
-      .config("spark.cleaner.periodicGC.interval", "45s")
+      // dedup query without it); 120s keeps the full-GC pauses rare
+      // enough not to tax the long-running queries themselves
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
