@@ -227,4 +227,46 @@ class PropertySpec extends SparkSpec {
     val once = SqliteDialect.rewrite(sql)
     assert(SqliteDialect.rewrite(once) == once)
   }
+
+  test("removeRepeatedSpans matches a brute-force reference on random corpora") {
+    import graft.functions.Dedup
+    import spark.implicits._
+    // plain-Scala mirror of the operator's spec: every duplicated
+    // k-window keeps its min-(doc,pos) occurrence, later occurrences'
+    // spans union into a covered set, tokens outside it survive
+    def brute(docs: Seq[(Long, String)], k: Int): Map[Long, String] = {
+      val words = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val occ = for {
+        (id, w) <- words.toSeq
+        p <- 1 to math.max(0, w.length - k + 1)
+      } yield (w.slice(p - 1, p - 1 + k).mkString(" "), (id, p))
+      val covered = occ.groupBy(_._1).values.filter(_.size > 1).flatMap { os =>
+        os.map(_._2).sorted.drop(1)
+          .flatMap { case (id, p) => (p until p + k).map(id -> _) }
+      }.toSet
+      docs.map { case (id, _) =>
+        id -> words(id).zipWithIndex
+          .collect { case (tok, i) if !covered((id, i + 1)) => tok }
+          .mkString(" ")
+      }.toMap
+    }
+    // tiny vocabulary forces heavy window collisions (within-doc and
+    // cross-doc), exercising overlap unions and full-doc wipeouts
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.choose(0, 22).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = for {
+      n <- Gen.choose(2, 6)
+      texts <- Gen.listOfN(n, docGen)
+      k <- Gen.choose(2, 4)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k)
+    forAllSampled(corpusGen, n = 6) { case (docs, k) =>
+      val got = Dedup.removeRepeatedSpans(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = brute(docs, k)
+      assert(got == want,
+        s"k=$k docs=$docs\n got=$got\nwant=$want")
+    }
+  }
 }
