@@ -595,6 +595,9 @@ object ExtensionQueries {
           .when(col("doc_id") % 3 === 0, concat(segged,
             lit("\nthe fate of rain and snow that we have lived with")))
           .otherwise(segged).as("text"))
+      // mutated text is already a materialized attribute here (its own
+      // projection), so the rule struct's lambdas bind against a plain
+      // column — the t17 collision mode can't arise
       val g = TextFunctions.gopherRules(col("text"))
       mutated.select(col("doc_id"),
           g.getField("n_words").as("n_words"),
@@ -605,6 +608,46 @@ object ExtensionQueries {
           g.getField("alpha_word_ratio").as("alpha_word_ratio"),
           g.getField("n_stopwords").as("n_stopwords"),
           g.getField("pass").as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 cleaning filter (arXiv:1910.10683 §2.2): line-level terminal-
+    // punctuation/min-words/javascript rules + page-level lorem-ipsum/
+    // curly-brace/min-lines rules. Mutations COMPOSE (sequential, not a
+    // when-chain): even docs get '.'-terminated lines (keepable), %5
+    // adds the lorem page-killer, %9 a brace line, %7 a javascript line
+    // that dies at line level — so kept-text reassembly, every page
+    // flag, and both verdict polarities are hash-gated.
+    "t17_c4_filters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = split(col("text"), " ")
+      val nch = ceil(size(w) / lit(10.0)).cast(IntegerType)
+      val sg = transform(sequence(lit(0), nch - 1),
+        i => concat_ws(" ", slice(w, i * lit(10) + lit(1), lit(10))))
+      val t1 = when(col("doc_id") % 2 === 0,
+          concat_ws("\n", transform(sg, l => concat(l, lit(".")))))
+        .otherwise(concat_ws("\n", sg))
+      val t2 = when(col("doc_id") % 5 === 0,
+        concat(t1, lit("\nthis page contains lorem ipsum filler text.")))
+        .otherwise(t1)
+      val t3 = when(col("doc_id") % 9 === 0,
+        concat(t2, lit("\nconfig = { enabled }"))).otherwise(t2)
+      val t4 = when(col("doc_id") % 7 === 0,
+        concat(t3, lit("\nenable javascript tracking for analytics now.")))
+        .otherwise(t3)
+      // materialize the mutated text as a plain attribute BEFORE the
+      // filter struct: feeding a lambda-bearing expression into a
+      // function that itself builds lambdas invites the variable-id
+      // collision documented at c4Filters (observed here as one line
+      // miscounted); a two-step projection makes it impossible
+      val c = TextFunctions.c4Filters(col("__t"))
+      d.select(col("doc_id"), t4.as("__t"))
+        .select(col("doc_id"),
+          c.getField("text").as("text"),
+          c.getField("n_kept_lines").as("n_kept_lines"),
+          c.getField("has_lorem_ipsum").as("has_lorem_ipsum"),
+          c.getField("has_brace").as("has_brace"),
+          c.getField("pass").as("pass"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1761,6 +1804,42 @@ object ExtensionQueries {
              + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
                  / length(text) * 10.0, 1.0)) * 0.2 AS quality
          FROM documents ORDER BY doc_id""",
+
+    // mirrors TextFunctions.c4Filters over the same composed mutations:
+    // lines on chr(10), line words on \s+, page flags on the full
+    // mutated text; coalesce('') matches Spark's concat_ws on an empty
+    // kept list.
+    "t17_c4_filters" ->
+      """WITH seg AS (SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)),
+             i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS sg
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         b1 AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN array_to_string(list_transform(sg, l -> l || '.'), chr(10))
+             ELSE array_to_string(sg, chr(10)) END AS t FROM seg),
+         b2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN t || chr(10) || 'this page contains lorem ipsum filler text.'
+             ELSE t END AS t FROM b1),
+         b3 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+             THEN t || chr(10) || 'config = { enabled }'
+             ELSE t END AS t FROM b2),
+         b4 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+             THEN t || chr(10) || 'enable javascript tracking for analytics now.'
+             ELSE t END AS t FROM b3),
+         feat AS (SELECT doc_id, t,
+           list_filter(string_split(t, chr(10)), l ->
+             (ends_with(rtrim(l),'.') OR ends_with(rtrim(l),'!')
+               OR ends_with(rtrim(l),'?') OR ends_with(rtrim(l),'"'))
+             AND len(string_split_regex(l, '\s+')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept FROM b4)
+         SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS text,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(t, '{') AS has_brace,
+           (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(t, '{')) AS pass
+         FROM feat ORDER BY doc_id""",
 
     // mirrors TextFunctions.gopherRules over the same segmentation +
     // planted mutations: words split on \s+ (string_split_regex),

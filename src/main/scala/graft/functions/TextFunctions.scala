@@ -268,6 +268,52 @@ object TextFunctions {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** C4 cleaning filter (Raffel et al. 2020, arXiv:1910.10683 §2.2) —
+    * the published line+page heuristics behind the C4 corpus, as one
+    * zero-shuffle codegen projection. Line level: keep only lines that
+    * end in a terminal punctuation mark (`.` `!` `?` `"`), contain at
+    * least `minWordsPerLine` words, and do not mention "javascript"
+    * (case-insensitive). Page level: drop any page with fewer than
+    * `minLines` surviving lines, any page containing the phrase
+    * "lorem ipsum" (case-insensitive), and any page containing a curly
+    * brace. (The paper's bad-words-list rule is a pluggable wordlist
+    * concern — compose with [[regexScan]]; its three-sentence dedup is
+    * [[graft.functions.Dedup.dedupLines]].) Returns a struct:
+    *   (text, n_kept_lines, has_lorem_ipsum, has_brace, pass)
+    * with `text` the surviving lines rejoined in order — usable even
+    * when `pass` is false (the caller chooses page- vs line-level
+    * enforcement). Per-document arithmetic only — embarrassingly
+    * parallel, no shuffle, no UDF.
+    */
+  def c4Filters(text: Column, sep: String = "\n",
+      minWordsPerLine: Int = 5, minLines: Int = 3): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    // `def`, not `val`: a lambda-bearing Column reused twice in one
+    // projection shares NamedLambdaVariable ids between its two
+    // occurrences; when a caller feeds this function a computed input
+    // that itself contains higher-order functions, optimizer inlining
+    // can collide those shared ids across nesting depths and bind a
+    // lambda variable to the WRONG enclosing lambda (observed: the
+    // size() instance counting words of the outer transform's element
+    // instead of this filter's line). A fresh tree per use keeps every
+    // instance self-consistent.
+    def kept = filter(lines, l => {
+      val t = rtrim(l)
+      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")) &&
+        size(split(l, "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript")
+    })
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    struct(
+      concat_ws(sep, kept).as("text"),
+      size(kept).cast(LongType).as("n_kept_lines"),
+      hasLorem.as("has_lorem_ipsum"),
+      hasBrace.as("has_brace"),
+      (size(kept) >= minLines && !hasLorem && !hasBrace).as("pass"))
+  }
+
   /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
     * Appendix A1.1) — the published web-corpus filter, as one
     * zero-shuffle codegen projection. Returns a struct with every rule
@@ -297,7 +343,13 @@ object TextFunctions {
       minStopwords: Int = 2): Column = {
     val toks = words(text)
     val nWords = size(toks)
-    val meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    // every lambda-bearing column below is a `def`, not a `val`: a
+    // reused lambda Column shares NamedLambdaVariable ids between its
+    // occurrences, and optimizer inlining under a caller's own
+    // higher-order functions can collide those ids across nesting
+    // depths (see [[c4Filters]] for the observed failure); a fresh
+    // tree per use keeps every instance self-consistent
+    def meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
       .cast(DoubleType) / nWords
     val nSymbols =
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
@@ -305,19 +357,19 @@ object TextFunctions {
     val symbolRatio = nSymbols.cast(DoubleType) / nWords
     val lines = split(text, "\n")
     val nLines = size(lines)
-    val nBullet = size(filter(lines, l => {
+    def nBullet = size(filter(lines, l => {
       val t = ltrim(l)
       t.startsWith("•") || t.startsWith("-") || t.startsWith("*")
     }))
-    val bulletRatio = nBullet.cast(DoubleType) / nLines
-    val nEllLine = size(filter(lines, l => {
+    def bulletRatio = nBullet.cast(DoubleType) / nLines
+    def nEllLine = size(filter(lines, l => {
       val t = rtrim(l)
       t.endsWith("...") || t.endsWith("…")
     }))
-    val ellipsisRatio = nEllLine.cast(DoubleType) / nLines
-    val alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    def ellipsisRatio = nEllLine.cast(DoubleType) / nLines
+    def alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
       .cast(DoubleType) / nWords
-    val nStop = size(filter(toks, w => w.isInCollection(GopherStopwords)))
+    def nStop = size(filter(toks, w => w.isInCollection(GopherStopwords)))
     struct(
       nWords.cast(LongType).as("n_words"),
       meanLen.as("mean_word_len"),
