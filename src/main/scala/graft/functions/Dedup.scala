@@ -1197,4 +1197,39 @@ object Dedup {
     df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
   }
+
+  /** Accounting for [[removeRepeatedSpans]]: per document, how many
+    * word positions the span removal covered (0 for untouched docs) —
+    * persist or log next to the dedup output so a run reports what it
+    * removed (the [[hotLines]]/[[hotShingles]] convention). Same
+    * window/first-occurrence algebra as the remover; one extra
+    * input-bounded count aggregate.
+    */
+  def repeatedSpanStats(df: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    val words = df.select(id.as("doc_id"), split(text, " ").as("w"))
+    val wins = words.select(col("doc_id"), posexplode(
+        when(size(col("w")) < k, array().cast(ArrayType(LongType)))
+          .otherwise(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            p => xxhash64(concat_ws(" ", slice(col("w"), p, lit(k)))))))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val dups = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), col("first.doc_id").as("__f_doc"),
+        col("first.p").as("__f_p"))
+    val covered = wins.join(dups, Seq("h"))
+      .filter(!(col("doc_id") === col("__f_doc") && col("p") === col("__f_p")))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1)))
+        .as("idx"))
+      .distinct()
+    val counts = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed_words"))
+    words.select(col("doc_id"), size(col("w")).cast(LongType).as("n_words"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_removed_words"), lit(0L)).as("n_removed_words"))
+  }
 }

@@ -70,6 +70,27 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(out(2L) == "")
   }
 
+  test("repeatedSpanStats accounts for exactly the removed positions") {
+    import spark.implicits._
+    val passage = "one two three four"
+    val docs = Seq(
+      (1L, s"intro $passage outro"),
+      (2L, s"different opening here $passage and a different close"),
+      (3L, "entirely unrelated words nowhere repeated at all"))
+    val stats = Dedup.repeatedSpanStats(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(1L) == (6L, 0L), "first carrier loses nothing")
+    assert(stats(2L) == (11L, 4L), "later carrier loses the 4-word span")
+    assert(stats(3L) == (7L, 0L))
+    // consistency with the remover: n_words - n_removed = surviving words
+    val out = run(docs, 4)
+    stats.foreach { case (id, (n, rem)) =>
+      val surviving = out(id).split(" ").count(_.nonEmpty)
+      assert(surviving == n - rem, s"doc $id: $surviving != $n - $rem")
+    }
+  }
+
   test("duplicate detection aggregates partially — no window sort over the corpus") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val plan = Dedup.removeRepeatedSpans(df, col("doc_id"), col("text"), 4)
