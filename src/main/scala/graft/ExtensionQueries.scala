@@ -1830,7 +1830,7 @@ object ExtensionQueries {
            list_filter(string_split(t, chr(10)), l ->
              (ends_with(rtrim(l),'.') OR ends_with(rtrim(l),'!')
                OR ends_with(rtrim(l),'?') OR ends_with(rtrim(l),'"'))
-             AND len(string_split_regex(l, '\s+')) >= 5
+             AND len(string_split_regex(trim(l), '\s+')) >= 5
              AND NOT contains(lower(l), 'javascript')) AS kept FROM b4)
          SELECT doc_id,
            coalesce(array_to_string(kept, chr(10)), '') AS text,
@@ -1863,9 +1863,12 @@ object ExtensionQueries {
          m AS (SELECT doc_id,
            CAST(len(wds) AS BIGINT) AS n_words,
            CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
-           ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
-             + (length(text) - length(regexp_replace(text, '[#…]', '', 'g'))))
-             / CAST(len(wds) AS DOUBLE) AS symbol_word_ratio,
+           greatest(
+             ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
+               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
+               / CAST(len(wds) AS DOUBLE),
+             (length(text) - length(regexp_replace(text, '#', '', 'g')))
+               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
            CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
              OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
              /len(lns) AS bullet_line_ratio,

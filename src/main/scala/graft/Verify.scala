@@ -7,20 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // many short queries in one long-lived session: materialized
-      // indexes (localCheckpoint blocks) are only reclaimed by the
-      // ContextCleaner after a driver GC, and a large heap may not GC
-      // for the whole run — periodic GC keeps the block manager from
-      // accumulating dead checkpoints (measured 3.6x on a late-running
-      // dedup query without it); 120s keeps the full-GC pauses rare
-      // enough not to tax the long-running queries themselves
-      .config("spark.cleaner.periodicGC.interval", "120s")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = LocalSession.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -1167,28 +1167,13 @@ object Dedup {
     * but true duplication volume.
     */
   def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
-      k: Int = 8): DataFrame = {
-    val words = df.select(id.as("doc_id"), split(text, " ").as("w"))
+      k: Int = 8, materialize: Boolean = true): DataFrame = {
+    require(k >= 1, "removeRepeatedSpans: need k >= 1 (window width)")
+    val words = spanWords(df, id, text)
     val toks = words.select(col("doc_id"),
         posexplode(col("w")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
-    val wins = words.select(col("doc_id"), posexplode(
-        when(size(col("w")) < k, array().cast(ArrayType(LongType)))
-          .otherwise(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-            p => xxhash64(concat_ws(" ", slice(col("w"), p, lit(k)))))))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
-    val dups = wins.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
-        count(lit(1)).as("__c"))
-      .filter(col("__c") > 1)
-      .select(col("h"), col("first.doc_id").as("__f_doc"),
-        col("first.p").as("__f_p"))
-    val covered = wins.join(dups, Seq("h"))
-      .filter(!(col("doc_id") === col("__f_doc") && col("p") === col("__f_p")))
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1)))
-        .as("idx"))
-      .distinct()
+    val covered = coveredSpanPositions(words, k, materialize)
     val rebuilt = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(concat_ws(" ",
@@ -1196,6 +1181,41 @@ object Dedup {
           s => s("tok"))).as("__kept"))
     df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
+
+  /** (doc_id, w) word arrays — the shared base of the span-removal
+    * family. */
+  private def spanWords(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), split(text, " ").as("w"))
+
+  /** The k-window / first-occurrence / coverage-union algebra shared
+    * by [[removeRepeatedSpans]] and [[repeatedSpanStats]]: every word
+    * position of every LATER occurrence of a duplicated k-window, as
+    * distinct (doc_id, idx) rows. `materialize` localCheckpoints the
+    * window-hash frame — it feeds both the duplicate aggregate and the
+    * marking join, and its producer is the zero-shuffle per-row hash
+    * projection (the same seam as [[jaccardPairs]]).
+    */
+  private def coveredSpanPositions(words: DataFrame, k: Int,
+      materialize: Boolean): DataFrame = {
+    val wins0 = words.select(col("doc_id"), posexplode(
+        when(size(col("w")) < k, array().cast(ArrayType(LongType)))
+          .otherwise(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            p => xxhash64(concat_ws(" ", slice(col("w"), p, lit(k)))))))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val wins = if (materialize) wins0.localCheckpoint() else wins0
+    val dups = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), col("first.doc_id").as("__f_doc"),
+        col("first.p").as("__f_p"))
+    wins.join(dups, Seq("h"))
+      .filter(!(col("doc_id") === col("__f_doc") && col("p") === col("__f_p")))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1)))
+        .as("idx"))
+      .distinct()
   }
 
   /** Accounting for [[removeRepeatedSpans]]: per document, how many
@@ -1206,26 +1226,11 @@ object Dedup {
     * input-bounded count aggregate.
     */
   def repeatedSpanStats(df: DataFrame, id: Column, text: Column,
-      k: Int = 8): DataFrame = {
-    val words = df.select(id.as("doc_id"), split(text, " ").as("w"))
-    val wins = words.select(col("doc_id"), posexplode(
-        when(size(col("w")) < k, array().cast(ArrayType(LongType)))
-          .otherwise(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-            p => xxhash64(concat_ws(" ", slice(col("w"), p, lit(k)))))))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
-    val dups = wins.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
-        count(lit(1)).as("__c"))
-      .filter(col("__c") > 1)
-      .select(col("h"), col("first.doc_id").as("__f_doc"),
-        col("first.p").as("__f_p"))
-    val covered = wins.join(dups, Seq("h"))
-      .filter(!(col("doc_id") === col("__f_doc") && col("p") === col("__f_p")))
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1)))
-        .as("idx"))
-      .distinct()
-    val counts = covered.groupBy(col("doc_id"))
+      k: Int = 8, materialize: Boolean = true): DataFrame = {
+    require(k >= 1, "repeatedSpanStats: need k >= 1 (window width)")
+    val words = spanWords(df, id, text)
+    val counts = coveredSpanPositions(words, k, materialize)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_removed_words"))
     words.select(col("doc_id"), size(col("w")).cast(LongType).as("n_words"))
       .join(counts, Seq("doc_id"), "left")

@@ -258,8 +258,9 @@ object Similarity {
   /** Assign each corpus vector to its nearest centroid (the inverted
     * lists). One broadcast join — corpus never shuffles.
     */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.select(col("vec_id"), col("embedding"),
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      keepDist: Boolean = false): DataFrame = {
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
         quantize(col("embedding")).as("q"))
       .crossJoin(broadcast(centroids))
       .withColumn("dist", sqDistQ(col("q"), col("centroid")))
@@ -267,7 +268,11 @@ object Similarity {
         Window.partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("centroid_id"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    if (keepDist)
+      assigned.select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("dist"))
+    else assigned.select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
 
   /** IVF search: probe the `nprobe` nearest inverted lists per query,
     * exact-rerank within them. At scale this reads |corpus|·nprobe/k of
@@ -599,14 +604,9 @@ object Similarity {
     require(k > 1 && perCluster > 0,
       "clusterBalancedSample: need k > 1 clusters and a positive quota")
     val centroids = ivfTrain(emb, k, iters)
-    val assigned = emb
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", sqDistQ(col("q"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("centroid_id"))))
-      .filter(col("rn") === 1)
+    // the one nearest-centroid assignment in the codebase — reused so
+    // the tie-break/quantization can never diverge from knnIvf's lists
+    val assigned = ivfAssign(emb, centroids, keepDist = true)
       .select(col("vec_id"), col("centroid_id"), col("dist"))
     assigned
       .withColumn("rank", row_number().over(

@@ -301,7 +301,9 @@ object TextFunctions {
       val t = rtrim(l)
       (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
         t.endsWith("\"")) &&
-        size(split(l, "\\s+")) >= minWordsPerLine &&
+        // trim first: splitting an edge-whitespace line on \s+ yields
+        // empty edge tokens that would inflate the word count
+        size(split(trim(l), "\\s+")) >= minWordsPerLine &&
         !lower(l).contains("javascript")
     })
     val hasLorem = lower(text).contains("lorem ipsum")
@@ -321,8 +323,10 @@ object TextFunctions {
     *   (n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
     *    ellipsis_line_ratio, alpha_word_ratio, n_stopwords, pass)
     * where pass = word count within [minWords, maxWords], mean word
-    * length within [minMeanWordLen, maxMeanWordLen], '#'/ellipsis
-    * symbols per word ≤ maxSymbolWordRatio, bullet-starting lines ≤
+    * length within [minMeanWordLen, maxMeanWordLen], '#' and ellipsis
+    * counts per word EACH ≤ maxSymbolWordRatio (the paper's
+    * per-symbol rule; the struct reports the max of the two ratios),
+    * bullet-starting lines ≤
     * maxBulletLineRatio, ellipsis-ending lines ≤ maxEllipsisLineRatio,
     * words containing an alphabetic character ≥ minAlphaWordRatio, and
     * at least minStopwords [[GopherStopwords]] occurrences — the
@@ -351,10 +355,18 @@ object TextFunctions {
     // tree per use keeps every instance self-consistent
     def meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
       .cast(DoubleType) / nWords
-    val nSymbols =
+    // the paper applies the 0.1 threshold to EACH symbol separately
+    // ("either the hash symbol or the ellipsis"), so the reported
+    // ratio is the max of the two per-symbol ratios — a document fails
+    // iff at least one symbol alone exceeds the cap, never because the
+    // two jointly do
+    val nEllipsis =
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
-        (length(text) - length(regexp_replace(text, "[#…]", "")))
-    val symbolRatio = nSymbols.cast(DoubleType) / nWords
+        (length(text) - length(regexp_replace(text, "…", "")))
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val symbolRatio =
+      greatest(nEllipsis.cast(DoubleType) / nWords,
+        nHash.cast(DoubleType) / nWords)
     val lines = split(text, "\n")
     val nLines = size(lines)
     def nBullet = size(filter(lines, l => {
