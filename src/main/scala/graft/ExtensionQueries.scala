@@ -572,6 +572,35 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher REPETITION rules (arXiv:2112.11446 A1.1 Table A1): the
+    // repeated-content half of the published filter. Composed planted
+    // mutations: duplicated lines (%3), a top-2-gram flood (%4==1), a
+    // duplicated-5-gram block (%5==2) — every ratio (line + char level,
+    // top 2/3/4-gram mass, dup 5..10-gram mass) and both verdicts are
+    // hash-gated against a relational DuckDB mirror of the in-row
+    // sorted-run folds.
+    "t18_gopher_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = split(col("text"), " ")
+      val nch = ceil(size(w) / lit(10.0)).cast(IntegerType)
+      val segged = concat_ws("\n", transform(sequence(lit(0), nch - 1),
+        i => concat_ws(" ", slice(w, i * lit(10) + lit(1), lit(10)))))
+      val line1 = concat_ws(" ", slice(w, 1, 10))
+      val t1 = segged
+      val t2 = when(col("doc_id") % 3 === 0,
+        concat(t1, lit("\n"), line1, lit("\n"), line1)).otherwise(t1)
+      val t3 = when(col("doc_id") % 4 === 1,
+        concat(t2, lit("\n" + Seq.fill(8)("buy now").mkString(" "))))
+        .otherwise(t2)
+      val t4 = when(col("doc_id") % 5 === 2,
+        concat(t3, lit("\n" +
+          Seq.fill(4)("alpha beta gamma delta epsilon").mkString(" "))))
+        .otherwise(t3)
+      TextFunctions.gopherRepetition(
+          d.select(col("doc_id"), t4.as("__t")), col("doc_id"), col("__t"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher quality rules (arXiv:2112.11446 A1.1): the hard keep/drop
     // web-corpus filter. Documents are segmented into 10-word lines
     // (d18 precedent — the corpus has no newlines), then planted
@@ -1807,6 +1836,77 @@ object ExtensionQueries {
 
     // mirrors TextFunctions.c4Filters over the same composed mutations:
     // lines on chr(10), line words on \s+, page flags on the full
+    // mirrors TextFunctions.gopherRepetition relationally: per-doc
+    // (gram, count) via GROUP BY replaces the in-row sorted-run folds
+    // (identical semantics: dup mass = Σ (c−1)·len, top mass = c·len of
+    // the max-count / lexicographically-first gram), words on \s+ over
+    // the whole mutated doc (grams cross line boundaries on both
+    // sides), ratios as the same IEEE divisions.
+    "t18_gopher_repetition" -> {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      val topMax = Map(2 -> "0.2", 3 -> "0.18", 4 -> "0.16")
+      val dupMax = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+        8 -> "0.12", 9 -> "0.11", 10 -> "0.1")
+      val buynow = Seq.fill(8)("buy now").mkString(" ")
+      val five = Seq.fill(4)("alpha beta gamma delta epsilon").mkString(" ")
+      def gramCte(n: Int) = s"""g$n AS (
+        SELECT doc_id, gram, count(*) AS c, len(gram) AS gl FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)-${n - 2}),
+            i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram FROM toks)
+        GROUP BY doc_id, gram),
+       top$n AS (SELECT doc_id, c*gl AS mass FROM (
+          SELECT doc_id, c, gl, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, gram ASC) AS rn FROM g$n) WHERE rn = 1),
+       dup$n AS (SELECT doc_id, sum((c-1)*gl) AS mass FROM g$n GROUP BY doc_id)"""
+      def frac(alias: String) =
+        s"CASE WHEN length(b.t) > 0 THEN coalesce(CAST($alias.mass AS DOUBLE),0)/length(b.t) ELSE 0 END"
+      val topSel = topNs.map(n =>
+        s"${frac(s"t$n")} AS top_${n}gram_char_frac").mkString(",\n   ")
+      val dupSel = dupNs.map(n =>
+        s"${frac(s"d$n")} AS dup_${n}gram_char_frac").mkString(",\n   ")
+      val joins = (topNs.map(n =>
+        s"LEFT JOIN top$n t$n ON t$n.doc_id = b.doc_id") ++
+        dupNs.map(n => s"LEFT JOIN dup$n d$n ON d$n.doc_id = b.doc_id"))
+        .mkString("\n   ")
+      val passTerms = (Seq("lm.dup_line_frac <= 0.3",
+        "lm.dup_line_char_frac <= 0.2") ++
+        topNs.map(n => s"(${frac(s"t$n")}) <= ${topMax(n)}") ++
+        dupNs.map(n => s"(${frac(s"d$n")}) <= ${dupMax(n)}"))
+        .mkString(" AND ")
+      s"""WITH seg AS (SELECT doc_id, w,
+           array_to_string(list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)),
+             i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')), chr(10)) AS t0,
+           array_to_string(w[1:10], ' ') AS line1
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         b1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN t0 || chr(10) || line1 || chr(10) || line1 ELSE t0 END AS t
+           FROM seg),
+         b2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1
+             THEN t || chr(10) || '$buynow' ELSE t END AS t FROM b1),
+         b AS (SELECT doc_id, CASE WHEN doc_id % 5 = 2
+             THEN t || chr(10) || '$five' ELSE t END AS t FROM b2),
+         toks AS (SELECT doc_id, string_split_regex(t, '\\s+') AS w FROM b),
+         lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS ll FROM (
+            SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM b)
+          GROUP BY doc_id, line),
+         lm AS (SELECT doc_id,
+            CASE WHEN sum(c) > 0 THEN CAST(sum(c-1) AS DOUBLE)/sum(c)
+                 ELSE 0 END AS dup_line_frac,
+            CASE WHEN sum(c*ll) > 0 THEN CAST(sum((c-1)*ll) AS DOUBLE)/sum(c*ll)
+                 ELSE 0 END AS dup_line_char_frac
+          FROM lc GROUP BY doc_id),
+         ${(topNs ++ dupNs).map(gramCte).mkString(",")}
+         SELECT b.doc_id,
+           lm.dup_line_frac, lm.dup_line_char_frac,
+           $topSel,
+           $dupSel,
+           ($passTerms) AS pass
+         FROM b JOIN lm ON lm.doc_id = b.doc_id
+           $joins
+         ORDER BY b.doc_id"""
+    },
+
     // mutated text; coalesce('') matches Spark's concat_ws on an empty
     // kept list.
     "t17_c4_filters" ->
