@@ -228,6 +228,41 @@ class PropertySpec extends SparkSpec {
     assert(SqliteDialect.rewrite(once) == once)
   }
 
+  test("dedupLines matches a brute-force reference on random corpora") {
+    import graft.functions.Dedup
+    import spark.implicits._
+    // keep-first per distinct line: min (doc, position) survives,
+    // everything later — same doc or any other — is removed
+    def brute(docs: Seq[(Long, String)]): Map[Long, String] = {
+      val occ = for {
+        (id, t) <- docs
+        (line, i) <- t.split("\n", -1).zipWithIndex
+      } yield (line, (id, i))
+      val keeper = occ.groupBy(_._1).map { case (l, os) =>
+        l -> os.map(_._2).min
+      }
+      docs.map { case (id, t) =>
+        id -> t.split("\n", -1).zipWithIndex
+          .collect { case (l, i) if keeper(l) == (id, i) => l }
+          .mkString("\n")
+      }.toMap
+    }
+    val lineGen = Gen.oneOf("header", "footer", "alpha beta", "x", "y z", "")
+    val docGen = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val corpusGen = for {
+      n <- Gen.choose(2, 6)
+      texts <- Gen.listOfN(n, docGen)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSampled(corpusGen, n = 6) { docs =>
+      val got = Dedup.dedupLines(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = brute(docs)
+      assert(got == want, s"docs=$docs\n got=$got\nwant=$want")
+    }
+  }
+
   test("removeRepeatedSpans matches a brute-force reference on random corpora") {
     import graft.functions.Dedup
     import spark.implicits._
