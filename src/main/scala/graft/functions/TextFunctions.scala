@@ -450,45 +450,6 @@ object TextFunctions {
       },
       acc => acc("best"))
 
-  /** Repeat-occurrence count over a SORTED array: Σ over runs of equal
-    * values of (run − 1) — "occurrences beyond the first". */
-  private def dupCount(sortedArr: Column): Column =
-    aggregate(sortedArr,
-      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("mass")),
-      (acc, x) => struct(x.as("prev"),
-        (acc("mass") + when(acc("prev").isNotNull && x === acc("prev"), 1L)
-          .otherwise(0L)).as("mass")),
-      acc => acc("mass"))
-
-  /** Character mass of repeat occurrences over a SORTED array: Σ over
-    * runs of (run − 1) · length(value). */
-  private def dupCharMass(sortedArr: Column): Column =
-    aggregate(sortedArr,
-      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("mass")),
-      (acc, x) => struct(x.as("prev"),
-        (acc("mass") + when(acc("prev").isNotNull && x === acc("prev"),
-          length(x).cast(LongType)).otherwise(0L)).as("mass")),
-      acc => acc("mass"))
-
-  /** Character mass count · length of the most frequent value in a
-    * SORTED array (ties broken to the sort-order-first, i.e. smallest,
-    * value — the strictly-greater update below never replaces an
-    * equal-count later run). */
-  private def topRunCharMass(sortedArr: Column): Column =
-    aggregate(sortedArr,
-      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
-        lit(0L).as("bestRun"), lit(0L).as("bestMass")),
-      (acc, x) => {
-        val run = when(acc("prev").isNotNull && x === acc("prev"),
-          acc("run") + 1L).otherwise(lit(1L))
-        val better = run > acc("bestRun")
-        struct(x.as("prev"), run.as("run"),
-          when(better, run).otherwise(acc("bestRun")).as("bestRun"),
-          when(better, run * length(x).cast(LongType))
-            .otherwise(acc("bestMass")).as("bestMass"))
-      },
-      acc => acc("bestMass"))
-
   /** Gopher REPETITION rules (Rae et al. 2021, arXiv:2112.11446 A1.1
     * Table A1) — the other half of the published filter next to
     * [[gopherRules]]: drop documents dominated by repeated content.
@@ -498,7 +459,7 @@ object TextFunctions {
     *     separator for the paper's paragraph variants);
     *   - TOP word-n-gram character fraction, n = 2/3/4 ≤ 0.20/0.18/0.16
     *     (count × n-gram length over document characters; ties on count
-    *     break to the lexicographically smallest n-gram);
+    *     break to the byte-order-smallest n-gram);
     *   - DUPLICATE word-n-gram character fraction, n = 5..10 ≤
     *     0.15/0.14/0.13/0.12/0.11/0.10, counting every occurrence
     *     beyond the first (published implementations differ on overlap
@@ -508,49 +469,23 @@ object TextFunctions {
     * Returns (doc_id, dup_line_frac, dup_line_char_frac,
     * top_{2,3,4}gram_char_frac, dup_{5..10}gram_char_frac, pass).
     *
-    * Zero shuffle: every metric is a fold over a per-document SORTED
-    * array (grams materialized once per n — the [[wordShingles]] HOF
-    * rule), so at corpus scale this is a pure map stage like
-    * [[repetitionStats]]. Zero-character documents score 0 everywhere.
+    * Computed by the fused native
+    * [[graft.functions.expressions.RepetitionMetrics]] expression —
+    * one compiled pass per document instead of nine materialized,
+    * sorted, interpreted-lambda gram arrays (measured ~20× on the t18
+    * gate). Zero shuffle either way: a pure map stage over the scan at
+    * any corpus size, like [[repetitionStats]]. Zero-character
+    * documents score 0 everywhere (and therefore pass).
     */
   def gopherRepetition(df: DataFrame, id: Column, text: Column,
       sep: String = "\n"): DataFrame = {
-    val topNs = Seq(2, 3, 4)
-    val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val topMax = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
-    val dupMax = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
-      9 -> 0.11, 10 -> 0.10)
-    // stage 1: materialize text/lines/words and each sorted gram array
-    // as plain attributes (HOF-perf rule + the c4Filters lambda-binding
-    // rule: fold lambdas must see attributes, not computed inputs)
-    val base = df.select(id.as("doc_id"), text.as("__t"),
-        array_sort(split(text, java.util.regex.Pattern.quote(sep)))
-          .as("__sl"),
-        words(text).as("__w"))
-      .select(Seq(col("doc_id"), col("__t"), col("__sl")) ++
-        (topNs ++ dupNs).map(n =>
-          array_sort(wordShingles(col("__w"), n)).as(s"__g$n")): _*)
-    val nChars = length(col("__t")).cast(LongType)
-    val nLines = size(col("__sl")).cast(LongType)
-    def lineChars = aggregate(col("__sl"), lit(0L),
-      (acc, l) => acc + length(l))
-    def safeDiv(num: Column, den: Column): Column =
-      when(den > 0, num.cast(DoubleType) / den).otherwise(lit(0.0))
-    def dupLineFrac = safeDiv(dupCount(col("__sl")), nLines)
-    def dupLineCharFrac = safeDiv(dupCharMass(col("__sl")), lineChars)
-    def topFrac(n: Int) = safeDiv(topRunCharMass(col(s"__g$n")), nChars)
-    def dupFrac(n: Int) = safeDiv(dupCharMass(col(s"__g$n")), nChars)
-    val metrics =
-      Seq(dupLineFrac.as("dup_line_frac"),
-        dupLineCharFrac.as("dup_line_char_frac")) ++
-        topNs.map(n => topFrac(n).as(s"top_${n}gram_char_frac")) ++
-        dupNs.map(n => dupFrac(n).as(s"dup_${n}gram_char_frac"))
-    val pass = (
-      Seq(dupLineFrac <= 0.30, dupLineCharFrac <= 0.20) ++
-        topNs.map(n => topFrac(n) <= topMax(n)) ++
-        dupNs.map(n => dupFrac(n) <= dupMax(n)))
-      .reduce(_ && _)
-    base.select(col("doc_id") +: metrics :+ pass.as("pass"): _*)
+    import graft.functions.expressions.{RepetitionMetrics => RM}
+    val fields =
+      Seq("dup_line_frac", "dup_line_char_frac") ++
+        RM.TopNs.map(n => s"top_${n}gram_char_frac") ++
+        RM.DupNs.map(n => s"dup_${n}gram_char_frac") :+ "pass"
+    df.select(id.as("doc_id"), RM(text, sep).as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
   }
 
   /** Gopher-style repetition statistics (Rae et al. 2021's quality
