@@ -228,6 +228,62 @@ class PropertySpec extends SparkSpec {
     assert(SqliteDialect.rewrite(once) == once)
   }
 
+  test("gopherRepetition matches a brute-force reference on adversarial text") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // independent plain-Scala mirror of the documented metric spec
+    def brute(text: String): Seq[Double] = {
+      def cp(s: String) = s.codePointCount(0, s.length).toLong
+      val nChars = cp(text)
+      val lines = text.split(java.util.regex.Pattern.quote("\n"), -1)
+      val lineCounts = lines.groupBy(identity).view.mapValues(_.length.toLong)
+      val dupLineFrac =
+        lineCounts.values.map(_ - 1).sum.toDouble / lines.length
+      val lineChars = lines.map(cp).sum
+      val dupLineCharFrac =
+        if (lineChars > 0)
+          lineCounts.collect { case (l, c) if c > 1 => (c - 1) * cp(l) }
+            .sum.toDouble / lineChars
+        else 0.0
+      val words = text.split("\\s+", -1)
+      def grams(n: Int): Map[String, Long] =
+        if (words.length < n) Map.empty
+        else words.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      def topFrac(n: Int): Double = {
+        val g = grams(n)
+        if (g.isEmpty || nChars == 0) 0.0
+        else {
+          // max count, ties to the UTF8-byte-smallest gram
+          val best = g.toSeq.minBy { case (k, c) =>
+            (-c, org.apache.spark.unsafe.types.UTF8String.fromString(k))
+          }
+          best._2 * cp(best._1).toDouble / nChars
+        }
+      }
+      def dupFrac(n: Int): Double =
+        if (nChars == 0) 0.0
+        else grams(n).collect { case (k, c) if c > 1 => (c - 1) * cp(k) }
+          .sum.toDouble / nChars
+      Seq(dupLineFrac, dupLineCharFrac) ++
+        Seq(2, 3, 4).map(topFrac) ++ (5 to 10).map(dupFrac)
+    }
+    val tok = Gen.oneOf("a", "bb", "ccc", "a", "…") // repeats + multibyte
+    val sep = Gen.oneOf(" ", "  ", "\n", " \n ", "\t")
+    val docGen = Gen.choose(0, 30).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(tok, sep)).map(
+        _.map { case (t, s) => t + s }.mkString)
+    }
+    forAllSampled(docGen, n = 10) { text =>
+      val row = TextFunctions.gopherRepetition(
+          Seq((1L, text)).toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .collect().head
+      val got = (1 to 11).map(row.getDouble)
+      val want = brute(text)
+      assert(got == want, s"text=${text.replace("\n", "\\n")}\n got=$got\nwant=$want")
+    }
+  }
+
   test("dedupLines matches a brute-force reference on random corpora") {
     import graft.functions.Dedup
     import spark.implicits._
