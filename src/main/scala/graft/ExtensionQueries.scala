@@ -1834,14 +1834,13 @@ object ExtensionQueries {
                  / length(text) * 10.0, 1.0)) * 0.2 AS quality
          FROM documents ORDER BY doc_id""",
 
-    // mirrors TextFunctions.c4Filters over the same composed mutations:
-    // lines on chr(10), line words on \s+, page flags on the full
     // mirrors TextFunctions.gopherRepetition relationally: per-doc
-    // (gram, count) via GROUP BY replaces the in-row sorted-run folds
-    // (identical semantics: dup mass = Σ (c−1)·len, top mass = c·len of
-    // the max-count / lexicographically-first gram), words on \s+ over
-    // the whole mutated doc (grams cross line boundaries on both
-    // sides), ratios as the same IEEE divisions.
+    // (gram, count) via GROUP BY replaces the kernel's per-document
+    // hash-map counting (identical semantics: dup mass = Σ (c−1)·len,
+    // top mass = c·len of the max-count / byte-order-first gram),
+    // words on the exact Java `\s` class with edge whitespace
+    // stripped, over the whole mutated doc (grams cross line
+    // boundaries on both sides), ratios as the same IEEE divisions.
     "t18_gopher_repetition" -> {
       val topNs = Seq(2, 3, 4)
       val dupNs = Seq(5, 6, 7, 8, 9, 10)
@@ -1886,7 +1885,8 @@ object ExtensionQueries {
              THEN t || chr(10) || '$buynow' ELSE t END AS t FROM b1),
          b AS (SELECT doc_id, CASE WHEN doc_id % 5 = 2
              THEN t || chr(10) || '$five' ELSE t END AS t FROM b2),
-         toks AS (SELECT doc_id, string_split_regex(t, '\\s+') AS w FROM b),
+         toks AS (SELECT doc_id, string_split_regex(
+             regexp_replace(t, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$$', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+') AS w FROM b),
          lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS ll FROM (
             SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM b)
           GROUP BY doc_id, line),
@@ -1907,8 +1907,10 @@ object ExtensionQueries {
          ORDER BY b.doc_id"""
     },
 
-    // mutated text; coalesce('') matches Spark's concat_ws on an empty
-    // kept list.
+    // mirrors TextFunctions.c4Filters over the same composed mutations:
+    // lines on chr(10), line words on the Java `\s` class, page flags
+    // on the full mutated text; coalesce('') matches Spark's concat_ws
+    // on an empty kept list.
     "t17_c4_filters" ->
       """WITH seg AS (SELECT doc_id,
            list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)),
@@ -1930,7 +1932,7 @@ object ExtensionQueries {
            list_filter(string_split(t, chr(10)), l ->
              (ends_with(rtrim(l),'.') OR ends_with(rtrim(l),'!')
                OR ends_with(rtrim(l),'?') OR ends_with(rtrim(l),'"'))
-             AND len(string_split_regex(trim(l), '\s+')) >= 5
+             AND len(string_split_regex(trim(l), '[ \t\n\x0b\f\r]+')) >= 5
              AND NOT contains(lower(l), 'javascript')) AS kept FROM b4)
          SELECT doc_id,
            coalesce(array_to_string(kept, chr(10)), '') AS text,
@@ -1958,7 +1960,7 @@ object ExtensionQueries {
                 ELSE t0 END AS text
            FROM seg),
          feat AS (SELECT doc_id, text,
-           string_split_regex(text, '\s+') AS wds,
+           string_split_regex(text, '[ \t\n\x0b\f\r]+') AS wds,
            string_split(text, chr(10)) AS lns FROM base),
          m AS (SELECT doc_id,
            CAST(len(wds) AS BIGINT) AS n_words,

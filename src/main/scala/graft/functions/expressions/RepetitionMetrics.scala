@@ -92,6 +92,38 @@ object RepetitionMetrics {
 
   private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
 
+  /** Code-point order — identical to UTF-8 byte order (UTF-8 is
+    * order-preserving on code points) and to Spark's UTF8String sort,
+    * without allocating/encoding either side. */
+  private def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Strip leading/trailing Java-`\s` characters — the word stream
+    * must not manufacture empty edge tokens (and with them phantom
+    * n-grams whose join separators count toward gram mass) when a
+    * document begins or ends with whitespace. Lines are deliberately
+    * NOT stripped: duplicated empty/whitespace lines are real
+    * duplicate lines. */
+  private def stripWs(s: String): String = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    var from = 0
+    var to = s.length
+    while (from < to && isWs(s.charAt(from))) from += 1
+    while (to > from && isWs(s.charAt(to - 1))) to -= 1
+    s.substring(from, to)
+  }
+
   /** The fused kernel. Public so generated code can call it. */
   def compute(text: String, sep: String): InternalRow = {
     val nChars = cp(text)
@@ -125,7 +157,7 @@ object RepetitionMetrics {
     }
 
     // word grams: one words pass, prefix char sums, then per-n counts
-    val words = Ws.split(text, -1)
+    val words = Ws.split(stripWs(text), -1)
     val wlen = new Array[Long](words.length + 1)
     var i = 0
     while (i < words.length) {
@@ -156,7 +188,7 @@ object RepetitionMetrics {
         s += 1
       }
       var topCount = 0L
-      var topKey: UTF8String = null
+      var topKey: String = null
       var topMass = 0L
       var dupMass = 0L
       val it = counts.entrySet().iterator()
@@ -165,13 +197,11 @@ object RepetitionMetrics {
         val c = e.getValue()(0)
         val len = e.getValue()(1)
         if (c > 1) dupMass += (c - 1) * len
-        if (c > topCount) {
+        if (c > topCount ||
+            (c == topCount && codePointCompare(e.getKey, topKey) < 0)) {
           topCount = c
-          topKey = UTF8String.fromString(e.getKey)
+          topKey = e.getKey
           topMass = c * len
-        } else if (c == topCount) {
-          val k = UTF8String.fromString(e.getKey)
-          if (k.compareTo(topKey) < 0) { topKey = k; topMass = c * len }
         }
       }
       (topMass, dupMass)

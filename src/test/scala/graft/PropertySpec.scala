@@ -245,7 +245,7 @@ class PropertySpec extends SparkSpec {
           lineCounts.collect { case (l, c) if c > 1 => (c - 1) * cp(l) }
             .sum.toDouble / lineChars
         else 0.0
-      val words = text.split("\\s+", -1)
+      val words = text.replaceAll("^\\s+|\\s+$", "").split("\\s+", -1)
       def grams(n: Int): Map[String, Long] =
         if (words.length < n) Map.empty
         else words.sliding(n).map(_.mkString(" ")).toSeq
