@@ -84,6 +84,7 @@ object Bench {
     "t16_gopher_rules" -> 1.0,
     "t17_c4_filters" -> 1.0,
     "t18_gopher_repetition" -> 2.0,
+    "s05_content_dedup" -> 1.0,
     // round 9 additions (measured idle, sf0.1 local[32])
     "d17_incremental_lsh" -> 8.7,
     "d15_incremental_dedup" -> 8.0,

@@ -703,6 +703,19 @@ object ExtensionQueries {
     // windowed aggregate — the batch dual of the streaming
     // dropDuplicatesWithinWatermark path (EventsStreamSpec gates the
     // streaming side against this result).
+    // CONTENT-keyed ingest dedup (s03's complement): one survivor per
+    // normalized (event_type, props) fingerprint — the re-crawl/re-post
+    // case where the event id is fresh but the content is not. Batch
+    // keep-one is the deterministic min event_id; the streaming dual
+    // (dropDuplicatesWithinWatermark on the fingerprint) is spec-pinned
+    // to keep the same fingerprint set.
+    "s05_content_dedup" -> ((s, dir) => {
+      streaming.EventsStream.dedupByContent(t(s, dir, "events"),
+          concat_ws(" ", col("event_type"), col("props")))
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
     "s03_dedup_redelivery" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       streaming.EventsStream.dedupEvents(ev.unionByName(ev))
@@ -1046,6 +1059,18 @@ object ExtensionQueries {
            count(*) AS n_copies
          FROM documents GROUP BY substr(text, 1, 64) HAVING count(*) > 1
          ORDER BY keep_id""",
+
+    // mirrors EventsStream.dedupByContent's batch form: the d02
+    // fingerprint over event_type || ' ' || props, keep-one = min
+    // event_id per fingerprint.
+    "s05_content_dedup" ->
+      """WITH k AS (SELECT event_id, event_type, props,
+           md5(regexp_replace(regexp_replace(lower(event_type || ' ' || props),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp FROM events),
+         keep AS (SELECT fp, min(event_id) AS keep_id FROM k GROUP BY fp)
+         SELECT k.event_id, k.event_type, k.props FROM k
+         JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.event_id
+         ORDER BY k.event_id""",
 
     "d02_fingerprint" ->
       """SELECT doc_id,

@@ -74,6 +74,34 @@ object EventsStream {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** CONTENT-keyed ingest dedup — drop events whose normalized content
+    * ([[graft.functions.TextFunctions.fingerprint]]: lowercase,
+    * punctuation stripped, whitespace collapsed, md5) was already seen.
+    * This is the ingest-time case [[dedupEvents]]'s id-keyed dedup
+    * misses: the same article re-crawled or re-posted under a FRESH
+    * event id. On a stream, `dropDuplicatesWithinWatermark` on the
+    * fingerprint keeps state bounded forever (content older than the
+    * watermark horizon is evicted — a re-post beyond the horizon is
+    * accepted as fresh, the modeled product decision); on a batch
+    * frame the keep-one is the deterministic min-event_id
+    * ([[graft.functions.Dedup.dedupExact]] — a partial-aggregatable
+    * min, since batch has no arrival order to prefer). Both keep
+    * exactly ONE row per distinct fingerprint; which row survives
+    * differs by mode (arrival order vs min id) — spec-pinned.
+    */
+  def dedupByContent(events: DataFrame, content: org.apache.spark.sql.Column,
+      watermark: String = "10 minutes"): DataFrame = {
+    val keyed = events.withColumn("__fp",
+      graft.functions.TextFunctions.fingerprint(content))
+    if (events.isStreaming)
+      keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("__fp")
+        .drop("__fp")
+    else
+      graft.functions.Dedup.dedupExact(keyed, col("__fp"), col("event_id"))
+        .drop("__fp")
+  }
+
   /** Click→purchase attribution: every (click, purchase) pair for the
     * same user where the purchase lands within `horizonMinutes` after
     * the click (inclusive bounds) — the canonical STREAM-STREAM interval

@@ -82,6 +82,28 @@ class EventsStreamSpec extends SparkSpec {
       s"redelivered stream diverged: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
   }
 
+  test("content dedup: stream keeps exactly the batch fingerprint set") {
+    val dir = Files.createTempDirectory("events-content").toString
+    Tables.df(spark, sf(), "events").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val content = concat_ws(" ", col("event_type"), col("props"))
+    val stream = EventsStream.dedupByContent(
+      EventsStream.readEvents(spark, dir), content)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("content_dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val fp = graft.functions.TextFunctions.fingerprint(content)
+    val got = spark.table("content_dedup_out")
+      .select(fp.as("fp")).collect().map(_.getString(0)).toSeq
+    val want = EventsStream.dedupByContent(
+        Tables.df(spark, sf(), "events"), content)
+      .select(fp.as("fp")).collect().map(_.getString(0)).toSeq
+    assert(got.distinct.lengthCompare(got.length) == 0,
+      "streaming emitted a duplicated fingerprint")
+    assert(got.sorted == want.sorted,
+      "streaming and batch keep different content sets")
+  }
+
   test("watermark drops late events in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
