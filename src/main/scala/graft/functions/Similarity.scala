@@ -411,10 +411,20 @@ object Similarity {
     *
     * Schema in: (vec_id, embedding) on both sides.
     * Schema out: (left_id, right_id, rank, cos).
+    *
+    * `maxBucketSize` defaults to [[AutoBucketCap]] (0): the hot-bucket
+    * guard is ON by default, with the cap derived from expected
+    * occupancy by [[autoMaxBucketSize]] — resolving it runs one count
+    * job per side (metadata-only against columnar sources; pass a
+    * positive cap, e.g. from [[autoMaxBucketSize]] with known sizes, to
+    * skip them). `Int.MaxValue` is the explicit opt-out. Whenever the
+    * cap is finite, pair the run with [[annDroppedBuckets]] (same
+    * arguments) — dropped cells are a recall trade-off and must be
+    * reported, never silent.
     */
   def annJoin(left: DataFrame, right: DataFrame, k: Int,
       planes: Int = 8, dims: Int = 64, tables: Int = 2,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = AutoBucketCap): DataFrame = {
     val scored = annScoredCandidates(left, right, planes, dims, tables,
       maxBucketSize)
     val w = Window.partitionBy(col("left_id"))
@@ -438,10 +448,21 @@ object Similarity {
     * set is tiny by definition). Dropping a cell is a recall trade-off,
     * never silent: [[annDroppedBuckets]] with the same arguments
     * enumerates exactly what the cap suppressed.
+    *
+    * `maxBucketSize` semantics: positive = that cap; [[AutoBucketCap]]
+    * (0) = derive via [[autoMaxBucketSize]] from the LARGER side's
+    * count (one count job per side — metadata-only on columnar
+    * sources); `Int.MaxValue` = explicitly uncapped. The guard's own
+    * cost when active is one partial-aggregatable count per (t, bucket)
+    * cell per side — at most tables·2^planes groups, map-side combined,
+    * so the extra shuffle is bytes, not data.
     */
   private def annScoredCandidates(left: DataFrame, right: DataFrame,
       planes: Int, dims: Int, tables: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = AutoBucketCap): DataFrame = {
+    val cap =
+      if (maxBucketSize != AutoBucketCap) maxBucketSize
+      else autoMaxBucketSize(math.max(left.count(), right.count()), planes)
     val l0 = bucketRows(left, planes, dims, tables)
       .select(col("vec_id").as("left_id"), col("embedding").as("l_emb"),
         col("buckets").as("lb"), col("t"), col("bucket"))
@@ -449,10 +470,10 @@ object Similarity {
       .select(col("vec_id").as("right_id"), col("embedding").as("r_emb"),
         col("buckets").as("rb"), col("t"), col("bucket"))
     val (l, r) =
-      if (maxBucketSize == Int.MaxValue) (l0, r0)
+      if (cap == Int.MaxValue) (l0, r0)
       else {
         val hot = broadcast(
-          annDroppedBuckets(left, right, planes, dims, tables, maxBucketSize)
+          annDroppedBuckets(left, right, planes, dims, tables, cap)
             .select(col("t"), col("bucket")).distinct())
         (l0.join(hot, Seq("t", "bucket"), "left_anti"),
           r0.join(hot, Seq("t", "bucket"), "left_anti"))
@@ -480,20 +501,54 @@ object Similarity {
         .withColumn("side", lit(side))
     }.reduce(_ unionByName _)
 
+  /** `maxBucketSize` sentinel: derive the hot-bucket cap from expected
+    * occupancy via [[autoMaxBucketSize]]. The default everywhere — the
+    * guard is ON unless the caller explicitly passes `Int.MaxValue`.
+    */
+  val AutoBucketCap: Int = 0
+
+  /** Occupancy-derived default for the [[annJoin]] family's
+    * `maxBucketSize` hot-bucket guard (the SCALE.md occupancy rule,
+    * applied, not just documented): expected cell occupancy is
+    * corpus / 2^planes, and a healthy cell should never exceed a small
+    * multiple of it — `safetyFactor` (64×) leaves natural clustering
+    * untouched while a degenerate pile (near-identical template
+    * embeddings, all-zero rows — the one skew mode [[autoPlanes]]
+    * cannot fix, since identical vectors share ONE cell of EVERY table
+    * at any plane count) overshoots it by construction. Floor of
+    * `safetyFactor` so tiny corpora (occupancy < 1) never cap natural
+    * cells; with [[autoPlanes]] sizing (occupancy ≈ targetOccupancy =
+    * 32) the derived cap is ~2048, bounding any cell's join work at
+    * ~4M·tables comparisons regardless of corpus size.
+    */
+  def autoMaxBucketSize(corpusSize: Long, planes: Int,
+      safetyFactor: Int = 64): Int = {
+    require(corpusSize > 0 && safetyFactor > 0)
+    val occupancy = math.max(1.0,
+      corpusSize.toDouble / (1L << math.min(planes, 62)))
+    val cap = occupancy * safetyFactor
+    if (cap >= Int.MaxValue.toDouble) Int.MaxValue else math.ceil(cap).toInt
+  }
+
   /** [[annJoin]] with `planes` sized by [[autoPlanes]] to the LARGER
     * side (candidate work per bucket is left_m × right_m, so the bigger
     * side sets occupancy). Same `size` contract as the other Auto
-    * overloads: pass known counts to skip the sizing count jobs.
+    * overloads: pass known counts to skip the sizing count jobs. The
+    * hot-bucket cap defaults to [[AutoBucketCap]] and is resolved here
+    * from the already-known sizes — no extra count beyond the sizing
+    * ones.
     */
   def annJoinAuto(left: DataFrame, right: DataFrame, k: Int,
       leftSize: Long = 0L, rightSize: Long = 0L, dims: Int = 64,
       tables: Int = 2, targetOccupancy: Int = 32,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = AutoBucketCap): DataFrame = {
     val nl = if (leftSize > 0) leftSize else left.count()
     val nr = if (rightSize > 0) rightSize else right.count()
-    annJoin(left, right, k,
-      autoPlanes(math.max(nl, nr), targetOccupancy), dims, tables,
-      maxBucketSize)
+    val planes = autoPlanes(math.max(nl, nr), targetOccupancy)
+    val cap =
+      if (maxBucketSize != AutoBucketCap) maxBucketSize
+      else autoMaxBucketSize(math.max(nl, nr), planes)
+    annJoin(left, right, k, planes, dims, tables, cap)
   }
 
   /** Embedding-space decontamination: drop every `corpus` vector whose
@@ -510,11 +565,17 @@ object Similarity {
     * drops out through a left-anti join. `broadcastDrops = false`
     * switches that anti-join to shuffle for heavily-contaminated
     * corpora, same escape hatch as `Dedup.decontaminate`.
+    *
+    * The hot-bucket cap defaults to [[AutoBucketCap]] — resolved by
+    * [[autoMaxBucketSize]] from the larger side's count (see
+    * [[annJoin]]); a capped cell trades recall for boundedness, so pair
+    * any finite-cap run with [[annDroppedBuckets]] to report what was
+    * skipped. `Int.MaxValue` opts out.
     */
   def decontaminateByEmbedding(corpus: DataFrame, bench: DataFrame,
       threshold: Double, planes: Int = 8, dims: Int = 64, tables: Int = 2,
       broadcastDrops: Boolean = true,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = AutoBucketCap): DataFrame = {
     val contaminated =
       annScoredCandidates(corpus, bench, planes, dims, tables, maxBucketSize)
         .filter(col("cos") >= threshold)

@@ -592,8 +592,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"cartesian in annJoin plan:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"broadcast join in annJoin plan:\n$plan")
+    // the default hot-bucket guard drops capped cells via broadcast
+    // ANTI joins (the hot set is tiny by definition) — those are fine;
+    // what must never broadcast is a corpus side of the candidate join
+    plan.linesIterator.filter(_.contains("BroadcastHashJoin")).foreach { l =>
+      assert(l.contains("LeftAnti"),
+        s"non-anti broadcast join in annJoin plan:\n$plan")
+    }
     assert(plan.contains("ShuffledHashJoin"),
       s"expected shuffled hash candidate join:\n$plan")
 
@@ -668,6 +673,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dropped.nonEmpty)
     assert(dropped.forall(r => r.getAs[String]("side") == "right" &&
       r.getAs[Long]("bucket_size") > 50))
+  }
+
+  test("annJoin hot-bucket guard is finite BY DEFAULT and accounts drops") {
+    // the cap is derived, not opted into: a pile of 200 near-identical
+    // vectors (one cell of EVERY table, the skew autoPlanes cannot fix)
+    // against a derived cap of autoMaxBucketSize(250, 8) = 64 — the
+    // default call must complete with the pile capped and accounted
+    val left = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val pile = spark.range(200).toDF("i")
+      .crossJoin(emb.filter(col("vec_id") === 0).select("embedding"))
+      .select((col("i") + 300000L).as("vec_id"), col("embedding"))
+    val right = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .select("vec_id", "embedding")
+      .unionByName(pile)
+    val cap = Similarity.autoMaxBucketSize(250L, 8)
+    assert(cap == 64, s"derived cap changed: $cap")
+    // DEFAULT call — no maxBucketSize argument anywhere
+    val out = Similarity.annJoin(left, right, k = 250, planes = 8,
+      dims = 64, tables = 2)
+    assert(out.filter(col("right_id") >= 300000L).count() == 0,
+      "the degenerate pile survived the default guard")
+    assert(out.filter(col("left_id") =!= 0).count() > 0,
+      "guard wiped out natural neighbors too")
+    // accounting at the derived cap names the pile's cells (right side,
+    // one per table: identical vectors share one cell per table)
+    val dropped = Similarity.annDroppedBuckets(left, right,
+      planes = 8, dims = 64, tables = 2, maxBucketSize = cap).collect()
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(r => r.getAs[String]("side") == "right" &&
+      r.getAs[Long]("bucket_size") > cap))
+    // occupancy rule shape: floor of safetyFactor, linear growth above
+    assert(Similarity.autoMaxBucketSize(1L, 8) == 64)
+    assert(Similarity.autoMaxBucketSize(256L * 32, 8) == 32 * 64)
+    assert(Similarity.autoMaxBucketSize(Long.MaxValue / 4, 8) == Int.MaxValue)
   }
 
   test("decontaminateByEmbedding drops planted bench copies, keeps the rest") {
