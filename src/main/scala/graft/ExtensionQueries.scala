@@ -415,6 +415,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p01's curation recipe with the QUALITY-AWARE keep policy: the
+    // near-dedup stage keeps each cluster's highest-qualityScore member
+    // (ties min id) instead of the min id — the keepBy pass-through
+    // Curation.curate → dedupNear. Survivor choice, sampling, and
+    // packing all shift when a cluster's best doc isn't its first, so
+    // the composed oracle gates the policy end-to-end.
+    "p03_curation_keepby" -> ((s, dir) => {
+      Curation.curate(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"),
+          langs = Seq("en", "de", "fr"), tokens = col("n_chars"),
+          rates = Seq("en" -> 0.5, "de" -> 0.5), defaultRate = 0.25,
+          budget = 2000L,
+          keepBy = Some(TextFunctions.qualityScore(col("text"))))
+        .select(col("doc_id"), col("lang"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup semantic dedup (arXiv:2303.09540): deterministic k-means
     // clusters (the e03 Lloyd quantizer, bit-reproducible), within-
     // cluster quantized-cosine scan, min-id keep-one. Same planted
@@ -1672,6 +1689,65 @@ object ExtensionQueries {
            SELECT d.* FROM base d
            LEFT JOIN cc ON cc.id = d.doc_id
            WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id),
+         samp AS (
+           SELECT * FROM surv
+           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10000 <
+             CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 5000
+                  ELSE 2500 END)
+         SELECT doc_id, lang,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+         FROM (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM samp)
+         ORDER BY doc_id""",
+
+    // p01's composed oracle with the QUALITY-AWARE representative: the
+    // t02 score expression ranks each cluster's members (score DESC,
+    // id ASC) and rank 1 survives — everything else identical to p01
+    "p03_curation_keepby" ->
+      """WITH RECURSIVE
+         base AS (SELECT * FROM documents WHERE lang IN ('en','de','fr')),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM base))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(common AS DOUBLE)/(ca.n + cb.n - common) AS jaccard
+           FROM prs
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b),
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         q AS (SELECT doc_id,
+           least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+             + least(CAST(len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                 / len(string_split(text,' ')) * 5.0, 1.0) * 0.3
+             + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+                 / length(text) * 10.0, 1.0)) * 0.2 AS score
+           FROM base),
+         rep AS (
+           SELECT cc.id AS doc_id,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.score DESC, cc.id) AS rk
+           FROM cc JOIN q ON q.doc_id = cc.id),
+         surv AS (
+           SELECT d.* FROM base d
+           LEFT JOIN rep ON rep.doc_id = d.doc_id
+           WHERE rep.doc_id IS NULL OR rep.rk = 1),
          samp AS (
            SELECT * FROM surv
            WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10000 <

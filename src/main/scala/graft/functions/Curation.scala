@@ -43,17 +43,28 @@ object Curation {
     *                 [[Dedup.MinHashLsh]] above it), or an explicit
     *                 [[Dedup.Exact]] / [[Dedup.MinHashLsh]] /
     *                 [[Dedup.Containment]] to pin the mode
+    * @param keepBy   cluster-representative policy for the dedup stage:
+    *                 `None` (default) keeps the min-id member; pass a
+    *                 score column (e.g.
+    *                 [[TextFunctions.qualityScore]]`(text)`) to keep the
+    *                 HIGHEST-scoring member instead — the policy a real
+    *                 curation wants, since the survivor is what trains —
+    *                 ties broken by min id, so the result stays
+    *                 deterministic either way. Cost: one extra window
+    *                 over cluster MEMBERS only (see
+    *                 [[Dedup.dedupNear]]'s scale notes).
     * @return the surviving rows plus their `bin` assignment
     */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
       langs: Seq[String], tokens: Column,
       rates: Seq[(String, Double)], defaultRate: Double,
       budget: Long, jaccardThreshold: Double = 0.8,
-      pairStrategy: Dedup.PairStrategy = Dedup.Auto()): DataFrame = {
+      pairStrategy: Dedup.PairStrategy = Dedup.Auto(),
+      keepBy: Option[Column] = None): DataFrame = {
     require(langs.nonEmpty, "curate: empty language allow-list")
     val filtered = docs.filter(lang.isInCollection(langs))
     val deduped = Dedup.dedupNear(filtered, id, text, jaccardThreshold,
-      strategy = pairStrategy)
+      keepBy = keepBy, strategy = pairStrategy)
     val sampled = TextFunctions.sampleByStratum(
       deduped, lang, id, rates, defaultRate)
     TextFunctions.packSequences(sampled, lang, id, tokens, budget)

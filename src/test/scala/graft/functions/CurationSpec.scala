@@ -36,6 +36,40 @@ class CurationSpec extends SparkSpec {
     assert(perCluster == 0, s"$perCluster clusters kept multiple members")
   }
 
+  test("keepBy keeps each cluster's highest-quality member, ties min id") {
+    val docs = Tables.df(spark, sf(), "documents")
+      .filter(col("lang").isInCollection(langs))
+    val outQ = Curation.curate(
+      Tables.df(spark, sf(), "documents"),
+      col("doc_id"), col("text"), col("lang"),
+      langs = langs, tokens = col("n_chars"),
+      rates = Seq("en" -> 0.5, "de" -> 0.5), defaultRate = 0.25,
+      budget = 2000L,
+      keepBy = Some(TextFunctions.qualityScore(col("text"))))
+    val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"))
+    val cc = Dedup.connectedComponents(Dedup.jaccardPairs(sh, 0.8))
+    // expected survivor per cluster: (score desc, id asc) first
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("score"))
+    val best = cc.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val clustered = cc.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the DEDUP stage (pre-sampling) must keep exactly `best` of the
+    // clustered docs; check via the dedupNear call curate delegates to
+    val survivors = Dedup.dedupNear(docs, col("doc_id"), col("text"), 0.8,
+        keepBy = Some(TextFunctions.qualityScore(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((survivors & clustered) == best)
+    // the composed recipe's survivors are a subset of the quality-kept
+    // dedup output (sampling and packing only ever remove/annotate)
+    val qSurvivors = outQ.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qSurvivors.subsetOf(survivors))
+  }
+
   test("bins are contiguous per language starting at 0") {
     val bins = out.groupBy(col("lang"))
       .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
