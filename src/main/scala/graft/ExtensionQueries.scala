@@ -1078,12 +1078,18 @@ object ExtensionQueries {
          ORDER BY keep_id""",
 
     // mirrors EventsStream.dedupByContent's batch form: the d02
-    // fingerprint over event_type || ' ' || props, keep-one = min
-    // event_id per fingerprint.
+    // fingerprint over event_type || ' ' || props — with the raw-hash
+    // fallback for content whose normalized form is empty (entirely
+    // non-Latin) — keep-one = min event_id per fingerprint.
     "s05_content_dedup" ->
       """WITH k AS (SELECT event_id, event_type, props,
-           md5(regexp_replace(regexp_replace(lower(event_type || ' ' || props),
-             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp FROM events),
+           CASE WHEN trim(regexp_replace(regexp_replace(
+                  lower(event_type || ' ' || props),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) = ''
+                THEN md5('graft:raw:' || event_type || ' ' || props)
+                ELSE md5(regexp_replace(regexp_replace(
+                  lower(event_type || ' ' || props),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) END AS fp FROM events),
          keep AS (SELECT fp, min(event_id) AS keep_id FROM k GROUP BY fp)
          SELECT k.event_id, k.event_type, k.props FROM k
          JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.event_id
@@ -2061,7 +2067,9 @@ object ExtensionQueries {
                 ELSE t0 END AS text
            FROM seg),
          feat AS (SELECT doc_id, text,
-           string_split_regex(text, '[ \t\n\x0b\f\r]+') AS wds,
+           string_split_regex(
+             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+             '[ \t\n\x0b\f\r]+') AS wds,
            string_split(text, chr(10)) AS lns FROM base),
          m AS (SELECT doc_id,
            CAST(len(wds) AS BIGINT) AS n_words,

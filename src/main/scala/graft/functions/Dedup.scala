@@ -175,7 +175,7 @@ object Dedup {
     case MinHashLsh(bands, rowsPerBand, maxBucket, maxDf, bcast) =>
       val sh0 = guardShingles(shingles, maxDf)
       // signature AND verify stages read the (guarded) shingle frame
-      val sh = if (materialize) sh0.localCheckpoint() else sh0
+      val sh = if (materialize) Materialize(sh0) else sh0
       val cands = lshCandidatePairs(
         minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand,
         maxBucket)
@@ -362,7 +362,7 @@ object Dedup {
     // far smaller than the text) instead of re-running the scan +
     // shingle projection for every consumer — the winnowPairs seam,
     // measured ~20% on the d03 shape
-    val hs = if (materialize) hs0.localCheckpoint() else hs0
+    val hs = if (materialize) Materialize(hs0) else hs0
     if (maxDocFreq == Int.MaxValue) hs
     else hs.join(
       broadcast(hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -395,12 +395,16 @@ object Dedup {
     * boilerplate-robust variant, with [[hotShingles]] as its explicit
     * accounting.
     *
-    * `materialize` (default true) localCheckpoints the hashed index:
-    * three consumers (both self-join sides + the per-doc counts) read
-    * it, its producer is a zero-shuffle projection with no exchange to
-    * reuse, and the index (16 bytes/shingle) is far smaller than the
-    * text it derives from — the [[winnowPairs]] seam. Pass false if
-    * you maintain a persisted index yourself.
+    * `materialize` (default true) materializes the hashed index via
+    * [[Materialize]]: three consumers (both self-join sides + the
+    * per-doc counts) read it, its producer is a zero-shuffle projection
+    * with no exchange to reuse, and the index (16 bytes/shingle) is far
+    * smaller than the text it derives from — the [[winnowPairs]] seam.
+    * HOW it materializes (fast executor-local blocks vs fault-tolerant
+    * reliable checkpoint — the at-scale choice) is the
+    * `spark.graft.materialize` conf; see [[Materialize]] for the
+    * executor-loss trade-off. Pass false if you maintain a persisted
+    * index yourself.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
       maxShingleDocFreq: Int = Int.MaxValue,
@@ -628,7 +632,7 @@ object Dedup {
     // (persist the corpus index yourself and pass materialize = false
     // if you already maintain one).
     val newSh0 = shingleRows(newDf, id, text, n)
-    val newSh = if (materialize) newSh0.localCheckpoint() else newSh0
+    val newSh = if (materialize) Materialize(newSh0) else newSh0
     val dupOfOld = crossJaccardPairs(
         newSh, shingleRows(existing, id, text, n),
         threshold, maxShingleDocFreq)
@@ -798,8 +802,9 @@ object Dedup {
     * edge list and takes the elementwise minimum, converging in
     * O(component diameter) rounds — near-dup clusters are tight, so a
     * handful. Per round: one shuffle join + one aggregate; lineage is
-    * truncated with `localCheckpoint` so long chains never build up (on
-    * a cluster, set a checkpoint dir and swap in `checkpoint`). This is
+    * truncated each round via [[Materialize]] (executor-local blocks by
+    * default; set a checkpoint dir for the fault-tolerant reliable
+    * flavor — see there for the trade-off). This is
     * the simple member of the MapReduce-CC family; the fixpoint test is
     * one count per round. For graphs whose component diameter exceeds a
     * sensible maxIters (long chains — NOT the tight near-dup clusters
@@ -810,22 +815,22 @@ object Dedup {
     val sym = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val symM = Materialize(sym)
+    var labels = Materialize(
+      symM.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val neighborMin = sym
+      val neighborMin = symM
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels
+      val next0 = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+      val next = Materialize(next0)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") < col("o.label"))
@@ -860,17 +865,16 @@ object Dedup {
     * fixpoint the edge set IS the answer — stars whose centers are the
     * component minima. Same output contract as [[connectedComponents]]:
     * (doc_id, cluster_id = min reachable id) for every node appearing in
-    * at least one pair, converge-or-throw, `localCheckpoint` lineage
-    * truncation per round.
+    * at least one pair, converge-or-throw, per-round lineage truncation
+    * via [[Materialize]].
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // canonical undirected edges, larger endpoint first
-    var edges = pairs
+    var edges = Materialize(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -886,13 +890,12 @@ object Dedup {
         .distinct()
       // small-star: large's output is already canonical (u > v)
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(smins, Seq("u"))
+      val small = Materialize(large.join(smins, Seq("u"))
         .select(col("v").as("n"), col("m"))
         .unionByName(smins.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       val changed =
         small.except(edges).count() + edges.except(small).count()
       edges = small
@@ -962,7 +965,7 @@ object Dedup {
     // materialize it once (the winnowPairs seam; measured 12-20% across
     // the Exact and LSH paths at sf0.1). Pass materialize = false when
     // the caller already persists the index (dedupIncremental does).
-    val sh = if (materialize) shingles.localCheckpoint() else shingles
+    val sh = if (materialize) Materialize(shingles) else shingles
     val resolved = resolveStrategy(strategy, threshold, df.count())
     // sh is already materialized above — the pair stage must not
     // checkpoint it a second time (double the block-manager garbage
@@ -1102,7 +1105,7 @@ object Dedup {
     * [[TextFunctions.winnowFromGrams]] output (distinct per doc by
     * construction). Returns (id_a, id_b, shared).
     *
-    * `materialize` (default true) localCheckpoints the fingerprint
+    * `materialize` (default true) materializes (via [[Materialize]]) the fingerprint
     * frame first: the composition reads it three times (doc-freq
     * guard, both self-join sides) and the typical producer — a
     * zero-shuffle [[TextFunctions.gramHashes]] projection — has no
@@ -1117,7 +1120,7 @@ object Dedup {
       maxFpDocFreq: Int = Int.MaxValue,
       materialize: Boolean = true): DataFrame = {
     val fpIn = fingerprints.select(col("doc_id"), col("fp"))
-    val fp0 = if (materialize) fpIn.localCheckpoint() else fpIn
+    val fp0 = if (materialize) Materialize(fpIn) else fpIn
     val fps =
       if (maxFpDocFreq == Int.MaxValue) fp0
       else fp0.join(
@@ -1191,27 +1194,42 @@ object Dedup {
   /** The k-window / first-occurrence / coverage-union algebra shared
     * by [[removeRepeatedSpans]] and [[repeatedSpanStats]]: every word
     * position of every LATER occurrence of a duplicated k-window, as
-    * distinct (doc_id, idx) rows. `materialize` localCheckpoints the
+    * distinct (doc_id, idx) rows. `materialize` materializes (via [[Materialize]]) the
     * window-hash frame — it feeds both the duplicate aggregate and the
     * marking join, and its producer is the zero-shuffle per-row hash
     * projection (the same seam as [[jaccardPairs]]).
+    *
+    * Windows are keyed by a 128-bit PAIR of independently-salted
+    * xxhash64 values, never a single 64-bit hash: a collision here
+    * silently deletes a NON-duplicated span (this operator rewrites
+    * text, unlike the pair-generating stages where a collision only
+    * costs a wasted verification). At the 100 TB target (~10¹³
+    * windows) the 64-bit birthday bound expects ~10⁶ colliding pairs —
+    * millions of wrongly-removed spans; at 128 bits the expectation is
+    * ~10⁻¹³ pairs, i.e. zero in any realizable corpus. Cost: 8 extra
+    * bytes per shuffled occurrence row (28 vs 20). The reference
+    * technique (Lee et al. arXiv:2107.06499 suffix arrays) compares
+    * exact strings; the paired hash restores that guarantee to within
+    * cosmic-ray probability while still never shipping window text.
     */
   private def coveredSpanPositions(words: DataFrame, k: Int,
       materialize: Boolean): DataFrame = {
     val wins0 = words.select(col("doc_id"), posexplode(
-        when(size(col("w")) < k, array().cast(ArrayType(LongType)))
+        when(size(col("w")) < k, array().cast(ArrayType(StringType)))
           .otherwise(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-            p => xxhash64(concat_ws(" ", slice(col("w"), p, lit(k)))))))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
-    val wins = if (materialize) wins0.localCheckpoint() else wins0
-    val dups = wins.groupBy(col("h"))
+            p => concat_ws(" ", slice(col("w"), p, lit(k))))))
+        .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        xxhash64(col("g")).as("h"),
+        xxhash64(lit("graft:span:2"), col("g")).as("h2"))
+    val wins = if (materialize) Materialize(wins0) else wins0
+    val dups = wins.groupBy(col("h"), col("h2"))
       .agg(min(struct(col("doc_id"), col("p"))).as("first"),
         count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
-      .select(col("h"), col("first.doc_id").as("__f_doc"),
+      .select(col("h"), col("h2"), col("first.doc_id").as("__f_doc"),
         col("first.p").as("__f_p"))
-    wins.join(dups, Seq("h"))
+    wins.join(dups, Seq("h", "h2"))
       .filter(!(col("doc_id") === col("__f_doc") && col("p") === col("__f_p")))
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1)))
         .as("idx"))

@@ -31,28 +31,41 @@ object Graph {
     *
     * Scale shape: per iteration, one join of the edge list to the score
     * table on the source id plus one aggregate on the destination id —
-    * two hash shuffles over edges, no cartesian anywhere; degrees are
-    * computed once. Iterations are a fixed small constant (authority
-    * ranks converge in ~10), so the total is O(iters · |E|) shuffled
-    * rows. For many-iteration runs on very deep graphs, checkpoint the
-    * score table every few rounds (the CC operators' lineage rule);
-    * at 5 iterations lineage stays shallow.
+    * two hash shuffles over edges, no cartesian anywhere; the edge list
+    * and degrees are materialized ONCE up front (via [[Materialize]] —
+    * the pair generation feeding this is usually the expensive
+    * subtree), and the score table's lineage is truncated every
+    * [[CheckpointEvery]] iterations (the CC operators' rule), so a
+    * 50-iteration run on a deep graph carries a bounded plan instead of
+    * a 100-join lineage chain. Total work is O(iters · |E|) shuffled
+    * rows.
+    *
+    * `tolPpm` (default 0 = off) adds an early convergence exit: after
+    * each iteration past the first, stop when the maximum absolute
+    * per-node score change is ≤ `tolPpm` ppm. The check is one extra
+    * join+aggregate per iteration, so it is opt-in; leave it off when
+    * the iteration count itself is the contract (the g01 oracle unrolls
+    * exactly `iters` sweeps).
     *
     * Returns (doc_id, pr) — ppm-scaled long scores.
     */
   def pageRank(pairs: DataFrame, iters: Int = 5,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L, tolPpm: Long = 0L): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
     require(dampingPpm >= 0 && dampingPpm <= Unit1M,
       s"pageRank: dampingPpm must be in [0, $Unit1M]")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    require(tolPpm >= 0, "pageRank: tolPpm must be >= 0 (0 = off)")
+    val edges = Materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val degrees = Materialize(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val base = Unit1M - dampingPpm
     var scores = degrees.select(col("src").as("doc_id"),
       lit(Unit1M).cast(LongType).as("pr"))
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       // damping applied PER CONTRIBUTION, before the sum: the summed
       // damped contributions are bounded by the graph's total mass
       // (~N·1M), which fits a long for any realistic corpus, whereas
@@ -62,11 +75,36 @@ object Graph {
         .join(degrees, Seq("src"))
         .select(col("dst"),
           expr(s"((pr * $dampingPpm) div $Unit1M) div deg").as("c"))
-      scores = contrib.groupBy(col("dst").as("doc_id"))
+      val next0 = contrib.groupBy(col("dst").as("doc_id"))
         .agg(sum(col("c")).as("__m"))
         .select(col("doc_id"), (lit(base) + col("__m")).cast(LongType).as("pr"))
+      // truncate on cadence (but not for the final round's output,
+      // which is consumed exactly once); always when the convergence
+      // check will read `next` twice (delta join + next round)
+      val next =
+        if (tolPpm > 0 ||
+            ((i + 1) % CheckpointEvery == 0 && (i + 1) < iters))
+          Materialize(next0)
+        else next0
+      if (tolPpm > 0) {
+        val maxDelta = next.as("n")
+          .join(scores.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .agg(max(abs(col("n.pr") - col("o.pr"))).as("d"))
+          .head.getLong(0)
+        converged = maxDelta <= tolPpm
+      }
+      scores = next
       i += 1
     }
     scores
   }
+
+  /** Score-table lineage truncation cadence for [[pageRank]] — every
+    * N iterations the accumulated join chain is cut (the
+    * [[Dedup.connectedComponents]] convention). Small enough that a
+    * deep run never builds an unanalyzable plan, large enough that the
+    * materialization cost stays a rounding error next to the per-
+    * iteration shuffles.
+    */
+  val CheckpointEvery = 5
 }

@@ -345,7 +345,13 @@ object TextFunctions {
       maxEllipsisLineRatio: Double = 0.3,
       minAlphaWordRatio: Double = 0.8,
       minStopwords: Int = 2): Column = {
-    val toks = words(text)
+    // tokenize the EDGE-STRIPPED text: splitting "  a b " on \s+ yields
+    // a phantom empty first token that inflates n_words and deflates
+    // every per-word ratio — the same edge-word strip the
+    // gopherRepetition kernel applies (RepetitionMetrics.stripWs) and
+    // c4Filters' per-line trim, now consistent across the family.
+    // Published Gopher tokenization has no empty words.
+    val toks = words(regexp_replace(text, "^\\s+|\\s+$", ""))
     val nWords = size(toks)
     // every lambda-bearing column below is a `def`, not a `val`: a
     // reused lambda Column shares NamedLambdaVariable ids between its

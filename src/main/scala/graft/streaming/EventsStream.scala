@@ -88,11 +88,26 @@ object EventsStream {
     * min, since batch has no arrival order to prefer). Both keep
     * exactly ONE row per distinct fingerprint; which row survives
     * differs by mode (arrival order vs min id) — spec-pinned.
+    *
+    * Normalization contract: the fingerprint's canonicalization is
+    * ASCII-oriented (it strips every character outside `[a-z0-9 ]`), so
+    * content that is ENTIRELY non-Latin (CJK, Cyrillic, emoji) would
+    * normalize to the empty string — and a naive fingerprint key would
+    * collapse every such event into one survivor (silent data loss on
+    * multilingual ingest). Guard: when the normalized form is empty,
+    * the key falls back to a domain-separated hash of the RAW content —
+    * non-Latin events still dedup on exact content equality, they just
+    * don't get the formatting-robust canonicalization (which has no
+    * meaning for scripts it would erase).
     */
   def dedupByContent(events: DataFrame, content: org.apache.spark.sql.Column,
       watermark: String = "10 minutes"): DataFrame = {
+    val normalized = regexp_replace(
+      regexp_replace(lower(content), "[^a-z0-9 ]", ""), " +", " ")
     val keyed = events.withColumn("__fp",
-      graft.functions.TextFunctions.fingerprint(content))
+      when(trim(normalized) === "",
+        md5(concat(lit("graft:raw:"), content)))
+        .otherwise(graft.functions.TextFunctions.fingerprint(content)))
     if (events.isStreaming)
       keyed.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("__fp")

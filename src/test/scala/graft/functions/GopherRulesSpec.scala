@@ -59,6 +59,24 @@ class GopherRulesSpec extends SparkSpec {
     assert(!out(1L).getAs[Boolean]("pass"))
   }
 
+  test("edge whitespace never manufactures tokens (stripWs parity)") {
+    // "  text \n" must produce identical metrics to "text": a phantom
+    // empty edge token would inflate n_words and deflate mean_word_len
+    // / alpha_word_ratio — the divergence the tokenizer strip prevents
+    val out = verdicts(Seq(
+      (1L, cleanBody),
+      (2L, "  \t" + cleanBody + " \n "),
+      (3L, "\n" + cleanBody)))
+    Seq("n_words", "mean_word_len", "alpha_word_ratio", "n_stopwords")
+      .foreach { f =>
+        assert(out(2L).getAs[Any](f) == out(1L).getAs[Any](f),
+          s"$f diverged on edge whitespace")
+        assert(out(3L).getAs[Any](f) == out(1L).getAs[Any](f),
+          s"$f diverged on leading newline")
+      }
+    assert(out(2L).getAs[Boolean]("pass") && out(3L).getAs[Boolean]("pass"))
+  }
+
   test("gopherRules is a zero-shuffle projection") {
     val df = Seq((1L, cleanBody)).toDF("doc_id", "text")
       .select(TextFunctions.gopherRules(col("text")).as("g"))

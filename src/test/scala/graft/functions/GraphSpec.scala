@@ -37,6 +37,31 @@ class GraphSpec extends SparkSpec {
     assert(a == b, s"partitioning changed ranks: ${a.diff(b)}")
   }
 
+  test("deep run: 30 iterations on a 60-node chain completes (cadenced " +
+      "lineage truncation), and tolPpm stops early with the same ranks") {
+    // a long chain is the worst case for lineage: every iteration adds
+    // two joins; without the CheckpointEvery truncation 30 rounds build
+    // a 60-join plan
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val deep = Graph.pageRank(chain, iters = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deep.size == 60)
+    // interior nodes (degree 2) outrank the two endpoints (degree 1)
+    assert(deep(30L) > deep(1L) && deep(30L) > deep(60L))
+    // convergence exit: with a loose tolerance the run stops early yet
+    // lands within tol of the fixed-30 ranks at every node
+    val tol = 200L
+    val early = Graph.pageRank(chain, iters = 30, tolPpm = tol).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(early.keySet == deep.keySet)
+    // one extra iteration moves scores by <= tol, and iterating further
+    // only contracts — the early result sits within a few tol of deep
+    early.foreach { case (id, pr) =>
+      assert(math.abs(pr - deep(id)) <= 10 * tol,
+        s"node $id: early $pr vs deep ${deep(id)}")
+    }
+  }
+
   test("scores stay in sane ppm bounds (mass only leaks via floor)") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val ranks = Graph.pageRank(pairs, iters = 10).collect()

@@ -104,6 +104,25 @@ class EventsStreamSpec extends SparkSpec {
       "streaming and batch keep different content sets")
   }
 
+  test("content dedup: entirely non-Latin contents do NOT collapse together") {
+    import spark.implicits._
+    // four events: two distinct CJK texts (normalized form is empty for
+    // both — the naive fingerprint would merge them), one exact CJK
+    // re-post, one Latin control
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", "你好世界"),
+      (2L, "2024-01-01 00:01:00", "完全不同的文本"),
+      (3L, "2024-01-01 00:02:00", "你好世界"),
+      (4L, "2024-01-01 00:03:00", "hello world"))
+      .map { case (id, ts, txt) =>
+        (id, java.sql.Timestamp.valueOf(ts), txt)
+      }.toDF("event_id", "ts", "content")
+    val out = EventsStream.dedupByContent(rows, col("content"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // distinct CJK texts both survive; the exact re-post (id 3) drops
+    assert(out == Set(1L, 2L, 4L), s"got $out")
+  }
+
   test("watermark drops late events in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
