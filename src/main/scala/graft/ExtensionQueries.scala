@@ -1055,6 +1055,22 @@ object ExtensionQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Audio NEAR-DUP over the perceptual PCM fingerprint (the aHash
+    // analogue: trim silence, pool window energies, mean-threshold
+    // bits), closing the image/audio near-dup triad. Fixtures plant
+    // FOUR variants per doc — base, silence-padded, LIST-chunk
+    // re-encode, half-amplitude — that must all land at hamming 0; the
+    // oracle recomputes the fingerprint from md5(text) PCM math in
+    // pure SQL and self-joins on bit_count(xor) like m04.
+    "m06_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      functions.Multimodal.audioNearDupPairs(
+          functions.Multimodal.syntheticWavVariants(docs)
+            .as[functions.Multimodal.MediaRow], maxHamming = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal metadata projection + frame-sample plan: binary payload
     // column stays pruned out of the scan (metadata-only stage).
     "m01_media_meta" -> ((s, dir) => {
@@ -2465,6 +2481,52 @@ object ExtensionQueries {
          UNION ALL
          SELECT doc_id * 2 + 1, sample_rate, n_samples, duration_ms, energy FROM f
          ORDER BY media_id""",
+
+    // mirrors Multimodal.audioFingerprints from the md5-derived PCM:
+    // trim = [min, max] nonzero sample index, window bounds via the
+    // same integer rule, energy sums, 56·e > Σe bits; the padded /
+    // re-encoded / half-amplitude variants all share the base doc's
+    // fingerprint BY CONSTRUCTION (trim / container-walk / amplitude
+    // invariance), so the oracle emits one fp per doc across ids
+    // 4d..4d+3
+    "m06_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx,
+             CAST(64 + (doc_id % 3) * 16 AS BIGINT) AS n
+           FROM documents WHERE doc_id < 60),
+         sm AS (
+           SELECT d.doc_id, g.i,
+             ((strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(d.hx, 2*(g.i % 16) + 2, 1)) - 1)
+              - 128) * 256 AS s
+           FROM d, generate_series(0, 95) AS g(i) WHERE g.i < d.n),
+         tr AS (SELECT doc_id, min(i) AS f, max(i) AS l
+                FROM sm WHERE s <> 0 GROUP BY doc_id),
+         win AS (
+           SELECT t.doc_id, w.j,
+             t.f + (w.j * (t.l - t.f + 1)) // 56 AS x0,
+             t.f + greatest((w.j * (t.l - t.f + 1)) // 56 + 1,
+                            ((w.j + 1) * (t.l - t.f + 1)) // 56) AS x1
+           FROM tr t, generate_series(0, 55) AS w(j)),
+         e AS (
+           SELECT win.doc_id, win.j, CAST(sum(s.s * s.s) AS BIGINT) AS e
+           FROM win JOIN sm s ON s.doc_id = win.doc_id
+             AND s.i >= win.x0 AND s.i < win.x1
+           GROUP BY win.doc_id, win.j),
+         e2 AS (SELECT doc_id, j, e,
+                  sum(e) OVER (PARTITION BY doc_id) AS tot FROM e),
+         fp AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN 56 * e > tot THEN (1::BIGINT << j)
+                           ELSE 0 END) AS BIGINT) AS fp
+                FROM e2 GROUP BY doc_id),
+         m AS (SELECT doc_id * 4 AS media_id, fp FROM fp
+               UNION ALL SELECT doc_id * 4 + 1, fp FROM fp
+               UNION ALL SELECT doc_id * 4 + 2, fp FROM fp
+               UNION ALL SELECT doc_id * 4 + 3, fp FROM fp)
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         FROM m a JOIN m b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 4
+         ORDER BY id_a, id_b""",
 
     "m04_image_neardup" ->
       """WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id < 60),

@@ -331,39 +331,154 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.content))
-          catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => null
-            case _: java.io.IOException => null
+        decodePcm16Mono(m.content).map { case (rate, bytes) =>
+          val n = bytes.length / 2
+          var energy = 0L
+          var i = 0
+          while (i < n) {
+            val s = pcmSample(bytes, i)
+            energy += s.toLong * s
+            i += 1
           }
-        if (ais == null) None
-        else {
-          val fmt = ais.getFormat
-          val ok = fmt.getChannels == 1 &&
-            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
-            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          if (!ok) { ais.close(); None }
+          AudioFeatures(m.media_id, rate, n.toLong,
+            n.toLong * 1000L / rate, energy)
+        }
+      }
+    }
+  }
+
+  /** The shared RIFF/WAVE decode behind [[audioFeatures]] and
+    * [[audioFingerprints]]: `javax.sound.sampled` container parse,
+    * accepting exactly mono 16-bit little-endian signed PCM, returning
+    * (sample rate, raw PCM bytes). `None` for undecodable or
+    * out-of-contract blobs — corrupt audio is routine in web corpora;
+    * multi-channel is refused rather than silently averaged.
+    */
+  private[functions] def decodePcm16Mono(
+      content: Array[Byte]): Option[(Int, Array[Byte])] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) None
+    else {
+      val fmt = ais.getFormat
+      val ok = fmt.getChannels == 1 &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if (!ok) { ais.close(); None }
+      else {
+        val bytes = ais.readAllBytes()
+        ais.close()
+        Some((math.round(fmt.getSampleRate), bytes))
+      }
+    }
+  }
+
+  /** Sample i of a little-endian PCM16 byte stream, as a sign-extended
+    * Int. */
+  private def pcmSample(bytes: Array[Byte], i: Int): Int =
+    ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+
+  /** [[audioFingerprints]] signature width — 56 bits for the same
+    * non-negative-long discipline as the image [[PhashW]]×[[PhashH]]
+    * canvas, so the banded-hamming pair machinery carries audio
+    * unchanged. */
+  val AudioFpBits = 56
+
+  case class AudioFingerprint(media_id: Long, n_samples: Long, fp: Long)
+
+  /** Perceptual audio fingerprint — the aHash analogue over decoded
+    * PCM, completing the image/audio near-dup symmetry:
+    *
+    *   1. decode ([[decodePcm16Mono]] — container-walked, not
+    *      offset-assumed);
+    *   2. TRIM leading/trailing zero samples: silence padding is the
+    *      audio analogue of an image border, and trimming makes a
+    *      padded re-post fingerprint-identical to its original
+    *      (all-silence audio has no fingerprint — the row is skipped,
+    *      like an undecodable blob);
+    *   3. pool the trimmed stream's ENERGY (Σ sample², exact integer)
+    *      onto [[AudioFpBits]] windows with the same integer-bound
+    *      rule as the image [[poolTo]] (window j covers
+    *      [⌊j·m/56⌋, max(that+1, ⌊(j+1)·m/56⌋)) of the m trimmed
+    *      samples);
+    *   4. mean-threshold bits: bit j set iff 56·e(j) > Σe — integer-
+    *      exact, and AMPLITUDE-INVARIANT (uniform volume scaling
+    *      multiplies every window energy equally, leaving every
+    *      comparison unchanged), so a quieter/louder re-encode of the
+    *      same signal hashes identically.
+    *
+    * Exactness bound: 56·Σs² must fit a long — samples are < 2¹⁵, so
+    * anything under ~2.5·10⁹ samples (≈ 18 h at 44.1 kHz) is exact;
+    * longer streams should be chunked upstream. Deterministic integer
+    * math throughout, so an engine-independent oracle recomputes the
+    * bits from the same sample source (the m06 gate does, from
+    * md5-derived fixtures). Scale shape mirrors [[imageFeatures]]:
+    * one iterator pass, ~24-byte output rows, the binary column dies
+    * here.
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodePcm16Mono(m.content).flatMap { case (_, bytes) =>
+          val n = bytes.length / 2
+          var f = 0
+          while (f < n && pcmSample(bytes, f) == 0) f += 1
+          var l = n - 1
+          while (l >= f && pcmSample(bytes, l) == 0) l -= 1
+          if (l < f) None
           else {
-            val bytes = ais.readAllBytes()
-            ais.close()
-            val n = bytes.length / 2
-            var energy = 0L
-            var i = 0
-            while (i < n) {
-              val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
-              energy += s.toLong * s
-              i += 1
+            val m0 = l - f + 1
+            val e = new Array[Long](AudioFpBits)
+            var tot = 0L
+            var j = 0
+            while (j < AudioFpBits) {
+              val x0 = f + (j.toLong * m0 / AudioFpBits).toInt
+              val x1 = f + math.max((j.toLong * m0 / AudioFpBits).toInt + 1,
+                ((j + 1).toLong * m0 / AudioFpBits).toInt)
+              var s = 0L
+              var i = x0
+              while (i < x1) {
+                val v = pcmSample(bytes, i)
+                s += v.toLong * v
+                i += 1
+              }
+              e(j) = s
+              tot += s
+              j += 1
             }
-            val rate = math.round(fmt.getSampleRate)
-            Some(AudioFeatures(m.media_id, rate, n.toLong,
-              n.toLong * 1000L / rate, energy))
+            var bits = 0L
+            j = 0
+            while (j < AudioFpBits) {
+              if (AudioFpBits.toLong * e(j) > tot) bits |= (1L << j)
+              j += 1
+            }
+            Some(AudioFingerprint(m.media_id, m0.toLong, bits))
           }
         }
       }
     }
   }
+
+  /** Audio NEAR-DUP pairs within `maxHamming` over the 56-bit
+    * [[audioFingerprints]] signature — re-encoded, silence-padded, and
+    * volume-scaled copies land at hamming 0 while distinct signals sit
+    * near hamming 28. The pair stage is [[Dedup.simhashPairs]]'s
+    * pigeonhole banding: complete recall, no cartesian — the same plan
+    * shape as [[imageNearDupPairs]], closing the image/audio near-dup
+    * triad (video remains the declared decode stub).
+    */
+  def audioNearDupPairs(media: Dataset[MediaRow],
+      maxHamming: Int = 4): DataFrame =
+    Dedup.simhashPairs(
+      audioFingerprints(media).toDF()
+        .select(col("media_id").as("doc_id"), col("fp").as("simhash")),
+      bits = AudioFpBits, maxHamming = maxHamming)
 
   /** Deterministic WAV fixtures for the m05 gate: per document, a real
     * RIFF/WAVE container (PCM16 mono, little-endian) whose sample i is
@@ -388,34 +503,91 @@ object Multimodal {
           val dig = md5.digest(text.getBytes("UTF-8"))
           val rate = 8000 + (id % 4).toInt * 4000
           val n = 64 + (id % 3).toInt * 16
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val s = ((dig(i % 16) & 0xff) - 128) * 256
-            pcm(2 * i) = (s & 0xff).toByte
-            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-            i += 1
-          }
-          def u32(v: Int) = Array[Byte](
-            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-          def u16(v: Int) = Array[Byte](
-            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-          def chunk(tag: String, body: Array[Byte]) =
-            tag.getBytes("US-ASCII") ++ u32(body.length) ++ body
-          val fmtChunk = chunk("fmt ", u16(1) ++ u16(1) ++ u32(rate) ++
-            u32(rate * 2) ++ u16(2) ++ u16(16))
-          val dataChunk = chunk("data", pcm)
-          def wav(extra: Array[Byte]): Array[Byte] = {
-            val body = "WAVE".getBytes("US-ASCII") ++
-              fmtChunk ++ extra ++ dataChunk
-            "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
-          }
-          val list = chunk("LIST",
-            "INFO".getBytes("US-ASCII") ++
-              chunk("ICMT", "graft fixture ".getBytes("US-ASCII")))
-          Seq((id * 2, "audio", wav(Array.emptyByteArray)),
-            (id * 2 + 1, "audio", wav(list)))
+          val pcm = pcm16((0 until n).map(i => ((dig(i % 16) & 0xff) - 128) * 256))
+          Seq((id * 2, "audio", wavContainer(pcm, rate, withList = false)),
+            (id * 2 + 1, "audio", wavContainer(pcm, rate, withList = true)))
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  /** Little-endian PCM16 bytes from sample values. */
+  private def pcm16(samples: Seq[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** A real RIFF/WAVE container around a PCM16 mono payload;
+    * `withList` inserts a LIST/INFO chunk between fmt and data (the
+    * chunk-walking-robustness plant shared by the m05/m06 fixtures).
+    */
+  private def wavContainer(pcm: Array[Byte], rate: Int,
+      withList: Boolean): Array[Byte] = {
+    def u32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]) =
+      tag.getBytes("US-ASCII") ++ u32(body.length) ++ body
+    val fmtChunk = chunk("fmt ", u16(1) ++ u16(1) ++ u32(rate) ++
+      u32(rate * 2) ++ u16(2) ++ u16(16))
+    val extra =
+      if (withList)
+        chunk("LIST", "INFO".getBytes("US-ASCII") ++
+          chunk("ICMT", "graft fixture ".getBytes("US-ASCII")))
+      else Array.emptyByteArray
+    val body = "WAVE".getBytes("US-ASCII") ++
+      fmtChunk ++ extra ++ chunk("data", pcm)
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+  }
+
+  /** Deterministic WAV fixtures for the m06 NEAR-DUP gate: per
+    * document, FOUR containers that must all fingerprint identically
+    * under [[audioFingerprints]] -- the planted duplicate classes a
+    * perceptual audio hash exists to catch:
+    *
+    *   - base = 4*doc_id: the m05 PCM (sample i = (md5 byte - 128)*256,
+    *     i < 64 + (doc_id % 3)*16), minimal RIFF;
+    *   - padded = 4*doc_id + 1: the same PCM behind 7 leading and 9
+    *     trailing ZERO samples -- silence padding, defeated by the trim;
+    *   - re-encoded = 4*doc_id + 2: identical PCM behind an extra
+    *     LIST/INFO chunk -- container change, defeated by real
+    *     chunk-walking decode;
+    *   - quiet = 4*doc_id + 3: every sample at exactly half amplitude
+    *     ((md5 byte - 128)*128 -- integer-exact quartered energies) --
+    *     volume scaling, defeated by the mean-threshold's amplitude
+    *     invariance.
+    *
+    * Distinct documents' fingerprints are md5-random 56-bit patterns
+    * (expected cross-doc hamming 28), so a small `maxHamming` yields
+    * exactly the within-document quartets. Every output is recomputable
+    * from `md5(text)` in pure SQL -- the m06 oracle does.
+    */
+  def syntheticWavVariants(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val dig = md5.digest(text.getBytes("UTF-8"))
+          val rate = 8000 + (id % 4).toInt * 4000
+          val n = 64 + (id % 3).toInt * 16
+          def s(i: Int, scale: Int) = ((dig(i % 16) & 0xff) - 128) * scale
+          val base = (0 until n).map(s(_, 256))
+          val padded = Seq.fill(7)(0) ++ base ++ Seq.fill(9)(0)
+          val quiet = (0 until n).map(s(_, 128))
+          Seq(
+            (id * 4, "audio", wavContainer(pcm16(base), rate, withList = false)),
+            (id * 4 + 1, "audio", wavContainer(pcm16(padded), rate, withList = false)),
+            (id * 4 + 2, "audio", wavContainer(pcm16(base), rate, withList = true)),
+            (id * 4 + 3, "audio", wavContainer(pcm16(quiet), rate, withList = false)))
         }
       }.toDF("media_id", "kind", "content")
   }

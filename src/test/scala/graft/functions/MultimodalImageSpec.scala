@@ -131,6 +131,66 @@ class MultimodalImageSpec extends SparkSpec {
     assert(feats(0L).energy == expected, "energy must equal the md5 math")
   }
 
+  test("audioFingerprints: padding / container / amplitude invariance, " +
+      "silence skipped, distinct signals distinct") {
+    val docs = Tables.df(spark, sf(), "documents").filter(col("doc_id") < 12)
+    val fps = Multimodal.audioFingerprints(
+        Multimodal.syntheticWavVariants(docs).as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+    assert(fps.size == 48, "every variant must fingerprint")
+    (0L until 12L).foreach { id =>
+      val quartet = (0 to 3).map(v => fps(id * 4 + v))
+      // base / padded / re-encoded / quiet: identical 56-bit signature
+      assert(quartet.map(_.fp).distinct.size == 1,
+        s"doc $id: variants diverged: ${quartet.map(_.fp)}")
+      // the trim means padded reports the same TRIMMED sample count
+      assert(quartet.map(_.n_samples).distinct.size == 1,
+        s"doc $id: trimmed counts diverged")
+    }
+    // distinct documents produce distinct, far-apart signatures
+    val distinctFps = (0L until 12L).map(id => fps(id * 4).fp)
+    assert(distinctFps.distinct.size == 12)
+    for (a <- distinctFps; b <- distinctFps if a < b)
+      assert(java.lang.Long.bitCount(a ^ b) > 4,
+        "distinct docs must not collide within the near-dup radius")
+    // all-silence audio has no fingerprint (skipped like undecodable)
+    val silent = Seq(Multimodal.MediaRow(99L, "audio", {
+      // reuse the fixture path: an all-zero PCM via a doc whose samples
+      // are forced silent is simplest built by hand here
+      val pcm = Array.fill[Byte](64)(0)
+      def u32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def u16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      val fmt = "fmt ".getBytes("US-ASCII") ++ u32(16) ++ u16(1) ++ u16(1) ++
+        u32(8000) ++ u32(16000) ++ u16(2) ++ u16(16)
+      val data = "data".getBytes("US-ASCII") ++ u32(pcm.length) ++ pcm
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+      "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+    })).toDS()
+    assert(Multimodal.audioFingerprints(silent).count() == 0)
+  }
+
+  test("audioNearDupPairs: banding recalls exactly the brute-force " +
+      "hamming ball over the fingerprints") {
+    val docs = Tables.df(spark, sf(), "documents").filter(col("doc_id") < 12)
+    val media = Multimodal.syntheticWavVariants(docs).as[Multimodal.MediaRow]
+    val got = Multimodal.audioNearDupPairs(media, maxHamming = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = Multimodal.audioFingerprints(media).collect()
+    val brute = (for {
+      a <- fps; b <- fps
+      if a.media_id < b.media_id
+      if java.lang.Long.bitCount(a.fp ^ b.fp) <= 4
+    } yield (a.media_id, b.media_id)).toSet
+    assert(got == brute, "pigeonhole banding must be recall-complete")
+    // and the planted quartets are exactly the near-dup clusters
+    assert(brute == (for {
+      id <- 0L until 12L
+      v1 <- 0 to 3; v2 <- 0 to 3 if v1 < v2
+    } yield (id * 4 + v1, id * 4 + v2)).toSet)
+  }
+
   test("audioFeatures skips undecodable and refuses multi-channel blobs") {
     val junk = Seq(
       Multimodal.MediaRow(1L, "audio", Array[Byte](1, 2, 3, 4)),
