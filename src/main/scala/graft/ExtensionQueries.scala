@@ -733,6 +733,23 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming curation (s06): Gopher hard quality gate THEN content
+    // dedup — the batch form of CorpusStream.curatedIngest, proving the
+    // two-stage stateless+stateful composition. Re-posts of corpus docs
+    // (every 4th, under fresh ids) are planted so the dedup stage has
+    // real work: a re-posted PASSING doc must drop (its original
+    // survives on min doc_id); a re-posted FAILING doc never reaches
+    // the dedup at all. The streaming dual (file stream → same two
+    // stages, one query) is spec-pinned equal (CorpusStreamSpec).
+    "s06_stream_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val all = d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      streaming.CorpusStream.curatedIngest(all, col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s03_dedup_redelivery" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       streaming.EventsStream.dedupEvents(ev.unionByName(ev))
@@ -1110,6 +1127,59 @@ object ExtensionQueries {
          SELECT k.event_id, k.event_type, k.props FROM k
          JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.event_id
          ORDER BY k.event_id""",
+
+    // mirrors CorpusStream.curatedIngest's batch form over the planted
+    // re-posts: the t16 Gopher metric expressions (default thresholds)
+    // gate first, then the s05 fingerprint keep-one (min doc_id) over
+    // the survivors — identical IEEE divisions of identical integers,
+    // so the gate verdicts and the surviving rows hash-match exactly.
+    "s06_stream_curation" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0),
+         feat AS (SELECT doc_id, text,
+           string_split_regex(
+             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+             '[ \t\n\x0b\f\r]+') AS wds,
+           string_split(text, chr(10)) AS lns FROM all_docs),
+         m AS (SELECT doc_id, text,
+           CAST(len(wds) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
+           greatest(
+             ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
+               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
+               / CAST(len(wds) AS DOUBLE),
+             (length(text) - length(regexp_replace(text, '#', '', 'g')))
+               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
+           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
+             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
+             /len(lns) AS bullet_line_ratio,
+           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
+             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
+           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
+             /len(wds) AS alpha_word_ratio,
+           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
+           FROM feat),
+         gated AS (SELECT doc_id, text FROM m
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_ratio <= 0.9
+             AND ellipsis_line_ratio <= 0.3
+             AND alpha_word_ratio >= 0.8
+             AND n_stopwords >= 2),
+         k AS (SELECT doc_id, text,
+           CASE WHEN trim(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) = ''
+                THEN md5('graft:raw:' || text)
+                ELSE md5(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) END AS fp
+           FROM gated),
+         keep AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp)
+         SELECT k.doc_id, k.text FROM k
+         JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.doc_id
+         ORDER BY k.doc_id""",
 
     "d02_fingerprint" ->
       """SELECT doc_id,

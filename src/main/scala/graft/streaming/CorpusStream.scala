@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Streaming CORPUS curation — the continuous-ingest dual of the batch
+  * curation recipe ([[graft.functions.Curation]]): documents arrive as
+  * files, are quality-gated (Gopher hard rules, arXiv:2112.11446 A1.1 —
+  * the published web-corpus filter, a pure stateless projection), then
+  * content-deduped with watermark-bounded state
+  * ([[EventsStream.dedupByContent]]) — two stages, one streaming query.
+  *
+  * This is the shape a 100 TB/day training-data ingest actually runs:
+  * the quality gate is embarrassingly parallel (zero shuffle, codegen
+  * projection), and the only stateful operator keys on the content
+  * fingerprint with `dropDuplicatesWithinWatermark`, so dedup state is
+  * EVICTED once the watermark passes — bounded memory at any rate,
+  * forever. A re-post beyond the watermark horizon is accepted as fresh
+  * (the modeled product decision, same contract as
+  * [[EventsStream.dedupByContent]]).
+  *
+  * Batch/stream parity: on a batch frame the same call is the
+  * quality-filter + deterministic min-`id` keep-one — the s06-gated
+  * form, DuckDB-oracle-checked; the streaming result is spec-pinned
+  * equal to it (CorpusStreamSpec, the s01/s03 parity pattern). Which
+  * row survives differs by mode (arrival order vs min id) — spec-pinned
+  * by arranging arrival in id order.
+  */
+object CorpusStream {
+
+  /** Schema for a document-ingest file stream: the TESTDATA documents
+    * shape plus the ingest event-time column the watermark needs
+    * (streaming sources must declare schemas — no inference at runtime).
+    */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-source stream over a directory of document parquet files. */
+  def readDocs(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(docsSchema).format(format).load(dir)
+
+  /** Quality-gate + content-dedup in one query (stream or batch).
+    *
+    * `quality` defaults to the published Gopher hard gate
+    * ([[TextFunctions.gopherRules]]`.pass` with the paper's thresholds);
+    * pass any boolean Column to compose differently — e.g.
+    * `gopherRules(c).getField("pass") && c4Filters(c).getField("pass")`
+    * for the Gopher∧C4 conjunction, or a custom threshold set. The gate
+    * runs FIRST, so the stateful dedup only ever keys documents that
+    * survive — state is bounded by the post-filter rate, not the raw
+    * ingest rate (ordering the cheap stateless stage before the stateful
+    * one is the streaming analogue of filter pushdown).
+    *
+    * On a stream: requires an event-time column named `ts` (see
+    * [[docsSchema]]); state for a fingerprint is dropped once the
+    * watermark passes it. On a batch frame: keep-one is the
+    * deterministic min-`id` ([[graft.functions.Dedup.dedupExact]] — a
+    * partial-aggregatable min).
+    */
+  def curatedIngest(docs: DataFrame, content: Column, id: Column,
+      watermark: String = "10 minutes",
+      quality: Option[Column] = None): DataFrame = {
+    val gate = quality.getOrElse(
+      TextFunctions.gopherRules(content).getField("pass"))
+    EventsStream.dedupByContent(docs.filter(gate), content, watermark, id)
+  }
+}

@@ -101,7 +101,8 @@ object EventsStream {
     * meaning for scripts it would erase).
     */
   def dedupByContent(events: DataFrame, content: org.apache.spark.sql.Column,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      id: org.apache.spark.sql.Column = col("event_id")): DataFrame = {
     val normalized = regexp_replace(
       regexp_replace(lower(content), "[^a-z0-9 ]", ""), " +", " ")
     val keyed = events.withColumn("__fp",
@@ -113,7 +114,7 @@ object EventsStream {
         .dropDuplicatesWithinWatermark("__fp")
         .drop("__fp")
     else
-      graft.functions.Dedup.dedupExact(keyed, col("__fp"), col("event_id"))
+      graft.functions.Dedup.dedupExact(keyed, col("__fp"), id)
         .drop("__fp")
   }
 

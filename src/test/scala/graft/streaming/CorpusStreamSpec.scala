@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Streaming corpus curation: quality gate (stateless) + watermarked
+  * content dedup (stateful) composed in ONE streaming query, pinned to
+  * the s06-gated batch form (the s01/s03 parity pattern — s06
+  * hash-matches its DuckDB oracle every round, so equality here is
+  * transitively oracle parity for the streaming path).
+  */
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fp(c: org.apache.spark.sql.Column) =
+    graft.functions.TextFunctions.fingerprint(c)
+
+  test("curated ingest: file stream keeps exactly the batch survivor content set") {
+    // originals + every-4th re-posted under a fresh id (the s06 plant),
+    // with a deterministic event time for the watermark
+    val d = Tables.df(spark, sf(), "documents")
+    // 1704067200 = 2024-01-01T00:00:00Z
+    val originals = d.select(col("doc_id"), col("text"),
+      timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+    val reposts = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+        timestamp_seconds(lit(1704069200L) + col("doc_id")).as("ts"))
+    val dir = Files.createTempDirectory("corpus-stream").toString
+    originals.coalesce(1).write.mode("append").parquet(dir)
+    reposts.coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = CorpusStream.curatedIngest(
+      CorpusStream.readDocs(spark, dir), col("text"), col("doc_id"),
+      watermark = "1 hour")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("s06_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s06_out").select(fp(col("text")).as("f"))
+      .collect().map(_.getString(0)).toSeq
+    // survivor CONTENT is arrival-order-independent (which id survives
+    // is not — the MemoryStream test below pins that): compare sets
+    val want = CorpusStream.curatedIngest(
+        originals.unionByName(reposts), col("text"), col("doc_id"))
+      .select(fp(col("text")).as("f")).collect().map(_.getString(0)).toSeq
+    assert(got.distinct.lengthCompare(got.length) == 0,
+      "streaming emitted a duplicated fingerprint")
+    assert(got.sorted == want.sorted,
+      "streaming and batch keep different content sets")
+    assert(got.nonEmpty, "curated ingest kept nothing — gate is vacuous")
+    // every survivor passed the quality gate
+    val nFail = spark.table("s06_out").filter(
+      !graft.functions.TextFunctions.gopherRules(col("text"))
+        .getField("pass")).count()
+    assert(nFail == 0, s"$nFail survivors fail the Gopher gate")
+  }
+
+  test("curated ingest: cross-batch dedup state pins first-arrival == min-id survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ≥50 words, mean word length in [3,10], ≥2 stopwords, all-alpha —
+    // passes every Gopher rule; 6×11 = 66 words
+    val passing = Seq.fill(6)(
+      "the storm and rain that have come with thunder over mountains")
+      .mkString(" ")
+    val passingB = Seq.fill(6)(
+      "the river and stone that have stood with silence under starlight")
+      .mkString(" ")
+    val failing = "too short" // fails the 50-word minimum
+
+    def doc(id: Long, text: String, minute: Int): (Long, String, Timestamp) =
+      (id, text, Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"))
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = CorpusStream.curatedIngest(
+        input.toDS().toDF("doc_id", "text", "ts"), col("text"),
+        col("doc_id"), watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s06_xbatch")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: two distinct passing docs + a failing one
+      input.addData(doc(1, passing, 0), doc(2, passingB, 1), doc(3, failing, 2))
+      q.processAllAvailable()
+      // batch 2: re-posts under fresh ids — the passing re-post must hit
+      // batch-1 dedup STATE and drop; the failing re-post dies at the
+      // gate before ever reaching the stateful operator
+      input.addData(doc(100, passing, 5), doc(101, failing, 6))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("s06_xbatch").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"got $got")
+
+    // batch form on the same rows: min-id keep-one lands on the same set
+    val batch = Seq(doc(1, passing, 0), doc(2, passingB, 1),
+      doc(3, failing, 2), doc(100, passing, 5), doc(101, failing, 6))
+      .toDF("doc_id", "text", "ts")
+    val want = CorpusStream.curatedIngest(batch, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want == got, s"stream $got != batch $want")
+  }
+
+  test("quality override composes: Gopher ∧ C4 conjunction gates harder") {
+    import graft.functions.TextFunctions
+    // C4 needs ≥3 terminal-punctuated ≥5-word lines; gopher-passing text
+    // without them fails the conjunction
+    val c4ok = Seq.fill(3)(
+      "the storm and rain that have come with thunder tonight.")
+      .mkString("\n") + "\n" +
+      Seq.fill(5)("the river and stone that have stood with silence here.")
+        .mkString("\n")
+    val gopherOnly = Seq.fill(6)(
+      "the storm and rain that have come with thunder over mountains")
+      .mkString(" ")
+    val df = Seq((1L, c4ok), (2L, gopherOnly)).toDF("doc_id", "text")
+    val both = TextFunctions.gopherRules(col("text")).getField("pass") &&
+      TextFunctions.c4Filters(col("text")).getField("pass")
+    val out = CorpusStream.curatedIngest(df, col("text"), col("doc_id"),
+        quality = Some(both))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"got $out")
+  }
+}
