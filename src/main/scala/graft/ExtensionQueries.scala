@@ -488,6 +488,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Distribution-matching resample (data mixing): target language mix
+    // en 40% / others 15% each, rates DERIVED from observed counts at
+    // the largest total with no upsampling — the binding group (the one
+    // whose count/weight ratio is smallest) keeps everything, the rest
+    // thin deterministically by portable hash.
+    "t19_resample_mix" -> ((s, dir) => {
+      TextFunctions.resampleToMix(t(s, dir, "documents"),
+          col("lang"), col("doc_id"),
+          Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+            "fr" -> 0.15, "zh" -> 0.15))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-language mixture rates
     // applied as a hash filter (en 50%, de 25%, rest 10%).
     "t06_stratified_sample" -> ((s, dir) => {
@@ -1724,6 +1738,30 @@ object ExtensionQueries {
          WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10000 <
            CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 ELSE 1000 END
          ORDER BY doc_id""",
+
+    // mirrors TextFunctions.resampleToMix: derived keep-rates (scale =
+    // min count/weight, rate = min(1, w*scale/n)) as the identical
+    // chain of IEEE double operations (weights CAST to DOUBLE — DuckDB
+    // parses bare decimals as DECIMAL), thresholded on the same
+    // portable md5 hash as t05/t06.
+    "t19_resample_mix" ->
+      """WITH w(grp, wt) AS (VALUES
+           ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+           ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+           ('zh', CAST(0.15 AS DOUBLE))),
+         counts AS (SELECT lang AS grp, count(*) AS n
+                    FROM documents GROUP BY lang),
+         cw AS (SELECT c.grp, c.n, w.wt FROM counts c JOIN w ON w.grp = c.grp),
+         s AS (SELECT min(n / wt) AS scale FROM cw),
+         thr AS (SELECT grp,
+                   floor(CAST(1048576 AS DOUBLE) *
+                     least(CAST(1.0 AS DOUBLE), wt * scale / n)) AS t
+                 FROM cw, s)
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN thr ON thr.grp = d.lang
+         WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
+               % 1048576 < thr.t
+         ORDER BY d.doc_id""",
 
     "t08_top_per_group" ->
       """SELECT lang, doc_id, n_chars FROM (

@@ -224,6 +224,53 @@ object TextFunctions {
       pmod(portableHash64(key.cast(StringType)), lit(granularity.toLong)) < threshold)
   }
 
+  /** Distribution-matching down-sampler — the data-MIXING operator
+    * ([[sampleByStratum]]'s dual: there the caller fixes per-stratum
+    * rates; here the caller fixes the target MIX and the rates are
+    * DERIVED from the observed counts). Given per-group target weights
+    * (e.g. the domain/language proportions a training run wants), keep
+    * a deterministic hash-selected subset whose group sizes follow the
+    * target distribution at the largest total achievable WITHOUT
+    * upsampling any group: scale `S = min_g(n_g / w_g)`, per-group
+    * keep-rate `r_g = min(1, w_g·S / n_g)` (the binding group keeps
+    * everything; over-represented groups are thinned).
+    *
+    * Selection is `portableHash64(id) mod buckets < floor(buckets·r_g)`
+    * — reproducible across runs, engines, and cluster topologies (never
+    * `rand()`: resampling on retry would silently change the corpus).
+    * Rows whose group has no weight are dropped (weight 0 semantics).
+    *
+    * Scale shape: ONE partial-aggregatable count per group (group
+    * cardinality = #domains/#languages — small by construction), a
+    * driver-free scalar min over that tiny frame, and a broadcast join
+    * of the per-group thresholds back onto the corpus — the corpus
+    * itself is never shuffled, the filter is a codegen projection.
+    */
+  def resampleToMix(df: DataFrame, group: Column, id: Column,
+      weights: Map[String, Double], buckets: Int = 1 << 20): DataFrame = {
+    require(weights.nonEmpty, "resampleToMix: weights must be non-empty")
+    require(weights.values.forall(_ > 0),
+      "resampleToMix: weights must be positive (omit a group to drop it)")
+    require(buckets > 0, "resampleToMix: buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("__grp", "__w")
+    val keyed = df.withColumn("__grp", group)
+    // inner join: groups without a weight are dropped by construction
+    val counts = keyed.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(w), "__grp")
+    val scale = counts.agg(min(col("__n") / col("__w")).as("__scale"))
+    val thresholds = counts.crossJoin(broadcast(scale))
+      .select(col("__grp"),
+        floor(lit(buckets.toDouble) *
+          least(lit(1.0), col("__w") * col("__scale") / col("__n")))
+          .as("__thr"))
+    keyed.join(broadcast(thresholds), "__grp")
+      .filter(pmod(portableHash64(id.cast(StringType)), lit(buckets.toLong))
+        < col("__thr"))
+      .drop("__grp", "__thr")
+  }
+
   /** BPE-ish subword token count: alphabetic runs are split into ≤4-char
     * chunks (a cheap stand-in for byte-pair merges), digits and other
     * symbols count singly. Portable: regex run extraction + arithmetic.
