@@ -286,6 +286,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Degree-ordered triangle counting over the same near-dup graph:
+    // the clustering-coefficient numerator, each triangle materialized
+    // once at its minimum-(degree, id) vertex — the Suri–Vassilvitskii
+    // orientation that kills the celebrity-node reducer. The oracle
+    // counts the identical triangles via the canonical a<b<c triple
+    // join (orientation-free but quadratic in the hot node — fine at
+    // oracle scale, the Spark side uses the bounded form).
+    "g02_triangles" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      Graph.triangleCounts(Dedup.jaccardPairs(sh, 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing near-copy pairs: shared-fingerprint counts over the
     // inverted fingerprint index (k=12 char grams, w=8 windows — the
     // local-copy detector; doc-freq cap 20 exercises the stop-gram
@@ -401,6 +414,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Fuzzy record linkage / entity resolution: block customers on
+    // (nation, segment), pair names within Levenshtein distance 1,
+    // transitive-closure the match graph (star CC), assign every record
+    // its entity id (singletons keep themselves). The oracle replays
+    // blocking, DuckDB's identical levenshtein DP, and the d08
+    // recursive-CTE closure — all three stages hash-gated.
+    "d24_record_linkage" -> ((s, dir) => {
+      Dedup.linkRecords(t(s, dir, "customer"),
+          col("c_custkey"), col("c_name"),
+          struct(col("c_nationkey"), col("c_mktsegment")),
+          maxDist = 1)
+        .orderBy(col("rec_id"))
+    }),
+
     // p01's curation recipe with the dedup stage LSH-gated (the
     // pairStrategy pass-through Curation.curate → dedupNear) — the
     // at-scale configuration of the one-call pipeline.
@@ -459,6 +486,16 @@ object ExtensionQueries {
     // high, engine-exact (no libm log).
     "t15_word_rank_score" -> ((s, dir) => {
       TextFunctions.wordRankScore(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail quality tiering: corpus 1/3- and
+    // 2/3-quantile cutoffs on the t15 score (exact percentile, the t11
+    // quantile machinery), each doc labeled by tier — no global sort,
+    // one small broadcast aggregate.
+    "t20_quality_tiers" -> ((s, dir) => {
+      TextFunctions.qualityTiers(t(s, dir, "documents"),
           col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
     }),
@@ -747,6 +784,18 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Stream–static enrichment: events broadcast-joined to the customer
+    // dimension (stateless in streaming — no join state), hourly
+    // windowed counts per market segment. Batch and stream run the
+    // identical plan (EventsStreamSpec pins the streaming parity);
+    // decimal-exact value sums, so the hash gate holds incrementally.
+    "s07_stream_enrich" -> ((s, dir) => {
+      streaming.EventsStream.enrichedCounts(
+          t(s, dir, "events"), t(s, dir, "customer"),
+          col("user_id"), col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("win_start"), col("segment"))
+    }),
+
     // Streaming curation (s06): Gopher hard quality gate THEN content
     // dedup — the batch form of CorpusStream.curatedIngest, proving the
     // two-stage stateless+stateful composition. Re-posts of corpus docs
@@ -1021,6 +1070,32 @@ object ExtensionQueries {
         .orderBy(col("centroid_id"), col("rank"))
     }),
 
+    // Johnson–Lindenstrauss random-sign projection: 64-dim floats → 8
+    // exact integer components whose SIGNS are the e02 LSH bucket bits
+    // (same deterministic hyperplane matrix). Zero-shuffle per-row
+    // projection; the oracle embeds the identical ±1 sign literals and
+    // integer arithmetic, so every component is hash-gated.
+    "e07_jl_project" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.jlProject(col("embedding"), 8, 64).as("proj"),
+          col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Coarse-quantize-then-verify ANN (the FAISS two-stage shape): JL
+    // inner-product prefilter to 50 candidates per query — 8 longs per
+    // corpus row instead of 64 floats — then exact quantized-cosine
+    // re-rank to top-5. Integer prefilter scores + the e01 re-rank
+    // arithmetic: both stages reproduce bit-for-bit in the oracle.
+    "e08_knn_jl" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnJlPrefilter(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          k = 5, candidates = 50, outDims = 8, dims = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Multimodal decode/feature-extract stage: partition-batched kernel
     // over binary payloads (deterministic stub decoder). The gated
     // projection (media_id, kind, n_bytes) is deterministic SQL over
@@ -1282,6 +1357,28 @@ object ExtensionQueries {
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
 
+    // mirrors Graph.triangleCounts: canonical a<b edges from the g01
+    // pair graph, each triangle enumerated once by the a<b<c triple
+    // join, per-node counts with triangle-free nodes at 0
+    "g02_triangles" ->
+      s"""WITH $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                 greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+         tcnt AS (SELECT id, count(*) AS t FROM (
+             SELECT x AS id FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY id)
+         SELECT n.id AS doc_id, coalesce(c.t, 0) AS n_triangles
+         FROM nodes n LEFT JOIN tcnt c ON c.id = n.id
+         ORDER BY doc_id""",
+
     // identical oracle to d08: the star alternation must produce the
     // same labeling as min-label propagation
     "d10_dup_clusters_star" ->
@@ -1542,6 +1639,30 @@ object ExtensionQueries {
          FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
          ORDER BY b.doc_id""",
 
+    // mirrors Dedup.linkRecords: (nation, segment) blocking, DuckDB's
+    // levenshtein (the identical DP metric Spark codegens), the d08
+    // recursive-CTE transitive closure, singletons → themselves
+    "d24_record_linkage" ->
+      """WITH RECURSIVE
+         r AS (SELECT c_custkey AS id, c_name AS name,
+                 c_nationkey AS nk, c_mktsegment AS seg FROM customer),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM r a JOIN r b
+             ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+           WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         lab AS (SELECT id, min(r) AS ent FROM reach GROUP BY id)
+         SELECT c.c_custkey AS rec_id,
+           coalesce(l.ent, c.c_custkey) AS entity_id
+         FROM customer c LEFT JOIN lab l ON l.id = c.c_custkey
+         ORDER BY rec_id""",
+
     // p01's composed oracle with the dedup stage LSH-gated: signatures
     // and banding over the language-FILTERED shingles (curate filters
     // before dedup), candidates verified by exact Jaccard, then the
@@ -1667,6 +1788,29 @@ object ExtensionQueries {
          FROM w JOIN ranked USING (w)
          GROUP BY doc_id
          ORDER BY doc_id""",
+
+    // mirrors TextFunctions.qualityTiers: the t15 score, quantile_cont
+    // cutoffs at 1/3 and 2/3 (bit-equal to Spark's percentile), <= tier
+    // comparisons
+    "t20_quality_tiers" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         ranked AS (SELECT w, CAST(dense_rank() OVER
+             (ORDER BY count(*) DESC, w) AS BIGINT) AS rank
+           FROM w GROUP BY w),
+         scored AS (
+           SELECT doc_id, count(*) AS n_words,
+             CAST(sum(rank) AS BIGINT) AS rank_sum,
+             CAST(sum(rank) AS DOUBLE) / count(*) AS mean_rank
+           FROM w JOIN ranked USING (w)
+           GROUP BY doc_id),
+         b AS (SELECT quantile_cont(mean_rank, 1.0/3) AS c1,
+                 quantile_cont(mean_rank, 2.0/3) AS c2 FROM scored)
+         SELECT doc_id, n_words, rank_sum, mean_rank,
+           CASE WHEN mean_rank <= c1 THEN 'head'
+                WHEN mean_rank <= c2 THEN 'middle'
+                ELSE 'tail' END AS tier
+         FROM scored, b ORDER BY doc_id""",
 
     // mirrors TextFunctions.vocabCoverage: tf-desc/term rank, top 50,
     // running-tf-sum over the exact integer total
@@ -2259,6 +2403,17 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    // mirrors EventsStream.enrichedCounts: epoch-aligned 1h tumbling
+    // windows == date_trunc('hour'), inner join to the dimension,
+    // decimal-exact sums
+    "s07_stream_enrich" ->
+      """SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           c.c_mktsegment AS segment, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2, 3 ORDER BY win_start, segment""",
+
     "s02_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,
@@ -2527,6 +2682,56 @@ object ExtensionQueries {
          SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id, dist,
            CAST(rn AS INT) AS rank
          FROM ranked WHERE rn <= 5 ORDER BY centroid_id, rank"""
+    },
+
+    // mirrors Similarity.jlProject: component j = Σ_d q(emb[d])·sign(j,d)
+    // with the identical planeSigns literals — exact integer arithmetic,
+    // every component hash-gated.
+    "e07_jl_project" -> {
+      val signs = Similarity.planeSigns(8, 64)
+      val comps = (0 until 8).map { j =>
+        val lst = signs(j).mkString("[", ",", "]")
+        s"""CAST(list_sum(list_transform(range(1, len(embedding)+1),
+           i -> ${q("embedding[i]")} * ($lst)[i])) AS BIGINT)"""
+      }.mkString(", ")
+      s"""SELECT vec_id, [$comps] AS proj, label
+         FROM embeddings ORDER BY vec_id"""
+    },
+
+    // mirrors Similarity.knnJlPrefilter: the same JL components, integer
+    // coarse dot (ties → min neighbor), top-50 shortlist, exact
+    // quantized-cosine re-rank to top-5.
+    "e08_knn_jl" -> {
+      val signs = Similarity.planeSigns(8, 64)
+      val comps = (0 until 8).map { j =>
+        val lst = signs(j).mkString("[", ",", "]")
+        s"""CAST(list_sum(list_transform(range(1, len(embedding)+1),
+           i -> ${q("embedding[i]")} * ($lst)[i])) AS BIGINT)"""
+      }.mkString(", ")
+      s"""WITH pr AS (SELECT vec_id, embedding, [$comps] AS jl FROM embeddings),
+         qv AS (SELECT * FROM pr WHERE vec_id < 10),
+         cv AS (SELECT * FROM pr WHERE vec_id >= 10),
+         coarse AS (
+           SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             qv.embedding AS qe, cv.embedding AS ce,
+             CAST(list_sum(list_transform(range(1, 9),
+               i -> qv.jl[i] * cv.jl[i])) AS BIGINT) AS jl_dot
+           FROM qv CROSS JOIN cv),
+         shortlist AS (
+           SELECT query_id, neighbor_id, qe, ce FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY jl_dot DESC, neighbor_id) AS crn
+             FROM coarse) WHERE crn <= 50),
+         scored AS (
+           SELECT query_id, neighbor_id, ${cosQ("qe", "ce")} AS cos
+           FROM shortlist),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
     },
 
     "m02_media_features" ->

@@ -1255,4 +1255,82 @@ object Dedup {
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_removed_words"), lit(0L)).as("n_removed_words"))
   }
+
+  /** Fuzzy record-linkage candidate pairs: records sharing a blocking
+    * key whose `name` values sit within `maxDist` edit distance
+    * (Levenshtein — Spark's codegen'd built-in; identical DP metric in
+    * DuckDB, so the gate is exact). The classic entity-resolution
+    * blocking shape (Fellegi–Sunter lineage): the block key bounds the
+    * quadratic — candidate work is Σ_blocks m², never n².
+    *
+    * Blocks larger than `maxBlockSize` are dropped BEFORE the self-join
+    * via a broadcast anti-join on the hot-block set (tiny by
+    * definition: at most n/maxBlockSize blocks can exceed the cap) —
+    * the [[hotShingles]]/annJoin guard shape, because one degenerate
+    * block ("UNKNOWN", "") otherwise does m² work on a single task.
+    * Never silent: [[linkDroppedBlocks]] with the same arguments
+    * enumerates what the cap suppressed.
+    *
+    * Schema out: (id_a, id_b, dist), id_a < id_b.
+    */
+  def linkRecordPairs(df: DataFrame, id: Column, name: Column,
+      blockKey: Column, maxDist: Int, maxBlockSize: Int = 10000): DataFrame = {
+    require(maxDist >= 0, "linkRecordPairs: maxDist must be >= 0")
+    require(maxBlockSize > 1, "linkRecordPairs: maxBlockSize must be > 1")
+    val rows = df.select(id.as("__id"), name.as("__name"),
+      blockKey.as("__blk"))
+    val hot = broadcast(
+      rows.groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBlockSize)
+        .select(col("__blk")))
+    val guarded = rows.join(hot, Seq("__blk"), "left_anti")
+    guarded.as("a")
+      .join(guarded.as("b"),
+        col("a.__blk") === col("b.__blk") &&
+          col("a.__id") < col("b.__id"))
+      .withColumn("dist",
+        levenshtein(col("a.__name"), col("b.__name")).cast(IntegerType))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("dist"))
+  }
+
+  /** Accounting for [[linkRecordPairs]]'s `maxBlockSize` guard:
+    * (block, block_size) for every dropped block. One
+    * partial-aggregatable count — run it whenever the cap is finite so
+    * a capped run reports what it skipped.
+    */
+  def linkDroppedBlocks(df: DataFrame, blockKey: Column,
+      maxBlockSize: Int): DataFrame =
+    df.groupBy(blockKey.as("block"))
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
+
+  /** Entity resolution over [[linkRecordPairs]]: transitive closure of
+    * the fuzzy-match graph ([[connectedComponentsStar]] — min reachable
+    * id labels a component; the star alternation because fuzzy-match
+    * graphs chain (A≈B≈C with A̸≈C is the normal case), so the
+    * diameter-independent O(log n) variant is the right default), every
+    * input record assigned an `entity_id` (singletons map to
+    * themselves). The complete dedup-entities pipeline in one call:
+    * blocking → bounded pairwise scoring → clustering → assignment.
+    *
+    * Scale shape: one shuffle on the block key for the pair stage
+    * (bounded by `maxBlockSize`), the CC rounds on the MATCH graph
+    * (bounded by true duplicates, not corpus size), and one left join
+    * of assignments back to the input. No broadcast of anything
+    * corpus-sized.
+    *
+    * Schema out: input id column plus (entity_id).
+    */
+  def linkRecords(df: DataFrame, id: Column, name: Column,
+      blockKey: Column, maxDist: Int, maxBlockSize: Int = 10000): DataFrame = {
+    val pairs = linkRecordPairs(df, id, name, blockKey, maxDist, maxBlockSize)
+    val labels = connectedComponentsStar(pairs)
+      .select(col("doc_id").as("__id"), col("cluster_id"))
+    df.select(id.as("rec_id"))
+      .join(labels.withColumnRenamed("__id", "rec_id"), Seq("rec_id"), "left")
+      .select(col("rec_id"),
+        coalesce(col("cluster_id"), col("rec_id")).as("entity_id"))
+  }
 }

@@ -673,6 +673,41 @@ object TextFunctions {
         col("rank_sum").cast(DoubleType) / col("n_words"))
   }
 
+  /** CCNet-style quality tiering (Wenzek et al., arXiv:1911.00359 §4.3,
+    * public): partition the corpus into `head` / `middle` / `tail` by
+    * corpus quantiles of a per-document quality score — the paper cuts
+    * on KenLM perplexity at the 1/3 and 2/3 quantiles so downstream
+    * training can weight or drop tiers; here the score is the
+    * integer-exact [[wordRankScore]] (its documented CCNet LM-filter
+    * proxy: low mean corpus-frequency rank = common-vocabulary text →
+    * `head`, high = rare-token garble → `tail`).
+    *
+    * Cutoffs are EXACT interpolated percentiles of the score
+    * distribution (`percentile`, bit-equal to DuckDB's `quantile_cont`
+    * — the [[quantileTrim]] pattern): ONE small corpus-wide aggregate
+    * broadcast back to the scored frame, so no global sort and no
+    * single-partition window anywhere — the two scans parallelize at
+    * any corpus size. Ties at a cutoff all take the lower tier
+    * (`<=` comparisons, deterministic).
+    *
+    * Returns (doc_id, n_words, rank_sum, mean_rank, tier).
+    */
+  def qualityTiers(df: DataFrame, id: Column, text: Column,
+      cut1: Double = 1.0 / 3, cut2: Double = 2.0 / 3): DataFrame = {
+    require(cut1 > 0 && cut2 < 1 && cut1 <= cut2,
+      s"qualityTiers: need 0 < cut1 <= cut2 < 1, got ($cut1, $cut2)")
+    val scored = wordRankScore(df, id, text)
+    val bounds = scored.agg(
+      percentile(col("mean_rank"), lit(cut1)).as("__c1"),
+      percentile(col("mean_rank"), lit(cut2)).as("__c2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_words"), col("rank_sum"),
+        col("mean_rank"),
+        when(col("mean_rank") <= col("__c1"), lit("head"))
+          .when(col("mean_rank") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("tier"))
+  }
+
   /** Sliding word-window chunking: split each document into
     * `window`-token chunks advancing by `stride` tokens (overlap =
     * `window - stride`) — the step that turns raw documents into

@@ -56,6 +56,43 @@ object EventsStream {
         col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream–static enrichment: join each event to a static (or
+    * slowly-changing, re-read per micro-batch) dimension table, then
+    * the watermarked tumbling-window aggregate per (window, dimension
+    * attribute) — the canonical ingest shape "events by customer
+    * segment per hour". The dimension is broadcast (small by
+    * contract: a dimension that doesn't fit a broadcast belongs in a
+    * stream-stream join with its own watermark); a stream–static INNER
+    * join is stateless in Structured Streaming — each micro-batch
+    * probes the broadcast hash table, no join state accumulates — so
+    * the only stateful operator is the windowed aggregate, whose state
+    * the watermark bounds.
+    *
+    * Batch and stream run the IDENTICAL plan (`withWatermark` is a
+    * no-op on batch frames), and the decimal-summed value keeps the
+    * incremental aggregation bit-identical to the batch oracle (the
+    * [[windowedCounts]] convention). Schema out:
+    * (win_start, win_end, segment, n, total_value).
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame,
+      eventKey: org.apache.spark.sql.Column,
+      dimKey: org.apache.spark.sql.Column,
+      attr: org.apache.spark.sql.Column,
+      window_ : String = "1 hour", watermark: String = "10 minutes",
+      setWatermark: Boolean = true): DataFrame = {
+    val d = broadcast(dim.select(dimKey.as("__k"), attr.as("segment")))
+    val wm = if (setWatermark) events.withWatermark("ts", watermark)
+      else events
+    wm.join(d, eventKey === col("__k"))
+      .groupBy(window(col("ts"), window_), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("segment"), col("n"), col("total_value"))
+  }
+
   /** Exactly-once ingestion under at-least-once delivery: drop
     * redelivered events by `event_id`. On a stream this is
     * `dropDuplicatesWithinWatermark` — dedup state is EVICTED once the

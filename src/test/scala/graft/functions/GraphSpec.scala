@@ -4,9 +4,49 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** [[Graph.pageRank]]: deterministic quantized authority ranking. */
+/** [[Graph.pageRank]]: deterministic quantized authority ranking;
+  * [[Graph.triangleCounts]]: degree-ordered triangle counting.
+  */
 class GraphSpec extends SparkSpec {
   import spark.implicits._
+
+  test("triangles: counts per node on a mixed graph") {
+    // 1-2-3 triangle, 3-4 pendant, 5-6-7-8 square (triangle-free),
+    // K4 on 10..13 (4 triangles, every node in 3)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L)
+    ).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L)
+    assert(got == want, s"got $got")
+  }
+
+  test("triangles: celebrity star is triangle-free and cheap (no hub wedges)") {
+    // hub 0 with 50 leaves — the orientation points every edge INTO the
+    // hub (leaves have degree 1), so the hub emits zero wedges
+    val star = (1L to 50L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 51 && got.values.forall(_ == 0L))
+  }
+
+  test("triangles: deterministic across partitioning; duplicate and " +
+      "reversed input edges collapse") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val a = Graph.triangleCounts(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.triangleCounts(pairs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    assert(a == b)
+  }
 
   test("symmetric graphs rank equally; hubs outrank leaves") {
     // triangle: all three nodes structurally identical

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fuzzy record linkage (`Dedup.linkRecordPairs` / `linkRecords`):
+  * blocking, bounded edit-distance pairing, hot-block guard, and
+  * transitive-closure entity assignment. The d24 gate proves the full
+  * pipeline against the DuckDB oracle (identical levenshtein DP); here
+  * we pin blocking semantics, the chain case, the guard, and its
+  * accounting.
+  */
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val recs = Seq(
+    // block "X": a typo chain — smith / smyth / smythe link pairwise
+    // at dist <= 1, smith–smythe only transitively (dist 2)
+    (1L, "smith", "X"), (2L, "smyth", "X"), (3L, "smythe", "X"),
+    // block "X": unrelated name, no links
+    (4L, "jones", "X"),
+    // block "Y": same surface forms as 1/2, but a different block —
+    // must NOT link across blocks
+    (5L, "smith", "Y"), (6L, "taylor", "Y")
+  ).toDF("rec_id", "name", "blk")
+
+  test("pairs: within-block edit-distance matches only") {
+    val pairs = Dedup.linkRecordPairs(recs, col("rec_id"), col("name"),
+        col("blk"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // smith~smyth (1), smyth~smythe (1); smith~smythe is dist 2; no
+    // cross-block pair (1,5) despite identical names' block mates
+    assert(pairs == Set((1L, 2L, 1), (2L, 3L, 1)))
+  }
+
+  test("entities: transitive closure links the chain, singletons keep themselves") {
+    val ents = Dedup.linkRecords(recs, col("rec_id"), col("name"),
+        col("blk"), maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ents == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("hot-block guard: an oversized block is dropped and accounted") {
+    // a degenerate "UNKNOWN" block of 5 identical names would do 10
+    // pairwise comparisons; cap at 4 members
+    val dirty = recs.unionByName(
+      (10L to 14L).map(i => (i, "unknown", "Z")).toDF("rec_id", "name", "blk"))
+    val pairs = Dedup.linkRecordPairs(dirty, col("rec_id"), col("name"),
+        col("blk"), maxDist = 1, maxBlockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), "Z block must contribute no pairs")
+    val dropped = Dedup.linkDroppedBlocks(dirty, col("blk"), maxBlockSize = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped == Map("Z" -> 5L))
+    // guarded records still get (singleton) entity assignments
+    val ents = Dedup.linkRecords(dirty, col("rec_id"), col("name"),
+        col("blk"), maxDist = 1, maxBlockSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 14L).foreach(i => assert(ents(i) == i))
+  }
+
+  test("maxDist 0 degenerates to exact-match linkage within blocks") {
+    val ents = Dedup.linkRecords(recs.unionByName(
+        Seq((7L, "smith", "X")).toDF("rec_id", "name", "blk")),
+        col("rec_id"), col("name"), col("blk"), maxDist = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ents(7L) == 1L)
+    assert(ents(2L) == 2L, "smyth no longer links at dist 0")
+  }
+}

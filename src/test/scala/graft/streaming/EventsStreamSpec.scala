@@ -104,6 +104,28 @@ class EventsStreamSpec extends SparkSpec {
       "streaming and batch keep different content sets")
   }
 
+  test("stream-static enrichment: stream result equals batch result") {
+    val dir = eventsDir
+    val dim = Tables.df(spark, sf(), "customer")
+    val stream = EventsStream.enrichedCounts(
+      EventsStream.readEvents(spark, dir), dim,
+      col("user_id"), col("c_custkey"), col("c_mktsegment"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("win_start", "segment", "n", "total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = shape(spark.table("enrich_out"))
+    val expected = shape(EventsStream.enrichedCounts(
+      Tables.df(spark, sf(), "events"), dim,
+      col("user_id"), col("c_custkey"), col("c_mktsegment")))
+    assert(got == expected,
+      s"divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
   test("content dedup: entirely non-Latin contents do NOT collapse together") {
     import spark.implicits._
     // four events: two distinct CJK texts (normalized form is empty for
