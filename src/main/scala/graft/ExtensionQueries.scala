@@ -1177,6 +1177,38 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // REAL video decode over YUV4MPEG2 (the standard uncompressed
+    // container): header-token parse, FRAME walking, per-frame luma
+    // pooling + aHash — the video analogue of m03. Fixture pixels
+    // derive from md5(text), so the oracle recomputes every frame's
+    // hash in pure SQL: a true container round-trip check. Compressed
+    // codecs remain the declared stub (none ship in the JDK).
+    "m07_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      functions.Multimodal.videoFrameFeatures(
+          functions.Multimodal.syntheticY4m(docs)
+            .as[functions.Multimodal.MediaRow])
+        .toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Video NEAR-DUP over the temporal luma fingerprint (trim black
+    // frames, pool per-frame luma sums, mean-threshold bits) —
+    // completing the image/audio/video near-dup triad on one banded
+    // pair plan. Fixtures plant FOUR variants per doc — base,
+    // black-padded, decorated-header re-encode, half-brightness — that
+    // must all land at hamming 0; the oracle recomputes the
+    // fingerprint from md5(text) frame math in pure SQL.
+    "m08_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      functions.Multimodal.videoNearDupPairs(
+          functions.Multimodal.syntheticY4mVariants(docs)
+            .as[functions.Multimodal.MediaRow], maxHamming = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal metadata projection + frame-sample plan: binary payload
     // column stays pruned out of the scan (metadata-only stage).
     "m01_media_meta" -> ((s, dir) => {
@@ -2831,6 +2863,86 @@ object ExtensionQueries {
                   CAST(sum(CASE WHEN 56 * e > tot THEN (1::BIGINT << j)
                            ELSE 0 END) AS BIGINT) AS fp
                 FROM e2 GROUP BY doc_id),
+         m AS (SELECT doc_id * 4 AS media_id, fp FROM fp
+               UNION ALL SELECT doc_id * 4 + 1, fp FROM fp
+               UNION ALL SELECT doc_id * 4 + 2, fp FROM fp
+               UNION ALL SELECT doc_id * 4 + 3, fp FROM fp)
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         FROM m a JOIN m b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 4
+         ORDER BY id_a, id_b""",
+
+    // mirrors Multimodal.videoFrameFeatures over the md5-derived y4m
+    // fixtures: frame-f pixel (x, y) = even-masked md5 byte
+    // (f + x + 2y) mod 16, 8×7 pooling is identity, aHash bit i set
+    // iff 56·p > frame sum
+    "m07_video_frames" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx,
+             CAST(56 + (doc_id % 3) * 8 AS INT) AS n
+           FROM documents WHERE doc_id < 60),
+         px AS (
+           SELECT d.doc_id, f.f, g.i,
+             ((strpos('0123456789abcdef',
+                 substr(d.hx, 2*((f.f + (g.i % 8) + 2*(g.i // 8)) % 16) + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                 substr(d.hx, 2*((f.f + (g.i % 8) + 2*(g.i // 8)) % 16) + 2, 1)) - 1)
+             ) // 2 * 2 AS p
+           FROM d, generate_series(0, 71) AS f(f), generate_series(0, 55) AS g(i)
+           WHERE f.f < d.n),
+         px2 AS (SELECT doc_id, f, i, p,
+             sum(p) OVER (PARTITION BY doc_id, f) AS s FROM px),
+         hs AS (SELECT doc_id, f,
+             CAST(sum(CASE WHEN 56 * p > s THEN (1::BIGINT << i)
+                      ELSE 0 END) AS BIGINT) AS ahash
+           FROM px2 GROUP BY doc_id, f)
+         SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           8 AS width, 7 AS height, ahash
+         FROM hs ORDER BY media_id, frame_idx""",
+
+    // mirrors Multimodal.videoFingerprints from the md5-derived
+    // frames: per-frame luma sums, [min, max] nonzero-frame trim, the
+    // m06 window rule, WIDTH-NORMALIZED bits (m·e > Σe·|window| — the
+    // mean-vs-mean comparison, cross-multiplied exact); the padded /
+    // decorated / half-brightness variants share the base fingerprint
+    // BY CONSTRUCTION, so the oracle emits one fp per doc across ids
+    // 4d..4d+3
+    "m08_video_neardup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx,
+             CAST(56 + (doc_id % 3) * 8 AS INT) AS n
+           FROM documents WHERE doc_id < 60),
+         px AS (
+           SELECT d.doc_id, f.f,
+             ((strpos('0123456789abcdef',
+                 substr(d.hx, 2*((f.f + (g.i % 8) + 2*(g.i // 8)) % 16) + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                 substr(d.hx, 2*((f.f + (g.i % 8) + 2*(g.i // 8)) % 16) + 2, 1)) - 1)
+             ) // 2 * 2 AS p
+           FROM d, generate_series(0, 71) AS f(f), generate_series(0, 55) AS g(i)
+           WHERE f.f < d.n),
+         fs AS (SELECT doc_id, f, CAST(sum(p) AS BIGINT) AS lum
+                FROM px GROUP BY doc_id, f),
+         tr AS (SELECT doc_id, min(f) AS fmin, max(f) AS fmax
+                FROM fs WHERE lum <> 0 GROUP BY doc_id),
+         win AS (
+           SELECT t.doc_id, w.j,
+             t.fmin + (w.j * (t.fmax - t.fmin + 1)) // 56 AS x0,
+             t.fmin + greatest((w.j * (t.fmax - t.fmin + 1)) // 56 + 1,
+                            ((w.j + 1) * (t.fmax - t.fmin + 1)) // 56) AS x1
+           FROM tr t, generate_series(0, 55) AS w(j)),
+         e AS (
+           SELECT win.doc_id, win.j, win.x1 - win.x0 AS wd,
+             CAST(sum(fs.lum) AS BIGINT) AS e
+           FROM win JOIN fs ON fs.doc_id = win.doc_id
+             AND fs.f >= win.x0 AND fs.f < win.x1
+           GROUP BY win.doc_id, win.j, win.x1 - win.x0),
+         e2 AS (SELECT doc_id, j, wd, e,
+                  sum(e) OVER (PARTITION BY doc_id) AS tot FROM e),
+         fp AS (SELECT e2.doc_id,
+                  CAST(sum(CASE WHEN (t.fmax - t.fmin + 1) * e > tot * wd
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+                FROM e2 JOIN tr t ON t.doc_id = e2.doc_id
+                GROUP BY e2.doc_id),
          m AS (SELECT doc_id * 4 AS media_id, fp FROM fp
                UNION ALL SELECT doc_id * 4 + 1, fp FROM fp
                UNION ALL SELECT doc_id * 4 + 2, fp FROM fp

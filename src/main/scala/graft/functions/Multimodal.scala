@@ -592,10 +592,299 @@ object Multimodal {
       }.toDF("media_id", "kind", "content")
   }
 
+  // ---------- video: YUV4MPEG2 (.y4m) uncompressed container ----------
+
+  case class VideoFrameFeatures(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, ahash: Long)
+
+  case class VideoFingerprint(media_id: Long, n_frames: Long, fp: Long)
+
+  /** REAL video decode for the YUV4MPEG2 (`.y4m`) container — the
+    * standard UNCOMPRESSED interchange format of the mjpegtools/ffmpeg
+    * lineage (public spec: a plain-text stream header
+    * `YUV4MPEG2 W<w> H<h> F<n>:<d> [Ip] [A<n>:<d>] [C<space>] [X…]`,
+    * then per frame a `FRAME[ params]\n` marker followed by raw
+    * planes). Parses the header tokens (geometry from W/H/C; frame
+    * rate, interlacing, aspect, and X-extensions are format-legal
+    * decoration that must not affect decode), walks the FRAME markers,
+    * and returns the LUMA plane per frame — `Cmono` frames are one
+    * w·h plane; `C420*` layouts carry w·h/2 trailing chroma bytes per
+    * frame, skipped. Truncated or malformed streams → None (corrupt
+    * media is routine in web corpora; diff input vs output ids for the
+    * accounting, the [[imageFeatures]] convention).
+    *
+    * COMPRESSED codecs (H.264 & co.) remain the declared
+    * [[StubDecoder]] seam — no codec ships in the JDK; this
+    * container/raster plumbing is exactly what a JNI codec binding
+    * drops into.
+    */
+  private[functions] def decodeY4m(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+    def eol(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      i
+    }
+    try {
+      val h0 = eol(0)
+      if (h0 >= bytes.length) return None
+      val toks = new String(bytes, 0, h0, "US-ASCII").split(" ")
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+      var w = 0
+      var h = 0
+      var chroma = "420jpeg" // the format's documented default
+      toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+        t.charAt(0) match {
+          case 'W' => w = t.substring(1).toInt
+          case 'H' => h = t.substring(1).toInt
+          case 'C' => chroma = t.substring(1)
+          case _   => () // F / Ip / A / X…: no effect on frame geometry
+        }
+      }
+      if (w <= 0 || h <= 0) return None
+      val luma = w * h
+      val frameLen =
+        if (chroma.startsWith("mono")) luma
+        else if (chroma.startsWith("420")) luma + luma / 2
+        else return None // 422/444 not needed by any caller yet: refuse loudly
+      val frames = Array.newBuilder[Array[Byte]]
+      var pos = h0 + 1
+      while (pos < bytes.length) {
+        val fl = eol(pos)
+        if (fl >= bytes.length) return None // marker line without newline
+        if (fl - pos < 5 ||
+          new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+        val body = fl + 1
+        if (body + frameLen > bytes.length) return None // truncated frame
+        frames += java.util.Arrays.copyOfRange(bytes, body, body + luma)
+        pos = body + frameLen
+      }
+      val out = frames.result()
+      if (out.isEmpty) None else Some((w, h, out))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Per-frame perceptual hashing over REAL y4m decode: every decoded
+    * luma plane pools onto the [[PhashW]]×[[PhashH]] grid by the exact
+    * integer area-average ([[poolTo]] — the image path's arithmetic,
+    * unchanged) and emits its [[aHash]] bits. The video analogue of
+    * [[imageFeatures]], one row per (video, frame): the downstream
+    * join key for frame-level near-dup search and sampled-frame
+    * captioning. Scale shape: an iterator pass per partition, output
+    * rows ~32 bytes — the binary column dies at this stage boundary,
+    * and a 2-hour video's frames parallelize as ROWS from here on.
+    */
+  def videoFrameFeatures(
+      media: Dataset[MediaRow]): Dataset[VideoFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeY4m(m.content).toSeq.flatMap { case (w, h, frames) =>
+          frames.iterator.zipWithIndex.map { case (plane, idx) =>
+            val px = new Array[Int](plane.length)
+            var i = 0
+            while (i < plane.length) { px(i) = plane(i) & 0xff; i += 1 }
+            VideoFrameFeatures(m.media_id, idx, w, h,
+              aHash(poolTo(w, h, px, PhashW, PhashH)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Temporal video fingerprint — the [[audioFingerprints]] recipe
+    * with per-frame TOTAL LUMA as the sample stream:
+    *
+    *   1. decode ([[decodeY4m]] — header-walked, not offset-assumed);
+    *   2. trim leading/trailing all-black frames (black-frame padding
+    *      is the video analogue of silence padding; an all-black video
+    *      has no fingerprint — skipped like an undecodable blob);
+    *   3. pool the trimmed luma-sum sequence onto [[AudioFpBits]]
+    *      windows with the identical integer bound rule;
+    *   4. WIDTH-NORMALIZED mean-threshold bits: bit j set iff
+    *      m·e(j) > Σe·|window j| — i.e. the window's MEAN frame luma
+    *      beats the stream's mean frame luma, cross-multiplied so the
+    *      comparison stays integer-exact. The audio recipe's
+    *      unnormalized `56·e > Σe` is wrong here: luma sums are
+    *      all-positive with small relative variance (a frame's total
+    *      brightness varies far less than audio window energies), so
+    *      with the frame count near 56 the unequal window widths —
+    *      identical for every same-length video — would dominate the
+    *      bits and distinct videos would collide. Normalizing by width
+    *      makes every bit content-driven, and the comparison is still
+    *      BRIGHTNESS-INVARIANT (uniform luma scaling multiplies both
+    *      sides equally), so a re-graded copy hashes identically.
+    *
+    * Exactness: Σe ≤ frames·w·h·255 and |window| ≤ frames/56 + 1, so
+    * the cross products stay below 2⁶³ for anything up to ~8·10⁸
+    * pixel-frames per video (a 2 h 1080p stream is ~3·10¹⁷ — in
+    * bounds). Deterministic integer math throughout — the m08 oracle
+    * recomputes the bits from md5-derived frames in pure SQL.
+    */
+  def videoFingerprints(
+      media: Dataset[MediaRow]): Dataset[VideoFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeY4m(m.content).flatMap { case (_, _, frames) =>
+          val sums = frames.map { plane =>
+            var s = 0L
+            var i = 0
+            while (i < plane.length) { s += plane(i) & 0xff; i += 1 }
+            s
+          }
+          var f = 0
+          while (f < sums.length && sums(f) == 0L) f += 1
+          var l = sums.length - 1
+          while (l >= f && sums(l) == 0L) l -= 1
+          if (l < f) None
+          else {
+            val m0 = l - f + 1
+            val e = new Array[Long](AudioFpBits)
+            val wd = new Array[Long](AudioFpBits)
+            var tot = 0L
+            var j = 0
+            while (j < AudioFpBits) {
+              val x0 = f + (j.toLong * m0 / AudioFpBits).toInt
+              val x1 = f + math.max((j.toLong * m0 / AudioFpBits).toInt + 1,
+                ((j + 1).toLong * m0 / AudioFpBits).toInt)
+              var s = 0L
+              var i = x0
+              while (i < x1) { s += sums(i); i += 1 }
+              e(j) = s
+              wd(j) = x1 - x0
+              tot += s
+              j += 1
+            }
+            var bits = 0L
+            j = 0
+            while (j < AudioFpBits) {
+              if (m0.toLong * e(j) > tot * wd(j)) bits |= (1L << j)
+              j += 1
+            }
+            Some(VideoFingerprint(m.media_id, m0.toLong, bits))
+          }
+        }
+      }
+    }
+  }
+
+  /** Video NEAR-DUP pairs within `maxHamming` over the 56-bit
+    * [[videoFingerprints]] signature — black-padded, header-decorated,
+    * and brightness-scaled copies land at hamming 0 while distinct
+    * videos sit near hamming 28. Same pigeonhole-banded pair stage as
+    * [[imageNearDupPairs]]/[[audioNearDupPairs]]: the near-dup triad
+    * (image, audio, video) now shares one plan shape end to end.
+    */
+  def videoNearDupPairs(media: Dataset[MediaRow],
+      maxHamming: Int = 4): DataFrame =
+    Dedup.simhashPairs(
+      videoFingerprints(media).toDF()
+        .select(col("media_id").as("doc_id"), col("fp").as("simhash")),
+      bits = AudioFpBits, maxHamming = maxHamming)
+
+  /** Deterministic y4m fixtures for the m07 gate: per document, one
+    * `Cmono` 8×7 stream of `56 + (doc_id % 3)·8` frames whose frame-f
+    * pixel (x, y) is byte `(f + x + 2y) mod 16` of `md5(text)` masked
+    * EVEN (`& 0xfe` — so the m08 half-brightness variant scales
+    * exactly). Every gated output recomputes from `md5(text)` in pure
+    * SQL, so a Spark-side fault in header parsing, frame walking, or
+    * hash math fails the gate. media_id = doc_id.
+    */
+  def syntheticY4m(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val dig = md5.digest(text.getBytes("UTF-8"))
+          val n = 56 + (id % 3).toInt * 8
+          (id, "video", y4mContainer(baseFrames(dig, n), decorated = false))
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  /** Deterministic y4m fixtures for the m08 NEAR-DUP gate: per
+    * document, FOUR streams that must all fingerprint identically
+    * under [[videoFingerprints]] — the planted duplicate classes a
+    * temporal video hash exists to catch:
+    *
+    *   - base = 4·doc_id: the m07 frames, minimal header;
+    *   - padded = 4·doc_id + 1: 5 leading and 3 trailing ALL-BLACK
+    *     frames — intro/outro padding, defeated by the trim;
+    *   - re-encoded = 4·doc_id + 2: identical frames behind a
+    *     decorated header (`Ip A1:1 X…` tokens) — container change,
+    *     defeated by real token-walking parse;
+    *   - dimmed = 4·doc_id + 3: every pixel at exactly half luma
+    *     (even base pixels, so integer halving is exact) — brightness
+    *     grading, defeated by the mean-threshold's scale invariance.
+    */
+  def syntheticY4mVariants(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val dig = md5.digest(text.getBytes("UTF-8"))
+          val n = 56 + (id % 3).toInt * 8
+          val base = baseFrames(dig, n)
+          val black = Array.fill[Byte](PhashW * PhashH)(0)
+          val padded = Array.fill(5)(black) ++ base ++ Array.fill(3)(black)
+          val dimmed = base.map(_.map(b => ((b & 0xff) >> 1).toByte))
+          Seq(
+            (id * 4, "video", y4mContainer(base, decorated = false)),
+            (id * 4 + 1, "video", y4mContainer(padded, decorated = false)),
+            (id * 4 + 2, "video", y4mContainer(base, decorated = true)),
+            (id * 4 + 3, "video", y4mContainer(dimmed, decorated = false)))
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  /** The m07/m08 fixture frame set: frame f's pixel (x, y) =
+    * `md5 byte (f + x + 2y) mod 16`, masked even. */
+  private def baseFrames(dig: Array[Byte], n: Int): Array[Array[Byte]] =
+    Array.tabulate(n) { f =>
+      val plane = new Array[Byte](PhashW * PhashH)
+      var y = 0
+      while (y < PhashH) {
+        var x = 0
+        while (x < PhashW) {
+          plane(y * PhashW + x) =
+            (dig((f + x + 2 * y) % 16) & 0xfe).toByte
+          x += 1
+        }
+        y += 1
+      }
+      plane
+    }
+
+  /** A real YUV4MPEG2 container around mono luma planes; `decorated`
+    * adds the format-legal Ip/A/X header tokens (the m05 LIST-chunk
+    * analogue: a parser that assumes byte offsets instead of walking
+    * tokens breaks on it).
+    */
+  private def y4mContainer(frames: Array[Array[Byte]],
+      decorated: Boolean): Array[Byte] = {
+    val header =
+      if (decorated)
+        s"YUV4MPEG2 W$PhashW H$PhashH F25:1 Ip A1:1 Cmono XGRAFT=fixture\n"
+      else s"YUV4MPEG2 W$PhashW H$PhashH F25:1 Cmono\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(header.getBytes("US-ASCII"))
+    frames.foreach { f =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(f)
+    }
+    bos.toByteArray
+  }
+
   /** Deterministic fake decode: stable per-content pseudo-features.
     * The `???`-shaped seam a real codec implementation replaces (for
-    * VIDEO — images decode for real via [[imageFeatures]], WAV audio
-    * via [[audioFeatures]]).
+    * COMPRESSED video — images decode for real via [[imageFeatures]],
+    * WAV audio via [[audioFeatures]], uncompressed y4m video via
+    * [[videoFrameFeatures]]/[[videoFingerprints]]).
     */
   private[functions] class StubDecoder(dim: Int) extends Serializable {
     def checksum(bytes: Array[Byte]): Long = {
