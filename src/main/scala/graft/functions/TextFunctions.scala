@@ -686,17 +686,24 @@ object TextFunctions {
     * distribution (`percentile`, bit-equal to DuckDB's `quantile_cont`
     * — the [[quantileTrim]] pattern): ONE small corpus-wide aggregate
     * broadcast back to the scored frame, so no global sort and no
-    * single-partition window anywhere — the two scans parallelize at
-    * any corpus size. Ties at a cutoff all take the lower tier
-    * (`<=` comparisons, deterministic).
+    * single-partition window anywhere. Ties at a cutoff all take the
+    * lower tier (`<=` comparisons, deterministic).
+    *
+    * The scored frame feeds BOTH the cutoff aggregate and the output
+    * projection, and its producer carries a corpus aggregate + rank
+    * join Spark has nothing to reuse for — so it goes through the
+    * [[Materialize]] seam once (`materialize = false` to opt out and
+    * persist at the caller's own boundary).
     *
     * Returns (doc_id, n_words, rank_sum, mean_rank, tier).
     */
   def qualityTiers(df: DataFrame, id: Column, text: Column,
-      cut1: Double = 1.0 / 3, cut2: Double = 2.0 / 3): DataFrame = {
+      cut1: Double = 1.0 / 3, cut2: Double = 2.0 / 3,
+      materialize: Boolean = true): DataFrame = {
     require(cut1 > 0 && cut2 < 1 && cut1 <= cut2,
       s"qualityTiers: need 0 < cut1 <= cut2 < 1, got ($cut1, $cut2)")
-    val scored = wordRankScore(df, id, text)
+    val scored0 = wordRankScore(df, id, text)
+    val scored = if (materialize) Materialize(scored0) else scored0
     val bounds = scored.agg(
       percentile(col("mean_rank"), lit(cut1)).as("__c1"),
       percentile(col("mean_rank"), lit(cut2)).as("__c2"))
