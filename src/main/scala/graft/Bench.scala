@@ -87,6 +87,18 @@ object Bench {
     * measured costs when `bench/cost_hints.json` exists.
     */
   private val bakedCostHint: Map[String, Double] = Map(
+    // round 11 additions (estimated from neighboring shapes: g-series
+    // from g01's pair-graph cost, t20 from t15, the rest sub-second
+    // projections/joins)
+    "e07_jl_project" -> 0.5,
+    "e08_knn_jl" -> 0.7,
+    "d24_record_linkage" -> 1.0,
+    "t20_quality_tiers" -> 1.8,
+    "s07_stream_enrich" -> 0.5,
+    "g02_triangles" -> 4.5,
+    "g03_clustering_coeff" -> 5.0,
+    "m07_video_frames" -> 1.0,
+    "m08_video_neardup" -> 1.0,
     // round 10 additions (estimated from the d18/e03 shapes)
     "d23_repeated_spans" -> 2.5,
     "e06_cluster_sample" -> 1.0,

@@ -299,6 +299,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Local clustering coefficient over the same graph: 2t/(deg·(deg−1))
+    // as ONE IEEE division of exact integers — the tight-community
+    // signal (mirror clusters ≈ 1) next to g02's raw counts.
+    "g03_clustering_coeff" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      Graph.clusteringCoefficients(Dedup.jaccardPairs(sh, 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing near-copy pairs: shared-fingerprint counts over the
     // inverted fingerprint index (k=12 char grams, w=8 windows — the
     // local-copy detector; doc-freq cap 20 exercises the stop-gram
@@ -948,6 +957,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hive-style partitioned write + partition-PRUNED filtered read:
+    // documents written partitionBy(lang), read back filtered to two
+    // languages — the file listing prunes to those partition
+    // directories (PartitionFilters on the scan, spec-asserted) and
+    // the data round-trips hash-exact. This is the layout every
+    // 100 TB corpus lands in (partition by source/date/lang) so a
+    // filtered read touches only its slice of the files.
+    "x08_partitioned_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_x08_${java.nio.file.Paths.get(dir).getFileName}_" +
+          s"${ProcessHandle.current().pid()}").toString
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "de"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
     // CSV via pandas) through Spark's csv source — header + explicit
     // schema, quoted fields, hash-matched against the parquet oracle.
@@ -1175,6 +1207,34 @@ object ExtensionQueries {
           functions.Multimodal.syntheticWavVariants(docs)
             .as[functions.Multimodal.MediaRow], maxHamming = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Product-quantization encode: 4 subspaces × 8 centroids trained
+    // by the e03 exact-integer Lloyd arithmetic per subspace, every
+    // vector encoded as 4 codebook indices — the bytes-per-vector
+    // representation a 100 TB ANN index stores. Training, assignment
+    // ties, and codes all hash-gated (the oracle unrolls all 12
+    // sweeps).
+    "e09_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, m = 4, k = 8, dims = 64)
+      Similarity.pqEncode(emb, cb, m = 4, dims = 64)
+        .orderBy(col("vec_id"))
+    }),
+
+    // PQ search by asymmetric distance computation: per-query distance
+    // sums over the codes' centroids (one streamed pass over the codes
+    // table — full vectors untouched), top-50 shortlist, exact
+    // quantized-cosine re-rank to top-5. Codebooks trained on the
+    // corpus side only; every stage integer-exact and oracle-gated.
+    "e10_knn_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val codes = Similarity.pqEncode(corpus, cb, m = 4, dims = 64)
+      Similarity.knnPqAdc(codes, cb, queries, corpus, k = 5, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // REAL video decode over YUV4MPEG2 (the standard uncompressed
@@ -1409,6 +1469,33 @@ object ExtensionQueries {
              UNION ALL SELECT z FROM tri) GROUP BY id)
          SELECT n.id AS doc_id, coalesce(c.t, 0) AS n_triangles
          FROM nodes n LEFT JOIN tcnt c ON c.id = n.id
+         ORDER BY doc_id""",
+
+    // mirrors Graph.clusteringCoefficients: g02's triangle counts plus
+    // the canonical-edge degree, one exact-integer IEEE division
+    "g03_clustering_coeff" ->
+      s"""WITH $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                 greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         deg AS (SELECT id, count(*) AS degree FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+         tcnt AS (SELECT id, count(*) AS t FROM (
+             SELECT x AS id FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY id)
+         SELECT d.id AS doc_id, d.degree,
+           coalesce(c.t, 0) AS n_triangles,
+           CASE WHEN d.degree > 1
+                THEN CAST(coalesce(c.t, 0) * 2 AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS coeff
+         FROM deg d LEFT JOIN tcnt c ON c.id = d.id
          ORDER BY doc_id""",
 
     // identical oracle to d08: the star alternation must produce the
@@ -2501,6 +2588,13 @@ object ExtensionQueries {
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 
+    // the partitioned round-trip plus the pruning predicate: a hash
+    // match proves the partition-directory encode/decode of `lang`
+    // loses nothing and the filter selects exactly the two slices
+    "x08_partitioned_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents WHERE lang IN ('en', 'de') ORDER BY doc_id""",
+
     "j01_json_extract" ->
       """SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
@@ -2610,6 +2704,125 @@ object ExtensionQueries {
              row_number() OVER (PARTITION BY query_id
                ORDER BY cos DESC, neighbor_id) AS rn
            FROM scored)
+         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+    },
+
+    // mirrors Similarity.pqTrain/pqEncode: the e03 Lloyd arithmetic
+    // per 16-dim subspace (12 unrolled sweeps total), assignment ties
+    // → lowest centroid id, codes as the per-subspace centroid ids
+    "e09_pq_encode" -> {
+      val m = 4; val sub = 16
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      def sweep(j: Int, n: Int, prev: String) = s"""
+        a${j}x$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc$j CROSS JOIN $prev),
+        u${j}x$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a${j}x$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c${j}x$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u${j}x$n u ON p.centroid_id = u.centroid_id)"""
+      def subspace(j: Int, filter: String) = s"""
+        qc$j AS (SELECT vec_id,
+            list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}],
+              x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q
+          FROM embeddings $filter),
+        c${j}x0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+            q AS c
+          FROM (SELECT vec_id, q FROM qc$j ORDER BY vec_id LIMIT 8)),
+        ${sweep(j, 1, s"c${j}x0")}, ${sweep(j, 2, s"c${j}x1")},
+        ${sweep(j, 3, s"c${j}x2")},
+        enc$j AS (SELECT vec_id, centroid_id, c FROM (
+            SELECT v.vec_id, c.centroid_id, c.c,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+            FROM qc$j v CROSS JOIN c${j}x3 c) WHERE rn = 1)"""
+      s"""WITH ${(0 until m).map(subspace(_, "")).mkString(",")}
+         SELECT e0.vec_id,
+           [CAST(e0.centroid_id AS INT), CAST(e1.centroid_id AS INT),
+            CAST(e2.centroid_id AS INT), CAST(e3.centroid_id AS INT)] AS codes
+         FROM enc0 e0
+         JOIN enc1 e1 ON e1.vec_id = e0.vec_id
+         JOIN enc2 e2 ON e2.vec_id = e0.vec_id
+         JOIN enc3 e3 ON e3.vec_id = e0.vec_id
+         ORDER BY e0.vec_id"""
+    },
+
+    // mirrors Similarity.knnPqAdc: corpus-trained codebooks, ADC sum
+    // of per-subspace distances to the codes' centroids, (adist,
+    // neighbor) shortlist of 50, exact-cosine re-rank to top-5
+    "e10_knn_pq" -> {
+      val m = 4; val sub = 16
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      def sweep(j: Int, n: Int, prev: String) = s"""
+        a${j}x$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc$j CROSS JOIN $prev),
+        u${j}x$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a${j}x$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c${j}x$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u${j}x$n u ON p.centroid_id = u.centroid_id)"""
+      def subspace(j: Int) = s"""
+        qc$j AS (SELECT vec_id,
+            list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}],
+              x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id >= 10),
+        qq$j AS (SELECT vec_id,
+            list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}],
+              x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id < 10),
+        c${j}x0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+            q AS c
+          FROM (SELECT vec_id, q FROM qc$j ORDER BY vec_id LIMIT 8)),
+        ${sweep(j, 1, s"c${j}x0")}, ${sweep(j, 2, s"c${j}x1")},
+        ${sweep(j, 3, s"c${j}x2")},
+        enc$j AS (SELECT vec_id, centroid_id, c FROM (
+            SELECT v.vec_id, c.centroid_id, c.c,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+            FROM qc$j v CROSS JOIN c${j}x3 c) WHERE rn = 1)"""
+      s"""WITH ${(0 until m).map(subspace).mkString(",")},
+         scored AS (
+           SELECT q0.vec_id AS query_id, e0.vec_id AS neighbor_id,
+             CAST(${sqd("q0.q", "e0.c")} + ${sqd("q1.q", "e1.c")}
+               + ${sqd("q2.q", "e2.c")} + ${sqd("q3.q", "e3.c")} AS BIGINT) AS adist
+           FROM qq0 q0, qq1 q1, qq2 q2, qq3 q3,
+                enc0 e0, enc1 e1, enc2 e2, enc3 e3
+           WHERE q1.vec_id = q0.vec_id AND q2.vec_id = q0.vec_id
+             AND q3.vec_id = q0.vec_id AND e1.vec_id = e0.vec_id
+             AND e2.vec_id = e0.vec_id AND e3.vec_id = e0.vec_id
+             AND q0.vec_id <> e0.vec_id),
+         shortlist AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist, neighbor_id) AS crn
+             FROM scored) WHERE crn <= 50),
+         rescored AS (
+           SELECT s.query_id, s.neighbor_id,
+             ${cosQ("qe.embedding", "ce.embedding")} AS cos
+           FROM shortlist s
+           JOIN embeddings qe ON qe.vec_id = s.query_id
+           JOIN embeddings ce ON ce.vec_id = s.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn
+           FROM rescored)
          SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
     },

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.functions.{Dedup, Graph, Similarity, TextFunctions}
 
 /** Scaling-curve harness: times the banded/LSH operators at several corpus
   * sizes so SCALE.md's "near-linear" claims are measured, not argued.
@@ -130,7 +130,34 @@ object ScaleCurve {
     "d23_repeated_spans" -> ((s, dir) =>
       Dedup.removeRepeatedSpans(docs(s, dir), col("doc_id"), col("text"), 8)),
     "e06_cluster_sample" -> ((s, dir) =>
-      Similarity.clusterBalancedSample(emb(s, dir), k = 8, perCluster = 5)))
+      Similarity.clusterBalancedSample(emb(s, dir), k = 8, perCluster = 5)),
+    // round-11 curve additions: record linkage on a documents-derived
+    // entity table (fixed (lang, source) blocking — the unguarded
+    // quadratic — vs the maxBlockSize guard), the triangle stage over
+    // the d03 pair graph, and the JL-prefilter ANN
+    "d24_linkage" -> ((s, dir) =>
+      Dedup.linkRecords(
+        docs(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 24).as("name"),
+          concat_ws("|", col("lang"), col("source")).as("blk")),
+        col("doc_id"), col("name"), col("blk"),
+        maxDist = 3, maxBlockSize = Int.MaxValue - 1)),
+    "d24_guarded" -> ((s, dir) =>
+      Dedup.linkRecords(
+        docs(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 24).as("name"),
+          concat_ws("|", col("lang"), col("source")).as("blk")),
+        col("doc_id"), col("name"), col("blk"),
+        maxDist = 3, maxBlockSize = 100)),
+    "g02_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(Dedup.jaccardPairs(
+        Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 0.8))),
+    "e08_knn_jl" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnJlPrefilter(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        k = 5, candidates = 50)
+    }))
 
   /** Candidate-stage WORK counts per operator — the environment-proof
     * scaling evidence. Wall time on a contended box measures the box;
@@ -368,6 +395,49 @@ object ScaleCurve {
       val v = wins.groupBy(col("h")).count().filter(col("count") > 1)
         .agg(sum(col("count") - 1)).first()
       if (v.isNullAt(0)) 0L else v.getLong(0)
+    }),
+    // d24 record linkage: Σ over (lang, source) block of C(m,2) — the
+    // unguarded pair volume under a FIXED blocking key. Expected
+    // ~quadratic (block populations grow with the corpus): the measured
+    // justification for the maxBlockSize guard and for blocking keys
+    // whose cardinality grows with the data (the d06 fixed-bucket
+    // anti-pattern, relational edition).
+    "d24_block_pairs" -> ((s, dir) =>
+      pairSum(docs(s, dir).groupBy(col("lang"), col("source")).count())),
+    // g02 triangles: wedge volume under the degree orientation —
+    // Σ over oriented source of C(outdeg, 2) — vs the UN-oriented
+    // Σ over node of C(deg, 2) a naive neighbor self-join does. The
+    // oriented count is the join's actual output volume; the gap
+    // between the two is what the Suri–Vassilvitskii orientation
+    // saves (the celebrity node's deg² term).
+    "g02_wedges_oriented" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 0.8)
+      val canon = pairs.select(
+          least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = canon.select(col("a").as("id"))
+        .unionByName(canon.select(col("b").as("id")))
+        .groupBy(col("id")).count()
+      val oriented = canon
+        .join(deg.select(col("id").as("a"), col("count").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("count").as("db")), Seq("b"))
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"))
+      pairSum(oriented.groupBy(col("src")).count())
+    }),
+    "g02_wedges_unoriented" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 0.8)
+      val canon = pairs.select(
+          least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      pairSum(canon.select(col("a").as("id"))
+        .unionByName(canon.select(col("b").as("id")))
+        .groupBy(col("id")).count())
     }))
 
   def workCounts(spark: SparkSession, outFile: String,

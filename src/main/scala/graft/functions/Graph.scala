@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Graph analytics over pair tables (the near-dup graphs this library
   * already produces, link graphs a crawl pipeline carries): PageRank as
@@ -168,5 +168,36 @@ object Graph {
       .join(perNode, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("t"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient per node: `2·t / (deg·(deg−1))` —
+    * how close each node's neighborhood is to a clique, the standard
+    * tightly-knit-community signal next to [[triangleCounts]]'s raw
+    * counts (link farms and mirror clusters sit near 1; organic link
+    * graphs near 0). Degree-1 nodes get 0.0 (no possible triangle).
+    *
+    * The division is ONE IEEE double over exact integers — the
+    * d14/t09 determinism convention, so the ratio is engine-portable
+    * and oracle-gated. Cost on top of [[triangleCounts]]: one
+    * partial-aggregatable degree count over the pair frame plus a
+    * label join — the triangle machinery dominates.
+    *
+    * Returns (doc_id, degree, n_triangles, coeff).
+    */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val canon = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    triangleCounts(pairs)
+      .join(deg, col("doc_id") === col("id"))
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        when(col("degree") > 1,
+          (col("n_triangles") * 2).cast(DoubleType) /
+            (col("degree") * (col("degree") - 1)).cast(DoubleType))
+          .otherwise(lit(0.0)).as("coeff"))
   }
 }

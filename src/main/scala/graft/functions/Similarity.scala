@@ -766,6 +766,139 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  // ---------- product quantization (PQ) ----------
+
+  /** Train product-quantization codebooks (Jégou et al., "Product
+    * quantization for nearest neighbor search", TPAMI 2011, public):
+    * split the `dims`-dim space into `m` contiguous subspaces of
+    * dims/m components and train an independent `k`-centroid quantizer
+    * per subspace — each via the bit-reproducible exact-integer
+    * [[ivfTrain]] Lloyd arithmetic on the sliced vectors (lowest-id
+    * seeds, integer-rounded means), so the e03 oracle pattern unrolls
+    * every subspace's sweeps in SQL.
+    *
+    * Returns (subspace, centroid_id, centroid) with quantized long
+    * centroids. Codebook size is m·k·(dims/m) = k·dims longs — driver
+    * state identical to one [[ivfTrain]] call; training cost is m
+    * independent ivfTrain passes (each O(iters·k·|corpus|) broadcast
+    * distance evaluations, corpus never shuffled).
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 4, k: Int = 8, dims: Int = 64,
+      iters: Int = 3): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"pqTrain: dims ($dims) must divide into m ($m) subspaces")
+    val sub = dims / m
+    (0 until m).map { j =>
+      ivfTrain(corpus.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        k, iters)
+        .withColumn("subspace", lit(j))
+    }.reduce(_ unionByName _)
+      .select(col("subspace"), col("centroid_id"), col("centroid"))
+  }
+
+  /** Collected codebook: subspace → centroids ordered by centroid_id.
+    * Bounded k·dims longs (the [[ivfTrain]] driver-state contract). */
+  private def collectCodebooks(codebooks: DataFrame,
+      m: Int): IndexedSeq[Seq[Seq[Long]]] = {
+    val rows = codebooks
+      .select(col("subspace"), col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    (0 until m).map { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq).toSeq
+    }
+  }
+
+  /** Encode every vector as `m` codebook indices — the 8-byte-per-
+    * vector representation a 100 TB ANN index actually stores (64
+    * floats → m small ints; here kept as `array<int>` for oracle
+    * clarity, byte-packable at the storage boundary). Assignment is
+    * nearest centroid per subspace by exact integer distance
+    * (ties → lowest centroid id, matching [[ivfAssign]]).
+    *
+    * ZERO shuffle: the codebook is collected (k·dims longs) and
+    * embedded as literals, so encoding is a pure per-row projection —
+    * argmin over k literal-array distances per subspace — that
+    * parallelizes with the scan at any corpus size. Returns
+    * (vec_id, codes).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"pqEncode: dims ($dims) must divide into m ($m) subspaces")
+    val sub = dims / m
+    val cbs = collectCodebooks(codebooks, m)
+    val codeCols = (0 until m).map { j =>
+      val qs = quantize(slice(col("embedding"), j * sub + 1, sub))
+      val dists = array(cbs(j).map(cent =>
+        sqDistQ(qs, array(cent.map(lit): _*))): _*)
+      (array_position(dists, array_min(dists)) - 1)
+        .cast(IntegerType)
+    }
+    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ search by asymmetric distance computation (ADC): score every
+    * corpus CODE row against each (broadcastable) query by summing the
+    * query-to-centroid distances its codes select — the full corpus
+    * vectors are touched only for the `rerank` shortlist, which then
+    * re-ranks by exact quantized cosine to the final top `k`.
+    *
+    * Plan shape: ONE streamed pass over the codes table (queries and
+    * codebook broadcast as literals — `element_at` picks each code's
+    * centroid from a nested literal array), a WindowGroupLimit
+    * shortlist per query, one join back to the corpus for the
+    * `rerank` full vectors, exact re-rank. At 100 TB the scan reads
+    * m ints per vector instead of dims floats — the 8–32× I/O
+    * reduction that makes exhaustive candidate generation affordable —
+    * and nothing shuffles except the queries·rerank shortlist.
+    *
+    * Approximation contract: ADC ranks by quantized L2 distance (the
+    * PQ paper's metric); the exact cosine re-rank restores the e01
+    * metric on the shortlist, so recall degrades gracefully with
+    * `rerank` exactly as [[knnJlPrefilter]]'s does with `candidates`.
+    * All arithmetic integer-exact → fully oracle-gated.
+    *
+    * Schema out: (query_id, neighbor_id, rank, cos).
+    */
+  def knnPqAdc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, rerank: Int = 50, m: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(k > 0 && rerank >= k, "knnPqAdc: need rerank >= k > 0")
+    require(m > 0 && dims % m == 0,
+      s"knnPqAdc: dims ($dims) must divide into m ($m) subspaces")
+    val sub = dims / m
+    val cbs = collectCodebooks(codebooks, m)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val adist = (0 until m).map { j =>
+      val qs = quantize(slice(col("q_emb"), j * sub + 1, sub))
+      val centArr = array(cbs(j).map(cent =>
+        array(cent.map(lit): _*)): _*)
+      sqDistQ(qs, element_at(centArr, element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"),
+        adist.as("adist"))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= rerank)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Bucket id from an ALREADY-quantized vector column — callers that
     * compute many buckets should materialize the quantized array first
     * (see [[cosineNearDupPairs]]) so each plane's aggregate reads a

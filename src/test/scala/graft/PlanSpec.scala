@@ -148,6 +148,15 @@ class PlanSpec extends SparkSpec {
       s"LSH candidates re-aggregate on the pair — distinct() is back:\n$cand")
   }
 
+  test("x08: partitioned read prunes to the filtered partition directories") {
+    val f = formatted("x08_partitioned_scan")
+    // the lang predicate must be a PARTITION filter (directory pruning
+    // at listing time), never a data filter the scan evaluates per row
+    assert("""PartitionFilters: \[lang#\d+ IN \((en,de|de,en)\)\]""".r
+      .findFirstIn(f).isDefined,
+      s"lang IN predicate not a partition filter:\n$f")
+  }
+
   test("excel scan plans as a DSv2 BatchScan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan-xlsx").toString

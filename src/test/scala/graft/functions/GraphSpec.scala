@@ -36,6 +36,42 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 51 && got.values.forall(_ == 0L))
   }
 
+  test("triangles: match a brute-force reference on a pseudo-random graph") {
+    // deterministic pseudo-random graph: 40 nodes, edge (i, j) present
+    // iff a hash condition holds — dense enough for many triangles
+    val edges = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      if scala.util.hashing.MurmurHash3.productHash((i, j)) % 5 == 0
+    } yield (i, j)
+    val got = Graph.triangleCounts(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val want = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) => want(a) += 0; want(b) += 0 }
+    for {
+      (a, b) <- edges
+      c <- adj(b) if adj(a).contains(c)
+    } { want(a) += 1; want(b) += 1; want(c) += 1 }
+    assert(got == want.toMap, s"diff: ${got.toSet.diff(want.toSet)}")
+  }
+
+  test("clustering coefficients: clique nodes at 1.0, chain nodes at 0") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle: coeff 1 everywhere
+      (3L, 4L), (4L, 5L)            // chain off node 3
+    ).toDF("id_a", "id_b")
+    val out = Graph.clusteringCoefficients(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    // node 3: degree 3, one triangle → 2·1/(3·2) = 1/3
+    assert(out(3L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(4L) == ((2L, 0L, 0.0)))
+    assert(out(5L)._1 == 1L && out(5L)._3 == 0.0, "degree-1 node → 0.0")
+  }
+
   test("triangles: deterministic across partitioning; duplicate and " +
       "reversed input edges collapse") {
     val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 3L))

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product quantization (`Similarity.pqTrain` / `pqEncode` /
+  * `knnPqAdc`): subspace codebooks, zero-shuffle encoding, ADC search
+  * with exact re-rank. The e09/e10 gates prove the arithmetic against
+  * the DuckDB oracle; here we pin the code contract, exactness at full
+  * rerank width, and determinism.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+
+  // two tight clusters along different axes plus outliers — 8-dim so
+  // m=2 subspaces of 4
+  private lazy val emb = Seq(
+    (0L, Seq(1.0f, 0.9f, 0f, 0f, 1.0f, 0.9f, 0f, 0f)),
+    (1L, Seq(0.9f, 1.0f, 0f, 0f, 0.9f, 1.0f, 0f, 0f)),
+    (2L, Seq(0f, 0f, 1.0f, 0.9f, 0f, 0f, 1.0f, 0.9f)),
+    (3L, Seq(0f, 0f, 0.9f, 1.0f, 0f, 0f, 0.9f, 1.0f)),
+    (4L, Seq(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)),
+    (5L, Seq(1.0f, 0f, 0f, 1.0f, 0f, 1.0f, 1.0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("codebooks: m subspaces of k centroids, sub-dims wide") {
+    val cb = Similarity.pqTrain(emb, m = 2, k = 3, dims = dims).collect()
+    assert(cb.length == 6)
+    assert(cb.map(_.getInt(0)).toSet == Set(0, 1))
+    cb.foreach(r => assert(r.getSeq[Long](2).length == dims / 2))
+  }
+
+  test("codes: one index per subspace, all within [0, k)") {
+    val cb = Similarity.pqTrain(emb, m = 2, k = 3, dims = dims)
+    val codes = Similarity.pqEncode(emb, cb, m = 2, dims = dims).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 6)
+    codes.values.foreach { c =>
+      assert(c.length == 2 && c.forall(x => x >= 0 && x < 3), s"codes $c")
+    }
+    // cluster mates must share codes; cross-cluster vectors must not
+    assert(codes(0L) == codes(1L))
+    assert(codes(2L) == codes(3L))
+    assert(codes(0L) != codes(2L))
+  }
+
+  test("ADC with full-width rerank reproduces brute force exactly") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val codes = Similarity.pqEncode(corpus, cb, m = 2, dims = dims)
+    val pq = Similarity.knnPqAdc(codes, cb, queries, corpus,
+        k = 2, rerank = 4, m = 2, dims = dims)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Similarity.knnBrute(corpus, queries, 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    assert(pq == brute)
+  }
+
+  test("narrow rerank still returns k ranked rows per query; deterministic") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val codes = Similarity.pqEncode(corpus, cb, m = 2, dims = dims)
+    def run() = Similarity.knnPqAdc(codes, cb, queries, corpus,
+        k = 2, rerank = 2, m = 2, dims = dims)
+      .collect().map(_.toString).sorted.toSeq
+    val out = run()
+    assert(out.length == 4, s"2 queries × k=2: $out")
+    assert(out == run())
+  }
+
+  test("encode plan: zero shuffle — a pure projection over the scan") {
+    val cb = Similarity.pqTrain(emb, m = 2, k = 3, dims = dims)
+    val plan = Similarity.pqEncode(emb, cb, m = 2, dims = dims)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+  }
+}
