@@ -725,14 +725,18 @@ object Similarity {
     * neighbor id), the re-rank is [[cosineQ]]'s one-IEEE-division
     * arithmetic — both stages reproduce bit-for-bit in the oracle.
     *
-    * Scale shape: corpus never shuffles — the candidate stage is a
-    * streamed nested-loop against the broadcast queries with a
-    * WindowGroupLimit top-`candidates` per query (map-side pruning
-    * before the exchange), and the exact stage re-ranks
-    * |queries|·candidates rows. Recall degrades gracefully with
-    * `candidates` (measured: the JL inner product preserves ranking of
-    * well-separated neighbors; raise `candidates` to absorb
-    * distortion).
+    * Scale shape: the coarse pass streams the REDUCED representation
+    * only — (vec_id, outDims longs) per corpus row, never the full
+    * vectors — against the broadcast queries, with a WindowGroupLimit
+    * top-`candidates` per query (map-side pruning before the
+    * exchange); the full corpus vectors are touched by ONE
+    * shortlist-sized join for the exact stage (the [[knnPqAdc]]
+    * shape), which re-ranks |queries|·candidates rows. At 100 TB the
+    * candidate scan therefore reads 8 longs instead of 64 floats per
+    * vector — the JL projection's whole point. Recall degrades
+    * gracefully with `candidates` (the JL inner product preserves
+    * ranking of well-separated neighbors; raise `candidates` to
+    * absorb distortion).
     *
     * Schema out: (query_id, neighbor_id, rank, cos).
     */
@@ -741,24 +745,23 @@ object Similarity {
     require(k > 0 && candidates >= k,
       "knnJlPrefilter: need candidates >= k > 0")
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"),
       jlProject(col("embedding"), outDims, dims).as("c_jl"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       jlProject(col("embedding"), outDims, dims).as("q_jl"))
-    val coarse = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("q_emb"), col("c_emb"),
-        dotQ(col("q_jl"), col("c_jl")).as("jl_dot"))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("jl_dot").desc, col("neighbor_id"))
-    val shortlist = coarse
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"),
+        dotQ(col("q_jl"), col("c_jl")).as("jl_dot"))
       .withColumn("crank", row_number().over(wCoarse))
       .filter(col("crank") <= candidates)
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineQ(col("q_emb"), col("c_emb")).as("cos"))
       .withColumn("rank", row_number().over(wExact))
