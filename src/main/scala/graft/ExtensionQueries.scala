@@ -437,6 +437,19 @@ object ExtensionQueries {
         .orderBy(col("rec_id"))
     }),
 
+    // d24 plus canonical-record selection: each entity keeps its
+    // highest-acctbal member (ties → lowest key) as the master record
+    // — one partial-aggregatable arg-max per entity, no window. The
+    // oracle mirrors the (score desc, id) representative choice over
+    // the same transitive closure.
+    "d25_linkage_canonical" -> ((s, dir) => {
+      Dedup.linkRecordsCanonical(t(s, dir, "customer"),
+          col("c_custkey"), col("c_name"),
+          struct(col("c_nationkey"), col("c_mktsegment")),
+          maxDist = 1, keepBy = col("c_acctbal"))
+        .orderBy(col("rec_id"))
+    }),
+
     // p01's curation recipe with the dedup stage LSH-gated (the
     // pairStrategy pass-through Curation.curate → dedupNear) — the
     // at-scale configuration of the one-call pipeline.
@@ -1781,6 +1794,36 @@ object ExtensionQueries {
            coalesce(l.ent, c.c_custkey) AS entity_id
          FROM customer c LEFT JOIN lab l ON l.id = c.c_custkey
          ORDER BY rec_id""",
+
+    // d24's closure plus the (c_acctbal DESC, rec_id) master-record
+    // choice per entity
+    "d25_linkage_canonical" ->
+      """WITH RECURSIVE
+         r AS (SELECT c_custkey AS id, c_name AS name,
+                 c_nationkey AS nk, c_mktsegment AS seg FROM customer),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM r a JOIN r b
+             ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+           WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         lab AS (SELECT id, min(r) AS ent FROM reach GROUP BY id),
+         asg AS (SELECT c.c_custkey AS rec_id,
+             coalesce(l.ent, c.c_custkey) AS entity_id, c.c_acctbal
+           FROM customer c LEFT JOIN lab l ON l.id = c.c_custkey),
+         can AS (SELECT entity_id, rec_id AS canonical_id FROM (
+             SELECT entity_id, rec_id,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY c_acctbal DESC, rec_id) AS rn
+             FROM asg) WHERE rn = 1)
+         SELECT a.rec_id, a.entity_id, c.canonical_id
+         FROM asg a JOIN can c ON c.entity_id = a.entity_id
+         ORDER BY a.rec_id""",
 
     // p01's composed oracle with the dedup stage LSH-gated: signatures
     // and banding over the language-FILTERED shingles (curate filters

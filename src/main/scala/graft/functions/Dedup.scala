@@ -1333,4 +1333,31 @@ object Dedup {
       .select(col("rec_id"),
         coalesce(col("cluster_id"), col("rec_id")).as("entity_id"))
   }
+
+  /** [[linkRecords]] plus canonical-record selection: each entity's
+    * representative is its highest-`keepBy` member (ties → lowest
+    * rec_id) — the master-record choice real entity resolution ends
+    * with (keep the most complete / most recent / highest-value
+    * record), the record-linkage analogue of [[dedupNear]]'s `keepBy`
+    * and `Curation.curate`'s quality-aware survivor.
+    *
+    * The arg-max is ONE partial-aggregatable `max(struct(keepBy,
+    * -rec_id))` per entity — map-side combine, no window, so a
+    * million-record entity ships one row per map task (the
+    * [[dedupExact]] discipline). Returns
+    * (rec_id, entity_id, canonical_id).
+    */
+  def linkRecordsCanonical(df: DataFrame, id: Column, name: Column,
+      blockKey: Column, maxDist: Int, keepBy: Column,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val assigned = linkRecords(df, id, name, blockKey, maxDist, maxBlockSize)
+      .join(df.select(id.as("rec_id"), keepBy.as("__score")), Seq("rec_id"))
+    val canon = assigned
+      .groupBy(col("entity_id"))
+      .agg(max(struct(col("__score").as("s"), (-col("rec_id")).as("nid")))
+        .as("__best"))
+      .select(col("entity_id"), (-col("__best.nid")).as("canonical_id"))
+    assigned.join(canon, Seq("entity_id"))
+      .select(col("rec_id"), col("entity_id"), col("canonical_id"))
+  }
 }

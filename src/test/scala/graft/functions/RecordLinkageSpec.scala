@@ -61,6 +61,20 @@ class RecordLinkageSpec extends SparkSpec {
     (10L to 14L).foreach(i => assert(ents(i) == i))
   }
 
+  test("canonical selection: highest keepBy wins, ties take the lowest id") {
+    val scored = Seq(
+      (1L, "smith", "X", 10.0), (2L, "smyth", "X", 90.0),
+      (3L, "smythe", "X", 90.0), (4L, "jones", "X", 50.0)
+    ).toDF("rec_id", "name", "blk", "score")
+    val out = Dedup.linkRecordsCanonical(scored, col("rec_id"), col("name"),
+        col("blk"), maxDist = 1, keepBy = col("score"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // chain 1-2-3 → entity 1, canonical = id 2 (score 90 ties with 3,
+    // lower id wins); singleton 4 is its own canonical
+    assert(out == Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 2L)), 4L -> ((4L, 4L))))
+  }
+
   test("maxDist 0 degenerates to exact-match linkage within blocks") {
     val ents = Dedup.linkRecords(recs.unionByName(
         Seq((7L, "smith", "X")).toDF("rec_id", "name", "blk")),
