@@ -522,6 +522,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Feature-hashed bag-of-words vectors (the hashing trick): the
+    // no-model text→vector bridge into the embedding operator family —
+    // md5-portable bucket + sign, exact signed integer counts, zero
+    // shuffle; every component hash-gated.
+    "t21_hash_embed" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.hashEmbed(col("text"), 16).as("vec"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t14_vocab_coverage" -> ((s, dir) => {
       TextFunctions.vocabCoverage(t(s, dir, "documents"),
           col("doc_id"), col("text"), topN = 50)
@@ -1973,6 +1984,18 @@ object ExtensionQueries {
                 WHEN mean_rank <= c2 THEN 'middle'
                 ELSE 'tail' END AS tier
          FROM scored, b ORDER BY doc_id""",
+
+    // mirrors TextFunctions.hashEmbed: bucket = first-14-hex md5 mod
+    // 16, sign = parity of hex digit 15, signed counts per component
+    "t21_hash_embed" ->
+      """SELECT doc_id,
+           list_transform(range(0, 16), i ->
+             CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+               w -> CASE WHEN CAST(('0x'||substr(md5(w),1,14)) AS BIGINT) % 16 = i
+                    THEN (CASE WHEN CAST(('0x'||substr(md5(w),15,1)) AS BIGINT) % 2 = 0
+                               THEN 1 ELSE -1 END)
+                    ELSE 0 END)), 0) AS BIGINT)) AS vec
+         FROM documents ORDER BY doc_id""",
 
     // mirrors TextFunctions.vocabCoverage: tf-desc/term rank, top 50,
     // running-tf-sum over the exact integer total

@@ -477,6 +477,35 @@ object TextFunctions {
     when(best("hits") > 0, best("lang")).otherwise(lit("und"))
   }
 
+  /** Feature-hashed bag-of-words vector (the "hashing trick" —
+    * Weinberger et al., ICML 2009, public): component i is the signed
+    * count of words hashing to bucket i, with the bucket from
+    * [[portableHash64]] mod `dims` and the ±1 sign from the parity of
+    * md5 hex digit 15 (an independent bit of the same digest) — the
+    * sign trick that makes collisions cancel in expectation, keeping
+    * hashed inner products unbiased estimates of the true
+    * bag-of-words inner product. The no-model text→vector bridge: its
+    * output feeds every embedding-side operator here (cosine near-dup,
+    * ANN, clustering) without a trained encoder, and two engines
+    * produce bit-identical vectors (md5-portable, exact integers).
+    *
+    * ZERO shuffle — a pure per-row fold, O(words·dims) per document
+    * (dims is small by construction; the hashing trick's point is a
+    * fixed low dimension). Lambda-bearing columns are `def`s per the
+    * [[gopherRules]] collision rule.
+    */
+  def hashEmbed(text: Column, dims: Int = 16): Column = {
+    require(dims > 0, "hashEmbed: dims must be positive")
+    def toks = words(text)
+    def bucket(w: Column) = pmod(portableHash64(w), lit(dims))
+    def sgn(w: Column) =
+      when(conv(substring(md5(w), 15, 1), 16, 10)
+        .cast(LongType) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      aggregate(toks, lit(0L), (acc, w) =>
+        acc + when(bucket(w) === i, sgn(w)).otherwise(0L)))
+  }
+
   /** Document fingerprint: md5 over the whitespace-normalized, lowercased,
     * punctuation-stripped text — the canonical exact-dedup key that is
     * robust to formatting noise.

@@ -10,6 +10,35 @@ import graft.{SparkSpec, Tables}
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hashEmbed: matches an independent Scala reference; zero shuffle") {
+    val docs = Seq((1L, "a b a c"), (2L, "x"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val dims = 8
+    val out = docs.select(col("doc_id"),
+        TextFunctions.hashEmbed(col("text"), dims).as("vec"))
+    // independent reference: same md5 bucket/sign arithmetic in plain Scala
+    def h(w: String): (Int, Long) = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = (java.lang.Long.parseLong(md5.substring(0, 14), 16) % dims).toInt
+      val sgn = if (java.lang.Long.parseLong(md5.substring(14, 15), 16) % 2 == 0) 1L else -1L
+      (bucket, sgn)
+    }
+    def ref(text: String): Seq[Long] = {
+      val v = Array.fill(dims)(0L)
+      text.split("\\s+").foreach { w => val (b, s) = h(w); v(b) += s }
+      v.toSeq
+    }
+    val got = out.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == ref("a b a c"))
+    assert(got(2L) == ref("x"))
+    assert(got(3L) == ref("a a a a"))
+    // repeated word accumulates: doc 3's "a" bucket carries ±4
+    assert(got(3L).map(math.abs).sum == 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashEmbed must not shuffle:\n$plan")
+  }
+
   test("repetitionStats computes known values on crafted docs") {
     val docs = Seq(
       (1L, "a a a b"),        // 4 words, 2 distinct, top word 3, bigrams: "a a","a a","a b"
