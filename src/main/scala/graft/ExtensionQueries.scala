@@ -533,6 +533,31 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode normalization + accent folding (t22): native codegen'd
+    // projections (UnicodeNormalize / StripAccents). The corpus text is
+    // ASCII (both transforms must pass it through untouched — the
+    // no-allocation fast path), so precomposed/decomposed/diacritic/
+    // non-decomposable/CJK fixtures are planted as literal rows; the
+    // oracle computes the same rows with DuckDB's nfc_normalize and
+    // strip_accents, pinning cross-engine parity of both kernels.
+    "t22_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "cafe\u0301 du monde"),     // decomposed e + U+0301
+        (9000002L, "caf\u00e9 du monde"),      // precomposed \u00e9
+        (9000003L, "m\u00fcnchen stra\u00dfe"), // \u00fc folds, \u00df passes
+        (9000004L, "\u00f8re \u014dmura \u00d1o"), // \u00f8 passes, \u014d/\u00d1 fold
+        (9000005L, "\u6f22\u5b57 text"),      // CJK passthrough
+        (9000006L, "plain ascii")
+      ).toDF("doc_id", "txt")
+      t(s, dir, "documents").select(col("doc_id"), col("text").as("txt"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          TextFunctions.normalizeUnicode(col("txt")).as("norm"),
+          TextFunctions.foldAccents(col("txt")).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t14_vocab_coverage" -> ((s, dir) => {
       TextFunctions.vocabCoverage(t(s, dir, "documents"),
           col("doc_id"), col("text"), topN = 50)
@@ -1996,6 +2021,24 @@ object ExtensionQueries {
                                THEN 1 ELSE -1 END)
                     ELSE 0 END)), 0) AS BIGINT)) AS vec
          FROM documents ORDER BY doc_id""",
+
+    // mirrors TextFunctions.normalizeUnicode (NFC) and foldAccents via
+    // DuckDB's nfc_normalize/strip_accents on the same planted
+    // codepoints (chr() args = the Scala \u escapes in the gate)
+    "t22_normalize" ->
+      """WITH src AS (
+           SELECT doc_id, text AS txt FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'cafe' || chr(769) || ' du monde'),
+             (9000002, 'caf' || chr(233) || ' du monde'),
+             (9000003, 'm' || chr(252) || 'nchen stra' || chr(223) || 'e'),
+             (9000004, chr(248) || 're ' || chr(333) || 'mura ' || chr(209) || 'o'),
+             (9000005, chr(28450) || chr(23383) || ' text'),
+             (9000006, 'plain ascii')) v(doc_id, txt))
+         SELECT doc_id, nfc_normalize(txt) AS norm,
+           strip_accents(txt) AS folded
+         FROM src ORDER BY doc_id""",
 
     // mirrors TextFunctions.vocabCoverage: tf-desc/term rank, top 50,
     // running-tf-sum over the exact integer total

@@ -14,6 +14,28 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def words(text: Column): Column = split(text, "\\s+")
 
+  /** Unicode normalization (NFC by default; NFD/NFKC/NFKD accepted) —
+    * run this BEFORE any content-keyed dedup on a corpus that mixes
+    * sources: precomposed (U+00E9) and decomposed (U+0065 U+0301)
+    * renderings of the same text otherwise produce different
+    * fingerprints/shingles/line-hashes and silently miss duplicates.
+    * Native codegen'd projection ([[expressions.UnicodeNormalize]]);
+    * already-normalized text (the common case) is detected without
+    * allocation. Zero shuffle.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    expressions.UnicodeNormalize(text, form)
+
+  /** Accent folding: NFD-decompose, drop combining marks, recompose —
+    * `café münchen` → `cafe munchen`; non-decomposable characters
+    * (`ø`, `ß`, CJK) pass through. The canonical "same word modulo
+    * diacritics" key for record linkage ([[Dedup.linkRecords]]) and
+    * cross-source matching; parity with DuckDB's `strip_accents`
+    * (t22 oracle). Native codegen'd projection with an ASCII
+    * zero-allocation fast path. Zero shuffle.
+    */
+  def foldAccents(text: Column): Column = expressions.StripAccents(text)
+
   /** Word n-gram shingles (the unit set for Jaccard/MinHash dedup).
     * Empty result for docs shorter than n words.
     *
