@@ -464,6 +464,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Shard manifest (p04): the curation OUTPUT stage's contract —
+    // one row per (stratum, bin) shard of the t12 packing with doc
+    // count, token total, and id range; Curation.writeShards writes
+    // exactly this layout as stratum=…/bin=… Hive directories
+    // (ShardWriteSpec pins the files == manifest round-trip).
+    "p04_shard_manifest" -> ((s, dir) => {
+      Curation.shardManifest(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), col("n_chars"), budget = 2000L)
+        .orderBy(col("stratum"), col("bin"))
+    }),
+
     // p01's curation recipe with the QUALITY-AWARE keep policy: the
     // near-dedup stage keeps each cluster's highest-qualityScore member
     // (ties min id) instead of the min id — the keepBy pass-through
@@ -555,6 +566,28 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TextFunctions.normalizeUnicode(col("txt")).as("norm"),
           TextFunctions.foldAccents(col("txt")).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction (t23): every email/phone/ipv4 match rewritten to a
+    // <NAME> placeholder + per-pattern counts from the original text —
+    // regexScan's emit-side twin. PII fixtures are planted as literal
+    // rows (the corpus prose has none); Java and RE2 agree on the
+    // Java∩RE2 pattern subset, so the whole rewrite is hash-gated
+    // against DuckDB's global regexp_replace.
+    "t23_redact_pii" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "contact john.doe@example.com or jane@test.org today"),
+        (9000002L, "call 555-123-4567 or 555.987.6543 now"),
+        (9000003L, "server at 192.168.1.1 responded fine"),
+        (9000004L, "email bob@corp.io phone 111-222-3333 ip 10.0.0.1"),
+        (9000005L, "no sensitive content in this row")
+      ).toDF("doc_id", "txt")
+      TextFunctions.redactPii(
+          t(s, dir, "documents").select(col("doc_id"), col("text").as("txt"))
+            .unionByName(planted),
+          col("doc_id"), col("txt"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1027,6 +1060,22 @@ object ExtensionQueries {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // KMV distinct-count sketch (x09): COUNT(DISTINCT) with k-bounded
+    // memory — a native TypedImperativeAggregate (map-side partial
+    // aggregation ships ≤ k longs per group, merges associative). At
+    // the gate's cardinalities (≤1500 distinct users, k=4096) the
+    // sketch is provably EXACT, so the oracle is DuckDB's true
+    // COUNT(DISTINCT); the ~1/√k estimate regime is spec-pinned
+    // (KmvDistinctSpec) at n ≫ k.
+    "x09_kmv_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(functions.expressions.KmvDistinct(col("user_id"), 4096)
+            .as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
     }),
 
     // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
@@ -2040,6 +2089,35 @@ object ExtensionQueries {
            strip_accents(txt) AS folded
          FROM src ORDER BY doc_id""",
 
+    // mirrors TextFunctions.redactPii: sequential global replace in
+    // pattern order (email, phone, ipv4), counts from the original
+    "t23_redact_pii" ->
+      """WITH src AS (
+           SELECT doc_id, text AS txt FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'contact john.doe@example.com or jane@test.org today'),
+             (9000002, 'call 555-123-4567 or 555.987.6543 now'),
+             (9000003, 'server at 192.168.1.1 responded fine'),
+             (9000004, 'email bob@corp.io phone 111-222-3333 ip 10.0.0.1'),
+             (9000005, 'no sensitive content in this row')) v(doc_id, txt))
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS email_hits,
+           CAST(len(regexp_extract_all(txt,
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS phone_hits,
+           CAST(len(regexp_extract_all(txt,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS ipv4_hits,
+           (len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+            OR len(regexp_extract_all(txt, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) > 0
+            OR len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0)
+             AS has_hits
+         FROM src ORDER BY doc_id""",
+
     // mirrors TextFunctions.vocabCoverage: tf-desc/term rank, top 50,
     // running-tf-sum over the exact integer total
     "t14_vocab_coverage" ->
@@ -2317,6 +2395,21 @@ object ExtensionQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                FROM documents)
          ORDER BY doc_id""",
+
+    // mirrors Curation.shardManifest: the t12 bin rule aggregated per
+    // (lang, bin)
+    "p04_shard_manifest" ->
+      """WITH b AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+           FROM (SELECT doc_id, lang, n_chars,
+                   sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM documents))
+         SELECT lang AS stratum, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // word/bigram top frequencies via explode+group (the per-doc
     // aggregation dual of Spark's zero-shuffle sorted-run fold —
@@ -2703,6 +2796,13 @@ object ExtensionQueries {
     "x08_partitioned_scan" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents WHERE lang IN ('en', 'de') ORDER BY doc_id""",
+
+    // the sketch is exact below k distinct, so the oracle is the true
+    // distinct count
+    "x09_kmv_distinct" ->
+      """SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "j01_json_extract" ->
       """SELECT event_type,

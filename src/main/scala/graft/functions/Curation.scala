@@ -69,4 +69,53 @@ object Curation {
       deduped, lang, id, rates, defaultRate)
     TextFunctions.packSequences(sampled, lang, id, tokens, budget)
   }
+
+  /** Per-shard manifest of a [[TextFunctions.packSequences]] layout:
+    * one row per (stratum, bin) with document count, token total, and
+    * the id range — the table a training launcher reads to schedule
+    * data loading, and the p04-gated contract for [[writeShards]].
+    * One extra partial-aggregatable groupBy over the packed frame.
+    */
+  def shardManifest(docs: DataFrame, stratum: Column, order: Column,
+      tokens: Column, budget: Long): DataFrame =
+    TextFunctions.packSequences(docs, stratum, order, tokens, budget)
+      .groupBy(stratum.as("stratum"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast(org.apache.spark.sql.types.LongType)).as("n_tokens"),
+        min(order).as("first_doc"), max(order).as("last_doc"))
+
+  /** The curation pipeline's OUTPUT stage: write the packed corpus as
+    * deterministic training shards — one directory per
+    * `stratum=…/bin=…` (Hive layout, so a shard-targeted read prunes
+    * at the partition level and never lists the rest of the corpus) —
+    * and return the [[shardManifest]].
+    *
+    * Rerun-stable by construction: bin assignment is the
+    * packSequences cumulative sum (no `rand()`, no
+    * partition-dependent state), so a re-run overwrites each shard
+    * with identical content — safe to resume after a partial failure.
+    *
+    * Scale: ONE window shuffle (packSequences) then a write
+    * repartitioned by the shard key, so each task writes whole
+    * shards (no 1000-executors × 10000-shards small-file explosion);
+    * `maxRecordsPerFile` bounds any single file. The manifest
+    * aggregate reuses the packed frame.
+    *
+    * @param stratumName/orderName/tokensName column NAMES (the write
+    *   path and manifest schema are name-keyed)
+    */
+  def writeShards(docs: DataFrame, stratumName: String, orderName: String,
+      tokensName: String, budget: Long, path: String,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    val packed = TextFunctions.packSequences(docs, col(stratumName),
+      col(orderName), col(tokensName), budget)
+      .withColumnRenamed(stratumName, "stratum")
+    packed.repartition(col("stratum"), col("bin"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("stratum", "bin")
+      .parquet(path)
+    shardManifest(docs, col(stratumName), col(orderName),
+      col(tokensName), budget)
+  }
 }

@@ -170,6 +170,32 @@ object TextFunctions {
       .withColumn("has_hits", any)
   }
 
+  /** PII redaction: rewrite every match of each pattern to a
+    * `<NAME>` placeholder (sequentially, in pattern order — mirrored
+    * exactly by the t23 oracle) and report per-pattern hit counts
+    * measured on the ORIGINAL text. The emit-side twin of
+    * [[regexScan]]: scan gates/filters a corpus, redact ships it.
+    * Patterns must stay in the Java∩RE2 regex subset
+    * ([[PiiPatterns]]) so engines agree; leftmost non-overlapping
+    * global replacement is the shared semantics.
+    *
+    * Scale: pure per-row projection of codegen'd `regexp_replace` /
+    * `regexp_extract_all` — zero shuffle, runs inside the scan stage.
+    */
+  def redactPii(df: DataFrame, id: Column, text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "redactPii: no patterns")
+    val redacted = patterns.foldLeft(text) { case (acc, (name, p)) =>
+      regexp_replace(acc, lit(p), lit(s"<${name.toUpperCase}>"))
+    }
+    val hits = patterns.map { case (name, p) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).as(s"${name}_hits")
+    }
+    df.select(Seq(id.as("doc_id"), redacted.as("redacted")) ++ hits: _*)
+      .withColumn("has_hits",
+        patterns.map { case (n, _) => col(s"${n}_hits") > 0 }.reduce(_ || _))
+  }
+
   /** Keep the top `k` rows per group by `score` (ties broken by
     * `tiebreak`, which must be unique within a group for deterministic,
     * engine-portable results) — the standard quality-filter /
