@@ -299,6 +299,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // k-core (g04): iterative peel to fixpoint over the near-dup graph
+    // plus a PLANTED triangle-with-tail component — the organic graph
+    // peels in one round, so the 5-deep tail is what proves the loop
+    // actually iterates (tail vertices fall one per round, the triangle
+    // survives); the oracle unrolls 8 peel rounds (3 spare no-ops past
+    // the fixpoint).
+    "g04_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      val organic = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+      val planted = Seq(
+        (8000001L, 8000002L), (8000002L, 8000003L), (8000001L, 8000003L),
+        (8000003L, 8000004L), (8000004L, 8000005L), (8000005L, 8000006L),
+        (8000006L, 8000007L), (8000007L, 8000008L)
+      ).toDF("id_a", "id_b")
+      Graph.kCore(organic.unionByName(planted), k = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Local clustering coefficient over the same graph: 2t/(deg·(deg−1))
     // as ONE IEEE division of exact integers — the tight-community
     // signal (mirror clusters ≈ 1) next to g02's raw counts.
@@ -626,6 +645,18 @@ object ExtensionQueries {
           col("lang"), col("doc_id"),
           Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
             "fr" -> 0.15, "zh" -> 0.15))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-smoothed resample (t24): target weights DERIVED from
+    // the observed counts as n^0.5 (XLM's published α) — the smallest
+    // language keeps everything, larger ones thin by (n_min/n)^0.5.
+    // α = 0.5 rides on IEEE-exact sqrt, so the whole derived-threshold
+    // chain hash-matches DuckDB.
+    "t24_resample_smoothed" -> ((s, dir) => {
+      TextFunctions.resampleSmoothed(t(s, dir, "documents"),
+          col("lang"), col("doc_id"))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
@@ -1569,6 +1600,36 @@ object ExtensionQueries {
          FROM nodes n LEFT JOIN tcnt c ON c.id = n.id
          ORDER BY doc_id""",
 
+    // mirrors Graph.kCore: the same planted edges, 8 unrolled peel
+    // rounds (monotone: once the fixpoint lands, further rounds are
+    // no-ops)
+    "g04_kcore" -> {
+      val planted = Seq(
+        (8000001, 8000002), (8000002, 8000003), (8000001, 8000003),
+        (8000003, 8000004), (8000004, 8000005), (8000005, 8000006),
+        (8000006, 8000007), (8000007, 8000008)
+      ).map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      // each round reads the previous THREE times — without
+      // MATERIALIZED, CTE inlining re-executes the whole chain 3^8
+      // times (DuckDB runs out of file handles re-scanning the corpus)
+      val rounds = (1 to 8).map { i =>
+        s"""bad$i AS MATERIALIZED (SELECT v FROM bi${i - 1} GROUP BY v HAVING count(*) < 2),
+           |         bi$i AS MATERIALIZED (SELECT e.v, e.u FROM bi${i - 1} e
+           |           WHERE e.v NOT IN (SELECT v FROM bad$i)
+           |             AND e.u NOT IN (SELECT v FROM bad$i))""".stripMargin
+      }.mkString(",\n         ")
+      s"""WITH $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         all_e AS (SELECT id_a, id_b FROM p UNION ALL
+           SELECT * FROM (VALUES $planted) t(id_a, id_b)),
+         bi0 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           SELECT id_a AS v, id_b AS u FROM all_e WHERE id_a <> id_b
+           UNION ALL SELECT id_b, id_a FROM all_e WHERE id_a <> id_b)),
+         $rounds
+         SELECT v AS doc_id, count(*) AS core_deg
+         FROM bi8 GROUP BY v ORDER BY v"""
+    },
+
     // mirrors Graph.clusteringCoefficients: g02's triangle counts plus
     // the canonical-edge degree, one exact-integer IEEE division
     "g03_clustering_coeff" ->
@@ -2202,6 +2263,23 @@ object ExtensionQueries {
          counts AS (SELECT lang AS grp, count(*) AS n
                     FROM documents GROUP BY lang),
          cw AS (SELECT c.grp, c.n, w.wt FROM counts c JOIN w ON w.grp = c.grp),
+         s AS (SELECT min(n / wt) AS scale FROM cw),
+         thr AS (SELECT grp,
+                   floor(CAST(1048576 AS DOUBLE) *
+                     least(CAST(1.0 AS DOUBLE), wt * scale / n)) AS t
+                 FROM cw, s)
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN thr ON thr.grp = d.lang
+         WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
+               % 1048576 < thr.t
+         ORDER BY d.doc_id""",
+
+    // mirrors TextFunctions.resampleSmoothed at α = 0.5: w = sqrt(n)
+    // (IEEE-exact both engines), then the t19 derived-threshold chain
+    "t24_resample_smoothed" ->
+      """WITH counts AS (SELECT lang AS grp, count(*) AS n
+                         FROM documents GROUP BY lang),
+         cw AS (SELECT grp, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM counts),
          s AS (SELECT min(n / wt) AS scale FROM cw),
          thr AS (SELECT grp,
                    floor(CAST(1048576 AS DOUBLE) *

@@ -200,4 +200,54 @@ object Graph {
             (col("degree") * (col("degree") - 1)).cast(DoubleType))
           .otherwise(lit(0.0)).as("coeff"))
   }
+
+  /** k-core of an UNDIRECTED pair graph: the maximal subgraph in which
+    * every vertex keeps degree ≥ k — the standard "dense nucleus"
+    * extractor (a boilerplate/mirror cluster is a high-k core; a
+    * curation pipeline prunes or down-weights cores the way it uses
+    * [[pageRank]] and [[clusteringCoefficients]] as priors).
+    *
+    * Iterative peeling to the FIXPOINT: each round computes degrees
+    * (one partial-aggregatable groupBy over the directed edge list),
+    * finds vertices below k, and drops their incident edges (two hash
+    * anti-joins). The peel set shrinks monotonically, so the loop
+    * terminates in at most the graph's degeneracy-peel depth; each
+    * round's edge frame is materialized (the [[Dedup
+    * .connectedComponents]] convention) — it is read three times next
+    * round and lineage must not stack. Cost O(rounds · |E|) shuffled
+    * rows; no cartesian, no hot reducer (the aggregate is map-side
+    * combined). A pathological path graph peels O(|V|) rounds —
+    * `maxIters` caps runaway depth loudly rather than silently
+    * returning a non-core.
+    *
+    * Returns (doc_id, core_deg) for exactly the k-core members;
+    * core_deg is the degree WITHIN the core (≥ k by construction).
+    */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(maxIters >= 1, "kCore: maxIters must be >= 1")
+    var edges = Materialize(
+      pairs.select(col("id_a").as("v"), col("id_b").as("u"))
+        .filter(col("v") =!= col("u"))
+        .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
+        .distinct())
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val bad = Materialize(
+        edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).select(col("v").as("__bad")))
+      if (bad.isEmpty) done = true
+      else {
+        edges = Materialize(
+          edges.join(bad, edges("v") === bad("__bad"), "left_anti")
+            .join(bad, edges("u") === bad("__bad"), "left_anti"))
+      }
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"kCore: no fixpoint after $maxIters peel rounds — raise maxIters " +
+        "(pathological chain graphs peel O(|V|) rounds)")
+    edges.groupBy(col("v").as("doc_id")).agg(count(lit(1)).as("core_deg"))
+  }
 }

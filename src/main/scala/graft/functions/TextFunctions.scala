@@ -319,6 +319,52 @@ object TextFunctions {
       .drop("__grp", "__thr")
   }
 
+  /** Temperature-smoothed mixture resampling ([[resampleToMix]]'s
+    * self-deriving sibling): instead of a caller-fixed target mix, the
+    * target weight of each group is its own observed count raised to
+    * `alpha` — `w_g = n_g^α` — the multinomial smoothing rule of
+    * multilingual pretraining (Lample & Conneau, arXiv:1901.07291 §3.1,
+    * published α = 0.5; α = 1 keeps the natural distribution, α → 0
+    * approaches uniform). The derived keep-rate collapses to
+    * `r_g = (n_min / n_g)^(1−α)`: the SMALLEST group keeps everything
+    * and larger groups thin toward a flatter mix — low-resource
+    * languages stop drowning.
+    *
+    * Determinism: selection is the t05/t06 portable-hash filter (never
+    * `rand()`). At the published α = 0.5 the weights use `sqrt`, which
+    * IEEE-754 requires to be correctly rounded — bit-identical in any
+    * engine, so the whole operator is oracle-gated (t24). Other α go
+    * through `pow`, which libms round differently in the last ulp; a
+    * threshold landing within an ulp of an integer could then flip one
+    * bucket between engines (documented; the spec pins α-sweep
+    * semantics engine-internally).
+    *
+    * Scale shape: identical to [[resampleToMix]] — one tiny per-group
+    * count, broadcast thresholds, zero-shuffle codegen filter over the
+    * corpus.
+    */
+  def resampleSmoothed(df: DataFrame, group: Column, id: Column,
+      alpha: Double = 0.5, buckets: Int = 1 << 20): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"resampleSmoothed: alpha must be in (0, 1], got $alpha")
+    require(buckets > 0, "resampleSmoothed: buckets must be positive")
+    val keyed = df.withColumn("__grp", group)
+    val counts = keyed.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+    val w = if (alpha == 0.5) sqrt(col("__n").cast(DoubleType))
+            else pow(col("__n").cast(DoubleType), lit(alpha))
+    val cw = counts.withColumn("__w", w)
+    val scale = cw.agg(min(col("__n") / col("__w")).as("__scale"))
+    val thresholds = cw.crossJoin(broadcast(scale))
+      .select(col("__grp"),
+        floor(lit(buckets.toDouble) *
+          least(lit(1.0), col("__w") * col("__scale") / col("__n")))
+          .as("__thr"))
+    keyed.join(broadcast(thresholds), "__grp")
+      .filter(pmod(portableHash64(id.cast(StringType)), lit(buckets.toLong))
+        < col("__thr"))
+      .drop("__grp", "__thr")
+  }
+
   /** BPE-ish subword token count: alphabetic runs are split into ≤4-char
     * chunks (a cheap stand-in for byte-pair merges), digits and other
     * symbols count singly. Portable: regex run extraction + arithmetic.

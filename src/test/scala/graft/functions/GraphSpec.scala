@@ -147,4 +147,28 @@ class GraphSpec extends SparkSpec {
     assert(ranks.forall(_ >= 150000L), ranks.mkString(","))
     assert(ranks.sum <= 3000000L, s"mass created: ${ranks.sum}")
   }
+
+  test("kCore: multi-round peel, nested cores, loud iteration cap") {
+    // 4-clique with a 4-deep tail: the tail peels one vertex per round
+    // (never all at once — each removal exposes the next), the clique
+    // survives any k <= 3
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+    val g = (clique ++ tail).toDF("id_a", "id_b")
+    val core2 = Graph.kCore(g, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core2.values.forall(_ == 3L))
+    val core3 = Graph.kCore(g, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core3.keySet == Set(1L, 2L, 3L, 4L))
+    // k above the clique degree empties the graph
+    assert(Graph.kCore(g, k = 4).isEmpty)
+    // the tail needs 4 peel rounds; a 2-round cap must fail loudly,
+    // never silently return a non-core
+    intercept[IllegalStateException] {
+      Graph.kCore(g, k = 2, maxIters = 2).collect()
+    }
+  }
 }

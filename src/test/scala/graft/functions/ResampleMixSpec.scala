@@ -65,4 +65,31 @@ class ResampleMixSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus-side shuffle join:\n$p")
   }
+
+  test("smoothed: alpha=0.5 keeps the smallest group whole and flattens") {
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val kept = TextFunctions.resampleSmoothed(docs, col("lang"), col("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every minimal-count group survives intact
+    counts.filter(_._2 == nMin).keys.foreach { g =>
+      assert(kept(g) == nMin, s"smallest group $g thinned")
+    }
+    // realized rate tracks (n_min/n)^(1-alpha) within hash noise
+    counts.foreach { case (g, n) =>
+      val expect = math.sqrt(nMin.toDouble / n) * n
+      assert(math.abs(kept(g) - expect) <= 6 * math.sqrt(expect) + 3,
+        s"$g kept ${kept(g)}, expected ~$expect")
+    }
+    // alpha=1 is the identity mix (rates all 1)
+    val id1 = TextFunctions.resampleSmoothed(docs, col("lang"),
+      col("doc_id"), alpha = 1.0).count()
+    assert(id1 == docs.count())
+    intercept[IllegalArgumentException] {
+      TextFunctions.resampleSmoothed(docs, col("lang"), col("doc_id"),
+        alpha = 0.0)
+    }
+  }
 }
