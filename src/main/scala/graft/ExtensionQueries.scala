@@ -222,6 +222,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // Contamination audit (d26): d11's overlap machinery rolled up per
+    // BENCHMARK SET — which eval leaked, how many training docs and
+    // benchmark items it touches, the worst overlap. The set label
+    // rides inside the composite bench id (no extra join).
+    "d26_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20)
+            .withColumn("eval_set",
+              when(col("doc_id") < 10, lit("benchA")).otherwise(lit("benchB"))),
+          col("doc_id"), col("text"), col("doc_id"), col("eval_set"),
+          minCommon = 10)
+        .orderBy(col("eval_set"))
+    }),
+
     // The one-call decontamination: corpus docs sharing >= 10 distinct
     // 3-gram shingles with the benchmark (doc_id < 20) are dropped,
     // surviving rows returned — the composed form of d11/d19 with the
@@ -868,6 +884,24 @@ object ExtensionQueries {
           c.getField("has_brace").as("has_brace"),
           c.getField("pass").as("pass"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-line language segmentation (t25): the corpus is single-line,
+    // so bilingual 3-line docs are SYNTHESIZED by sandwiching each odd
+    // doc's text between its even neighbor's (A/B/A) — different-lang
+    // pairs must split into 3 segments, same-lang pairs into 1, and
+    // the oracle recomputes per-line langId + gaps-and-islands
+    // grouping from scratch.
+    "t25_line_lang_segments" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val even = d.filter(col("doc_id") % 2 === 0)
+      val odd = d.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("doc_id"), col("text").as("text2"))
+      val synth = even.join(odd, "doc_id")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("text2"), col("text")).as("txt"))
+      TextFunctions.lineLanguageSegments(synth, col("doc_id"), col("txt"))
+        .orderBy(col("doc_id"), col("seg_id"))
     }),
 
     // Language-ID heuristic vs the labeled lang column.
@@ -2222,6 +2256,21 @@ object ExtensionQueries {
          GROUP BY 1, 2 HAVING count(*) >= 10
          ORDER BY doc_id, bench_id""",
 
+    // mirrors Dedup.contaminationReport: the d11 pair set grouped per
+    // benchmark label
+    "d26_contamination_report" ->
+      s"""WITH $ShingleCte,
+         pairs AS (
+           SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS common
+           FROM sh c JOIN sh b ON c.s = b.s AND c.doc_id >= 20 AND b.doc_id < 20
+           GROUP BY 1, 2 HAVING count(*) >= 10)
+         SELECT CASE WHEN bench_id < 10 THEN 'benchA' ELSE 'benchB' END AS eval_set,
+           COUNT(DISTINCT doc_id) AS n_contaminated,
+           COUNT(DISTINCT bench_id) AS n_bench_hit,
+           COUNT(*) AS n_pairs,
+           MAX(common) AS max_common
+         FROM pairs GROUP BY 1 ORDER BY eval_set""",
+
     // the keep-filter flip of d11: corpus docs (doc_id >= 20) survive
     // unless they share >= 10 shingles with any benchmark doc
     "d22_decontaminate" ->
@@ -2767,6 +2816,45 @@ object ExtensionQueries {
             AND alpha_word_ratio >= 0.8
             AND n_stopwords >= 2) AS pass
          FROM m ORDER BY doc_id""",
+
+    // mirrors TextFunctions.lineLanguageSegments: synth 3-line docs,
+    // t03's marker argmax per LINE, lag-based run grouping
+    "t25_line_lang_segments" -> {
+      val lineScores = TextFunctions.langMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"""SELECT doc_id, line_no, '$lang' AS l,
+            CAST(len(list_filter(string_split(line,' '), w -> w IN ($inList))) AS BIGINT) AS hits
+            FROM lines"""
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (
+           SELECT e.doc_id, e.text AS t1, o.text AS t2
+           FROM documents e JOIN documents o ON o.doc_id = e.doc_id + 1
+           WHERE e.doc_id % 2 = 0),
+         lines AS (
+           SELECT doc_id, 0 AS line_no, t1 AS line FROM base
+           UNION ALL SELECT doc_id, 1, t2 FROM base
+           UNION ALL SELECT doc_id, 2, t1 FROM base),
+         scores AS ($lineScores),
+         labeled AS (
+           SELECT doc_id, line_no,
+             CASE WHEN hits > 0 THEN l ELSE 'und' END AS lang_pred
+           FROM (SELECT doc_id, line_no, l, hits,
+                   row_number() OVER (PARTITION BY doc_id, line_no
+                     ORDER BY hits DESC, l DESC) AS rn
+                 FROM scores)
+           WHERE rn = 1),
+         seg AS (
+           SELECT doc_id, line_no, lang_pred,
+             CAST(SUM(CASE WHEN lang_pred = lag_lang THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY line_no) AS BIGINT) AS seg_id
+           FROM (SELECT doc_id, line_no, lang_pred,
+                   lag(lang_pred) OVER (PARTITION BY doc_id
+                     ORDER BY line_no) AS lag_lang
+                 FROM labeled))
+         SELECT doc_id, seg_id, lang_pred, COUNT(*) AS n_lines,
+           MIN(line_no) AS first_line, MAX(line_no) AS last_line
+         FROM seg GROUP BY 1, 2, 3 ORDER BY doc_id, seg_id"""
+    },
 
     "t03_langid" -> {
       val markerSelects = TextFunctions.langMarkers.map { case (lang, ms) =>

@@ -555,6 +555,41 @@ object Dedup {
     corpus.join(dropSide, id === col("__drop_id"), "left_anti")
   }
 
+  /** Per-benchmark contamination AUDIT ([[decontaminate]]'s reporting
+    * twin): instead of silently dropping contaminated training docs,
+    * answer the question an eval-integrity review actually asks —
+    * WHICH benchmark leaked, how many training docs it touches, how
+    * many of its own items are compromised, and how big the worst
+    * overlap is. One row per benchmark set: (eval_set, n_contaminated
+    * [distinct corpus docs hit], n_bench_hit [distinct benchmark items
+    * hit], n_pairs, max_common).
+    *
+    * Same inverted-index overlap join as d11 (the benchmark set label
+    * rides inside the composite bench id through [[ngramOverlapPairs]]
+    * — no extra join), then one partial-aggregatable rollup over the
+    * bounded pair set. The d11 asymmetry applies unchanged: cost
+    * tracks benchmark size × shingle doc-frequency, never the corpus
+    * squared.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      id: Column, text: Column, benchId: Column, benchSet: Column,
+      minCommon: Long = 10L, n: Int = 3,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    // both sides carry the same composite id shape — the overlap
+    // join's internal union requires identical doc_id types
+    val cs = shingleRows(corpus,
+      struct(lit("__corpus").as("set"), id.as("bid")), text, n)
+    val bs = shingleRows(bench,
+      struct(benchSet.cast(org.apache.spark.sql.types.StringType).as("set"),
+        benchId.as("bid")), text, n)
+    ngramOverlapPairs(cs, bs, minCommon, maxShingleDocFreq)
+      .groupBy(col("bench_id.set").as("eval_set"))
+      .agg(count_distinct(col("doc_id.bid")).as("n_contaminated"),
+        count_distinct(col("bench_id.bid")).as("n_bench_hit"),
+        count(lit(1)).as("n_pairs"),
+        max(col("common")).as("max_common"))
+  }
+
   /** Cross-corpus exact Jaccard: every (new, existing) document pair
     * sharing ≥ 1 shingle, scored `common / (|A|+|B|−common)` over the
     * two inverted indexes — [[ngramOverlapPairs]]'s asymmetric join

@@ -571,6 +571,37 @@ object TextFunctions {
     when(best("hits") > 0, best("lang")).otherwise(lit("und"))
   }
 
+  /** Per-line language segmentation: [[langId]] applied line-by-line,
+    * contiguous same-language runs grouped into segments — the
+    * polyglot-document splitter (web pages routinely interleave
+    * languages; a monolingual filter at doc granularity either drops
+    * the whole page or keeps the contamination, while segments let the
+    * pipeline keep exactly the lines in the target language). Returns
+    * one row per (doc_id, seg_id): predicted language, line count,
+    * first/last line numbers (0-based).
+    *
+    * Scale shape: the line explode and per-line langId are
+    * zero-shuffle projections; the run-grouping is ONE shuffle on
+    * doc_id (a lag + running-sum window, partition-bounded by the
+    * longest single document, never corpus-wide).
+    */
+  def lineLanguageSegments(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("line_no"))
+    df.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no"), langId(col("line")).as("lang_pred"))
+      .withColumn("__chg",
+        when(lag(col("lang_pred"), 1).over(w).isNull ||
+          lag(col("lang_pred"), 1).over(w) =!= col("lang_pred"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("__chg")).over(w))
+      .groupBy(col("doc_id"), col("seg_id"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("line_no")).as("first_line"),
+        max(col("line_no")).as("last_line"))
+  }
+
   /** Feature-hashed bag-of-words vector (the "hashing trick" —
     * Weinberger et al., ICML 2009, public): component i is the signed
     * count of words hashing to bucket i, with the bucket from

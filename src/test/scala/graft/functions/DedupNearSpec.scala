@@ -333,6 +333,30 @@ class DedupNearSpec extends SparkSpec {
       Seq(2L, 3L))
   }
 
+  test("contaminationReport attributes leaks to the right benchmark") {
+    val corpusDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // leaks benchA
+      (2L, "totally unrelated corpus document here"),
+      (3L, "one two three four five six"),           // leaks benchB
+      (4L, "one two three four five six")            // leaks benchB too
+    ).toDF("doc_id", "text")
+    // bench ids deliberately COLLIDE with corpus ids — the composite
+    // id must keep the sides apart
+    val bench = Seq(
+      (1L, "benchA", "alpha beta gamma delta epsilon zeta"),
+      (2L, "benchB", "one two three four five six"),
+      (3L, "benchB", "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "eval_set", "text")
+    val rep = Dedup.contaminationReport(corpusDf, bench,
+        col("doc_id"), col("text"), col("doc_id"), col("eval_set"),
+        minCommon = 2L)
+      .orderBy("eval_set").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == Seq(
+      ("benchA", 1L, 1L, 1L),   // doc 1 x benchA item 1
+      ("benchB", 2L, 1L, 2L)))  // docs 3,4 x benchB item 2
+  }
+
   /** Joins whose condition equates two shingle-hash attributes WITHOUT
     * any doc-id equality gate — the Σ df² self-join shape the LSH
     * strategy exists to avoid. Exact's pair stage is exactly one of

@@ -179,4 +179,26 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L) == ((4L, 1L + 2 + 3 + 4, 10.0 / 4)),
       "stopword-heavy doc 1 scores below the rare-token doc 2")
   }
+
+  test("lineLanguageSegments: runs group, boundaries split, und lines") {
+    import spark.implicits._
+    val df = Seq(
+      // en, en, de, en -> 3 segments
+      (1L, "the cat and the hat\nof the house\nder hund und nicht\nthe end of it"),
+      // single language -> 1 segment
+      (2L, "the one and only\nthe other of them"),
+      // no markers anywhere -> one und segment
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val segs = TextFunctions.lineLanguageSegments(df, col("doc_id"), col("text"))
+      .orderBy("doc_id", "seg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(segs.toSeq == Seq(
+      (1L, 1L, "en", 2L, 0, 1),
+      (1L, 2L, "de", 1L, 2, 2),
+      (1L, 3L, "en", 1L, 3, 3),
+      (2L, 1L, "en", 2L, 0, 1),
+      (3L, 1L, "und", 1L, 0, 0)))
+  }
 }
