@@ -969,6 +969,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-user quota (s08): first-50-events-per-user rate cap, run
+    // through the ACTUAL Spark 4 transformWithState processor in batch
+    // mode (typed ValueState, one long per user) — the oracle is the
+    // row_number contract it must implement.
+    "s08_quota_per_user" -> ((s, dir) => {
+      streaming.EventsStream.quotaPerUser(t(s, dir, "events"), n = 50)
+        .orderBy(col("event_id"))
+    }),
+
     "s03_dedup_redelivery" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       streaming.EventsStream.dedupEvents(ev.unionByName(ev))
@@ -1181,6 +1190,22 @@ object ExtensionQueries {
         .groupBy(col("event_type"))
         .agg(sum(get_json_object(col("props"), "$.k").cast(LongType)).as("k_total"),
           count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // VARIANT-typed JSON (j02): parse_json ONCE into Spark 4's binary
+    // Variant, then multiple typed variant_get extractions — the
+    // semi-structured path where parse cost is paid once per row
+    // (j01's get_json_object re-parses the blob per field). Same
+    // arithmetic, so the j01-style DuckDB oracle gates the whole
+    // Variant encode/decode round-trip.
+    "j02_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+          sum(col("k")).as("k_total"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
 
@@ -2875,6 +2900,16 @@ object ExtensionQueries {
 
     // event_id is unique in the source (verified at every SF), so
     // dedup-by-id over the doubled stream is exactly row-DISTINCT
+    // the quota contract: first 50 per user by full-precision event
+    // time, ties on event_id
+    "s08_quota_per_user" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+           SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn <= 50 ORDER BY event_id""",
+
     "s03_dedup_redelivery" ->
       """WITH d AS (
            SELECT DISTINCT * FROM (
@@ -2968,6 +3003,16 @@ object ExtensionQueries {
     "x09_kmv_distinct" ->
       """SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // mirrors the j02 Variant extractions — the Variant round-trip must
+    // agree with plain JSON arithmetic
+    "j02_variant" ->
+      """SELECT event_type,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "j01_json_extract" ->

@@ -20,6 +20,10 @@ object LocalSession {
     // dedup query without it); 120s keeps the full-GC pauses rare
     // enough not to tax the long-running queries themselves
     .config("spark.cleaner.periodicGC.interval", "120s")
+    // transformWithState (s08) requires the RocksDB provider; every
+    // other stateful operator is provider-agnostic, so set it globally
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -270,4 +270,77 @@ object EventsStream {
     }
     sessionize(events.unionByName(sentinels), gapSeconds)
   }
+
+  // ---- per-key quota via transformWithState (Spark 4 state API) -------
+
+  case class QuotaOut(event_id: Long, user_id: Long, event_type: String,
+      value: Double)
+
+  /** The [[quotaPerUser]] state machine on Spark 4's
+    * `transformWithState` API — the arbitrary-state successor to
+    * `flatMapGroupsWithState` ([[sessionize]] keeps the older API so
+    * the library demonstrates both): typed `ValueState` handles from
+    * the processor handle, explicit `TimeMode`/`TTLConfig`, and the
+    * same processor runs unchanged in BATCH mode (how the s08 gate
+    * executes it against the SQL oracle).
+    *
+    * State per user is ONE long (events emitted so far) — bounded
+    * regardless of stream length; at 100 TB/day ingest the state
+    * store holds |users| longs, not events.
+    */
+  class QuotaProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, QuotaOut] {
+    @transient private var emitted:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      emitted = getHandle.getValueState[Long]("emitted",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QuotaOut] = {
+      // deterministic within an invocation: full-precision event-time
+      // order (matches the batch ORDER BY ts, event_id exactly)
+      val sorted = rows.toVector.sortBy(orderKey)
+      val sofar = if (emitted.exists()) emitted.get() else 0L
+      val room = math.min(math.max(0L, n - sofar), sorted.size.toLong).toInt
+      val kept = sorted.take(room)
+      if (kept.nonEmpty) emitted.update(sofar + kept.size)
+      kept.iterator.map(e =>
+        QuotaOut(e.event_id, e.user_id, e.event_type, e.value))
+    }
+  }
+
+  /** First-`n`-events-per-user quota — the per-entity rate cap every
+    * ingest pipeline carries (abuse control, per-source contribution
+    * caps, free-tier limits). In batch the kept set is exactly the
+    * first `n` by (ts, event_id) per user (the s08-gated contract); on
+    * a stream the quota is consumed in arrival order, which equals the
+    * batch result whenever micro-batches arrive in event-time order
+    * (the spec's replay pins stream == batch).
+    */
+  def quotaPerUser(events: DataFrame, n: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    require(n > 0, "quotaPerUser: n must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // batch-mode transformWithState loads REAL state stores, whose
+    // maintenance reports to the StateStoreCoordinator RPC endpoint —
+    // registered by the StreamingQueryManager's constructor, which a
+    // purely-batch session never builds. Touch it so the endpoint
+    // exists before any task loads a store.
+    spark.streams
+    val ds = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props")).as[Event]
+    val src = if (ds.isStreaming) ds.withWatermark("ts", watermark) else ds
+    src.groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
 }

@@ -297,6 +297,55 @@ class EventsStreamSpec extends SparkSpec {
       s"cross-batch sessionization diverged: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
   }
 
+  test("quota state carries across micro-batches (transformWithState)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import EventsStream.Event
+
+    // transformWithState requires the RocksDB provider (runtime conf —
+    // read per query start)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    // chronological halves: a user's quota must be CONSUMED in batch 1
+    // and REMEMBERED in batch 2 — the ValueState carry
+    val all = Tables.df(spark, sf(), "events").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val cut = all(all.length / 2).ts
+    val b1 = all.filter(e => e.ts.before(cut))
+    val b2 = all.filter(e => !e.ts.before(cut))
+
+    val input = MemoryStream[Event]
+    val q = EventsStream.quotaPerUser(input.toDS().toDF(), n = 7)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xbatch_quota")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      Seq(b1.toSeq, b2.toSeq).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.table("xbatch_quota")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // batch contract at the same n: first 7 per user by (ts, event_id)
+    val want = EventsStream.quotaPerUser(
+        Tables.df(spark, sf(), "events"), n = 7)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"cross-batch quota diverged: ${got.diff(want).take(5)} vs ${want.diff(got).take(5)}")
+    // and the batch contract is exactly the row_number form
+    val rn = Tables.df(spark, sf(), "events")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")))
+      .filter(col("rn") <= 7).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(want == rn)
+  }
+
   test("stream-stream attribution join equals the gated s04 batch result") {
     // two separately-watched directories — genuinely independent streams
     val ev = Tables.df(spark, sf(), "events")
