@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Graph, Similarity, TextFunctions}
+import graft.functions.{Curation, Dedup, Graph, Similarity, TextFunctions}
 
 /** Scaling-curve harness: times the banded/LSH operators at several corpus
   * sizes so SCALE.md's "near-linear" claims are measured, not argued.
@@ -157,7 +157,24 @@ object ScaleCurve {
       Similarity.knnJlPrefilter(
         e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
         k = 5, candidates = 50)
-    }))
+    }),
+    // round-11-tail curve additions: k-core peeling over the organic
+    // near-dup graph (rounds × edges — the iterative-join cost), the
+    // KMV sketch over the exploded word stream (aggregation input is
+    // corpus-linear, sketch state is k-bounded), and the shard
+    // manifest (the t12 packing window + rollup)
+    "g04_kcore" -> ((s, dir) =>
+      Graph.kCore(Dedup.jaccardPairs(
+        Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 0.8),
+        k = 2)),
+    "x09_kmv" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+        .agg(graft.functions.expressions.KmvDistinct(col("w"), 4096)
+          .as("n_distinct_words"))),
+    "p04_manifest" -> ((s, dir) =>
+      Curation.shardManifest(docs(s, dir), col("lang"), col("doc_id"),
+        col("n_chars"), budget = 2000L)))
 
   /** Candidate-stage WORK counts per operator — the environment-proof
     * scaling evidence. Wall time on a contended box measures the box;
