@@ -1152,6 +1152,26 @@ object ExtensionQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Misra-Gries heavy hitters (x10): top-10 words per language from
+    // the k-bounded sketch — map-side partial aggregation ships <= k
+    // (item, counter) pairs per group per task instead of shuffling
+    // every distinct token. Below k distinct the counters are EXACT
+    // on any combine topology, so the oracle is the true GROUP BY +
+    // row_number contract; the undercount bound at n >> k is
+    // spec-pinned (FrequentItemsSpec).
+    "x10_heavy_hitters" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(functions.TextFunctions.words(col("text"))).as("word"))
+        .groupBy(col("lang"))
+        .agg(functions.expressions.FrequentItems(col("word"), 1024, 10)
+          .as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "tw")))
+        .select(col("lang"), (col("i") + 1).cast(LongType).as("rank"),
+          col("tw.item").as("word"), col("tw.n").as("n"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
     // CSV via pandas) through Spark's csv source — header + explicit
     // schema, quoted fields, hash-matched against the parquet oracle.
@@ -3004,6 +3024,20 @@ object ExtensionQueries {
       """SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the sketch is exact below k distinct items per group, so the
+    // oracle is the true per-language word frequency top-10 with the
+    // sketch's (n desc, word asc) tie-break
+    "x10_heavy_hitters" ->
+      """WITH w AS (SELECT lang,
+             unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS word
+           FROM documents),
+         c AS (SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word),
+         r AS (SELECT lang, word, n, row_number()
+             OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+           FROM c)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, word, n
+         FROM r WHERE rank <= 10 ORDER BY lang, rank""",
 
     // mirrors the j02 Variant extractions — the Variant round-trip must
     // agree with plain JSON arithmetic
