@@ -830,16 +830,124 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"pqEncode: dims ($dims) must divide into m ($m) subspaces")
-    val sub = dims / m
     val cbs = collectCodebooks(codebooks, m)
-    val codeCols = (0 until m).map { j =>
+    corpus.select(col("vec_id"), pqCodesColumn(cbs, m, dims / m).as("codes"))
+  }
+
+  /** The PQ code projection: per subspace, argmin over k literal-array
+    * distances (ties → lowest centroid id, the [[ivfAssign]] rule —
+    * `array_position` finds the FIRST minimum and the array is ordered
+    * by centroid id). Pure codegen'd per-row arithmetic. */
+  private def pqCodesColumn(cbs: IndexedSeq[Seq[Seq[Long]]], m: Int,
+      sub: Int): Column =
+    array((0 until m).map { j =>
       val qs = quantize(slice(col("embedding"), j * sub + 1, sub))
       val dists = array(cbs(j).map(cent =>
         sqDistQ(qs, array(cent.map(lit): _*))): _*)
       (array_position(dists, array_min(dists)) - 1)
         .cast(IntegerType)
-    }
-    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    }: _*)
+
+  /** IVF-PQ index build — the coarse cell id AND the PQ codes of every
+    * corpus vector in ONE zero-shuffle projection (the storage row of
+    * a FAISS-style `IVFADC` index, Jégou et al. TPAMI'11 §IV): both
+    * the coarse centroids and the PQ codebooks are collected (bounded
+    * k·dims longs each, the [[ivfTrain]] driver-state contract) and
+    * embedded as literals, so the whole index build parallelizes with
+    * the corpus scan — no window, no join, no shuffle. Coarse
+    * assignment is exact-integer argmin with ties → lowest centroid
+    * id, matching [[ivfAssign]] bit-for-bit (asserted in PqSpec).
+    *
+    * Returns (vec_id, centroid_id, codes) — at 100 TB this is the m+1
+    * small ints per vector the search path reads instead of the full
+    * float vectors.
+    */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, m: Int = 4, dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"ivfPqIndex: dims ($dims) must divide into m ($m) subspaces")
+    val cents = centroids.select(col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val qfull = quantize(col("embedding"))
+    val cdists = array(cents.map { case (_, c) =>
+      sqDistQ(qfull, array(c.map(lit): _*)) }: _*)
+    corpus.select(col("vec_id"),
+      (array_position(cdists, array_min(cdists)) - 1)
+        .cast(IntegerType).as("centroid_id"),
+      pqCodesColumn(collectCodebooks(codebooks, m), m, dims / m).as("codes"))
+  }
+
+  /** IVF-PQ search — the composed FAISS `IVFADC` shape (Jégou et al.
+    * TPAMI'11 §V): probe the `nprobe` nearest coarse cells per query,
+    * score ONLY the probed cells' code rows by ADC (sum of
+    * query-to-centroid distances the codes select), shortlist
+    * `rerank` per query, exact quantized-cosine re-rank to top `k`.
+    *
+    * Plan shape at scale: the probe set (queries × nprobe rows) is
+    * BROADCAST onto the index's cell-id column, so the index — the
+    * only corpus-sized input — never shuffles and only the probed
+    * fraction (≈ nprobe/k_coarse of the corpus) is scored at all;
+    * [[knnPqAdc]] by contrast streams every code row per query. The
+    * shortlist window shuffles candidate rows only, and the re-rank
+    * join broadcasts the queries·rerank shortlist onto the corpus
+    * scan. All arithmetic integer-exact → fully oracle-gated (e11).
+    *
+    * Approximation contract: recall loss comes from two places —
+    * a true neighbor in an unprobed cell (lift `nprobe`) or ADC
+    * quantization pushing it past the shortlist (lift `rerank`);
+    * both degrade gracefully and independently.
+    *
+    * Schema out: (query_id, neighbor_id, rank, cos).
+    */
+  def knnIvfPq(index: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int, nprobe: Int = 2, rerank: Int = 50, m: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(k > 0 && rerank >= k, "knnIvfPq: need rerank >= k > 0")
+    require(nprobe > 0, "knnIvfPq: nprobe must be positive")
+    require(m > 0 && dims % m == 0,
+      s"knnIvfPq: dims ($dims) must divide into m ($m) subspaces")
+    val sub = dims / m
+    val cbs = collectCodebooks(codebooks, m)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        quantize(col("embedding")).as("qq"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", sqDistQ(col("qq"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val adist = (0 until m).map { j =>
+      val qs = quantize(slice(col("q_emb"), j * sub + 1, sub))
+      val centArr = array(cbs(j).map(cent =>
+        array(cent.map(lit): _*)): _*)
+      sqDistQ(qs, element_at(centArr, element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = index
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("codes"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"),
+        adist.as("adist"))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= rerank)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** PQ search by asymmetric distance computation (ADC): score every

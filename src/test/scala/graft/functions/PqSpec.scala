@@ -81,4 +81,60 @@ class PqSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
   }
+
+  test("ivfPqIndex: matches ivfAssign cells + pqEncode codes, zero shuffle") {
+    val cents = Similarity.ivfTrain(emb, k = 3)
+    val cb = Similarity.pqTrain(emb, m = 2, k = 3, dims = dims)
+    val index = Similarity.ivfPqIndex(emb, cents, cb, m = 2, dims = dims)
+    val plan = index.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"index build must not shuffle:\n$plan")
+    val got = index.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    val cells = Similarity.ivfAssign(emb, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val codes = Similarity.pqEncode(emb, cb, m = 2, dims = dims).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case (id, (cell, code)) =>
+      assert(cell == cells(id), s"cell mismatch for $id")
+      assert(code == codes(id), s"codes mismatch for $id")
+    }
+  }
+
+  test("knnIvfPq with all cells probed degrades to knnPqAdc exactly") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cents = Similarity.ivfTrain(corpus, k = 2)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val index = Similarity.ivfPqIndex(corpus, cents, cb, m = 2, dims = dims)
+    val ivfpq = Similarity.knnIvfPq(index, cents, cb, queries, corpus,
+        k = 2, nprobe = 2, rerank = 4, m = 2, dims = dims)
+      .collect().map(_.toString).sorted.toSeq
+    val adc = Similarity.knnPqAdc(
+        index.select(col("vec_id"), col("codes")), cb, queries, corpus,
+        k = 2, rerank = 4, m = 2, dims = dims)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ivfpq == adc)
+    // determinism
+    assert(ivfpq == Similarity.knnIvfPq(index, cents, cb, queries, corpus,
+      k = 2, nprobe = 2, rerank = 4, m = 2, dims = dims)
+      .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("knnIvfPq narrow probe scores only probed cells") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cents = Similarity.ivfTrain(corpus, k = 2)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val index = Similarity.ivfPqIndex(corpus, cents, cb, m = 2, dims = dims)
+    val out = Similarity.knnIvfPq(index, cents, cb, queries, corpus,
+        k = 4, nprobe = 1, rerank = 4, m = 2, dims = dims).collect()
+    // every returned neighbor must live in a single cell per query
+    val cellOf = index.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cells = rows.map(r => cellOf(r.getLong(1))).toSet
+      assert(cells.size == 1, s"nprobe=1 must confine neighbors to one cell: $cells")
+    }
+  }
 }
