@@ -1072,6 +1072,23 @@ object ExtensionQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // Left-outer stream-stream interval join (s09): the s04 join plus
+    // every click that did NOT convert inside the horizon (null
+    // purchase columns) — the negative signal a funnel analysis needs.
+    // In streaming the unmatched click emits once the watermark passes
+    // its horizon (state stays bounded); the batch form is the same
+    // plan and gates the semantics.
+    "s09_attribution_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      streaming.EventsStream.attribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizonMinutes = 360, joinType = "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("value"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Two-phase (salted) aggregation for hot keys: result-identical to
     // the direct groupBy by COUNT/SUM decomposition — the oracle IS the
     // direct aggregation.
@@ -2654,6 +2671,17 @@ object ExtensionQueries {
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 360 MINUTE
          ORDER BY click_id, purchase_id""",
+
+    // NULLS FIRST: Spark's default asc ordering — the unmatched
+    // clicks must sort identically in both engines
+    "s09_attribution_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, p.value
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 360 MINUTE
+         ORDER BY click_id, purchase_id NULLS FIRST""",
 
     "t07_regex_scan" ->
       """SELECT doc_id,

@@ -173,9 +173,21 @@ object EventsStream {
     * (user_id) already carries the join and the horizon filter prunes
     * per-key pairs.
     */
+  /** Click→purchase attribution: stream-stream interval join. INNER
+    * emits on match; `joinType = "left_outer"` also emits every click
+    * with NO purchase inside the horizon (null purchase columns) —
+    * in streaming the unmatched row is emitted only once the
+    * watermark passes the click's horizon, so state stays bounded
+    * AND the "did not convert" signal is complete. Both modes run at
+    * constant memory because the time-range condition lets Spark
+    * evict buffered rows past the watermark.
+    */
   def attribution(clicks: DataFrame, purchases: DataFrame,
-      horizonMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
+      horizonMinutes: Int = 60, watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     require(horizonMinutes > 0, "attribution: horizonMinutes must be positive")
+    require(Set("inner", "left_outer").contains(joinType),
+      s"attribution: joinType must be inner or left_outer, got $joinType")
     val c0 = clicks.select(col("event_id").as("click_id"),
       col("user_id"), col("ts").as("click_ts"))
     val p0 = purchases.select(col("event_id").as("purchase_id"),
@@ -186,7 +198,8 @@ object EventsStream {
     c.join(p,
         col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }

@@ -383,6 +383,54 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.nonEmpty, "no attribution pairs — gate is vacuous")
   }
 
+  test("left-outer stream-stream attribution equals the gated s09 batch result") {
+    val ev = Tables.df(spark, sf(), "events")
+    val cDir = Files.createTempDirectory("clicks-outer").toString
+    val pDir = Files.createTempDirectory("purch-outer").toString
+    ev.filter(col("event_type") === "click").coalesce(2)
+      .write.mode("overwrite").parquet(cDir)
+    ev.filter(col("event_type") === "purchase").coalesce(2)
+      .write.mode("overwrite").parquet(pDir)
+
+    val out = EventsStream.attribution(
+      spark.readStream.schema(ev.schema).parquet(cDir),
+      spark.readStream.schema(ev.schema).parquet(pDir),
+      horizonMinutes = 360, joinType = "left_outer")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer").start()
+    try {
+      q.processAllAvailable()
+      // an unmatched click only emits once the watermark passes its
+      // horizon — push both watermarks far forward with a sentinel
+      // event in each stream (excluded from the comparison below)
+      val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+      val future = new java.sql.Timestamp(maxTs.getTime + 86400000L * 30)
+      val sentinel = Seq((-1L, future, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(ev.schema.fieldNames.map(col): _*)
+      sentinel.coalesce(1).write.mode("append").parquet(cDir)
+      sentinel.withColumn("event_type", lit("purchase"))
+        .coalesce(1).write.mode("append").parquet(pDir)
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    val got = spark.table("attr_outer")
+      .filter(col("click_id") >= 0 &&
+        (col("purchase_id").isNull || col("purchase_id") >= 0))
+      .select("click_id", "purchase_id").collect().map(key).toSet
+    // transitively oracle parity: s09 hash-matches its DuckDB oracle
+    val want = graft.ExtensionQueries.queries("s09_attribution_outer")(
+        spark, sf())
+      .filter(col("click_id") >= 0)
+      .select("click_id", "purchase_id").collect().map(key).toSet
+    assert(want.exists(_._2.isEmpty), "no unmatched clicks — test is vacuous")
+    assert(got == want,
+      s"s09 stream/batch divergence: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+  }
+
   test("multimodal: partition-batched feature extraction is deterministic") {
     import graft.functions.Multimodal
     val media = Multimodal.syntheticMedia(Tables.df(spark, sf(), "documents"))
