@@ -510,6 +510,17 @@ object ExtensionQueries {
         .orderBy(col("stratum"), col("bin"))
     }),
 
+    // Data card (p05): the release-notes table of a published corpus —
+    // docs/tokens/chars, exact-dup load (d02 fingerprints), mean doc
+    // length — per language, per source, and overall, in ONE
+    // GROUPING SETS pass (corpus read once; two shuffles, the
+    // distinct pre-agg + the slice rollup).
+    "p05_data_card" -> ((s, dir) => {
+      Curation.dataCard(t(s, dir, "documents"),
+          col("text"), col("lang"), col("source"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // p01's curation recipe with the QUALITY-AWARE keep policy: the
     // near-dedup stage keeps each cluster's highest-qualityScore member
     // (ties min id) instead of the min id — the keepBy pass-through
@@ -2619,6 +2630,26 @@ object ExtensionQueries {
            CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Curation.dataCard: per-doc projection (token count,
+    // char count, d02 fingerprint), one GROUPING SETS aggregate,
+    // single IEEE divisions of exact longs; NULLS FIRST aligns the
+    // slice-label ordering with Spark's asc default
+    "p05_data_card" ->
+      """WITH p AS (SELECT lang, source,
+           len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS t,
+           length(text) AS c,
+           md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS fp
+         FROM documents)
+         SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           COUNT(DISTINCT fp) AS n_distinct_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate,
+           CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_tokens
+         FROM p GROUP BY GROUPING SETS ((lang), (source), ())
+         ORDER BY lang NULLS FIRST, source NULLS FIRST""",
 
     // word/bigram top frequencies via explode+group (the per-doc
     // aggregation dual of Spark's zero-shuffle sorted-run fold —

@@ -118,4 +118,47 @@ object Curation {
     shardManifest(docs, col(stratumName), col(orderName),
       col(tokensName), budget)
   }
+
+  /** Corpus data card — the release-notes table every published
+    * training set ships (docs/tokens/chars, exact-duplicate load,
+    * mean document length) sliced per language, per source, and
+    * overall, in ONE aggregation pass.
+    *
+    * Plan shape: a zero-shuffle per-doc projection (token count,
+    * char count, the d02 content fingerprint), then a single
+    * GROUPING SETS aggregate — Spark expands the three slices inside
+    * one aggregation, so the corpus is read ONCE no matter how many
+    * slices the card reports. Two shuffles total (measured): the
+    * distinct-aggregate's partial (slice, fp) pre-aggregation plus
+    * the final slice rollup — `COUNT(DISTINCT fp)` is the one
+    * non-sketch distinct in the library, acceptable because the card
+    * is a per-release report, not a hot path; swap in
+    * [[expressions.KmvDistinct]] when slice cardinality makes exact
+    * distinct the bottleneck.
+    *
+    * All counts exact; `dup_rate`/`mean_tokens` are single IEEE
+    * divisions of exact longs (cross-engine bit-stable, the d06
+    * precedent). Slice labels: a null `lang`/`source` marks the
+    * aggregated-out dimension (the corpus columns are non-null by
+    * contract).
+    */
+  def dataCard(docs: DataFrame, text: Column, lang: Column,
+      source: Column): DataFrame = {
+    val perDoc = docs.select(lang.as("lang"), source.as("source"),
+      size(TextFunctions.words(text)).cast("long").as("t"),
+      length(text).cast("long").as("c"),
+      TextFunctions.fingerprint(text).as("fp"))
+    perDoc
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("c")).as("n_chars"),
+        countDistinct(col("fp")).as("n_distinct_docs"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct_docs")).cast("double")
+          / col("n_docs"))
+      .withColumn("mean_tokens",
+        col("n_tokens").cast("double") / col("n_docs"))
+  }
 }

@@ -8,6 +8,7 @@ import graft.{SparkSpec, Tables}
   * contracts.
   */
 class CurationSpec extends SparkSpec {
+  import spark.implicits._
 
   private val langs = Seq("en", "de", "fr")
   private lazy val out = Curation.curate(
@@ -68,6 +69,33 @@ class CurationSpec extends SparkSpec {
     // dedup output (sampling and packing only ever remove/annotate)
     val qSurvivors = outQ.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(qSurvivors.subsetOf(survivors))
+  }
+
+  test("dataCard: slice consistency, duplicate accounting, one corpus read") {
+    val docs = Seq(
+      (1L, "alpha beta", "en", "web"),
+      (2L, "alpha beta", "en", "book"),   // exact dup of 1 (fingerprint)
+      (3L, "gamma delta epsilon", "en", "web"),
+      (4L, "zeta eta", "de", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = Curation.dataCard(docs, col("text"), col("lang"),
+      col("source")).collect()
+    // three slices: 2 langs + 2 sources + 1 overall
+    assert(card.length == 5)
+    def slice(l: Option[String], s: Option[String]) = card.find(r =>
+      Option(r.getString(0)) == l && Option(r.getString(1)) == s).get
+    val en = slice(Some("en"), None)
+    assert(en.getLong(2) == 3 && en.getLong(5) == 2) // n_docs, n_distinct
+    assert(en.getDouble(6) == 1.0 / 3.0)             // dup_rate exact IEEE
+    val all = slice(None, None)
+    assert(all.getLong(2) == 4 && all.getLong(5) == 3)
+    assert(all.getLong(3) == 2 + 2 + 3 + 2)          // token total
+    val web = slice(None, Some("web"))
+    assert(web.getLong(2) == 3 && web.getLong(5) == 3) // no dups within web
+    // the corpus is scanned once: a single file-scan node in the plan
+    val plan = Curation.dataCard(docs, col("text"), col("lang"),
+      col("source")).queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).length <= 1)
   }
 
   test("bins are contiguous per language starting at 0") {
