@@ -1032,6 +1032,34 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of (a04): each event's NEXT signup at or after it —
+    // the merge_asof direction="forward" semantics; same one-shuffle
+    // tag-and-union plan, carry-backward window.
+    "a04_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.AsOf.asofNearest(ev,
+          ev.filter(col("event_type") === "signup"),
+          partition = "user_id", leftTime = "ts", rightTime = "ts",
+          asOfName = "next_signup", direction = "forward")
+        .select("event_id", "user_id", "next_signup")
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of with tolerance (a05): the closer of the prior and
+    // next signup, only if within 6 hours (exact unix_micros
+    // arithmetic); equal distances resolve backward — the full pandas
+    // merge_asof contract.
+    "a05_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.AsOf.asofNearest(ev,
+          ev.filter(col("event_type") === "signup"),
+          partition = "user_id", leftTime = "ts", rightTime = "ts",
+          asOfName = "nearest_signup", direction = "nearest",
+          tolerance = Some(6L * 3600L * 1000000L))
+        .select("event_id", "user_id", "nearest_signup")
+        .orderBy(col("event_id"))
+    }),
+
     // Generic two-table as-of join: each order enriched with the
     // customer's most recent event at or before the order date — one
     // shuffle on the key, no range-join explosion (operators.AsOf).
@@ -3065,6 +3093,39 @@ object ExtensionQueries {
          FROM orders o LEFT JOIN events e
            ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
          GROUP BY 1, 2 ORDER BY o_orderkey""",
+
+    "a04_asof_forward" ->
+      """WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+         SELECT e.event_id, e.user_id, min(s.ts) AS next_signup
+         FROM events e LEFT JOIN s ON s.user_id = e.user_id AND s.ts >= e.ts
+         GROUP BY e.event_id, e.user_id
+         ORDER BY e.event_id""",
+
+    // nearest-with-tolerance: closer of prior/next signup within 6h,
+    // exact epoch_us integer distances, ties backward
+    "a05_asof_nearest" ->
+      """WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+         b AS (SELECT e.event_id, e.user_id, e.ts, max(s.ts) AS bts
+           FROM events e LEFT JOIN s
+             ON s.user_id = e.user_id AND s.ts <= e.ts
+           GROUP BY 1, 2, 3),
+         f AS (SELECT e.event_id, min(s.ts) AS fts
+           FROM events e LEFT JOIN s
+             ON s.user_id = e.user_id AND s.ts >= e.ts
+           GROUP BY 1),
+         j AS (SELECT b.event_id, b.user_id, b.ts, b.bts, f.fts,
+             epoch_us(b.ts) - epoch_us(b.bts) AS bd,
+             epoch_us(f.fts) - epoch_us(b.ts) AS fd
+           FROM b JOIN f ON f.event_id = b.event_id)
+         SELECT event_id, user_id,
+           CASE
+             WHEN bts IS NOT NULL AND bd <= 21600000000
+              AND fts IS NOT NULL AND fd <= 21600000000
+             THEN CASE WHEN bd <= fd THEN bts ELSE fts END
+             WHEN bts IS NOT NULL AND bd <= 21600000000 THEN bts
+             WHEN fts IS NOT NULL AND fd <= 21600000000 THEN fts
+             ELSE NULL END AS nearest_signup
+         FROM j ORDER BY event_id""",
 
     "x01_skew_twophase" ->
       """SELECT event_type, count(*) AS n,

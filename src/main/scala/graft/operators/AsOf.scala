@@ -64,4 +64,90 @@ object AsOf {
   def asofSelf(events: DataFrame, partition: String, time: String,
       marker: Column, asOfName: String): DataFrame =
     asofLatest(events, events.filter(marker), partition, time, time, asOfName)
+
+  /** Directional as-of join — the full pandas `merge_asof` surface:
+    * for every left row, the matching right time in the requested
+    * `direction`, optionally within `tolerance`:
+    *
+    *   - `"backward"`: latest right ≤ left (the [[asofLatest]]
+    *     semantics, plus the tolerance gate);
+    *   - `"forward"`: earliest right ≥ left;
+    *   - `"nearest"`: the closer of the two; exact-distance ties
+    *     resolve BACKWARD (the pandas convention).
+    *
+    * Same scale shape as [[asofLatest]]: tag-and-union, ONE shuffle on
+    * the partition key, then ordered window passes — the forward value
+    * is a carry-BACKWARD `first` over the following frame, with the
+    * equal-time tag order flipped so a same-instant right row is
+    * visible in both directions (`<=`/`>=` semantics). Two in-partition
+    * sorts (one per direction), zero extra exchanges — Spark reuses the
+    * partitioning across both window operators. Never the
+    * O(|left|·|right|) theta-join explosion.
+    *
+    * `tolerance` is in MICROSECONDS for timestamp time columns (exact
+    * integer `unix_micros` arithmetic — no float drift), and in the
+    * column's own units for numeric time columns. `None` = unbounded.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, partition: String,
+      leftTime: String, rightTime: String, asOfName: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asofNearest: direction must be backward/forward/nearest, got $direction")
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+      .withColumn("__rv", lit(null).cast(left.schema(leftTime).dataType))
+    val rTagged = right.select(col(partition), col(rightTime).as("__t"))
+      .withColumn("__tag", lit(0))
+      .withColumn("__rv", col("__t"))
+    val rAligned = leftCols.foldLeft(rTagged) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = lTagged.select(
+      (leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__rv"))): _*)
+      .unionByName(rAligned.select(
+        (leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__rv"))): _*))
+    // exact integer ticks: micros for timestamps, the raw value
+    // otherwise — distances and tolerance never touch floats
+    def ticks(c: Column): Column =
+      left.schema(leftTime).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    // backward: right rows (tag 0) sort BEFORE left at equal time →
+    // same-instant right visible to the preceding-frame carry
+    val wBack = Window.partitionBy(col(partition))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: flip the equal-time tag order so the same-instant right
+    // row lands in the FOLLOWING frame instead
+    val wFwd = Window.partitionBy(col(partition))
+      .orderBy(col("__t"), col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = unioned
+      .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wFwd))
+      .filter(col("__tag") === 1)
+    val backDist = ticks(col("__t")) - ticks(col("__back"))
+    val fwdDist = ticks(col("__fwd")) - ticks(col("__t"))
+    val tol = tolerance.map(lit(_).cast("long"))
+    val backOk = col("__back").isNotNull &&
+      tol.map(backDist <= _).getOrElse(lit(true))
+    val fwdOk = col("__fwd").isNotNull &&
+      tol.map(fwdDist <= _).getOrElse(lit(true))
+    val picked = direction match {
+      case "backward" => when(backOk, col("__back"))
+      case "forward" => when(fwdOk, col("__fwd"))
+      case "nearest" =>
+        when(backOk && fwdOk,
+          when(backDist <= fwdDist, col("__back")).otherwise(col("__fwd")))
+          .when(backOk, col("__back"))
+          .when(fwdOk, col("__fwd"))
+    }
+    both.withColumn(asOfName, picked)
+      .select(leftCols.map(col) :+ col(asOfName): _*)
+  }
 }

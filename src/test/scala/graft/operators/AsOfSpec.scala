@@ -46,4 +46,66 @@ class AsOfSpec extends SparkSpec {
     assert(out(1L) == ts, "a signup is its own as-of match")
     assert(out(2L) == ts, "same-instant signup visible to the click")
   }
+
+  test("asofNearest: directions, tolerance, ties, one shuffle") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00")), // back 09:00, fwd 10:30 → nearest fwd
+      (2L, 7L, t("2024-01-01 09:30:00")), // back 09:00 (30m) beats fwd 10:30 (1h)
+      (3L, 7L, t("2024-01-01 06:00:00")), // no back; fwd 09:00 (3h)
+      (4L, 8L, t("2024-01-01 12:00:00"))  // no signups for user 8 at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, t("2024-01-01 09:00:00")),
+      (7L, t("2024-01-01 10:30:00"))
+    ).toDF("user_id", "sts")
+
+    def run(dir: String, tol: Option[Long]) =
+      AsOf.asofNearest(left, right, "user_id", "ts", "sts", "m",
+          direction = dir, tolerance = tol)
+        .select("event_id", "m").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toMap
+
+    val back = run("backward", None)
+    assert(back(1L).contains(t("2024-01-01 09:00:00")))
+    assert(back(3L).isEmpty, "no prior right row → null")
+    val fwd = run("forward", None)
+    assert(fwd(1L).contains(t("2024-01-01 10:30:00")))
+    assert(fwd(3L).contains(t("2024-01-01 09:00:00")))
+    assert(fwd(4L).isEmpty)
+    val near = run("nearest", None)
+    assert(near(1L).contains(t("2024-01-01 10:30:00")), "30m fwd beats 1h back")
+    assert(near(2L).contains(t("2024-01-01 09:00:00")), "30m back beats 1h fwd")
+    // tolerance 2h: event 3's only match is 3h away → null
+    val tol = run("nearest", Some(2L * 3600L * 1000000L))
+    assert(tol(3L).isEmpty, "beyond tolerance must null out")
+    assert(tol(1L).contains(t("2024-01-01 10:30:00")))
+
+    // exact tie resolves backward
+    val tie = AsOf.asofNearest(
+        Seq((1L, 7L, t("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts"),
+        Seq((7L, t("2024-01-01 09:00:00")), (7L, t("2024-01-01 11:00:00")))
+          .toDF("user_id", "sts"),
+        "user_id", "ts", "sts", "m", direction = "nearest")
+      .select("m").collect().head.getTimestamp(0)
+    assert(tie == t("2024-01-01 09:00:00"), "ties resolve backward")
+
+    // same-instant right row matches in BOTH directions
+    val same = AsOf.asofNearest(
+        Seq((1L, 7L, t("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts"),
+        Seq((7L, t("2024-01-01 10:00:00"))).toDF("user_id", "sts"),
+        "user_id", "ts", "sts", "m", direction = "forward")
+      .select("m").collect().head.getTimestamp(0)
+    assert(same == t("2024-01-01 10:00:00"))
+
+    // one exchange: both direction windows reuse the partition shuffle
+    val plan = AsOf.asofNearest(left, right, "user_id", "ts", "sts", "m",
+      direction = "nearest").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected one partition shuffle, plan:\n$plan")
+    intercept[IllegalArgumentException] {
+      AsOf.asofNearest(left, right, "user_id", "ts", "sts", "m", "sideways")
+    }
+  }
 }
