@@ -582,12 +582,16 @@ object ExtensionQueries {
     // Feature-hashed bag-of-words vectors (the hashing trick): the
     // no-model text→vector bridge into the embedding operator family —
     // md5-portable bucket + sign, exact signed integer counts, zero
-    // shuffle; every component hash-gated.
+    // shuffle; every component hash-gated. Emitted posexploded to
+    // (doc_id, idx, component) scalar rows — gates must never emit a
+    // top-level ArrayType column (the driver's oracle harness cannot
+    // sort list columns; GateShapeSpec pins the rule registry-wide).
     "t21_hash_embed" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextFunctions.hashEmbed(col("text"), 16).as("vec"))
-        .orderBy(col("doc_id"))
+          posexplode(TextFunctions.hashEmbed(col("text"), 16))
+            .as(Seq("idx", "component")))
+        .orderBy(col("doc_id"), col("idx"))
     }),
 
     // Unicode normalization + accent folding (t22): native codegen'd
@@ -1371,12 +1375,14 @@ object ExtensionQueries {
     // (same deterministic hyperplane matrix). Zero-shuffle per-row
     // projection; the oracle embeds the identical ±1 sign literals and
     // integer arithmetic, so every component is hash-gated.
+    // Emitted posexploded to (vec_id, idx, component) scalar rows — the
+    // array-free gate-output rule (see t21 / GateShapeSpec).
     "e07_jl_project" -> ((s, dir) => {
       t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          Similarity.jlProject(col("embedding"), 8, 64).as("proj"),
-          col("label"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          posexplode(Similarity.jlProject(col("embedding"), 8, 64))
+            .as(Seq("idx", "component")))
+        .orderBy(col("vec_id"), col("idx"))
     }),
 
     // Coarse-quantize-then-verify ANN (the FAISS two-stage shape): JL
@@ -1479,11 +1485,15 @@ object ExtensionQueries {
     // representation a 100 TB ANN index stores. Training, assignment
     // ties, and codes all hash-gated (the oracle unrolls all 12
     // sweeps).
+    // Emitted posexploded to (vec_id, subspace, code) scalar rows — the
+    // array-free gate-output rule (see t21 / GateShapeSpec).
     "e09_pq_encode" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = Similarity.pqTrain(emb, m = 4, k = 8, dims = 64)
       Similarity.pqEncode(emb, cb, m = 4, dims = 64)
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .orderBy(col("vec_id"), col("subspace"))
     }),
 
     // PQ search by asymmetric distance computation: per-query distance
@@ -2276,16 +2286,22 @@ object ExtensionQueries {
          FROM scored, b ORDER BY doc_id""",
 
     // mirrors TextFunctions.hashEmbed: bucket = first-14-hex md5 mod
-    // 16, sign = parity of hex digit 15, signed counts per component
+    // 16, sign = parity of hex digit 15, signed counts per component —
+    // unnested to (doc_id, idx, component) to mirror the posexploded
+    // gate shape
     "t21_hash_embed" ->
-      """SELECT doc_id,
+      """WITH v AS (SELECT doc_id,
            list_transform(range(0, 16), i ->
              CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
                w -> CASE WHEN CAST(('0x'||substr(md5(w),1,14)) AS BIGINT) % 16 = i
                     THEN (CASE WHEN CAST(('0x'||substr(md5(w),15,1)) AS BIGINT) % 2 = 0
                                THEN 1 ELSE -1 END)
                     ELSE 0 END)), 0) AS BIGINT)) AS vec
-         FROM documents ORDER BY doc_id""",
+           FROM documents)
+         SELECT doc_id, CAST(i - 1 AS INT) AS idx, component
+         FROM (SELECT doc_id, unnest(vec) AS component,
+                 unnest(range(1, len(vec) + 1)) AS i FROM v)
+         ORDER BY doc_id, idx""",
 
     // mirrors TextFunctions.normalizeUnicode (NFC) and foldAccents via
     // DuckDB's nfc_normalize/strip_accents on the same planted
@@ -3338,15 +3354,18 @@ object ExtensionQueries {
               row_number() OVER (PARTITION BY v.vec_id
                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
             FROM qc$j v CROSS JOIN c${j}x3 c) WHERE rn = 1)"""
-      s"""WITH ${(0 until m).map(subspace(_, "")).mkString(",")}
-         SELECT e0.vec_id,
+      s"""WITH ${(0 until m).map(subspace(_, "")).mkString(",")},
+         joined AS (SELECT e0.vec_id,
            [CAST(e0.centroid_id AS INT), CAST(e1.centroid_id AS INT),
             CAST(e2.centroid_id AS INT), CAST(e3.centroid_id AS INT)] AS codes
          FROM enc0 e0
          JOIN enc1 e1 ON e1.vec_id = e0.vec_id
          JOIN enc2 e2 ON e2.vec_id = e0.vec_id
-         JOIN enc3 e3 ON e3.vec_id = e0.vec_id
-         ORDER BY e0.vec_id"""
+         JOIN enc3 e3 ON e3.vec_id = e0.vec_id)
+         SELECT vec_id, CAST(i - 1 AS INT) AS subspace, code
+         FROM (SELECT vec_id, unnest(codes) AS code,
+                 unnest(range(1, len(codes) + 1)) AS i FROM joined)
+         ORDER BY vec_id, subspace"""
     },
 
     // mirrors Similarity.knnPqAdc: corpus-trained codebooks, ADC sum
@@ -3637,7 +3656,8 @@ object ExtensionQueries {
 
     // mirrors Similarity.jlProject: component j = Σ_d q(emb[d])·sign(j,d)
     // with the identical planeSigns literals — exact integer arithmetic,
-    // every component hash-gated.
+    // every component hash-gated; unnested to (vec_id, idx, component)
+    // to mirror the posexploded gate shape.
     "e07_jl_project" -> {
       val signs = Similarity.planeSigns(8, 64)
       val comps = (0 until 8).map { j =>
@@ -3645,8 +3665,11 @@ object ExtensionQueries {
         s"""CAST(list_sum(list_transform(range(1, len(embedding)+1),
            i -> ${q("embedding[i]")} * ($lst)[i])) AS BIGINT)"""
       }.mkString(", ")
-      s"""SELECT vec_id, [$comps] AS proj, label
-         FROM embeddings ORDER BY vec_id"""
+      s"""WITH p AS (SELECT vec_id, label, [$comps] AS proj FROM embeddings)
+         SELECT vec_id, label, CAST(i - 1 AS INT) AS idx, component
+         FROM (SELECT vec_id, label, unnest(proj) AS component,
+                 unnest(range(1, len(proj) + 1)) AS i FROM p)
+         ORDER BY vec_id, idx"""
     },
 
     // mirrors Similarity.knnJlPrefilter: the same JL components, integer

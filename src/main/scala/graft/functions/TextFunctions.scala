@@ -614,21 +614,30 @@ object TextFunctions {
     * ANN, clustering) without a trained encoder, and two engines
     * produce bit-identical vectors (md5-portable, exact integers).
     *
-    * ZERO shuffle — a pure per-row fold, O(words·dims) per document
-    * (dims is small by construction; the hashing trick's point is a
-    * fixed low dimension). Lambda-bearing columns are `def`s per the
-    * [[gopherRules]] collision rule.
+    * ZERO shuffle — a pure per-row fold. Hash work is hoisted so each
+    * word is digested exactly ONCE: one pass maps tokens to their
+    * (bucket, sign) pair from a single md5 (bucket from hex digits
+    * 1–14, sign from digit 15 — both bits of the same digest), then one
+    * fold scatters the pairs into a dims-length accumulator. Cost is
+    * O(words) digests + O(words·dims) long compares/adds (dims is small
+    * by construction; the hashing trick's point is a fixed low
+    * dimension) — the naive per-dimension refold costs 2·words·dims
+    * digests, a 2·dims× constant-factor tax at the same output.
+    * Lambda-bearing columns are `def`s per the [[gopherRules]]
+    * collision rule.
     */
   def hashEmbed(text: Column, dims: Int = 16): Column = {
     require(dims > 0, "hashEmbed: dims must be positive")
-    def toks = words(text)
-    def bucket(w: Column) = pmod(portableHash64(w), lit(dims))
-    def sgn(w: Column) =
-      when(conv(substring(md5(w), 15, 1), 16, 10)
-        .cast(LongType) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-    transform(sequence(lit(0), lit(dims - 1)), i =>
-      aggregate(toks, lit(0L), (acc, w) =>
-        acc + when(bucket(w) === i, sgn(w)).otherwise(0L)))
+    def toks = transform(transform(words(text), w => md5(w)), h =>
+      struct(
+        pmod(conv(substring(h, 1, 14), 16, 10).cast(LongType),
+          lit(dims.toLong)).as("b"),
+        when(conv(substring(h, 15, 1), 16, 10).cast(LongType) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("s")))
+    aggregate(toks, array_repeat(lit(0L), dims),
+      (acc, tk) => transform(acc, (v, i) =>
+        v + when(tk.getField("b") === i.cast(LongType), tk.getField("s"))
+          .otherwise(0L)))
   }
 
   /** Document fingerprint: md5 over the whitespace-normalized, lowercased,

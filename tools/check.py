@@ -58,6 +58,13 @@ def main(sf_dir, out_dir):
             results[name] = f'ORACLE-FAIL {str(e)[:200]}'
             continue
         problems = []
+        # Mirror the DRIVER harness's limitation: it sorts rows with
+        # pandas sort_values over all columns and crashes on list values
+        # (round-11 e07/e09/t21 regression). Flag array outputs HERE so a
+        # locally-green gate can't ship driver-red.
+        for f in spark_tbl.schema:
+            if str(f.type).startswith(('list', 'large_list', 'struct', 'map')):
+                problems.append(f'ARRAY-OUTPUT[{f.name}] (driver harness cannot sort)')
         s_cols = sorted(spark_tbl.column_names)
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
