@@ -1164,10 +1164,7 @@ object ExtensionQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_x04_${java.nio.file.Paths.get(dir).getFileName}_" +
-          s"${ProcessHandle.current().pid()}").toString
+      val path = Scratch.path(dir, "x04")
       docs.coalesce(2).write.mode("overwrite").json(path)
       s.read.schema(docs.schema).json(path)
         .orderBy(col("doc_id"))
@@ -1184,10 +1181,7 @@ object ExtensionQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_x08_${java.nio.file.Paths.get(dir).getFileName}_" +
-          s"${ProcessHandle.current().pid()}").toString
+      val path = Scratch.path(dir, "x08")
       docs.write.mode("overwrite").partitionBy("lang").parquet(path)
       s.read.parquet(path)
         .filter(col("lang").isin("en", "de"))
@@ -1239,10 +1233,7 @@ object ExtensionQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_x07_${java.nio.file.Paths.get(dir).getFileName}_" +
-          s"${ProcessHandle.current().pid()}").toString
+      val path = Scratch.path(dir, "x07")
       docs.coalesce(2).write.mode("overwrite")
         .option("header", "true").csv(path)
       s.read.schema(docs.schema).option("header", "true").csv(path)
@@ -1255,10 +1246,7 @@ object ExtensionQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_x05_${java.nio.file.Paths.get(dir).getFileName}_" +
-          s"${ProcessHandle.current().pid()}").toString
+      val path = Scratch.path(dir, "x05")
       docs.coalesce(2).write.mode("overwrite").orc(path)
       s.read.schema(docs.schema).orc(path)
         .orderBy(col("doc_id"))

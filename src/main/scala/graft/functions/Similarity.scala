@@ -274,10 +274,7 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       keepDist: Boolean = false): DataFrame = {
-    val cents = centroids.select(col("centroid_id"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
+    val cents = collectContiguousCentroids(centroids)
     val q = quantize(col("embedding"))
     val dists = array(cents.map { case (_, c) =>
       sqDistQ(q, array(c.map(lit): _*)) }: _*)
@@ -847,8 +844,35 @@ object Similarity {
       .select(col("subspace"), col("centroid_id"), col("centroid"))
   }
 
-  /** Collected codebook: subspace → centroids ordered by centroid_id.
-    * Bounded k·dims longs (the [[ivfTrain]] driver-state contract). */
+  /** Collected (centroid_id, centroid) pairs ordered by id, VALIDATED
+    * contiguous 0..k-1. The argmin-projection family ([[ivfAssign]],
+    * [[pqEncode]], [[ivfPqIndex]]) uses the sorted POSITION of the
+    * argmin as the centroid id — correct only when ids run 0..k-1 with
+    * no gaps ([[ivfTrain]]'s contract). A filtered or renumbered
+    * centroid frame would otherwise produce silently wrong assignments;
+    * fail loudly instead.
+    */
+  private def collectContiguousCentroids(
+      centroids: DataFrame): Array[(Int, Seq[Long])] = {
+    val cents = centroids.select(col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid frame is empty")
+    cents.iterator.zipWithIndex.foreach { case ((id, _), i) =>
+      require(id == i,
+        s"centroid ids must be contiguous 0..k-1 (ivfTrain's contract): " +
+          s"found id $id at sorted position $i — do not filter or " +
+          "renumber the centroid frame before assignment")
+    }
+    cents
+  }
+
+  /** Collected codebook: subspace → centroids ordered by centroid_id,
+    * each subspace validated contiguous 0..k-1 (the
+    * [[collectContiguousCentroids]] rule — codes index the literal
+    * array by position). Bounded k·dims longs (the [[ivfTrain]]
+    * driver-state contract). */
   private def collectCodebooks(codebooks: DataFrame,
       m: Int): IndexedSeq[Seq[Seq[Long]]] = {
     val rows = codebooks
@@ -856,7 +880,15 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
     (0 until m).map { j =>
-      rows.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq).toSeq
+      val sub = rows.filter(_._1 == j).sortBy(_._2)
+      require(sub.nonEmpty, s"codebook for subspace $j is empty")
+      sub.iterator.zipWithIndex.foreach { case ((_, id, _), i) =>
+        require(id == i,
+          s"subspace $j centroid ids must be contiguous 0..k-1: found " +
+            s"id $id at sorted position $i — do not filter or renumber " +
+            "the codebook frame before encoding")
+      }
+      sub.map(_._3.toSeq).toSeq
     }
   }
 
@@ -924,10 +956,7 @@ object Similarity {
       codebooks: DataFrame, m: Int = 4, dims: Int = 64): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"ivfPqIndex: dims ($dims) must divide into m ($m) subspaces")
-    val cents = centroids.select(col("centroid_id"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
+    val cents = collectContiguousCentroids(centroids)
     val qfull = quantize(col("embedding"))
     val cdists = array(cents.map { case (_, c) =>
       sqDistQ(qfull, array(c.map(lit): _*)) }: _*)

@@ -85,8 +85,12 @@ object AsOf {
     * O(|left|·|right|) theta-join explosion.
     *
     * `tolerance` is in MICROSECONDS for timestamp time columns (exact
-    * integer `unix_micros` arithmetic — no float drift), and in the
-    * column's own units for numeric time columns. `None` = unbounded.
+    * integer `unix_micros` arithmetic — no float drift), DAYS for date
+    * columns, and the column's own units for numeric time columns.
+    * Fractional (double/float/decimal) time columns compare distances
+    * in their NATIVE type — never truncated to integers, which would
+    * mis-pick nearest ties and mis-gate tolerances by up to one unit.
+    * `None` = unbounded.
     */
   def asofNearest(left: DataFrame, right: DataFrame, partition: String,
       leftTime: String, rightTime: String, asOfName: String,
@@ -110,12 +114,21 @@ object AsOf {
       (leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__rv"))): _*)
       .unionByName(rAligned.select(
         (leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__rv"))): _*))
-    // exact integer ticks: micros for timestamps, the raw value
-    // otherwise — distances and tolerance never touch floats
+    // distance ticks per time-column type: exact integer micros for
+    // timestamps, exact integer days for dates, the raw long for
+    // integral columns, and the NATIVE value for fractional/decimal
+    // columns (a cast to long would truncate before the distance
+    // comparison — nearest ties and tolerance gates off by < 1 unit)
+    import org.apache.spark.sql.types._
     def ticks(c: Column): Column =
       left.schema(leftTime).dataType match {
-        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        case _ => c.cast("long")
+        case TimestampType => unix_micros(c)
+        case TimestampNTZType => unix_micros(c.cast(TimestampType))
+        case DateType => unix_date(c).cast("long")
+        case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+        case _: NumericType => c
+        case dt => throw new IllegalArgumentException(
+          s"asofNearest: unsupported time column type $dt")
       }
     // backward: right rows (tag 0) sort BEFORE left at equal time →
     // same-instant right visible to the preceding-frame carry

@@ -75,6 +75,24 @@ class PqSpec extends SparkSpec {
     assert(out == run())
   }
 
+  test("non-contiguous centroid ids fail loudly, never mis-assign") {
+    // the argmin-projection family uses the sorted POSITION as the
+    // centroid id — a filtered/renumbered frame must be rejected, not
+    // silently produce position-keyed assignments under the wrong ids
+    val cents = Similarity.ivfTrain(emb, k = 3)
+    val filtered = cents.filter(col("centroid_id") =!= 1)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(emb, filtered).collect()
+    }
+    assert(e1.getMessage.contains("contiguous"))
+    val cb = Similarity.pqTrain(emb, m = 2, k = 3, dims = dims)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, cb.filter(col("centroid_id") =!= 0),
+        m = 2, dims = dims).collect()
+    }
+    assert(e2.getMessage.contains("contiguous"))
+  }
+
   test("encode plan: zero shuffle — a pure projection over the scan") {
     val cb = Similarity.pqTrain(emb, m = 2, k = 3, dims = dims)
     val plan = Similarity.pqEncode(emb, cb, m = 2, dims = dims)

@@ -108,4 +108,35 @@ class AsOfSpec extends SparkSpec {
       AsOf.asofNearest(left, right, "user_id", "ts", "sts", "m", "sideways")
     }
   }
+
+  test("asofNearest: fractional time columns never truncate distances") {
+    import spark.implicits._
+    // back at 8.1 is 1.9 away, fwd at 11.2 is 1.2 away: a cast-to-long
+    // of the distances truncates BOTH to 1 and the backward tie-break
+    // picks 8.1 — the native-type comparison must pick 11.2
+    val left = Seq((1L, 7L, 10.0)).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, 8.1), (7L, 11.2)).toDF("user_id", "sts")
+    val near = AsOf.asofNearest(left, right, "user_id", "ts", "sts", "m",
+        direction = "nearest")
+      .select("m").collect().head.getDouble(0)
+    assert(near == 11.2, s"fractional nearest must compare untruncated: $near")
+
+    // tolerance gating must see the fractional distance too: tol=1
+    // excludes the 1.2-away forward row (truncated it would pass)
+    val gated = AsOf.asofNearest(left, right, "user_id", "ts", "sts", "m",
+        direction = "forward", tolerance = Some(1L))
+      .select("m").collect().head
+    assert(gated.isNullAt(0), "1.2 > tolerance 1 must null out")
+
+    // date columns: exact integer day distances (never the long-cast
+    // fallback, which nulls/garbles DateType)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dl = Seq((1L, 7L, d("2024-01-10"))).toDF("event_id", "user_id", "ts")
+    val dr = Seq((7L, d("2024-01-07")), (7L, d("2024-01-12")))
+      .toDF("user_id", "sts")
+    val dnear = AsOf.asofNearest(dl, dr, "user_id", "ts", "sts", "m",
+        direction = "nearest")
+      .select("m").collect().head.getDate(0)
+    assert(dnear == d("2024-01-12"), "2 days fwd beats 3 days back")
+  }
 }
