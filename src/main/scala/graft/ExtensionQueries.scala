@@ -89,6 +89,60 @@ object ExtensionQueries {
     }.mkString(" + ")
   }
 
+  /** The s06 curated-survivor CTE chain — originals plus the every-4th
+    * repost plant, the Gopher hard gate, the content fingerprint with
+    * the non-Latin fallback, and the min-id keep set — parameterized by
+    * extra carried columns (`extra` = ", lang, n_chars" for s10).
+    * Yields CTEs all_docs/feat/m/gated/k/keep; survivors are
+    * `k JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.doc_id`.
+    * Shared by the s06 and s10 oracles so the two gates can never
+    * drift on curation semantics.
+    */
+  private def curatedSurvivorCtes(extra: String): String =
+    s"""all_docs AS (
+           SELECT doc_id, text$extra FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text$extra FROM documents WHERE doc_id % 4 = 0),
+         feat AS (SELECT doc_id, text$extra,
+           string_split_regex(
+             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+             '[ \\t\\n\\x0b\\f\\r]+') AS wds,
+           string_split(text, chr(10)) AS lns FROM all_docs),
+         m AS (SELECT doc_id, text$extra,
+           CAST(len(wds) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
+           greatest(
+             ((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')))/3
+               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
+               / CAST(len(wds) AS DOUBLE),
+             (length(text) - length(regexp_replace(text, '#', '', 'g')))
+               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
+           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
+             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
+             /len(lns) AS bullet_line_ratio,
+           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
+             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
+           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
+             /len(wds) AS alpha_word_ratio,
+           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
+           FROM feat),
+         gated AS (SELECT doc_id, text$extra FROM m
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_ratio <= 0.9
+             AND ellipsis_line_ratio <= 0.3
+             AND alpha_word_ratio >= 0.8
+             AND n_stopwords >= 2),
+         k AS (SELECT doc_id, text$extra,
+           CASE WHEN trim(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) = ''
+                THEN md5('graft:raw:' || text)
+                ELSE md5(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) END AS fp
+           FROM gated),
+         keep AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp)"""
+
   // ---- queries ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -483,6 +537,24 @@ object ExtensionQueries {
           struct(col("c_nationkey"), col("c_mktsegment")),
           maxDist = 1, keepBy = col("c_acctbal"))
         .orderBy(col("rec_id"))
+    }),
+
+    // Multi-key canopy blocking (d27): the name wildcarded at each of
+    // its 9 digit positions — a 9-key deletion neighborhood with FULL
+    // recall of single-substitution typo pairs and block cardinality
+    // ∝ n (the scale-refining key the linkRecordPairs contract
+    // demands; d24's fixed (nation, segment) key measures pair-work
+    // exponent ≈ 2.0 across a 10× scale-up, this one ~1). Every key's
+    // blocking, the Levenshtein DP, and the multi-key min-dedup are
+    // mirrored in the oracle.
+    "d27_linkage_multikey" -> ((s, dir) => {
+      val name = col("c_name")
+      val keys = (1 to 9).map(j =>
+        concat(substring(name, 1, 8 + j), lit("*"),
+          substring(name, 10 + j, 9 - j)))
+      Dedup.linkRecordPairsMultiKey(t(s, dir, "customer"),
+          col("c_custkey"), name, keys, maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // p01's curation recipe with the dedup stage LSH-gated (the
@@ -982,6 +1054,53 @@ object ExtensionQueries {
           .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
       streaming.CorpusStream.curatedIngest(all, col("text"), col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming shard emission (s10): the s06 curated stream COMPOSED
+    // with the p04 output stage, run as a REAL streaming query — three
+    // ordered file drops (originals split in two, then the re-posts),
+    // maxFilesPerTrigger=1 so cross-batch dedup state does real work,
+    // foreachBatch maintaining the writeShards tree + staging. The
+    // gated result is the manifest read back FROM THE PERSISTED TREE;
+    // the oracle composes the s06 survivor CTEs with the p04 manifest
+    // SQL, so streamed-artifact == batch-pipeline is hash-gated.
+    // Arrival order == id order, so the stream's first-arrival
+    // survivors are exactly the batch min-id survivors.
+    "s10_stream_shards" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val reposts = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+      val in = Scratch.path(dir, "s10_in")
+      val staging = Scratch.path(dir, "s10_staging")
+      val shards = Scratch.path(dir, "s10_shards")
+      val ckpt = Scratch.path(dir, "s10_ckpt")
+      Seq(in, staging, shards, ckpt).foreach(Scratch.reset)
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      def withTs(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      Seq(base.filter(col("doc_id") <= maxId / 2),
+          base.filter(col("doc_id") > maxId / 2),
+          reposts)
+        .foreach(d => withTs(d).orderBy(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(in))
+      val stream = s.readStream.schema(withTs(base).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.curatedShards(stream,
+        col("text"), col("doc_id"), staging, shards,
+        stratumName = "lang", orderName = "doc_id", tokensName = "n_chars",
+        budget = 2000L, watermark = "1 hour",
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(shards)
+        .groupBy(col("stratum"), col("bin").cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast(LongType)).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("stratum"), col("bin"))
     }),
 
     // Per-user quota (s08): first-50-events-per-user rate cap, run
@@ -1519,6 +1638,27 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // e11's search through the PERSISTED index (e12): build → write as
+    // a Hive tree partitioned by centroid_id → read back with the
+    // probed cells pushed down to the file listing (static partition
+    // pruning, PlanSpec-asserted) → identical ADC + re-rank. Same
+    // oracle as e11 — the artifact round-trip must change nothing.
+    // This is the build-once/search-many shape of a real 100 TB ANN
+    // index: a probe touches nprobe of k_coarse directories on disk.
+    "e12_knn_ivfpq_disk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val path = Scratch.path(dir, "e12")
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64), path)
+      Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries, corpus,
+          k = 5, nprobe = 2, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // REAL video decode over YUV4MPEG2 (the standard uncompressed
     // container): header-token parse, FRAME walking, per-frame luma
     // pooling + aHash — the video analogue of m03. Fixture pixels
@@ -1565,7 +1705,12 @@ object ExtensionQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // e12 is the e11 search bit-for-bit, routed through the on-disk
+    // partition-pruned index — one oracle, two gated plans
+    ("e12_knn_ivfpq_disk" -> oracleSqlBase("e11_knn_ivfpq"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
 
     "d01_dedup_exact" ->
       """SELECT md5(substr(text, 1, 64)) AS dup_key, min(doc_id) AS keep_id,
@@ -1597,52 +1742,29 @@ object ExtensionQueries {
     // the survivors — identical IEEE divisions of identical integers,
     // so the gate verdicts and the surviving rows hash-match exactly.
     "s06_stream_curation" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0),
-         feat AS (SELECT doc_id, text,
-           string_split_regex(
-             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-             '[ \t\n\x0b\f\r]+') AS wds,
-           string_split(text, chr(10)) AS lns FROM all_docs),
-         m AS (SELECT doc_id, text,
-           CAST(len(wds) AS BIGINT) AS n_words,
-           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
-           greatest(
-             ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
-               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
-               / CAST(len(wds) AS DOUBLE),
-             (length(text) - length(regexp_replace(text, '#', '', 'g')))
-               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
-           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
-             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
-             /len(lns) AS bullet_line_ratio,
-           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
-             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
-           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
-             /len(wds) AS alpha_word_ratio,
-           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
-           FROM feat),
-         gated AS (SELECT doc_id, text FROM m
-           WHERE n_words >= 50 AND n_words <= 100000
-             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-             AND symbol_word_ratio <= 0.1
-             AND bullet_line_ratio <= 0.9
-             AND ellipsis_line_ratio <= 0.3
-             AND alpha_word_ratio >= 0.8
-             AND n_stopwords >= 2),
-         k AS (SELECT doc_id, text,
-           CASE WHEN trim(regexp_replace(regexp_replace(
-                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) = ''
-                THEN md5('graft:raw:' || text)
-                ELSE md5(regexp_replace(regexp_replace(
-                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) END AS fp
-           FROM gated),
-         keep AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp)
+      s"""WITH ${curatedSurvivorCtes("")}
          SELECT k.doc_id, k.text FROM k
          JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.doc_id
          ORDER BY k.doc_id""",
+
+    // mirrors the s10 composition: the s06 survivor CTEs (lang/n_chars
+    // carried through) feeding the p04 manifest SQL — the streamed
+    // shard artifact must equal the batch pipeline's manifest
+    "s10_stream_shards" ->
+      s"""WITH ${curatedSurvivorCtes(", lang, n_chars")},
+         surv AS (SELECT k.doc_id, k.lang, k.n_chars FROM k
+           JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.doc_id),
+         b AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+           FROM (SELECT doc_id, lang, n_chars,
+                   sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM surv))
+         SELECT lang AS stratum, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "d02_fingerprint" ->
       """SELECT doc_id,
@@ -2123,6 +2245,23 @@ object ExtensionQueries {
          SELECT a.rec_id, a.entity_id, c.canonical_id
          FROM asg a JOIN can c ON c.entity_id = a.entity_id
          ORDER BY a.rec_id""",
+
+    // mirrors Dedup.linkRecordPairsMultiKey over the 9 digit-wildcard
+    // keys: per-key blocking self-joins, the identical Levenshtein DP,
+    // DISTINCT as the multi-key (id_a, id_b) dedup
+    "d27_linkage_multikey" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+         k AS (SELECT id, nm, j,
+             substr(nm, 1, CAST(8 + j AS INT)) || '*' ||
+               substr(nm, CAST(10 + j AS INT)) AS key
+           FROM c CROSS JOIN range(1, 10) r(j)),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+           FROM k a JOIN k b
+             ON a.j = b.j AND a.key = b.key AND a.id < b.id
+           WHERE levenshtein(a.nm, b.nm) <= 1)
+         SELECT id_a, id_b, dist FROM pairs ORDER BY id_a, id_b""",
 
     // p01's composed oracle with the dedup stage LSH-gated: signatures
     // and banding over the language-FILTERED shingles (curate filters

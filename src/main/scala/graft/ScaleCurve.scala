@@ -421,6 +421,21 @@ object ScaleCurve {
     // anti-pattern, relational edition).
     "d24_block_pairs" -> ((s, dir) =>
       pairSum(docs(s, dir).groupBy(col("lang"), col("source")).count())),
+    // d27 multi-key canopy: Σ over the 4 quarter-wildcard name keys of
+    // Σ_blocks C(m,2) — the same corpus under a blocking key whose
+    // cardinality GROWS with n (name fragments), the d27-gated
+    // linkRecordPairsMultiKey shape. Expected ~linear vs
+    // d24_block_pairs' exponent-2: the measured case for the
+    // key-cardinality contract documented on linkRecordPairs.
+    "d27_block_pairs" -> ((s, dir) => {
+      val name = substring(col("text"), 1, 24)
+      val keyed = (0 until 4).map { q =>
+        docs(s, dir).select(concat(
+          substring(name, 1, q * 6), lit("*"),
+          substring(name, q * 6 + 7, 18 - q * 6)).as("key"))
+      }.reduce(_ unionByName _)
+      pairSum(keyed.groupBy(col("key")).count())
+    }),
     // g02 triangles: wedge volume under the degree orientation —
     // Σ over oriented source of C(outdeg, 2) — vs the UN-oriented
     // Σ over node of C(deg, 2) a naive neighbor self-join does. The

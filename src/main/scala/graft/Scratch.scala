@@ -31,6 +31,12 @@ object Scratch {
     p
   }
 
+  /** Delete a scratch tree NOW. Gate bodies that accumulate state
+    * across invocations (staging trees, stream checkpoints) must call
+    * this up front — the bench samples a gate several times in one JVM,
+    * so a per-pid path alone does not isolate re-runs. */
+  def reset(p: String): Unit = deleteRecursively(new java.io.File(p))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

@@ -1298,6 +1298,20 @@ object Dedup {
     * blocking shape (Fellegi–Sunter lineage): the block key bounds the
     * quadratic — candidate work is Σ_blocks m², never n².
     *
+    * THE BLOCK KEY'S CARDINALITY MUST GROW WITH THE CORPUS. Σm² stays
+    * near-linear only while expected block size m ≈ n/|blocks| stays
+    * bounded; a FIXED-cardinality key (country, segment, a 125-value
+    * demographic pair) makes every block grow ∝ n and total pair work
+    * grow ∝ n² — measured on this corpus at exponent ≈ 2.0 (159k →
+    * 16.2M block pairs across a 10× scale-up,
+    * bench/scale_r11/work_counts_new.json) — until every block trips
+    * `maxBlockSize` and the guard degenerates to loud-but-useless
+    * (everything dropped, nothing linked). Right keys grow with n:
+    * name prefixes/fragments (see [[linkRecordPairsMultiKey]] — the
+    * d27-gated shape, pair count ~linear at the same scale-up),
+    * name+zip, phonetic codes, canopy keys. Fixed-cardinality keys are
+    * for SCOPING (only pair within a country), never for bounding.
+    *
     * Blocks larger than `maxBlockSize` are dropped BEFORE the self-join
     * via a broadcast anti-join on the hot-block set (tiny by
     * definition: at most n/maxBlockSize blocks can exceed the cap) —
@@ -1328,6 +1342,37 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("dist"))
+  }
+
+  /** Multi-key (canopy) blocking: the UNION of [[linkRecordPairs]] over
+    * several independent blocking keys, deduped on (id_a, id_b) — a
+    * pair missed by one key is caught by another, so recall composes
+    * across keys while every key individually keeps its blocks small.
+    * This is the ergonomic escape from the fixed-cardinality-key trap
+    * documented on [[linkRecordPairs]]: wildcard/fragment keys (e.g.
+    * the name with position i masked, for each i — the deletion-
+    * neighborhood construction, which has FULL recall of single-
+    * substitution typos) have cardinality ∝ n, so Σm² stays ~linear at
+    * any corpus size.
+    *
+    * Scale shape: one [[linkRecordPairs]] self-join per key (each
+    * guarded by `maxBlockSize` independently, each one shuffle on its
+    * own key), then ONE partial-aggregatable min per (id_a, id_b) to
+    * collapse multi-key duplicates — map-side combined, never a
+    * window. `dist` is key-independent (same Levenshtein on the same
+    * names), so min is the value itself.
+    *
+    * Schema out: (id_a, id_b, dist), id_a < id_b.
+    */
+  def linkRecordPairsMultiKey(df: DataFrame, id: Column, name: Column,
+      blockKeys: Seq[Column], maxDist: Int,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(blockKeys.nonEmpty, "linkRecordPairsMultiKey: need >= 1 key")
+    blockKeys
+      .map(k => linkRecordPairs(df, id, name, k, maxDist, maxBlockSize))
+      .reduce(_ unionByName _)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
   }
 
   /** Accounting for [[linkRecordPairs]]'s `maxBlockSize` guard:

@@ -996,9 +996,16 @@ object Similarity {
     require(nprobe > 0, "knnIvfPq: nprobe must be positive")
     require(m > 0 && dims % m == 0,
       s"knnIvfPq: dims ($dims) must divide into m ($m) subspaces")
-    val sub = dims / m
-    val cbs = collectCodebooks(codebooks, m)
-    val probes = queries
+    ivfPqSearchTail(index, ivfProbes(queries, centroids, nprobe),
+      collectCodebooks(codebooks, m), corpus, k, rerank, m, dims / m)
+  }
+
+  /** The probe set: each query's `nprobe` nearest coarse cells —
+    * (query_id, q_emb, centroid_id), queries × nprobe rows, bounded by
+    * the broadcastable-queries contract. */
+  private def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         quantize(col("embedding")).as("qq"))
       .crossJoin(broadcast(centroids))
@@ -1008,6 +1015,14 @@ object Similarity {
           .orderBy(col("dist"), col("centroid_id"))))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("centroid_id"))
+
+  /** The ADC + exact-rerank tail shared by [[knnIvfPq]] and
+    * [[knnIvfPqOnDisk]]: broadcast the probe set onto the index's cell
+    * column, ADC-score the probed rows, shortlist `rerank` per query,
+    * exact quantized-cosine re-rank to top `k`. */
+  private def ivfPqSearchTail(index: DataFrame, probes: DataFrame,
+      cbs: IndexedSeq[Seq[Seq[Long]]], corpus: DataFrame,
+      k: Int, rerank: Int, m: Int, sub: Int): DataFrame = {
     val adist = (0 until m).map { j =>
       val qs = quantize(slice(col("q_emb"), j * sub + 1, sub))
       val centArr = array(cbs(j).map(cent =>
@@ -1035,6 +1050,60 @@ object Similarity {
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Persist an [[ivfPqIndex]] frame as an on-disk ANN index: a
+    * Hive-partitioned parquet tree with one `centroid_id=<c>` directory
+    * per coarse cell. This is the artifact form of the index — build
+    * once, search many times across jobs — and the layout is WHAT MAKES
+    * probing cheap on disk: a search that probes `nprobe` of `k_coarse`
+    * cells lists and reads only those directories (static partition
+    * pruning, asserted in PlanSpec), so per-query I/O is
+    * ≈ nprobe/k_coarse of the index no matter how large the corpus.
+    *
+    * `repartition(centroid_id)` before the write so each task writes
+    * whole cells — cells-per-file, not files-per-cell (the
+    * `Curation.writeShards` small-file discipline). Rerun-stable: the
+    * index row set is deterministic, so `mode("overwrite")` reproduces
+    * the same tree.
+    */
+  def writeIvfPqIndex(index: DataFrame, path: String): Unit =
+    index.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Read a [[writeIvfPqIndex]] tree back as the (vec_id, centroid_id,
+    * codes) index frame (the partition column returns as int). */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id").cast(IntegerType),
+        col("codes"))
+
+  /** [[knnIvfPq]] against a [[writeIvfPqIndex]] on-disk index, with the
+    * probe set pushed down to the FILE LISTING: the probed cells are
+    * collected (bounded queries × nprobe ints — the broadcastable-
+    * queries contract) and applied as a partition filter on the read,
+    * so only the probed `centroid_id=` directories are listed or read
+    * at all. Bit-identical to the in-memory [[knnIvfPq]] path (e12 vs
+    * e11, hash-gated): filtering the index to probed cells before a
+    * join ON the cell id removes nothing the join would keep.
+    */
+  def knnIvfPqOnDisk(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, corpus: DataFrame,
+      k: Int, nprobe: Int = 2, rerank: Int = 50, m: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(k > 0 && rerank >= k, "knnIvfPqOnDisk: need rerank >= k > 0")
+    require(nprobe > 0, "knnIvfPqOnDisk: nprobe must be positive")
+    require(m > 0 && dims % m == 0,
+      s"knnIvfPqOnDisk: dims ($dims) must divide into m ($m) subspaces")
+    val probes = ivfProbes(queries, centroids, nprobe)
+    val probedCells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val index = readIvfPqIndex(spark, indexPath)
+      .filter(col("centroid_id").isin(probedCells: _*))
+    ivfPqSearchTail(index, probes, collectCodebooks(codebooks, m),
+      corpus, k, rerank, m, dims / m)
   }
 
   /** PQ search by asymmetric distance computation (ADC): score every

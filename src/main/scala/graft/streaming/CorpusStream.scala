@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.TextFunctions
+import graft.functions.{Curation, TextFunctions}
 
 /** Streaming CORPUS curation — the continuous-ingest dual of the batch
   * curation recipe ([[graft.functions.Curation]]): documents arrive as
@@ -68,5 +68,53 @@ object CorpusStream {
     val gate = quality.getOrElse(
       TextFunctions.gopherRules(content).getField("pass"))
     EventsStream.dedupByContent(docs.filter(gate), content, watermark, id)
+  }
+
+  /** The curated stream's OUTPUT stage (s10): maintain the packed-shard
+    * training artifact ([[graft.functions.Curation.writeShards]] —
+    * `stratum=…/bin=…` Hive tree + manifest) over a document STREAM.
+    *
+    * Each micro-batch: (1) append the curated batch to a raw staging
+    * tree (cheap, append-only, exactly the curated rows); (2) rebuild
+    * the shard tree from the ACCUMULATED staging set. The rebuild is
+    * deliberate, not a limitation dodge: bin assignment is a
+    * corpus-global per-stratum cumulative sum, so late documents shift
+    * bin boundaries — an append-only shard write would freeze early
+    * bins into a layout the batch pipeline would never produce. Because
+    * `writeShards` is deterministic and `mode("overwrite")`, the tree
+    * after epoch N is IDENTICAL to a batch run over everything ingested
+    * through N — rerun-stable, resumable after a partial failure, and
+    * gated so (s10: streamed manifest == the batch manifest, DuckDB-
+    * mirrored). Cost per epoch is one pass over the accumulated set;
+    * amortize on a real ingest by triggering rebuilds on a cadence
+    * (processing-time trigger) rather than per-file.
+    *
+    * Failure semantics: the staging append is at-least-once — a
+    * REPLAYED epoch would re-append its rows and duplicate staging.
+    * Run with a checkpoint so epochs don't replay, and reset staging
+    * and checkpoint TOGETHER when restarting a logical run from
+    * scratch (the s10 gate does exactly that).
+    */
+  def curatedShards(docs: DataFrame, content: Column, id: Column,
+      stagingPath: String, shardsPath: String,
+      stratumName: String, orderName: String, tokensName: String,
+      budget: Long, watermark: String = "10 minutes",
+      quality: Option[Column] = None,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val curated = curatedIngest(docs, content, id, watermark, quality)
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, _) => {
+      batch.write.mode("append").parquet(stagingPath)
+      Curation.writeShards(
+        batch.sparkSession.read.parquet(stagingPath),
+        stratumName, orderName, tokensName, budget, shardsPath)
+      ()
+    }
+    val writer = curated.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
   }
 }

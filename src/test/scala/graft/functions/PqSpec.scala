@@ -75,6 +75,46 @@ class PqSpec extends SparkSpec {
     assert(out == run())
   }
 
+  test("on-disk index: bit-identical search, probed-cells partition pruning") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cents = Similarity.ivfTrain(corpus, k = 3)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val index = Similarity.ivfPqIndex(corpus, cents, cb, m = 2, dims = dims)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq").toString + "/idx"
+    try {
+      Similarity.writeIvfPqIndex(index, path)
+      // one centroid_id=<c> directory per coarse cell
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+      assert(dirs.nonEmpty && dirs.forall(_.matches("centroid_id=\\d+")))
+
+      val mem = Similarity.knnIvfPq(index, cents, cb, queries, corpus,
+        k = 2, nprobe = 2, rerank = 10, m = 2, dims = dims)
+      val disk = Similarity.knnIvfPqOnDisk(spark, path, cents, cb, queries,
+        corpus, k = 2, nprobe = 2, rerank = 10, m = 2, dims = dims)
+      assert(disk.collect().toSeq.sortBy(_.toString)
+        == mem.collect().toSeq.sortBy(_.toString),
+        "on-disk search must be bit-identical to the in-memory path")
+
+      // the probe set must reach the FILE LISTING: the index scan's
+      // PartitionFilters carries the probed centroid_id cells
+      val scanLines = disk.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("FileScan") && l.contains("idx"))
+        .toSeq
+      assert(scanLines.nonEmpty, "expected a FileScan of the on-disk index")
+      assert(scanLines.forall(l => l.contains("PartitionFilters: [")
+          && l.contains("centroid_id")),
+        s"index scan must partition-prune on probed cells:\n${scanLines.mkString("\n")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(path).getParentFile)
+    }
+  }
+
   test("non-contiguous centroid ids fail loudly, never mis-assign") {
     // the argmin-projection family uses the sorted POSITION as the
     // centroid id — a filtered/renumbered frame must be rejected, not
