@@ -1103,6 +1103,37 @@ object ExtensionQueries {
         .orderBy(col("stratum"), col("bin"))
     }),
 
+    // Streaming ANN-index maintenance (s11): embedding rows arrive in
+    // three file drops; each micro-batch is encoded with the frozen
+    // model (zero-shuffle) and APPENDED into the on-disk IVF-PQ tree —
+    // no rebuild, unlike s10's shard tree, because an index row depends
+    // only on its own vector. The gated result is a search THROUGH the
+    // stream-grown tree; the oracle is e11's one-shot build+search, so
+    // continuous-ingest == batch-rebuild is hash-gated end to end.
+    "s11_stream_ann_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val in = Scratch.path(dir, "s11_in")
+      val idx = Scratch.path(dir, "s11_idx")
+      val ckpt = Scratch.path(dir, "s11_ckpt")
+      Seq(in, idx, ckpt).foreach(Scratch.reset)
+      val feed = corpus.select(col("vec_id"), col("embedding"))
+      (0 until 3).foreach(r => feed.filter(col("vec_id") % 3 === r)
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.AnnStream.indexIngest(stream, cents, cb, idx,
+        m = 4, dims = 64, checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      Similarity.knnIvfPqOnDisk(s, idx, cents, cb, queries, corpus,
+          k = 5, nprobe = 2, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Per-user quota (s08): first-50-events-per-user rate cap, run
     // through the ACTUAL Spark 4 transformWithState processor in batch
     // mode (typed ValueState, one long per user) — the oracle is the
@@ -1659,6 +1690,33 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Incremental index growth (e13): build the tree from HALF the
+    // corpus, append the other half encoded with the FROZEN model
+    // (appendIvfPqIndex — O(increment) zero-shuffle encode, existing
+    // files untouched), search the grown tree. Same oracle as e11:
+    // under the frozen-model contract the grown row set equals the
+    // one-shot build, so incremental == rebuild is hash-gated. Append
+    // is not idempotent → the tree resets up front (the bench samples
+    // a gate several times per JVM).
+    "e13_knn_ivfpq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val path = Scratch.path(dir, "e13")
+      Scratch.reset(path)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 0),
+          cents, cb, m = 4, dims = 64), path)
+      Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 1),
+          cents, cb, m = 4, dims = 64), path)
+      Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries, corpus,
+          k = 5, nprobe = 2, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // REAL video decode over YUV4MPEG2 (the standard uncompressed
     // container): header-token parse, FRAME walking, per-frame luma
     // pooling + aHash — the video analogue of m03. Fixture pixels
@@ -1708,7 +1766,12 @@ object ExtensionQueries {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // e12 is the e11 search bit-for-bit, routed through the on-disk
     // partition-pruned index — one oracle, two gated plans
-    ("e12_knn_ivfpq_disk" -> oracleSqlBase("e11_knn_ivfpq"))
+    ("e12_knn_ivfpq_disk" -> oracleSqlBase("e11_knn_ivfpq")) +
+    // e13/s11 are the e11 search through an INCREMENTALLY grown tree
+    // (batch append / streaming ingest) — the frozen-model contract
+    // says growth must change nothing, so all three share one oracle
+    ("e13_knn_ivfpq_append" -> oracleSqlBase("e11_knn_ivfpq")) +
+    ("s11_stream_ann_index" -> oracleSqlBase("e11_knn_ivfpq"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

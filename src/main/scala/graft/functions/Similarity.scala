@@ -1071,6 +1071,31 @@ object Similarity {
     index.repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Grow a [[writeIvfPqIndex]] tree in place: append newly encoded
+    * rows into their `centroid_id=` directories without touching the
+    * existing files. This is the incremental-ingest half of the
+    * build-once/search-many contract — a 100 TB corpus grows daily, and
+    * re-encoding only the increment (a zero-shuffle [[ivfPqIndex]]
+    * projection over the new vectors) costs O(increment), not
+    * O(corpus).
+    *
+    * FROZEN-MODEL contract: the increment must be encoded with the
+    * SAME centroids and codebooks as the existing tree — the cell
+    * geometry and code meanings are baked into every stored row, so a
+    * retrained model requires a full rebuild ([[writeIvfPqIndex]]),
+    * never an append. Under that contract the grown tree's row set
+    * equals a one-shot build over the union (e13, hash-gated), because
+    * encoding is per-row arithmetic with no cross-row state.
+    *
+    * NOT idempotent: a replayed append duplicates rows. Drive it from
+    * exactly-once batch orchestration or a checkpointed stream
+    * ([[graft.streaming.AnnStream.indexIngest]]), and reset the tree
+    * with the checkpoint when restarting a logical run from scratch.
+    */
+  def appendIvfPqIndex(index: DataFrame, path: String): Unit =
+    index.repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
   /** Read a [[writeIvfPqIndex]] tree back as the (vec_id, centroid_id,
     * codes) index frame (the partition column returns as int). */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,

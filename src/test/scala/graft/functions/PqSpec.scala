@@ -115,6 +115,42 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("append under the frozen model equals the one-shot build") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cents = Similarity.ivfTrain(corpus, k = 3)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-app").toString
+    val oneShot = root + "/one"
+    val grown = root + "/grown"
+    try {
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus, cents, cb, m = 2, dims = dims), oneShot)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 0),
+          cents, cb, m = 2, dims = dims), grown)
+      Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 1),
+          cents, cb, m = 2, dims = dims), grown)
+      // identical row sets on disk…
+      def rows(p: String) = Similarity.readIvfPqIndex(spark, p)
+        .collect().toSeq.sortBy(_.toString)
+      assert(rows(grown) == rows(oneShot))
+      // …and identical search results through the grown tree
+      def search(p: String) = Similarity.knnIvfPqOnDisk(spark, p, cents,
+          cb, queries, corpus, k = 2, nprobe = 2, rerank = 10, m = 2,
+          dims = dims)
+        .collect().toSeq.sortBy(_.toString)
+      assert(search(grown) == search(oneShot))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("non-contiguous centroid ids fail loudly, never mis-assign") {
     // the argmin-projection family uses the sorted POSITION as the
     // centroid id — a filtered/renumbered frame must be rejected, not
