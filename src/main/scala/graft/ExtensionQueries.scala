@@ -1376,6 +1376,32 @@ object ExtensionQueries {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // Theta-sketch set operations (x11): pairwise audience overlap
+    // between event types from KMV sketch ARRAYS (KmvSketch +
+    // Sketches.kmvSetEstimates) — union/intersection cardinalities as
+    // constant-size array arithmetic on two ≤ k-long rows, replacing
+    // the distinct-join that shuffles every value of both corpora. At
+    // the gate's cardinalities (≤1500 distinct users, k=4096) θ = 1 on
+    // both sides so every count is provably EXACT → the oracle is
+    // DuckDB's true distinct join; the ~1/√k estimate regime is
+    // spec-pinned (KmvDistinctSpec).
+    "x11_sketch_overlap" -> ((s, dir) => {
+      val sk = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(functions.expressions.KmvSketch(col("user_id"), 4096).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          functions.Sketches.kmvSetEstimates(col("sk_a"), col("sk_b"), 4096)
+            .as("o"))
+        .select(col("type_a"), col("type_b"),
+          col("o.n_a").as("n_a"), col("o.n_b").as("n_b"),
+          col("o.n_union").as("n_union"),
+          col("o.n_intersect").as("n_intersect"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
     // CSV via pandas) through Spark's csv source — header + explicit
     // schema, quoted fields, hash-matched against the parquet oracle.
@@ -3384,6 +3410,27 @@ object ExtensionQueries {
            FROM c)
          SELECT lang, CAST(rank AS BIGINT) AS rank, word, n
          FROM r WHERE rank <= 10 ORDER BY lang, rank""",
+
+    // mirrors the x11 theta combine in its exact regime: true distinct
+    // sets joined on user, inclusion–exclusion for the union — below k
+    // the sketch holds every hash, so the estimates must equal these
+    "x11_sketch_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE user_id IS NOT NULL),
+         c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY 1),
+         i AS (SELECT x.event_type AS ta, y.event_type AS tb,
+             CAST(count(*) AS BIGINT) AS ni
+           FROM d x JOIN d y ON x.user_id = y.user_id
+             AND x.event_type < y.event_type
+           GROUP BY 1, 2)
+         SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+           ca.n AS n_a, cb.n AS n_b,
+           ca.n + cb.n - coalesce(i.ni, 0) AS n_union,
+           coalesce(i.ni, 0) AS n_intersect
+         FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+         LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
+         ORDER BY type_a, type_b""",
 
     // mirrors the j02 Variant extractions — the Variant round-trip must
     // agree with plain JSON arithmetic

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Set-operation estimates over [[expressions.KmvSketch]] arrays — the
+  * theta-sketch combine (the Apache DataSketches lineage): once each
+  * side of a question like "how many distinct users/shingles/documents
+  * do corpora A and B SHARE?" is reduced to its k-minimum-hash array,
+  * union and intersection cardinalities are pure array arithmetic on
+  * two ≤ k-long rows. At 100 TB this replaces the classic
+  * overlap-measurement join — which shuffles every distinct value of
+  * both corpora — with two independent single-pass sketch scans plus a
+  * constant-size combine: the sketches can even be built in different
+  * jobs, persisted, and combined later.
+  *
+  * Estimator (Dasgupta et al., "Theta-Sketch Framework"): let θ be the
+  * SMALLER of the two sketches' k-th-smallest hashes (a sketch with
+  * fewer than k entries has θ = 1, i.e. it retained everything). Every
+  * retained hash below θ is a uniform sample of its set at rate θ, so
+  * |A ∩ B| ≈ |{h ∈ sketchA ∩ sketchB : h < θ}| / θ, and likewise for
+  * the union. When BOTH sides hold fewer than k distinct values the
+  * sketches ARE the hash sets, θ = 1, and every count is EXACT — the
+  * x11 gate pins that regime against DuckDB's true distinct-join
+  * counts; the ~1/√k estimate regime is spec-pinned (KmvDistinctSpec).
+  *
+  * Hash comparisons are UNSIGNED (the sketch's order): columns are
+  * flipped by xor with Long.MinValue so signed `<` gives unsigned
+  * order, matching [[expressions.KmvDistinct.UnsignedOrder]] exactly.
+  */
+object Sketches {
+
+  /** Signed-comparable image of an unsigned-ordered hash. */
+  private def flip(h: Column): Column = h.bitwiseXOR(lit(Long.MinValue))
+
+  /** The hash→(0,1] density of a FLIPPED k-th-smallest hash θ:
+    * (θ_unsigned + 1)/2^64 — the [[expressions.KmvDistinct]] eval
+    * mapping bit-for-bit (flipped + 2^63 = unsigned value). */
+  private def densityF(thetaF: Column): Column =
+    (thetaF.cast(DoubleType) + lit(9.223372036854775808e18) + lit(1.0)) /
+      lit(1.8446744073709552e19)
+
+  /** θ of one sketch as its FLIPPED hash, null = retained everything
+    * (fewer than k entries, density 1). Sketch arrays are
+    * unsigned-ascending, so element k is the k-th smallest. */
+  private def thetaFlipped(sketch: Column, k: Int): Column =
+    when(size(sketch) >= k, flip(element_at(sketch, k)))
+
+  /** Count of retained hashes strictly below the (flipped) θ; a null θ
+    * counts everything. */
+  private def countBelow(arr: Column, thetaF: Column): Column =
+    when(thetaF.isNull, size(arr).cast(LongType))
+      .otherwise(size(filter(arr, h => flip(h) < thetaF)).cast(LongType))
+
+  /** Scale a below-θ count by θ's density; null θ = exact count. */
+  private def scaled(cnt: Column, thetaF: Column): Column =
+    when(thetaF.isNull, cnt)
+      .otherwise(round(cnt.cast(DoubleType) / densityF(thetaF))
+        .cast(LongType))
+
+  /** Distinct-count estimate of a single sketch — the
+    * [[expressions.KmvDistinct]] estimate recomputed from the array:
+    * exact size below k, (k−1)/θ density above. */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    val tf = thetaFlipped(sketch, k)
+    when(tf.isNull, size(sketch).cast(LongType))
+      .otherwise(round(lit((k - 1).toDouble) / densityF(tf)).cast(LongType))
+  }
+
+  /** The theta combine of two sketches built with the same `k`:
+    * struct(n_a, n_b, n_union, n_intersect), all BIGINT estimates.
+    * Exact when both sides saw fewer than k distinct values (θ = 1 on
+    * both sides — the gated regime); ~1/√k relative error otherwise.
+    * Select the fields out to scalar columns (the array-free gate
+    * rule applies to the sketches themselves).
+    */
+  def kmvSetEstimates(sketchA: Column, sketchB: Column, k: Int): Column = {
+    val tf = least(thetaFlipped(sketchA, k), thetaFlipped(sketchB, k))
+    struct(
+      kmvEstimate(sketchA, k).as("n_a"),
+      kmvEstimate(sketchB, k).as("n_b"),
+      scaled(countBelow(array_union(sketchA, sketchB), tf), tf)
+        .as("n_union"),
+      scaled(countBelow(array_intersect(sketchA, sketchB), tf), tf)
+        .as("n_intersect"))
+  }
+}

@@ -108,6 +108,101 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(child = newChildren.head)
 }
 
+/** The KMV sketch CONTENT — the sorted (unsigned-ascending) k-minimum
+  * hash array — instead of the point estimate. This is what makes KMV a
+  * THETA sketch (Dasgupta et al., the DataSketches lineage): two
+  * sketches' arrays support SET-OPERATION estimates (union,
+  * intersection → corpus-overlap/contamination accounting) as pure
+  * array arithmetic, no re-scan of either input — see
+  * [[graft.functions.Sketches]]. Same bounded buffer, same associative
+  * merge, same map-side partial aggregation as [[KmvDistinct]]; each
+  * group's final row carries ≤ k longs.
+  *
+  * The array is an INTERMEDIATE representation (never a gate output —
+  * the array-free gate rule): combine it with
+  * [[graft.functions.Sketches.kmvSetEstimates]] into scalar estimates.
+  */
+case class KmvSketch(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  require(k >= 16 && k <= (1 << 22),
+    s"kmv_sketch: k must be in [16, ${1 << 22}], got $k")
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch expects a pre-hashed long column (xxhash64), got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](KmvDistinct.UnsignedOrder)
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) KmvDistinct.offer(buf, v.asInstanceOf[Long], k)
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvDistinct.offer(buf, it.next(), k)
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = createAggregationBuffer()
+    var i = 0
+    while (i < n) { s.add(java.lang.Long.valueOf(bb.getLong)); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object KmvSketch {
+  /** Column-level entry point: the k-minimum-values hash array of
+    * `value`, unsigned-ascending. Same hash-outside-the-aggregate and
+    * null semantics as [[KmvDistinct.apply]]. */
+  def apply(value: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.when
+    GraftExpressionBridge.column(
+      KmvSketch(GraftExpressionBridge.expression(
+          when(value.isNotNull, xxhash64(value))), k)
+        .toAggregateExpression())
+  }
+}
+
 object KmvDistinct {
 
   /** Unsigned long order — the hash→(0,1] density mapping's order. */
@@ -117,7 +212,8 @@ object KmvDistinct {
         java.lang.Long.compareUnsigned(a.longValue(), b.longValue())
     }
 
-  private def offer(s: java.util.TreeSet[java.lang.Long], h: Long, k: Int): Unit = {
+  private[expressions] def offer(
+      s: java.util.TreeSet[java.lang.Long], h: Long, k: Int): Unit = {
     val boxed = java.lang.Long.valueOf(h)
     if (s.size() < k) { s.add(boxed); () }
     else if (UnsignedOrder.compare(boxed, s.last()) < 0 && s.add(boxed)) {

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.expressions.KmvDistinct
+import graft.functions.expressions.{KmvDistinct, KmvSketch}
 
 /** KMV distinct-count sketch (`expressions.KmvDistinct`, a native
   * TypedImperativeAggregate). The x09 gate pins the exact regime
@@ -37,6 +37,44 @@ class KmvDistinctSpec extends SparkSpec {
     val res = Seq(1, 7, 32).map { p =>
       df.repartition(p).agg(KmvDistinct(col("v"), 512).as("n"))
         .collect().head.getLong(0)
+    }
+    assert(res.distinct.size == 1)
+  }
+
+  private def combine(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, k: Int): (Long, Long, Long, Long) = {
+    val row = a.agg(KmvSketch(col("v"), k).as("sa"))
+      .crossJoin(b.agg(KmvSketch(col("v"), k).as("sb")))
+      .select(Sketches.kmvSetEstimates(col("sa"), col("sb"), k).as("o"))
+      .select("o.*").collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
+  test("theta combine: set operations exact when both sides below k") {
+    val a = spark.range(0, 1000).select(col("id").as("v"))
+    val b = spark.range(600, 1800).select(col("id").as("v"))
+    assert(combine(a, b, 4096) == ((1000L, 1200L, 1800L, 400L)))
+    // disjoint sets: zero intersection, additive union
+    val c = spark.range(5000, 5500).select(col("id").as("v"))
+    assert(combine(a, c, 4096) == ((1000L, 500L, 1500L, 0L)))
+  }
+
+  test("theta combine: estimate regime error at n >> k") {
+    val a = spark.range(0, 60000).select(col("id").as("v"))
+    val b = spark.range(30000, 90000).select(col("id").as("v"))
+    val (na, nb, nu, ni) = combine(a, b, 256)
+    assert(math.abs(na - 60000L).toDouble / 60000 < 0.25)
+    assert(math.abs(nb - 60000L).toDouble / 60000 < 0.25)
+    assert(math.abs(nu - 90000L).toDouble / 90000 < 0.25)
+    // intersection samples |I|·θ ≈ k·|I|/|U| ≈ 85 hashes → wider band
+    assert(math.abs(ni - 30000L).toDouble / 30000 < 0.5)
+  }
+
+  test("theta combine: topology-independent") {
+    val a = spark.range(0, 40000).select((col("id") % 9000).as("v"))
+    val b = spark.range(0, 40000).select((col("id") % 12000 + 4000).as("v"))
+    val res = Seq(1, 7, 32).map { p =>
+      combine(a.repartition(p), b.repartition(p), 512)
     }
     assert(res.distinct.size == 1)
   }
