@@ -305,6 +305,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination via the PERSISTED benchmark index (d28): the
+    // benchmark side is shingled/hashed once into a bloom + hashes
+    // artifact (writeBenchIndex), then the corpus increment runs
+    // against the artifact alone — the daily-increment shape. Same
+    // oracle as d22: the artifact round-trip must change nothing.
+    "d28_decontam_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = Scratch.path(dir, "d28")
+      Dedup.writeBenchIndex(docs.filter(col("doc_id") < 20),
+        col("doc_id"), col("text"), path)
+      Dedup.decontaminateWithIndex(docs.filter(col("doc_id") >= 20), path,
+          col("doc_id"), col("text"), minCommon = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // d11's decontamination behind the bloom pre-screen: the benchmark
     // shingle hashes fold into one bloom filter, the corpus side passes
     // a codegen'd might_contain before the overlap join. Output is
@@ -1797,7 +1813,10 @@ object ExtensionQueries {
     // (batch append / streaming ingest) — the frozen-model contract
     // says growth must change nothing, so all three share one oracle
     ("e13_knn_ivfpq_append" -> oracleSqlBase("e11_knn_ivfpq")) +
-    ("s11_stream_ann_index" -> oracleSqlBase("e11_knn_ivfpq"))
+    ("s11_stream_ann_index" -> oracleSqlBase("e11_knn_ivfpq")) +
+    // d28 is d22's decontamination routed through the persisted
+    // benchmark index — the artifact round-trip must change nothing
+    ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

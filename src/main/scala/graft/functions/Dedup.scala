@@ -555,6 +555,77 @@ object Dedup {
     corpus.join(dropSide, id === col("__drop_id"), "left_anti")
   }
 
+  /** Persist the BENCHMARK side of decontamination as a reusable
+    * artifact: `path/hashes` — the hashed shingle index (bench_id, h)
+    * as parquet — plus `path/bloom` — the serialized bloom filter over
+    * the distinct hashes. Benchmarks are static while the corpus grows
+    * daily, so shingling and hashing them ONCE and reading the artifact
+    * per increment run (kilobytes of filter + a benchmark-sized
+    * parquet) replaces a full benchmark re-shingle on every run — the
+    * index-as-artifact discipline (e12) applied to decontamination.
+    * The bloom is built FROM the written hashes, so filter and index
+    * can never drift.
+    */
+  def writeBenchIndex(bench: DataFrame, id: Column, text: Column,
+      path: String, n: Int = 3, fpp: Double = 0.01): Unit = {
+    shingleRows(bench, id, text, n)
+      .select(col("doc_id").as("bench_id"), xxhash64(col("shingle")).as("h"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    val spark = bench.sparkSession
+    val distinctH = spark.read.parquet(s"$path/hashes")
+      .select(col("h")).distinct()
+    val nH = math.max(1L, distinctH.count())
+    val bf = distinctH.stat.bloomFilter("h", nH, fpp)
+    val p = new org.apache.hadoop.fs.Path(s"$path/bloom")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try bf.writeTo(os) finally os.close()
+  }
+
+  /** [[decontaminate]] against a [[writeBenchIndex]] artifact — the
+    * daily-increment shape: the corpus increment is shingled live, the
+    * benchmark side comes entirely from the artifact. The bloom
+    * pre-screen (codegen'd `might_contain` inside the corpus scan
+    * stage) and the exact overlap join have the d19 semantics
+    * unchanged: no false negatives, false positives die in the join —
+    * so the result is bit-identical to the live [[decontaminate]] path
+    * (d28 vs d22, hash-gated against one oracle).
+    *
+    * Note the live path's `maxShingleDocFreq` guard counts document
+    * frequency across corpus+bench TOGETHER and therefore cannot be
+    * precomputed benchmark-side; this path is the guard-off (default)
+    * semantics. Schema out: surviving corpus rows, unchanged.
+    */
+  def decontaminateWithIndex(corpus: DataFrame, indexPath: String,
+      id: Column, text: Column, minCommon: Long = 10L, n: Int = 3,
+      broadcastDrops: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.{GraftExpressionBridge => Bridge}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/bloom")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val is = fs.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = is.read(buf)
+      while (r >= 0) { bos.write(buf, 0, r); r = is.read(buf) }
+      bos.toByteArray
+    } finally is.close()
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bytes)),
+      Bridge.expression(xxhash64(col("shingle")))))
+    val cs = shingleRows(corpus, id, text, n).filter(mightContain)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val drops = cs.join(spark.read.parquet(s"$indexPath/hashes"), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .select(col("doc_id").as("__drop_id")).distinct()
+    val dropSide = if (broadcastDrops) broadcast(drops) else drops
+    corpus.join(dropSide, id === col("__drop_id"), "left_anti")
+  }
+
   /** Per-benchmark contamination AUDIT ([[decontaminate]]'s reporting
     * twin): instead of silently dropping contaminated training docs,
     * answer the question an eval-integrity review actually asks —

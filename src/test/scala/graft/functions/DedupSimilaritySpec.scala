@@ -540,6 +540,36 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq((100L, 100L)))
   }
 
+  test("decontaminateWithIndex equals the live decontaminate path") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu suffix words"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-benchidx").toString + "/idx"
+    try {
+      Dedup.writeBenchIndex(bench, col("doc_id"), col("text"), path)
+      // artifact layout: hashes parquet + bloom bytes, both present
+      assert(new java.io.File(path + "/hashes").exists())
+      assert(new java.io.File(path + "/bloom").length() > 0)
+      val viaIndex = Dedup.decontaminateWithIndex(corpus, path,
+          col("doc_id"), col("text"), minCommon = 5)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      val live = Dedup.decontaminate(corpus, bench,
+          col("doc_id"), col("text"), minCommon = 5)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(viaIndex == live && live == Seq(2L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(path).getParentFile)
+    }
+  }
+
   test("semanticDedup drops planted duplicates by min id, keeps the rest") {
     val planted = emb.filter(col("vec_id") % 50 === 0)
       .withColumn("vec_id", col("vec_id") + 100000)
