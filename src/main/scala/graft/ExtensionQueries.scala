@@ -404,6 +404,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic synchronous label propagation (g05): 4 rounds of
+    // most-frequent-neighbor-label with min tie-break over the organic
+    // near-dup graph plus a planted barbell (two triangles + a bridge —
+    // the density structure CC would collapse into one cluster). The
+    // oracle unrolls all 4 rounds (the g01/g04 convention).
+    "g05_label_propagation" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
+      val organic = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+      val planted = Seq(
+        (9000001L, 9000002L), (9000002L, 9000003L), (9000001L, 9000003L),
+        (9000003L, 9000004L),
+        (9000004L, 9000005L), (9000005L, 9000006L), (9000004L, 9000006L)
+      ).toDF("id_a", "id_b")
+      Graph.labelPropagation(organic.unionByName(planted), iters = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Local clustering coefficient over the same graph: 2t/(deg·(deg−1))
     // as ONE IEEE division of exact integers — the tight-community
     // signal (mirror clusters ≈ 1) next to g02's raw counts.
@@ -2011,6 +2029,36 @@ object ExtensionQueries {
          $rounds
          SELECT v AS doc_id, count(*) AS core_deg
          FROM bi8 GROUP BY v ORDER BY v"""
+    },
+
+    // mirrors Graph.labelPropagation: 4 unrolled synchronous rounds —
+    // neighbor-label votes, then the (count desc, label asc) arg-max
+    // per node; MATERIALIZED per round (the g04 CTE-inlining rule)
+    "g05_label_propagation" -> {
+      val planted = Seq(
+        (9000001, 9000002), (9000002, 9000003), (9000001, 9000003),
+        (9000003, 9000004),
+        (9000004, 9000005), (9000005, 9000006), (9000004, 9000006)
+      ).map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      val rounds = (1 to 4).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT e.u AS id, l.lab, count(*) AS c
+           |           FROM bi0 e JOIN l${i - 1} l ON l.id = e.v
+           |           GROUP BY e.u, l.lab),
+           |         l$i AS MATERIALIZED (SELECT id, lab FROM (
+           |           SELECT id, lab, row_number() OVER (
+           |             PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v$i)
+           |           WHERE rn = 1)""".stripMargin
+      }.mkString(",\n         ")
+      s"""WITH $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         all_e AS (SELECT id_a, id_b FROM p UNION ALL
+           SELECT * FROM (VALUES $planted) t(id_a, id_b)),
+         bi0 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           SELECT id_a AS v, id_b AS u FROM all_e WHERE id_a <> id_b
+           UNION ALL SELECT id_b, id_a FROM all_e WHERE id_a <> id_b)),
+         l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS lab FROM bi0),
+         $rounds
+         SELECT id AS doc_id, lab AS community FROM l4 ORDER BY doc_id"""
     },
 
     // mirrors Graph.clusteringCoefficients: g02's triangle counts plus

@@ -201,6 +201,60 @@ object Graph {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara, arXiv:0709.2938) made deterministic: labels start
+    * as node ids; each round EVERY node simultaneously adopts the most
+    * frequent label among its neighbors, ties broken by the smallest
+    * label. The published algorithm is asynchronous with random visit
+    * order and random tie-breaks — unreproducible across runs, let
+    * alone engines; the synchronous min-tie-break variant is a pure
+    * function of the graph, so a fixed `iters` run is oracle-gated
+    * round for round (g05; the g01/g04 unrolled-fixpoint convention).
+    * Communities = groups of near-dup documents / mutually linked hosts
+    * — the label is the community's smallest member id, directly usable
+    * as a [[Dedup.connectedComponents]]-style cluster key but honoring
+    * DENSITY (a thin bridge between two dense clusters does not merge
+    * them the way CC does).
+    *
+    * Scale shape per round: one hash join of the symmetric edge list to
+    * the label table (on the source id) + one count per (node,
+    * neighbor-label) + one partial-aggregatable `min(struct(-count,
+    * label))` arg-max per node — two shuffles of O(|E|) fixed-width
+    * rows, no window, no cartesian, no hot reducer. Label lineage is
+    * truncated every [[CheckpointEvery]] rounds (the [[pageRank]]
+    * rule). Fixed iteration count by design: synchronous LPA can
+    * 2-cycle on bipartite structures, so "run to convergence" is not
+    * well-defined — pick `iters` ≥ the expected community diameter.
+    *
+    * Returns (doc_id, community) for every node with at least one edge.
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    val edges = Materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    var i = 0
+    while (i < iters) {
+      val votes = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+      // arg-max by (count desc, label asc) as ONE partial-aggregatable
+      // min over struct(-count, label) — no per-node window sort
+      val next0 = votes.groupBy(col("dst").as("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("w"))
+        .select(col("id"), col("w.l").as("lab"))
+      labels =
+        if ((i + 1) % CheckpointEvery == 0 && (i + 1) < iters)
+          Materialize(next0)
+        else next0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("community"))
+  }
+
   /** k-core of an UNDIRECTED pair graph: the maximal subgraph in which
     * every vertex keeps degree ≥ k — the standard "dense nucleus"
     * extractor (a boilerplate/mirror cluster is a high-k core; a

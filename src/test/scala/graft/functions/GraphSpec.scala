@@ -171,4 +171,24 @@ class GraphSpec extends SparkSpec {
       Graph.kCore(g, k = 2, maxIters = 2).collect()
     }
   }
+
+  test("labelPropagation: a bridge does not merge dense communities") {
+    // barbell: two triangles joined by one edge — CC collapses this to
+    // one cluster; density-honoring LPA must keep two
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("id_a", "id_b")
+    val out = Graph.labelPropagation(g, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // deterministic across partitioning (the sync + min-tie contract)
+    val rep = Graph.labelPropagation(g.repartition(7), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == out)
+    // a clique converges to its min id as the community label
+    val clique = Seq((10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val cl = Graph.labelPropagation(clique, iters = 3).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(cl == Set(10L))
+  }
 }
