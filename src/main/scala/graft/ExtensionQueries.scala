@@ -591,6 +591,21 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Sorted-neighborhood linkage (d29): sort customers by name, pair
+    // within a 10-position sliding window at Levenshtein <= 1 — the
+    // third blocking discipline (Hernández–Stolfo SNM): candidate work
+    // is EXACTLY n·9 pairs whatever the key distribution, so no
+    // hot-block guard exists or is needed. The oracle replays the
+    // global sort as one row_number ordering and the window as a
+    // rank-difference band join — exact-rank parity (including across
+    // Spark's range-partition boundaries) is what the hash gates.
+    "d29_linkage_sorted" -> ((s, dir) => {
+      Dedup.linkRecordPairsSorted(t(s, dir, "customer"),
+          col("c_custkey"), col("c_name"), col("c_name"),
+          window = 10, maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // p01's curation recipe with the dedup stage LSH-gated (the
     // pairStrategy pass-through Curation.curate → dedupNear) — the
     // at-scale configuration of the one-call pipeline.
@@ -1434,6 +1449,26 @@ object ExtensionQueries {
           col("o.n_union").as("n_union"),
           col("o.n_intersect").as("n_intersect"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Bottom-k hash-sample quantiles (x12): per-language n_chars
+    // percentiles from the third native sketch aggregate — a
+    // deterministic k-row sample keyed by xxhash64(doc_id), map-side
+    // partial aggregation shipping ≤ k (hash, value) pairs per group
+    // per task, where Spark's exact percentile buffers the whole
+    // group. Below k rows per group the sample IS the group so the
+    // percentile_disc answer is provably EXACT (the gated regime here:
+    // ≤1000 docs per language, k=4096) — the oracle replays the same
+    // ceil(q·n) rank arithmetic with row_number; the ~1/√k estimate
+    // regime at n ≫ k is spec-pinned (SampleQuantileSpec).
+    "x12_quantile_sketch" -> ((s, dir) => {
+      val q = (p: Double) => functions.expressions.SampleQuantile(
+        col("doc_id"), col("n_chars"), 4096, p)
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(q(0.25).as("p25"), q(0.5).as("p50"), q(0.9).as("p90"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
     }),
 
     // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
@@ -2418,6 +2453,20 @@ object ExtensionQueries {
              ON a.j = b.j AND a.key = b.key AND a.id < b.id
            WHERE levenshtein(a.nm, b.nm) <= 1)
          SELECT id_a, id_b, dist FROM pairs ORDER BY id_a, id_b""",
+
+    // mirrors Dedup.linkRecordPairsSorted: one global (name, id)
+    // ordering as row_number, the 10-wide sliding window as a
+    // rank-difference band of 1..9, the identical Levenshtein DP
+    "d29_linkage_sorted" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+         r AS (SELECT id, nm,
+             row_number() OVER (ORDER BY nm, id) AS rnk FROM c),
+         p AS (SELECT least(a.id, b.id) AS id_a,
+             greatest(a.id, b.id) AS id_b,
+             CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+           FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 9
+           WHERE levenshtein(a.nm, b.nm) <= 1)
+         SELECT id_a, id_b, dist FROM p ORDER BY id_a, id_b""",
 
     // p01's composed oracle with the dedup stage LSH-gated: signatures
     // and banding over the language-FILTERED shingles (curate filters
@@ -3498,6 +3547,27 @@ object ExtensionQueries {
          FROM c ca JOIN c cb ON ca.event_type < cb.event_type
          LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
          ORDER BY type_a, type_b""",
+
+    // mirrors x12's percentile_disc rank arithmetic explicitly (least
+    // value with 1-based rank >= ceil(q·n)) — below k rows per group
+    // the sketch's sample is the whole group, so these are equalities,
+    // not approximations
+    "x12_quantile_sketch" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+           FROM documents),
+         r AS (SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM v)
+         SELECT lang,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+             THEN v END) AS p25,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+             THEN v END) AS p50,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+             THEN v END) AS p90,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM r GROUP BY lang ORDER BY lang""",
 
     // mirrors the j02 Variant extractions — the Variant round-trip must
     // agree with plain JSON arithmetic

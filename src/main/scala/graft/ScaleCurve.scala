@@ -174,7 +174,58 @@ object ScaleCurve {
           .as("n_distinct_words"))),
     "p04_manifest" -> ((s, dir) =>
       Curation.shardManifest(docs(s, dir), col("lang"), col("doc_id"),
-        col("n_chars"), budget = 2000L)))
+        col("n_chars"), budget = 2000L)),
+    // round-12 additions — the same shapes the new gates run, on the
+    // replica tables (documents/embeddings are all a replica dir has)
+    "d27_linkage_multikey" -> ((s, dir) => {
+      val name = substring(col("text"), 1, 24)
+      val keys = (0 until 4).map { q =>
+        concat(substring(name, 1, q * 6), lit("*"),
+          substring(name, q * 6 + 7, 18 - q * 6))
+      }
+      Dedup.linkRecordPairsMultiKey(docs(s, dir), col("doc_id"), name,
+        keys, maxDist = 1)
+    }),
+    "d28_decontam_artifact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = Scratch.path(dir, "curve_d28")
+      Dedup.writeBenchIndex(d.filter(col("doc_id") < 20),
+        col("doc_id"), col("text"), path)
+      Dedup.decontaminateWithIndex(d.filter(col("doc_id") >= 20), path,
+        col("doc_id"), col("text"), minCommon = 10)
+    }),
+    "e12_ivfpq_disk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val path = Scratch.path(dir, "curve_e12")
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64), path)
+      Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries, corpus,
+        k = 5, nprobe = 2, rerank = 50)
+    }),
+    "g05_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(
+        Dedup.jaccardPairs(
+          Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 0.8)
+          .select(col("id_a"), col("id_b")),
+        iters = 4)),
+    "x11_sketch_overlap" -> ((s, dir) => {
+      val sk = docs(s, dir)
+        .select(col("lang"), explode(TextFunctions.words(col("text"))).as("w"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.expressions.KmvSketch(col("w"), 4096).as("sk"))
+      val a = sk.select(col("lang").as("lang_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("lang").as("lang_b"), col("sk").as("sk_b"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          graft.functions.Sketches
+            .kmvSetEstimates(col("sk_a"), col("sk_b"), 4096).as("o"))
+        .select(col("lang_a"), col("lang_b"), col("o.n_a"), col("o.n_b"),
+          col("o.n_union"), col("o.n_intersect"))
+    }))
 
   /** Candidate-stage WORK counts per operator — the environment-proof
     * scaling evidence. Wall time on a contended box measures the box;

@@ -1446,6 +1446,81 @@ object Dedup {
       .agg(min(col("dist")).as("dist"))
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo, DMKD
+    * 1998): sort records by `sortKey`, slide a window of `window`
+    * positions over the sorted order, and pair every record with the
+    * records inside its window whose `name` sits within `maxDist`
+    * Levenshtein distance. The third blocking discipline next to
+    * single-key ([[linkRecordPairs]]) and canopy
+    * ([[linkRecordPairsMultiKey]]), with the property neither has:
+    * candidate work is EXACTLY n·(window−1) pairs — independent of the
+    * key's value distribution, so a skewed or constant-heavy key
+    * ("UNKNOWN" everywhere) cannot create a hot block and no
+    * `maxBlockSize` guard is needed. The trade is recall-by-locality:
+    * only records within `window−1` sorted positions can pair, so the
+    * sort key must put likely matches near each other (multi-pass SNM
+    * — union over several sort keys, dedup on (id_a, id_b) — composes
+    * exactly like the canopy union when one ordering isn't enough).
+    *
+    * Scale shape: ONE range-partition shuffle of (id, name, key) rows
+    * establishes the global sort; ranks are exact global sort
+    * positions computed as per-partition row_numbers plus partition
+    * offsets (the offsets are one collected count per partition —
+    * driver state bounded by the partition count, the [[Materialize]]d
+    * frame guaranteeing both jobs see one partitioning). The windowed
+    * pairing is an equi-join on `rank div (window−1)` with the a-side
+    * exploded into its two candidate buckets — every qualifying rank
+    * pair lands in exactly one bucket pair, so the join emits each
+    * candidate once and no post-dedup is needed. No broadcast of
+    * anything corpus-sized; the per-partition window never spans
+    * partitions (ranks make adjacency explicit, so boundary records
+    * need no replication).
+    *
+    * Schema out: (id_a, id_b, dist), id_a < id_b — [[linkRecordPairs]]'
+    * contract, so the closure/canonical stages compose unchanged.
+    */
+  def linkRecordPairsSorted(df: DataFrame, id: Column, name: Column,
+      sortKey: Column, window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, "linkRecordPairsSorted: window must be >= 2")
+    require(maxDist >= 0, "linkRecordPairsSorted: maxDist must be >= 0")
+    val spark = df.sparkSession
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val ranged = Materialize(
+      df.select(id.as("__id"), name.as("__name"), sortKey.as("__k"))
+        .repartitionByRange(parts, col("__k"), col("__id"))
+        .withColumn("__pid", spark_partition_id()))
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0 -> 0L) {
+      case ((_, off), (pid, n)) => pid -> (off + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off"))
+    val ranked = ranged
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("__k"), col("__id"))))
+      .join(offDf, Seq("__pid"))
+      .select(col("__id"), col("__name"),
+        (col("__off") + col("__r") - 1).as("__rank"))
+    val b = window - 1
+    val aSide = ranked.select(col("__id").as("__ia"),
+        col("__name").as("__na"), col("__rank").as("__ra"))
+      .withColumn("__jb", explode(array(expr(s"__ra div $b"),
+        expr(s"__ra div $b") + 1)))
+    val bSide = ranked.select(col("__id").as("__ib"),
+      col("__name").as("__nb"), col("__rank").as("__rb"),
+      expr(s"__rank div $b").as("__bb"))
+    aSide.join(bSide, col("__jb") === col("__bb") &&
+        col("__rb") > col("__ra") && col("__rb") <= col("__ra") + b)
+      .withColumn("dist",
+        levenshtein(col("__na"), col("__nb")).cast(IntegerType))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+  }
+
   /** Accounting for [[linkRecordPairs]]'s `maxBlockSize` guard:
     * (block, block_size) for every dropped block. One
     * partial-aggregatable count — run it whenever the cap is finite so

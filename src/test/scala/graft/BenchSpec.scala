@@ -9,8 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("cost hints round-trip through save + load") {
+  // every temp tree is removed before the test returns — a per-run
+  // leak, however small, is the x08 ADVICE bug in miniature
+  private def withTempDir[A](f: java.nio.file.Path => A): A = {
     val dir = java.nio.file.Files.createTempDirectory("graft-hints")
+    try f(dir)
+    finally {
+      def rm(p: java.io.File): Unit = {
+        val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("cost hints round-trip through save + load") { withTempDir { dir =>
     val path = dir.resolve("cost_hints.json").toString
     val costs = Map("q01_filter_project" -> 0.31, "t04_winnowing" -> 6.25,
       "d07_simhash_pairs" -> 5.9)
@@ -22,14 +34,15 @@ class BenchSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     assert(body.indexOf("q01_filter_project") < body.indexOf("d07_simhash_pairs"))
     assert(body.indexOf("d07_simhash_pairs") < body.indexOf("t04_winnowing"))
-  }
+  } }
 
   test("missing or malformed hints degrade to empty (baked-in fallback)") {
-    assert(Bench.loadCostHints("/nonexistent/path/hints.json") === Map.empty)
-    val dir = java.nio.file.Files.createTempDirectory("graft-hints")
-    val bad = dir.resolve("bad.json")
-    java.nio.file.Files.write(bad, "not json at all {{{".getBytes("UTF-8"))
-    assert(Bench.loadCostHints(bad.toString) === Map.empty)
+    withTempDir { dir =>
+      assert(Bench.loadCostHints("/nonexistent/path/hints.json") === Map.empty)
+      val bad = dir.resolve("bad.json")
+      java.nio.file.Files.write(bad, "not json at all {{{".getBytes("UTF-8"))
+      assert(Bench.loadCostHints(bad.toString) === Map.empty)
+    }
   }
 
   test("parseCostHints tolerates scientific notation and ignores junk values") {

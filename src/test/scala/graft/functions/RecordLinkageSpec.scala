@@ -83,4 +83,41 @@ class RecordLinkageSpec extends SparkSpec {
     assert(ents(7L) == 1L)
     assert(ents(2L) == 2L, "smyth no longer links at dist 0")
   }
+
+  test("sorted-neighborhood: pairs within the rank window only") {
+    // sorted by name: aaaa(0) aaab(1) aaac(2) zzzz(3)
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aaac"), (4L, "zzzz"))
+      .toDF("rec_id", "name")
+    def run(w: Int) = Dedup.linkRecordPairsSorted(df, col("rec_id"),
+        col("name"), col("name"), window = w, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // window 2: adjacent ranks only — (aaaa,aaab), (aaab,aaac); the
+    // dist-1 pair (aaaa,aaac) sits 2 positions apart and must NOT pair
+    assert(run(2) == Set((1L, 2L, 1), (2L, 3L, 1)))
+    // window 3 reaches it; zzzz pairs with nothing at dist 1
+    assert(run(3) == Set((1L, 2L, 1), (2L, 3L, 1), (1L, 3L, 1)))
+  }
+
+  test("sorted-neighborhood: a constant key cannot create a hot block") {
+    // the degenerate all-same-key case that forces linkRecordPairs'
+    // guard to drop the block entirely: SNM's candidate count stays
+    // exactly n·(window-1) and the order falls to the id tiebreak
+    val dirty = (1L to 6L).map(i => (i, "unknown")).toDF("rec_id", "name")
+    val pairs = Dedup.linkRecordPairsSorted(dirty, col("rec_id"),
+        col("name"), lit("k"), window = 2, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+  }
+
+  test("sorted-neighborhood: ranks are exact across partition boundaries") {
+    // 40 ids under 32 shuffle partitions → the range partitioning
+    // splits the sorted order many times; every adjacent-rank pair
+    // must still appear exactly once (no boundary loss, no dup)
+    val df = (1L to 40L).map(i => (i, f"n$i%03d")).toDF("rec_id", "name")
+    val pairs = Dedup.linkRecordPairsSorted(df, col("rec_id"),
+        col("name"), col("name"), window = 2, maxDist = 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 39)
+    assert(pairs.toSet == (1L to 39L).map(i => (i, i + 1)).toSet)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.expressions.SampleQuantile
+
+/** Bottom-k hash-sample quantile (`expressions.SampleQuantile`, the
+  * third native TypedImperativeAggregate). The x12 gate pins the exact
+  * regime (group size <= k) against the same rank arithmetic in DuckDB;
+  * here we pin the percentile_disc convention, the estimate regime's
+  * error, topology-independence, null handling, and the
+  * partial-aggregation plan shape.
+  */
+class SampleQuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact below k: percentile_disc semantics, nulls skipped") {
+    // values 10,20,30,40 — disc quantiles pick elements, never
+    // interpolate: q=0.5 → rank ceil(0.5*4)=2 → 20
+    val df = Seq((1L, Some(30.0)), (2L, Some(10.0)), (3L, Some(40.0)),
+      (4L, Some(20.0)), (5L, None)).toDF("id", "v")
+    def q(p: Double) = df.agg(SampleQuantile(col("id"), col("v"), 64, p))
+      .collect().head.getDouble(0)
+    assert(q(0.0) == 10.0)
+    assert(q(0.25) == 10.0)
+    assert(q(0.5) == 20.0)
+    assert(q(0.51) == 30.0)
+    assert(q(0.75) == 30.0)
+    assert(q(0.76) == 40.0)
+    assert(q(1.0) == 40.0)
+  }
+
+  test("estimate regime: rank error ~1/sqrt(k) at n >> k") {
+    // uniform 0..1 values: the q-quantile should land near q
+    val df = spark.range(100000)
+      .select(col("id"), (xxhash64(col("id")).cast("double")
+        / lit(Long.MaxValue.toDouble) / 2 + lit(0.5)).as("v"))
+    val est = df.agg(SampleQuantile(col("id"), col("v"), 1024, 0.5))
+      .collect().head.getDouble(0)
+    // 1/sqrt(1024) ~ 3% rank error; allow 4 sigma
+    assert(math.abs(est - 0.5) < 0.13, s"p50 estimate $est too far from 0.5")
+  }
+
+  test("topology-independent: any partitioning gives the same estimate") {
+    val df = spark.range(30000)
+      .select(col("id"), (col("id") % 997).cast("double").as("v"))
+    val res = Seq(1, 7, 32).map { p =>
+      df.repartition(p)
+        .agg(SampleQuantile(col("id"), col("v"), 256, 0.9))
+        .collect().head.getDouble(0)
+    }
+    assert(res.distinct.size == 1)
+  }
+
+  test("grouped, validation, and partial aggregation in the plan") {
+    intercept[IllegalArgumentException] {
+      SampleQuantile(col("id"), col("v"), 1, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      SampleQuantile(col("id"), col("v"), 64, 1.5)
+    }
+    val df = spark.range(8000)
+      .select(col("id"), (col("id") % 4).as("g"),
+        expr("cast((id div 4) % 100 as double)").as("v"))
+    val agg = df.groupBy(col("g"))
+      .agg(SampleQuantile(col("id"), col("v"), 4096, 0.5).as("p50"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_samplequantile") || plan.contains("Partial"),
+      s"no partial aggregation stage in:\n$plan")
+    // 2000 rows per group, k=4096 → exact: values 0..99 repeated, p50
+    // = rank ceil(0.5*2000)=1000 of the sorted 2000 → value 49
+    val rows = agg.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows.values.forall(_ == 49.0), rows.toString)
+  }
+}
