@@ -230,10 +230,14 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, "labelPropagation: iters must be >= 1")
+    // self-loops filtered on the PAIR frame so BOTH directions are
+    // clean — filtering only the forward select would let an
+    // id_a == id_b row back in via the reversed half (a self-vote
+    // every round, diverging from the g05 oracle's two-sided filter)
+    val noLoops = pairs.filter(col("id_a") =!= col("id_b"))
     val edges = Materialize(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      noLoops.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(noLoops.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
@@ -280,10 +284,13 @@ object Graph {
   def kCore(pairs: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
     require(k >= 1, "kCore: k must be >= 1")
     require(maxIters >= 1, "kCore: maxIters must be >= 1")
+    // two-sided self-loop filter (the labelPropagation rule): a loop
+    // would count toward its node's degree via the reversed half and
+    // keep a sub-k vertex alive past the peel
+    val noLoops = pairs.filter(col("id_a") =!= col("id_b"))
     var edges = Materialize(
-      pairs.select(col("id_a").as("v"), col("id_b").as("u"))
-        .filter(col("v") =!= col("u"))
-        .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
+      noLoops.select(col("id_a").as("v"), col("id_b").as("u"))
+        .unionByName(noLoops.select(col("id_b").as("v"), col("id_a").as("u")))
         .distinct())
     var i = 0
     var done = false

@@ -534,16 +534,39 @@ object Similarity {
     * exceeded it. One aggregate per side — run it whenever the cap is
     * active so a capped run always reports what it skipped instead of
     * silently under-recalling.
+    *
+    * `maxBucketSize` takes the SAME values as [[annJoin]]'s, including
+    * the [[AutoBucketCap]] default: the auto cap is re-resolved here
+    * with the identical in-plan arithmetic (same operands, same IEEE
+    * ops, from the same two lazy counts), so "same arguments" really
+    * means same arguments — passing the sentinel through verbatim
+    * reports exactly the cells the capped run dropped, never "every
+    * non-empty cell" (the literal-0 comparison a naive pass-through
+    * would make).
     */
   def annDroppedBuckets(left: DataFrame, right: DataFrame,
-      planes: Int, dims: Int, tables: Int, maxBucketSize: Int): DataFrame =
-    Seq(("left", left), ("right", right)).map { case (side, df) =>
+      planes: Int, dims: Int, tables: Int,
+      maxBucketSize: Int = AutoBucketCap): DataFrame = {
+    val sized = Seq(("left", left), ("right", right)).map { case (side, df) =>
       bucketRows(df, planes, dims, tables)
         .groupBy(col("t"), col("bucket"))
         .agg(count(lit(1)).as("bucket_size"))
-        .filter(col("bucket_size") > maxBucketSize)
         .withColumn("side", lit(side))
     }.reduce(_ unionByName _)
+    if (maxBucketSize != AutoBucketCap)
+      sized.filter(col("bucket_size") > maxBucketSize)
+    else {
+      val divisor = (1L << math.min(planes, 62)).toDouble
+      val caps = left.agg(count(lit(1)).as("__nl"))
+        .crossJoin(right.agg(count(lit(1)).as("__nr")))
+        .select(ceil(greatest(lit(1.0),
+            greatest(col("__nl"), col("__nr")).cast("double")
+              / lit(divisor)) * lit(64.0)).as("__cap"))
+      sized.crossJoin(broadcast(caps))
+        .filter(col("bucket_size") > col("__cap"))
+        .drop("__cap")
+    }
+  }
 
   /** `maxBucketSize` sentinel: derive the hot-bucket cap from expected
     * occupancy via [[autoMaxBucketSize]]. The default everywhere — the
@@ -1095,6 +1118,38 @@ object Similarity {
   def appendIvfPqIndex(index: DataFrame, path: String): Unit =
     index.repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id").parquet(path)
+
+  /** Rewrite a grown [[writeIvfPqIndex]] tree as one clean file set —
+    * the small-file maintenance call every append-based index needs:
+    * [[appendIvfPqIndex]]/[[graft.streaming.AnnStream.indexIngest]]
+    * add one parquet file per cell per epoch, so a thousand epochs
+    * leave a thousand files per `centroid_id=` directory and the FILE
+    * LISTING cost eventually eats the probed-cell pruning win. The
+    * frozen-model contract makes compaction trivially exact: rows
+    * carry no cross-row state, so read-tree → rewrite reproduces the
+    * identical row set with whole-cells-per-task files (e14: search
+    * through a compacted many-epoch tree is hash-identical; PqSpec
+    * counts files-per-cell before/after).
+    *
+    * Stages into a sibling directory and swaps, so a crash
+    * mid-compaction leaves either the old tree or the new one intact,
+    * never a mix. Run on a cadence (or when files-per-cell crosses a
+    * threshold); cost is one pass over the INDEX (m-byte codes per
+    * vector), never the corpus vectors.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val staged = s"$path-compacting"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    val fs = stagedP.getFileSystem(conf)
+    fs.delete(stagedP, true)
+    writeIvfPqIndex(readIvfPqIndex(spark, path), staged)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dest, true)
+    fs.rename(stagedP, dest)
+    ()
+  }
 
   /** Read a [[writeIvfPqIndex]] tree back as the (vec_id, centroid_id,
     * codes) index frame (the partition column returns as int). */

@@ -123,7 +123,19 @@ object AsOf {
     def ticks(c: Column): Column =
       left.schema(leftTime).dataType match {
         case TimestampType => unix_micros(c)
-        case TimestampNTZType => unix_micros(c.cast(TimestampType))
+        // NTZ ticks assembled from timezone-free datetime FIELDS
+        // (date, hour, minute, fractional second are pure wall-clock
+        // on NTZ input — verified identical across session zones).
+        // Any instant-conversion route (cast(TimestampType), even
+        // to_utc_timestamp) coerces NTZ through the session zone,
+        // whose DST transitions make the mapping non-linear — nearest
+        // ties and tolerance gates off by up to an hour in the
+        // fall-back window (AsOfSpec pins the cross-zone invariance)
+        case TimestampNTZType =>
+          unix_date(c.cast(DateType)).cast("long") * lit(86400000000L) +
+            hour(c).cast("long") * lit(3600000000L) +
+            minute(c).cast("long") * lit(60000000L) +
+            (date_part(lit("SECOND"), c) * lit(1000000L)).cast("long")
         case DateType => unix_date(c).cast("long")
         case ByteType | ShortType | IntegerType | LongType => c.cast("long")
         case _: NumericType => c

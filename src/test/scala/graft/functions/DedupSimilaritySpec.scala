@@ -740,6 +740,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dropped.nonEmpty)
     assert(dropped.forall(r => r.getAs[String]("side") == "right" &&
       r.getAs[Long]("bucket_size") > cap))
+    // "same arguments" holds literally: the AutoBucketCap sentinel
+    // resolves in-plan to the SAME derived cap, so the default-arg
+    // accounting call reports exactly the explicit-cap drop set —
+    // never "every non-empty cell" (the naive literal-0 comparison)
+    val autoDropped = Similarity.annDroppedBuckets(left, right,
+      planes = 8, dims = 64, tables = 2).collect()
+    assert(autoDropped.map(_.toString).toSet ==
+      dropped.map(_.toString).toSet,
+      "sentinel pass-through diverged from the explicit cap")
     // occupancy rule shape: floor of safetyFactor, linear growth above
     assert(Similarity.autoMaxBucketSize(1L, 8) == 64)
     assert(Similarity.autoMaxBucketSize(256L * 32, 8) == 32 * 64)

@@ -191,4 +191,25 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(1)).toSet
     assert(cl == Set(10L))
   }
+
+  test("self-loops are ignored through BOTH edge directions") {
+    // labelPropagation: with the loop, node 2's self-vote ties round
+    // 2's count and the min tie-break freezes it at label 1; loop-free
+    // semantics oscillate to 2 — so equality here proves the loop
+    // never votes (the g05 oracle filters both union halves)
+    val path = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val looped = (Seq((1L, 2L), (2L, 2L))).toDF("id_a", "id_b")
+    val clean = Graph.labelPropagation(path, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val withLoop = Graph.labelPropagation(looped, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(withLoop == clean, s"self-vote leaked: $withLoop vs $clean")
+
+    // kCore: a vertex held up only by its self-loop has true degree 0
+    // — it must peel, not survive as a phantom 1-core
+    val lone = Seq((9L, 9L), (1L, 2L)).toDF("id_a", "id_b")
+    val core1 = Graph.kCore(lone, k = 1).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(core1 == Set(1L, 2L), s"self-loop kept a phantom core: $core1")
+  }
 }

@@ -139,4 +139,31 @@ class AsOfSpec extends SparkSpec {
       .select("m").collect().head.getDate(0)
     assert(dnear == d("2024-01-12"), "2 days fwd beats 3 days back")
   }
+
+  test("asofNearest: TimestampNTZ ticks are session-timezone-free " +
+      "(linear across a DST fall-back)") {
+    import spark.implicits._
+    // wall-clock times around the US 2024-11-03 fall-back: 00:45 →
+    // 01:30 is 45 wall minutes, 01:30 → 02:10 is 40 — nearest must
+    // pick 02:10 from pure wall arithmetic. A session-timezone cast
+    // under America/Los_Angeles maps 02:10 to PST (an extra epoch
+    // hour), flipping the pick to 00:45.
+    def ntz(s: String) = java.time.LocalDateTime.parse(s)
+    val left = Seq((1L, 7L, ntz("2024-11-03T01:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ntz("2024-11-03T00:45:00")),
+        (7L, ntz("2024-11-03T02:10:00")))
+      .toDF("user_id", "sts")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val picks = Seq("UTC", "America/Los_Angeles").map { tz =>
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        AsOf.asofNearest(left, right, "user_id", "ts", "sts", "m",
+            direction = "nearest")
+          .select("m").collect().head.getAs[java.time.LocalDateTime](0)
+      }
+      assert(picks.forall(_ == ntz("2024-11-03T02:10:00")),
+        s"NTZ nearest must be wall-clock in every session zone: $picks")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }

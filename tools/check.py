@@ -63,7 +63,7 @@ def main(sf_dir, out_dir):
         # (round-11 e07/e09/t21 regression). Flag array outputs HERE so a
         # locally-green gate can't ship driver-red.
         for f in spark_tbl.schema:
-            if str(f.type).startswith(('list', 'large_list', 'struct', 'map')):
+            if str(f.type).startswith(('list', 'large_list', 'fixed_size_list', 'struct', 'map')):
                 problems.append(f'ARRAY-OUTPUT[{f.name}] (driver harness cannot sort)')
         s_cols = sorted(spark_tbl.column_names)
         d_cols = sorted(duck.column_names)
