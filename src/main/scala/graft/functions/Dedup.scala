@@ -1521,6 +1521,40 @@ object Dedup {
         greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
   }
 
+  /** Multi-pass sorted-neighborhood (the Hernández–Stolfo
+    * multi-pass SNM): the UNION of [[linkRecordPairsSorted]] over
+    * several sort keys, deduped on (id_a, id_b) — the recall composer
+    * for the one weakness a single ordering has: only records within
+    * `window−1` positions of ONE sort order can pair, so a typo in the
+    * key's leading characters (the first character of a name, under a
+    * name sort) teleports a true match across the corpus. A second
+    * ordering that keys on what the typo did NOT touch (e.g.
+    * `reverse(name)`) puts the pair adjacent again; recall composes
+    * across passes exactly like the canopy union
+    * ([[linkRecordPairsMultiKey]], d27).
+    *
+    * Scale shape: one [[linkRecordPairsSorted]] per key — each a
+    * single range-partition shuffle with EXACTLY n·(window−1)
+    * candidate pairs under any key skew — then ONE
+    * partial-aggregatable min per (id_a, id_b) to collapse multi-pass
+    * duplicates (map-side combined, never a window; `dist` is
+    * key-independent so min is the value itself). Total candidate work
+    * is keys·n·(window−1) — still linear in n, still skew-immune, no
+    * guard needed.
+    *
+    * Schema out: (id_a, id_b, dist), id_a < id_b — [[linkRecordPairs]]'
+    * contract, so the closure/canonical stages compose unchanged.
+    */
+  def linkRecordPairsSortedMulti(df: DataFrame, id: Column, name: Column,
+      sortKeys: Seq[Column], window: Int, maxDist: Int): DataFrame = {
+    require(sortKeys.nonEmpty, "linkRecordPairsSortedMulti: need >= 1 key")
+    sortKeys
+      .map(k => linkRecordPairsSorted(df, id, name, k, window, maxDist))
+      .reduce(_ unionByName _)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
   /** Accounting for [[linkRecordPairs]]'s `maxBlockSize` guard:
     * (block, block_size) for every dropped block. One
     * partial-aggregatable count — run it whenever the cap is finite so

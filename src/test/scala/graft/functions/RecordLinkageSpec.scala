@@ -120,4 +120,29 @@ class RecordLinkageSpec extends SparkSpec {
     assert(pairs.length == 39)
     assert(pairs.toSet == (1L to 39L).map(i => (i, i + 1)).toSet)
   }
+
+  test("multi-pass SNM: a second ordering recovers first-char typos " +
+      "the name sort teleports away; duplicates collapse to one row") {
+    // 30 sorted names + ONE first-character typo twin of n015: under
+    // the name sort 'x015…' lands after everything (30 positions from
+    // its mate — invisible to window 4); reverse(name) keys on the
+    // untouched suffix and puts the pair adjacent
+    val base = (1L to 30L).map(i => (i, f"n$i%03dq")).toDF("rec_id", "name")
+    val df = base.unionByName(Seq((999L, "x015q")).toDF("rec_id", "name"))
+    def pairsOf(keys: Seq[org.apache.spark.sql.Column]) =
+      Dedup.linkRecordPairsSortedMulti(df, col("rec_id"), col("name"),
+          keys, window = 4, maxDist = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = pairsOf(Seq(col("name")))
+    assert(!single.contains((15L, 999L, 1)),
+      "the single ordering should NOT see the teleported typo (test setup)")
+    val multi = pairsOf(Seq(col("name"), reverse(col("name"))))
+    assert(multi.contains((15L, 999L, 1)),
+      s"reverse ordering must recover the typo pair: $multi")
+    // recall composes: every single-pass pair survives the union…
+    assert(single.subsetOf(multi))
+    // …and multi-pass duplicates collapsed: one row per (id_a, id_b)
+    val multiKeys = multi.toSeq.map(p => (p._1, p._2))
+    assert(multiKeys.distinct.size == multiKeys.size)
+  }
 }
