@@ -85,4 +85,46 @@ object Sketches {
       scaled(countBelow(array_intersect(sketchA, sketchB), tf), tf)
         .as("n_intersect"))
   }
+
+  /** Merge two [[expressions.QuantileSketch]] arrays built with the
+    * same `k`: the bottom-k of the union — BIT-IDENTICAL to the sketch
+    * a one-shot aggregate over both inputs would build, because the k
+    * smallest hashes of a union are a subset of the union of each
+    * side's k smallest (SampleQuantileSpec pins the identity). Pure
+    * array arithmetic on two ≤ k-pair rows: concat → sort (stored
+    * hashes are pre-flipped, so the struct's natural order IS unsigned
+    * hash order) → drop equal-hash repeats keeping the smallest value
+    * (the aggregate's collision rule; exact duplicates from merging
+    * OVERLAPPING sketches collapse the same way) → keep k.
+    *
+    * Associative and commutative, so per-shard sketches fold in any
+    * tree — the x11 pattern applied to quantiles: per-shard
+    * distribution cards become one sketch scan per shard plus
+    * constant-size merges, never a corpus re-aggregate.
+    */
+  def quantileSketchMerge(sketchA: Column, sketchB: Column,
+      k: Int): Column = {
+    val sorted = array_sort(concat(sketchA, sketchB))
+    // equal hashes sort adjacent with values ascending — keeping the
+    // FIRST of each hash run is the offer() min-value tie-break
+    val deduped = filter(sorted, (s, i) =>
+      i === 0 || element_at(sorted, i).getField("hf") =!= s.getField("hf"))
+    slice(deduped, 1, k)
+  }
+
+  /** percentile_disc(`q`) estimate from a [[expressions.QuantileSketch]]
+    * array — the same ceil(q·n) rank arithmetic as
+    * [[expressions.SampleQuantile]]'s eval, over the (possibly merged)
+    * sample's values. Exact whenever the sample retained everything
+    * (combined inputs below k — the x13-gated regime); ~1/√k rank
+    * error above. Null on an empty sketch.
+    */
+  def quantileSketchEstimate(sketch: Column, q: Double): Column = {
+    require(q >= 0.0d && q <= 1.0d,
+      s"quantileSketchEstimate: q must be in [0, 1], got $q")
+    val vals = array_sort(transform(sketch, s => s.getField("v")))
+    val n = size(vals).cast(LongType)
+    val idx1 = least(n, greatest(lit(1L), ceil(lit(q) * n).cast(LongType)))
+    when(size(vals) > 0, get(vals, (idx1 - 1L).cast("int")))
+  }
 }

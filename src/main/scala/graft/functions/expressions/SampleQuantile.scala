@@ -140,6 +140,136 @@ case class SampleQuantile(id: Expression, value: Expression, k: Int,
     copy(id = newChildren(0), value = newChildren(1))
 }
 
+/** The bottom-k sample CONTENT — sorted (hash, value) pairs — instead
+  * of [[SampleQuantile]]'s point estimate: what [[KmvSketch]] is to
+  * [[KmvDistinct]], for quantiles. Two groups' samples COMPOSE: the
+  * k smallest hashes of a union are a subset of the union of each
+  * side's k smallest, so merging sketches (array concat → sort → keep
+  * k) reproduces exactly the sketch a one-shot aggregate over the
+  * union would build — cross-group / cross-shard quantile estimates
+  * become pure array arithmetic on rows of ≤ k pairs, no re-scan of
+  * any input (see [[graft.functions.Sketches.quantileSketchMerge]] /
+  * `quantileSketchEstimate`; per-shard distribution cards build one
+  * sketch per shard once and combine on demand).
+  *
+  * The stored hash is FLIPPED (xor Long.MinValue) so the natural
+  * signed struct order downstream (`array_sort`) IS the sketch's
+  * unsigned hash order. Same bounded buffer, associative merge, and
+  * map-side partial aggregation as [[SampleQuantile]]; the array is an
+  * INTERMEDIATE representation, never a gate output (the array-free
+  * gate rule) — combine to scalar quantiles before emitting.
+  */
+case class QuantileSketch(id: Expression, value: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, Double]] {
+  require(k >= 16 && k <= (1 << 22),
+    s"quantile_sketch: k must be in [16, ${1 << 22}], got $k")
+
+  override def children: Seq[Expression] = id :: value :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (id.dataType, value.dataType) match {
+      case (LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (i, v) => TypeCheckResult.TypeCheckFailure(
+        "quantile_sketch expects (pre-hashed long id, double value), " +
+          s"got (${i.sql}, ${v.sql})")
+    }
+
+  override def dataType: DataType = QuantileSketch.SketchType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, Double] =
+    new java.util.TreeMap[java.lang.Long, Double](KmvDistinct.UnsignedOrder)
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, Double],
+      input: InternalRow): java.util.TreeMap[java.lang.Long, Double] = {
+    val h = id.eval(input)
+    val v = value.eval(input)
+    if (h != null && v != null) {
+      SampleQuantile.offer(buf, h.asInstanceOf[Long],
+        v.asInstanceOf[Double], k)
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[java.lang.Long, Double],
+      other: java.util.TreeMap[java.lang.Long, Double]): java.util.TreeMap[java.lang.Long, Double] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      SampleQuantile.offer(buf, e.getKey.longValue(), e.getValue, k)
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeMap[java.lang.Long, Double]): Any = {
+    val rows = new Array[Any](buf.size())
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(i) = InternalRow(e.getKey.longValue() ^ Long.MinValue, e.getValue)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey.longValue())
+      bb.putDouble(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val h = bb.getLong
+      m.put(java.lang.Long.valueOf(h), bb.getDouble)
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(id = newChildren(0), value = newChildren(1))
+}
+
+object QuantileSketch {
+
+  /** array<struct<hf: flipped hash, v: value>>, ascending by `hf` =
+    * unsigned hash order. */
+  val SketchType: DataType = ArrayType(StructType(Seq(
+    StructField("hf", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+
+  /** Column-level entry point: the bottom-k (flipped-hash, value)
+    * sample of `value` keyed by `rowId`. Same hash-outside-the-
+    * aggregate and null semantics as [[SampleQuantile.apply]]. */
+  def apply(rowId: Column, value: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.when
+    GraftExpressionBridge.column(
+      QuantileSketch(
+        GraftExpressionBridge.expression(
+          when(rowId.isNotNull, xxhash64(rowId))),
+        GraftExpressionBridge.expression(value.cast(DoubleType)),
+        k).toAggregateExpression())
+  }
+}
+
 object SampleQuantile {
 
   private[expressions] def offer(

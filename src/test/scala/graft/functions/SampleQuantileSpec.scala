@@ -74,4 +74,46 @@ class SampleQuantileSpec extends SparkSpec {
     val rows = agg.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(rows.values.forall(_ == 49.0), rows.toString)
   }
+
+  test("sketch content composes: merged group sketches == one-shot " +
+      "sketch over the union, in BOTH regimes") {
+    import spark.implicits._
+    import graft.functions.expressions.QuantileSketch
+    val df = (1L to 500L).map(i => (i, i % 7, (i * 37 % 101).toDouble))
+      .toDF("id", "g", "v")
+    def check(k: Int): Unit = {
+      // per-group sketches folded with the Column merge…
+      val perGroup = df.groupBy(col("g"))
+        .agg(QuantileSketch(col("id"), col("v"), k).as("sk"))
+        .agg(collect_list(col("sk")).as("sks"))
+        // fold from the first sketch: merge is associative+commutative
+        // and emits sorted content, so collect_list's order is moot
+        .select(aggregate(slice(col("sks"), 2, 1000),
+          element_at(col("sks"), 1),
+          (acc, s) => graft.functions.Sketches.quantileSketchMerge(acc, s, k))
+          .as("m"))
+      // …must equal the one-shot sketch over all rows, hash for hash
+      val oneShot = df.agg(QuantileSketch(col("id"), col("v"), k).as("m"))
+      val a = perGroup.select(to_json(col("m"))).head.getString(0)
+      val b = oneShot.select(to_json(col("m"))).head.getString(0)
+      assert(a == b, s"k=$k merge diverged from one-shot")
+    }
+    check(1024) // below k: the sample is the whole input
+    check(32)   // estimate regime: bottom-k of union == merge of bottom-ks
+
+    // merged estimate is exact below k and matches the point aggregate
+    val halves = Seq(df.filter(col("id") % 2 === 0),
+      df.filter(col("id") % 2 === 1))
+    val sks = halves.map(h =>
+      h.agg(QuantileSketch(col("id"), col("v"), 1024).as("sk")))
+    val merged = sks.head.select(col("sk").as("a"))
+      .crossJoin(sks(1).select(col("sk").as("b")))
+      .select(graft.functions.Sketches.quantileSketchEstimate(
+        graft.functions.Sketches.quantileSketchMerge(
+          col("a"), col("b"), 1024), 0.5).as("p50"))
+      .head.getDouble(0)
+    val direct = df.agg(SampleQuantile(col("id"), col("v"), 1024, 0.5))
+      .head.getDouble(0)
+    assert(merged == direct, s"composed p50 $merged != direct $direct")
+  }
 }
