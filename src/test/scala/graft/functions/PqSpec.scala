@@ -215,6 +215,117 @@ class PqSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("compactIvfPqIndex: many-epoch debris collapses to one file per " +
+      "cell, row set and search unchanged") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cents = Similarity.ivfTrain(corpus, k = 3)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-compact").toString + "/idx"
+    def filesPerCell(): Map[String, Int] = {
+      val cells = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+      cells.map(c => c.getName ->
+        c.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    try {
+      // 4 epochs: one-shot build + 3 appends (one vector each, so
+      // cluster-mates land as separate files in a shared cell)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") === 2),
+          cents, cb, m = 2, dims = dims), path)
+      (3L to 5L).foreach(v => Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") === v),
+          cents, cb, m = 2, dims = dims), path))
+      val before = filesPerCell()
+      assert(before.values.exists(_ > 1),
+        s"expected per-epoch file debris before compaction: $before")
+      val rowsBefore = Similarity.readIvfPqIndex(spark, path)
+        .collect().map(_.toString).sorted.toSeq
+      val searchBefore = Similarity.knnIvfPqOnDisk(spark, path, cents, cb,
+          queries, corpus, k = 2, nprobe = 2, rerank = 10, m = 2,
+          dims = dims)
+        .collect().map(_.toString).sorted.toSeq
+      Similarity.compactIvfPqIndex(spark, path)
+      val after = filesPerCell()
+      assert(after.keySet == before.keySet, "compaction changed the cell set")
+      assert(after.values.forall(_ == 1),
+        s"compaction must leave whole-cell files: $after")
+      assert(Similarity.readIvfPqIndex(spark, path)
+        .collect().map(_.toString).sorted.toSeq == rowsBefore,
+        "compaction changed the index row set")
+      assert(Similarity.knnIvfPqOnDisk(spark, path, cents, cb, queries,
+          corpus, k = 2, nprobe = 2, rerank = 10, m = 2, dims = dims)
+        .collect().map(_.toString).sorted.toSeq == searchBefore,
+        "compaction changed search results")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(path).getParentFile)
+    }
+  }
+
+  test("probe selectivity end-to-end: nprobe=2 of k_coarse=16 reads " +
+      "exactly the probed directories") {
+    val all = graft.Tables.df(spark, sf(), "embeddings")
+    val corpus = all.filter(col("vec_id") >= 10)
+    val queries = all.filter(col("vec_id") === 0L)
+    val cents = Similarity.ivfTrain(corpus, k = 16)
+    val cb64 = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-probe").toString + "/idx"
+    try {
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus, cents, cb64, m = 4, dims = 64), path)
+      val cellDirs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .map(d => d.getName.stripPrefix("centroid_id=").toInt -> d).toMap
+      assert(cellDirs.size >= 8, s"degenerate coarse split: ${cellDirs.size}")
+      val out = Similarity.knnIvfPqOnDisk(spark, path, cents, cb64,
+        queries, corpus, k = 5, nprobe = 2, rerank = 20, m = 4, dims = 64)
+      out.collect()
+      // AQE wraps the final plan in adaptive/query-stage nodes whose
+      // `children` are empty — descend explicitly to reach the scans
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+      val scans = allScans(out.queryExecution.executedPlan).filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("idx")))
+      assert(scans.nonEmpty, "expected a FileScan of the on-disk index")
+      val scan = scans.head
+      // one query × nprobe=2 → the partition filter lists exactly the
+      // two probed cells…
+      val probed = "centroid_id[^\\]]*?IN \\(([-0-9,\\s]+)\\)".r
+        .findFirstMatchIn(scan.toString)
+        .map(_.group(1).split(",").map(_.trim.toInt).toSet)
+        .getOrElse(fail(s"no IN partition filter in:\n$scan"))
+      assert(probed.size == 2, s"nprobe=2 must probe 2 cells: $probed")
+      // …and the scan's selected partitions / files match exactly the
+      // probed directories that exist on disk
+      val expectedDirs = probed.intersect(cellDirs.keySet)
+      val expectedFiles = expectedDirs.toSeq
+        .map(c => cellDirs(c).listFiles().count(_.getName.endsWith(".parquet")))
+        .sum
+      assert(scan.metrics("numPartitions").value == expectedDirs.size.toLong,
+        s"selected partitions != probed dirs ($expectedDirs)")
+      assert(scan.metrics("numFiles").value == expectedFiles.toLong,
+        "files read != files under the probed dirs")
+      assert(expectedDirs.size < cellDirs.size,
+        "pruning demonstrated nothing: all cells were probed")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(path).getParentFile)
+    }
+  }
+
   test("knnIvfPq narrow probe scores only probed cells") {
     val corpus = emb.filter(col("vec_id") >= 2)
     val queries = emb.filter(col("vec_id") < 2)
