@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** The one-call corpus-curation recipe — the end-to-end story a
   * training-data pipeline actually runs, composed from this library's
@@ -117,6 +119,254 @@ object Curation {
       .parquet(path)
     shardManifest(docs, col(stratumName), col(orderName),
       col(tokensName), budget)
+  }
+
+  /** EPOCH-FROZEN incremental shard maintenance — the O(increment)
+    * dual of [[writeShards]] for a continuously growing corpus: bins
+    * already written are IMMUTABLE; each call packs ONLY its increment,
+    * continuing every stratum's global token cumsum from a per-stratum
+    * carry snapshot. This is what a real 100 TB ingest runs — the
+    * per-epoch full rebuild (the s10 shape) is the one plan you could
+    * not run on a growing corpus, and it becomes the explicit
+    * [[compactShards]] call instead.
+    *
+    * Bin math: a document's bin is
+    * `floor((carry + cumThroughDoc − tokens) / budget)` where `carry`
+    * is the stratum's total packed tokens so far — the SAME operands
+    * and IEEE ops as [[TextFunctions.packSequences]]'s global cumsum,
+    * so under the in-order-arrival contract (each epoch's `order` keys
+    * per stratum follow everything already packed — what a monotone
+    * ingest id or event time gives for free) the grown tree's bin
+    * assignment is BIT-IDENTICAL to a one-shot batch pack over all
+    * rows (s12, hash-gated against the s10 oracle's manifest SQL).
+    * Out-of-order late arrivals still pack — into CURRENT bins, never
+    * rewriting frozen ones (training shards don't need globally
+    * re-flowed bins); [[compactShards]] is the periodic re-flow.
+    *
+    * On-disk layout under `path` (underscore names are invisible to
+    * data reads):
+    *   - `stratum=…/bin=…/epoch=…` data tree — the `epoch`
+    *     sub-partition keeps every epoch's files untouched by later
+    *     epochs (spec-pinned) and makes crash replay cleanable;
+    *     `stratum`/`bin` stay the leading partition keys, so
+    *     bin-targeted readers prune identically.
+    *   - `_manifest_delta/epoch=N` — epoch N's [[shardManifest]] rows
+    *     (O(increment) write; [[readShardManifest]] merges them).
+    *   - `_carry/epoch=N` — (stratum, cum_tokens) after epoch N: one
+    *     row per stratum, the entire packer state.
+    *   - `_commits/N` — empty commit-marker files (atomic create,
+    *     never rewritten — the Structured Streaming commit-log
+    *     pattern); committed epoch = max. `_inflight/N` — intent
+    *     marker for crash detection.
+    *
+    * Failure semantics (the foreachBatch at-least-once contract, made
+    * idempotent): a replayed epoch ≤ the committed marker is a NO-OP;
+    * a replay after a crash finds the `_inflight` marker, deletes
+    * exactly that epoch's `epoch=N` directories, and re-runs — delta,
+    * carry, and data writes are all per-epoch-keyed and overwritten,
+    * so every crash position re-converges to exactly-once content.
+    * Steady state never lists the data tree: per epoch it reads one
+    * O(strata) carry snapshot and writes O(increment) rows + three
+    * tiny markers.
+    *
+    * @return the merged manifest as of this call ([[readShardManifest]]
+    *   — one row per (stratum, bin) over all committed epochs)
+    */
+  def appendShards(increment: DataFrame, stratumName: String,
+      orderName: String, tokensName: String, budget: Long, path: String,
+      epoch: Long, maxRecordsPerFile: Long = 0L): DataFrame = {
+    require(budget > 0, "appendShards: budget must be positive")
+    val spark = increment.sparkSession
+    val committed = committedEpoch(spark, path)
+    if (committed.exists(_ >= epoch)) return readShardManifest(spark, path)
+    // crashed prior attempt (inflight marker survived a failed epoch):
+    // remove its partial epoch=N data dirs, then re-run idempotently
+    inflightEpochs(spark, path).foreach { stale =>
+      if (!committed.exists(_ >= stale)) deleteEpochDirs(spark, path, stale)
+      else deleteMarker(spark, s"$path/_inflight/$stale")
+    }
+    touchMarker(spark, s"$path/_inflight/$epoch")
+    val carry = committed.map(c =>
+        spark.read.parquet(s"$path/_carry/epoch=$c")
+          .select(col("stratum"), col("cum_tokens").as("__carry")))
+    val w = Window.partitionBy(col("stratum")).orderBy(col(orderName))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based = increment.withColumnRenamed(stratumName, "stratum")
+    val carried = carry.fold(based.withColumn("__carry", lit(0L)))(c =>
+      based.join(broadcast(c), Seq("stratum"), "left")
+        .withColumn("__carry", coalesce(col("__carry"), lit(0L))))
+    val packed = carried
+      .withColumn("__cum", col("__carry")
+        + sum(col(tokensName).cast(LongType)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(tokensName).cast(LongType))
+          .cast("double") / budget).cast(LongType))
+      .drop("__cum")
+      .persist()
+    packed.drop("__carry")
+      .withColumn("epoch", lit(epoch))
+      .repartition(col("stratum"), col("bin"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("stratum", "bin", "epoch")
+      .parquet(path)
+    val delta = packed.groupBy(col("stratum"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensName).cast(LongType)).as("n_tokens"),
+        min(col(orderName)).as("first_doc"),
+        max(col(orderName)).as("last_doc"))
+      .persist()
+    delta.write.mode("overwrite")
+      .parquet(s"$path/_manifest_delta/epoch=$epoch")
+    // next-epoch carry: previous carry advanced by this epoch's totals
+    // (strata untouched this epoch carry forward unchanged)
+    val epochTotals = packed
+      .groupBy(col("stratum"))
+      .agg(max(col("__carry")).as("__carry"),
+        sum(col(tokensName).cast(LongType)).as("__add"))
+      .select(col("stratum"), (col("__carry") + col("__add")).as("cum_tokens"))
+    val nextCarry = carry.fold(epochTotals)(c =>
+      c.select(col("stratum"), col("__carry").as("cum_tokens"))
+        .join(epochTotals.select(col("stratum").as("__s2"),
+          col("cum_tokens").as("__c2")),
+          col("stratum") === col("__s2"), "full")
+        .select(coalesce(col("stratum"), col("__s2")).as("stratum"),
+          coalesce(col("__c2"), col("cum_tokens")).as("cum_tokens")))
+    nextCarry.write.mode("overwrite").parquet(s"$path/_carry/epoch=$epoch")
+    touchMarker(spark, s"$path/_commits/$epoch")
+    deleteMarker(spark, s"$path/_inflight/$epoch")
+    // prune below the PREVIOUS committed marker, not this one: the
+    // newest marker's predecessor must survive so that rolling back /
+    // losing the newest commit still exposes a valid carry chain —
+    // steady state keeps exactly two markers
+    committed.foreach(c => pruneMarkers(spark, s"$path/_commits", keep = c))
+    packed.unpersist()
+    delta.unpersist()
+    readShardManifest(spark, path)
+  }
+
+  /** The merged (stratum, bin) manifest of an [[appendShards]] tree as
+    * of its last COMMITTED epoch: union of the per-epoch delta files,
+    * one partial-aggregatable group-by — bins spanning an epoch
+    * boundary (the carry-continued bin) merge to exactly the row a
+    * batch [[shardManifest]] over the same rows produces (s12). Reads
+    * only `_manifest_delta` (O(total bins) fixed-width rows), never
+    * the data tree.
+    */
+  def readShardManifest(spark: SparkSession, path: String): DataFrame = {
+    val committed = committedEpoch(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"readShardManifest: no committed epoch under $path"))
+    spark.read.parquet(s"$path/_manifest_delta")
+      .filter(col("epoch") <= committed)
+      .groupBy(col("stratum"), col("bin"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+  }
+
+  /** Explicit full re-flow of an [[appendShards]] tree — the batch
+    * rebuild that used to run on every micro-batch, now a maintenance
+    * call: re-pack ALL rows with a one-shot [[writeShards]] (bins
+    * renumber globally; epoch sub-dirs and per-epoch small files
+    * collapse into one clean `stratum=…/bin=…` tree) and reset the
+    * incremental state to a single committed epoch so appends can
+    * resume on top. Run it on a cadence (or never — frozen bins are
+    * valid training shards forever); cost is one pass over the corpus,
+    * the price s10 used to pay per micro-batch.
+    *
+    * The rebuild stages into a sibling directory and swaps, so a crash
+    * mid-compaction leaves either the old tree or the new one, never a
+    * mix.
+    */
+  def compactShards(spark: SparkSession, path: String, orderName: String,
+      tokensName: String, budget: Long,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    val staged = s"$path-compacting"
+    deleteMarker(spark, staged)
+    val rows = spark.read.parquet(path).drop("bin", "epoch")
+    // same pack + whole-shards-per-task write as writeShards, but
+    // keeping the epoch sub-partition (all rows land in epoch=0) so
+    // the compacted tree and later appends share ONE directory shape
+    // (mixed leaf layouts break partition discovery)
+    TextFunctions.packSequences(rows, col("stratum"), col(orderName),
+        col(tokensName), budget)
+      .withColumn("epoch", lit(0L))
+      .repartition(col("stratum"), col("bin"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("stratum", "bin", "epoch")
+      .parquet(staged)
+    val manifest = shardManifest(rows, col("stratum"), col(orderName),
+      col(tokensName), budget)
+    manifest.write.mode("overwrite")
+      .parquet(s"$staged/_manifest_delta/epoch=0")
+    manifest.groupBy(col("stratum"))
+      .agg(sum(col("n_tokens")).as("cum_tokens"))
+      .write.mode("overwrite").parquet(s"$staged/_carry/epoch=0")
+    touchMarker(spark, s"$staged/_commits/0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(conf)
+    fs.delete(dest, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), dest)
+    readShardManifest(spark, path)
+  }
+
+  /** Last committed [[appendShards]] epoch: max name in `_commits/`. */
+  private def committedEpoch(spark: SparkSession, path: String): Option[Long] =
+    listMarkers(spark, s"$path/_commits").maxOption
+
+  private def inflightEpochs(spark: SparkSession, path: String): Seq[Long] =
+    listMarkers(spark, s"$path/_inflight")
+
+  private def listMarkers(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+  }
+
+  private def touchMarker(spark: SparkSession, file: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  private def deleteMarker(spark: SparkSession, file: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Keep the commit log O(1) to list: drop markers below the newest
+    * (the max defines the committed epoch; deleting history is safe at
+    * any crash point). */
+  private def pruneMarkers(spark: SparkSession, dir: String,
+      keep: Long): Unit =
+    listMarkers(spark, dir).filter(_ < keep)
+      .foreach(e => deleteMarker(spark, s"$dir/$e"))
+
+  /** Remove a crashed epoch's partial `epoch=N` data dirs (glob over
+    * the partition tree — recovery-path only, never steady state). */
+  private def deleteEpochDirs(spark: SparkSession, path: String,
+      epoch: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) {
+      val glob = new org.apache.hadoop.fs.Path(s"$path/*/*/epoch=$epoch")
+      val hits = fs.globStatus(glob)
+      if (hits != null) hits.foreach(h => fs.delete(h.getPath, true))
+    }
+    deleteMarker(spark, s"$path/_manifest_delta/epoch=$epoch")
+    deleteMarker(spark, s"$path/_carry/epoch=$epoch")
+    deleteMarker(spark, s"$path/_inflight/$epoch")
   }
 
   /** Corpus data card — the release-notes table every published

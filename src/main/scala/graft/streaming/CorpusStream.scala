@@ -89,11 +89,15 @@ object CorpusStream {
     * amortize on a real ingest by triggering rebuilds on a cadence
     * (processing-time trigger) rather than per-file.
     *
-    * Failure semantics: the staging append is at-least-once — a
-    * REPLAYED epoch would re-append its rows and duplicate staging.
-    * Run with a checkpoint so epochs don't replay, and reset staging
-    * and checkpoint TOGETHER when restarting a logical run from
-    * scratch (the s10 gate does exactly that).
+    * Failure semantics: each epoch stages into its OWN
+    * `batch=<batchId>` subdirectory with `mode("overwrite")`, so a
+    * replayed epoch (crash between the staging write and the
+    * checkpoint commit) overwrites its own directory instead of
+    * duplicating rows — the staging tree is idempotent under
+    * at-least-once redelivery. Run with a checkpoint so completed
+    * epochs don't replay at all, and reset staging and checkpoint
+    * TOGETHER when restarting a logical run from scratch (the s10
+    * gate does exactly that).
     */
   def curatedShards(docs: DataFrame, content: Column, id: Column,
       stagingPath: String, shardsPath: String,
@@ -105,11 +109,57 @@ object CorpusStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val curated = curatedIngest(docs, content, id, watermark, quality)
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        Long) => Unit = (batch, _) => {
-      batch.write.mode("append").parquet(stagingPath)
+        Long) => Unit = (batch, batchId) => {
+      batch.write.mode("overwrite").parquet(s"$stagingPath/batch=$batchId")
+      // partition discovery surfaces the epoch dirs as a `batch`
+      // column — dropped so the rebuild sees exactly the curated rows
       Curation.writeShards(
-        batch.sparkSession.read.parquet(stagingPath),
+        batch.sparkSession.read.parquet(stagingPath).drop("batch"),
         stratumName, orderName, tokensName, budget, shardsPath)
+      ()
+    }
+    val writer = curated.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  /** INCREMENTAL streaming shard maintenance (s12) — the scale-correct
+    * successor to [[curatedShards]]: each micro-batch packs ONLY its
+    * curated increment into the shard tree via
+    * [[graft.functions.Curation.appendShards]] (epoch = the stream's
+    * batchId), so per-epoch cost is O(batch), never O(accumulated
+    * corpus), and bins already written are immutable — epoch N's files
+    * are untouched by epoch N+1 (spec-pinned). No staging tree at all:
+    * the shard tree plus its underscore state IS the artifact.
+    *
+    * Under in-order arrival (a monotone ingest id/event time — the
+    * same arrangement the s10 gate uses) the grown tree's manifest is
+    * bit-identical to the batch pipeline's (s12, hash-gated). Late
+    * arrivals pack into current bins without re-flowing frozen ones;
+    * [[graft.functions.Curation.compactShards]] is the explicit
+    * re-flow, equal to what [[curatedShards]] used to rebuild every
+    * epoch (s10 remains its parity gate).
+    *
+    * Replay-safe by construction: appendShards' per-epoch commit log
+    * makes a redelivered batchId a no-op and a crashed epoch
+    * self-cleaning — still run with a checkpoint so the SOURCE doesn't
+    * redeliver, and reset tree + checkpoint together for a fresh
+    * logical run.
+    */
+  def curatedShardsIncremental(docs: DataFrame, content: Column, id: Column,
+      shardsPath: String,
+      stratumName: String, orderName: String, tokensName: String,
+      budget: Long, watermark: String = "10 minutes",
+      quality: Option[Column] = None,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val curated = curatedIngest(docs, content, id, watermark, quality)
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      Curation.appendShards(batch, stratumName, orderName, tokensName,
+        budget, shardsPath, epoch = batchId)
       ()
     }
     val writer = curated.writeStream.outputMode("append").foreachBatch(step)

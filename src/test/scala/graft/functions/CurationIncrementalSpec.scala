@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The epoch-frozen incremental shard packer ([[Curation.appendShards]]
+  * / [[Curation.readShardManifest]] / [[Curation.compactShards]]):
+  * O(increment) per epoch, immutable history, idempotent replay, and
+  * bit-parity with the one-shot batch pack under in-order arrival.
+  */
+class CurationIncrementalSpec extends SparkSpec {
+
+  private def docs =
+    Tables.df(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  private def freshPath(): String = {
+    val d = Files.createTempDirectory("graft-incshards").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/tree"
+  }
+
+  private def epochsOf(df: DataFrame, n: Int): Seq[DataFrame] = {
+    val maxId = df.agg(max(col("doc_id"))).head.getLong(0)
+    (0 until n).map { e =>
+      val hi = maxId * (e + 1) / n
+      val aboveLo =
+        if (e == 0) lit(true) else col("doc_id") > maxId * e / n
+      df.filter(aboveLo && col("doc_id") <= hi)
+    }
+  }
+
+  private def manifestSet(m: DataFrame): Set[(String, Long, Long, Long, Long, Long)] =
+    m.select(col("stratum"), col("bin").cast("long"), col("n_docs"),
+        col("n_tokens"), col("first_doc"), col("last_doc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+  private def batchManifest: DataFrame =
+    Curation.shardManifest(docs, col("lang"), col("doc_id"),
+      col("n_chars"), budget = 2000L)
+
+  private def listFiles(path: String): Map[String, (Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val out = scala.collection.mutable.Map[String, (Long, Long)]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toString.stripPrefix(root.toString)
+      if (!rel.contains("/_") && !rel.endsWith("_SUCCESS"))
+        out(rel) = (s.getLen, s.getModificationTime)
+    }
+    out.toMap
+  }
+
+  test("in-order epochs == one-shot batch pack (manifest AND row bins)") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 3)
+    eps.zipWithIndex.foreach { case (e, i) =>
+      Curation.appendShards(e, "lang", "doc_id", "n_chars",
+        budget = 2000L, path = path, epoch = i.toLong)
+    }
+    val inc = manifestSet(Curation.readShardManifest(spark, path))
+    val batch = manifestSet(batchManifest)
+    assert(inc == batch, s"manifest diverged: ${(inc -- batch).take(3)} vs ${(batch -- inc).take(3)}")
+    // row-level: every document's bin equals the global-cumsum bin
+    val treeBins = spark.read.parquet(path)
+      .select(col("doc_id"), col("bin").cast("long").as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchBins = TextFunctions.packSequences(docs, col("lang"),
+        col("doc_id"), col("n_chars"), 2000L)
+      .select(col("doc_id"), col("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(treeBins == batchBins, "per-document bin assignment diverged")
+  }
+
+  test("epoch N's files are untouched by epoch N+1; replay is a no-op") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 3)
+    Curation.appendShards(eps(0), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 0L)
+    val after0 = listFiles(path)
+    assert(after0.nonEmpty && after0.keySet.forall(_.contains("/epoch=0/")))
+    Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 1L)
+    val after1 = listFiles(path)
+    // every epoch-0 file still present, same length, same mtime
+    assert(after0.forall { case (f, meta) => after1.get(f).contains(meta) },
+      "epoch 0 files were rewritten by epoch 1")
+    // redelivered batchId (the foreachBatch at-least-once case): no-op
+    val before = spark.read.parquet(path).count()
+    val m = Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 1L)
+    assert(spark.read.parquet(path).count() == before, "replay duplicated rows")
+    assert(manifestSet(m) ==
+      manifestSet(Curation.readShardManifest(spark, path)))
+  }
+
+  test("crash mid-epoch self-heals: partial data cleaned, rerun exact") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 2)
+    Curation.appendShards(eps(0), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 0L)
+    Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 1L)
+    // simulate a crash after epoch 1's data/manifest writes but BEFORE
+    // its commit marker: un-commit it and restore the inflight marker
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/1"), false)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_inflight/1"), true).close()
+    // replay of the "failed" epoch must clean and re-run to the same tree
+    Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 1L)
+    assert(manifestSet(Curation.readShardManifest(spark, path)) ==
+      manifestSet(batchManifest), "post-recovery manifest diverged")
+    val n = spark.read.parquet(path).count()
+    assert(n == eps(0).count() + eps(1).count(), s"row count off: $n")
+  }
+
+  test("compactShards re-flows to one epoch and appends resume on top") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 3)
+    Curation.appendShards(eps(0), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 0L)
+    Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 1L)
+    val compacted = Curation.compactShards(spark, path, "doc_id",
+      "n_chars", budget = 2000L)
+    // one epoch dir per (stratum, bin) after the re-flow
+    val files = listFiles(path)
+    assert(files.keySet.forall(_.contains("/epoch=0/")),
+      "compaction left multi-epoch dirs behind")
+    assert(manifestSet(compacted) == manifestSet(
+      Curation.shardManifest(eps(0).unionByName(eps(1)),
+        col("lang"), col("doc_id"), col("n_chars"), 2000L)))
+    // growth resumes: the next epoch appends against the compacted carry
+    Curation.appendShards(eps(2), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 5L)
+    assert(manifestSet(Curation.readShardManifest(spark, path)) ==
+      manifestSet(batchManifest), "post-compaction append diverged")
+  }
+}
