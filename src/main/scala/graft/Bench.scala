@@ -87,6 +87,13 @@ object Bench {
     * measured costs when `bench/cost_hints.json` exists.
     */
   private val bakedCostHint: Map[String, Double] = Map(
+    // round 13 additions (estimated from their siblings: s12 from
+    // s10's streaming epochs minus the rebuild, e14 from e13 plus one
+    // compaction pass, x13 from x12's scan pair, d30 from 2× d29)
+    "s12_stream_shards_incremental" -> 10.0,
+    "e14_knn_ivfpq_compact" -> 9.0,
+    "x13_quantile_compose" -> 1.0,
+    "d30_linkage_sorted_multi" -> 2.5,
     // round 11 additions (estimated from neighboring shapes: g-series
     // from g01's pair-graph cost, t20 from t15, the rest sub-second
     // projections/joins)

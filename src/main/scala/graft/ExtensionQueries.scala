@@ -606,6 +606,28 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Multi-pass sorted-neighborhood (d30): d29's discipline under TWO
+    // sort keys — name and reverse(name) — over customers plus planted
+    // FIRST-character typos. A leading-character typo teleports the
+    // record across the name sort (invisible to any window), but the
+    // reversed ordering keys on the untouched suffix and puts the pair
+    // adjacent — recall composes across passes like the d27 canopy
+    // union, with work still exactly keys·n·(window−1) under any skew.
+    // The oracle replays both row_number orderings, the band join, and
+    // the multi-pass min-dedup.
+    "d30_linkage_sorted_multi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val planted = c.filter(col("c_custkey") <= 20)
+        .select((col("c_custkey") + lit(5000000L)).as("c_custkey"),
+          concat(lit("X"), expr("substr(c_name, 2)")).as("c_name"))
+      val all = c.select(col("c_custkey"), col("c_name"))
+        .unionByName(planted)
+      Dedup.linkRecordPairsSortedMulti(all, col("c_custkey"),
+          col("c_name"), Seq(col("c_name"), reverse(col("c_name"))),
+          window = 10, maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // p01's curation recipe with the dedup stage LSH-gated (the
     // pairStrategy pass-through Curation.curate → dedupNear) — the
     // at-scale configuration of the one-call pipeline.
@@ -1152,6 +1174,49 @@ object ExtensionQueries {
         .orderBy(col("stratum"), col("bin"))
     }),
 
+    // INCREMENTAL streaming shard maintenance (s12): the s10
+    // composition run through the epoch-frozen O(increment) packer —
+    // same three ordered file drops, but each micro-batch goes through
+    // Curation.appendShards (no staging tree, no rebuild; epoch N's
+    // files immutable under epoch N+1, spec-pinned in
+    // CurationIncrementalSpec). Arrival order == id order, so the
+    // grown tree's manifest is bit-identical to the batch pack and the
+    // oracle IS s10's manifest SQL. s10 stays gated as the
+    // compaction-parity twin (the full rebuild is now the explicit
+    // Curation.compactShards, not the per-epoch cost).
+    "s12_stream_shards_incremental" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val reposts = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+      val in = Scratch.path(dir, "s12_in")
+      val shards = Scratch.path(dir, "s12_shards")
+      val ckpt = Scratch.path(dir, "s12_ckpt")
+      Seq(in, shards, ckpt).foreach(Scratch.reset)
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      def withTs(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      Seq(base.filter(col("doc_id") <= maxId / 2),
+          base.filter(col("doc_id") > maxId / 2),
+          reposts)
+        .foreach(d => withTs(d).orderBy(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(in))
+      val stream = s.readStream.schema(withTs(base).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.curatedShardsIncremental(stream,
+        col("text"), col("doc_id"), shards,
+        stratumName = "lang", orderName = "doc_id", tokensName = "n_chars",
+        budget = 2000L, watermark = "1 hour",
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      Curation.readShardManifest(s, shards)
+        .select(col("stratum"), col("bin"), col("n_docs"),
+          col("n_tokens"), col("first_doc"), col("last_doc"))
+        .orderBy(col("stratum"), col("bin"))
+    }),
+
     // Streaming ANN-index maintenance (s11): embedding rows arrive in
     // three file drops; each micro-batch is encoded with the frozen
     // model (zero-shuffle) and APPENDED into the on-disk IVF-PQ tree —
@@ -1469,6 +1534,38 @@ object ExtensionQueries {
         .agg(q(0.25).as("p25"), q(0.5).as("p50"), q(0.9).as("p90"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
+    }),
+
+    // Quantile-sketch set COMPOSITION (x13): the x11 pattern applied
+    // to x12 — each corpus half reduces to its bottom-k (hash, value)
+    // sample in ONE independent scan, and the cross-group quantiles
+    // come from a constant-size array merge (concat → sort → keep k),
+    // never a re-aggregate of either input. The merged sample is
+    // bit-identical to a one-shot sketch over the union (bottom-k of a
+    // union ⊆ union of bottom-ks — SampleQuantileSpec pins it), so at
+    // 100 TB per-shard distribution cards are one sketch per shard +
+    // on-demand merges. Below k (500 docs, k=1024) every estimate is
+    // EXACT against the oracle's rank arithmetic.
+    "x13_quantile_compose" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = 1024
+      val sa = d.filter(col("doc_id") % 2 === 0)
+        .agg(functions.expressions.QuantileSketch(
+          col("doc_id"), col("n_chars"), k).as("sk_a"))
+      val sb = d.filter(col("doc_id") % 2 === 1)
+        .agg(functions.expressions.QuantileSketch(
+          col("doc_id"), col("n_chars"), k).as("sk_b"))
+      val merged = functions.Sketches.quantileSketchMerge(
+        col("sk_a"), col("sk_b"), k)
+      sa.crossJoin(sb).select(
+        functions.Sketches.quantileSketchEstimate(col("sk_a"), 0.5)
+          .as("med_a"),
+        functions.Sketches.quantileSketchEstimate(col("sk_b"), 0.5)
+          .as("med_b"),
+        functions.Sketches.quantileSketchEstimate(merged, 0.25).as("p25"),
+        functions.Sketches.quantileSketchEstimate(merged, 0.5).as("p50"),
+        functions.Sketches.quantileSketchEstimate(merged, 0.9).as("p90"),
+        size(merged).cast(LongType).as("n_sample"))
     }),
 
     // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
@@ -1812,6 +1909,32 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ cell-file compaction (e14): a FIVE-epoch grown tree (one
+    // small file per cell per epoch — the continuous-ingest debris) is
+    // compacted to whole-cells-per-task files, then searched. The
+    // frozen-model contract says compaction must change nothing, so
+    // this shares e11's oracle with e12/e13/s11; PqSpec pins the
+    // files-per-cell drop and row-set identity.
+    "e14_knn_ivfpq_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val path = Scratch.path(dir, "e14")
+      Scratch.reset(path)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 5 === 0),
+          cents, cb, m = 4, dims = 64), path)
+      (1 until 5).foreach(r => Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 5 === r),
+          cents, cb, m = 4, dims = 64), path))
+      Similarity.compactIvfPqIndex(s, path)
+      Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries, corpus,
+          k = 5, nprobe = 2, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // REAL video decode over YUV4MPEG2 (the standard uncompressed
     // container): header-token parse, FRAME walking, per-frame luma
     // pooling + aHash — the video analogue of m03. Fixture pixels
@@ -1867,9 +1990,15 @@ object ExtensionQueries {
     // says growth must change nothing, so all three share one oracle
     ("e13_knn_ivfpq_append" -> oracleSqlBase("e11_knn_ivfpq")) +
     ("s11_stream_ann_index" -> oracleSqlBase("e11_knn_ivfpq")) +
+    // e14 is the e11 search through a grown-then-COMPACTED tree — the
+    // frozen-model contract says compaction must change nothing
+    ("e14_knn_ivfpq_compact" -> oracleSqlBase("e11_knn_ivfpq")) +
     // d28 is d22's decontamination routed through the persisted
     // benchmark index — the artifact round-trip must change nothing
-    ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate"))
+    ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate")) +
+    // s12 is s10's manifest through the epoch-frozen incremental
+    // packer — in-order growth must equal the batch pack bin for bin
+    ("s12_stream_shards_incremental" -> oracleSqlBase("s10_stream_shards"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 
@@ -2467,6 +2596,32 @@ object ExtensionQueries {
            FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 9
            WHERE levenshtein(a.nm, b.nm) <= 1)
          SELECT id_a, id_b, dist FROM p ORDER BY id_a, id_b""",
+
+    // mirrors Dedup.linkRecordPairsSortedMulti: the d29 band join
+    // replayed under BOTH orderings (name, reverse(name)) over the
+    // planted first-character typos, then the multi-pass min-dedup
+    "d30_linkage_sorted_multi" ->
+      """WITH c AS (
+           SELECT c_custkey AS id, c_name AS nm FROM customer
+           UNION ALL
+           SELECT c_custkey + 5000000, 'X' || substr(c_name, 2)
+           FROM customer WHERE c_custkey <= 20),
+         r1 AS (SELECT id, nm,
+             row_number() OVER (ORDER BY nm, id) AS rnk FROM c),
+         r2 AS (SELECT id, nm,
+             row_number() OVER (ORDER BY reverse(nm), id) AS rnk FROM c),
+         p AS (
+           SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+             CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+           FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 9
+           WHERE levenshtein(a.nm, b.nm) <= 1
+           UNION ALL
+           SELECT least(a.id, b.id), greatest(a.id, b.id),
+             CAST(levenshtein(a.nm, b.nm) AS INT)
+           FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 9
+           WHERE levenshtein(a.nm, b.nm) <= 1)
+         SELECT id_a, id_b, min(dist) AS dist FROM p
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // p01's composed oracle with the dedup stage LSH-gated: signatures
     // and banding over the language-FILTERED shingles (curate filters
@@ -3568,6 +3723,38 @@ object ExtensionQueries {
              THEN v END) AS p90,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM r GROUP BY lang ORDER BY lang""",
+
+    // mirrors x13's composed estimates with the x12 rank arithmetic:
+    // per-half medians over each half's rows, combined percentiles
+    // over ALL rows — below k the merged sample is the union, so the
+    // sketch answers are equalities, not approximations
+    "x13_quantile_compose" ->
+      """WITH v AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+           FROM documents),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n FROM v),
+         rh AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+             v, row_number() OVER (PARTITION BY doc_id % 2 ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY doc_id % 2) AS n
+           FROM v),
+         med AS (SELECT
+             max(CASE WHEN side = 'a'
+               AND rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+               THEN v END) AS med_a,
+             max(CASE WHEN side = 'b'
+               AND rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+               THEN v END) AS med_b
+           FROM rh),
+         tot AS (SELECT
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+               THEN v END) AS p25,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+               THEN v END) AS p50,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+               THEN v END) AS p90,
+             CAST(count(*) AS BIGINT) AS n_sample
+           FROM r)
+         SELECT med_a, med_b, p25, p50, p90, n_sample FROM med, tot""",
 
     // mirrors the j02 Variant extractions — the Variant round-trip must
     // agree with plain JSON arithmetic
