@@ -1544,11 +1544,12 @@ object ExtensionQueries {
     // bit-identical to a one-shot sketch over the union (bottom-k of a
     // union ⊆ union of bottom-ks — SampleQuantileSpec pins it), so at
     // 100 TB per-shard distribution cards are one sketch per shard +
-    // on-demand merges. Below k (500 docs, k=1024) every estimate is
-    // EXACT against the oracle's rank arithmetic.
+    // on-demand merges. Below k (≤5000 docs at both verify scales,
+    // k=8192) every estimate is EXACT against the oracle's rank
+    // arithmetic; the estimate regime is SampleQuantileSpec-pinned.
     "x13_quantile_compose" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val k = 1024
+      val k = 8192
       val sa = d.filter(col("doc_id") % 2 === 0)
         .agg(functions.expressions.QuantileSketch(
           col("doc_id"), col("n_chars"), k).as("sk_a"))

@@ -39,6 +39,13 @@ object ScaleCurve {
   private def docs(s: SparkSession, dir: String) = Tables.df(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.df(s, dir, "embeddings")
 
+  /** Per-tree epoch counters for the s12 curve entry: the tree is
+    * seeded once per (JVM, dir) and every sample appends one more
+    * fixed-size epoch on top — the steady-state cost the curve
+    * reports via the min over samples. */
+  private val s12Epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
   /** Corpus + planted near-duplicates whose ids are guaranteed disjoint:
     * the plant offset is max(vec_id)+1, not a fixed constant — a fixed
     * 100000 collides with real ids once a generated corpus exceeds 100k
@@ -212,6 +219,58 @@ object ScaleCurve {
           Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 0.8)
           .select(col("id_a"), col("id_b")),
         iters = 4)),
+    // round-13 additions: the incremental-shard claim, measured. Both
+    // entries time ONE maintenance epoch as the accumulated corpus
+    // grows 1×→3×→10×:
+    //  - s12_append_epoch packs a FIXED 512-doc increment into a tree
+    //    seeded with the whole corpus (the seed pack lands in sample 1;
+    //    the reported MIN is the steady-state epoch) — expected FLAT;
+    //  - s10_rebuild_epoch is the full writeShards re-pack the old
+    //    streaming path paid per micro-batch — expected corpus-linear.
+    // The gap between the two curves IS the scale defect s12 removed.
+    "s12_append_epoch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = Scratch.path(dir, "curve_s12")
+      val ctr = s12Epochs.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.AtomicLong(0))
+      val epoch = ctr.getAndIncrement()
+      val maxId = d.agg(max(col("doc_id"))).first().getLong(0)
+      if (epoch == 0)
+        Curation.appendShards(d, "lang", "doc_id", "n_chars",
+          budget = 2000L, path = path, epoch = 0L)
+      val inc = d.orderBy(col("doc_id")).limit(512)
+        .withColumn("doc_id", col("doc_id") + lit((maxId + 1) * (epoch + 1)))
+      Curation.appendShards(inc, "lang", "doc_id", "n_chars",
+        budget = 2000L, path = path, epoch = epoch + 1)
+      s.range(1).toDF("ok")
+    }),
+    "s10_rebuild_epoch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = Scratch.path(dir, "curve_s10r")
+      Scratch.reset(path)
+      Curation.writeShards(d, "lang", "doc_id", "n_chars",
+        budget = 2000L, path = path)
+      s.range(1).toDF("ok")
+    }),
+    // e14's maintenance cost: one compaction pass over a 4-epoch tree —
+    // O(index), expected ~linear in the corpus (codes are m bytes/vec),
+    // run once per cadence rather than per epoch
+    "e14_ivfpq_compact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val path = Scratch.path(dir, "curve_e14")
+      Scratch.reset(path)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 4 === 0),
+          cents, cb, m = 4, dims = 64), path)
+      (1 until 4).foreach(r => Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 4 === r),
+          cents, cb, m = 4, dims = 64), path))
+      Similarity.compactIvfPqIndex(s, path)
+      s.range(1).toDF("ok")
+    }),
     "x11_sketch_overlap" -> ((s, dir) => {
       val sk = docs(s, dir)
         .select(col("lang"), explode(TextFunctions.words(col("text"))).as("w"))
