@@ -70,9 +70,19 @@ object CorpusStream {
     EventsStream.dedupByContent(docs.filter(gate), content, watermark, id)
   }
 
-  /** The curated stream's OUTPUT stage (s10): maintain the packed-shard
-    * training artifact ([[graft.functions.Curation.writeShards]] —
-    * `stratum=…/bin=…` Hive tree + manifest) over a document STREAM.
+  /** The curated stream's OUTPUT stage, REBUILD form (s10): maintain
+    * the packed-shard training artifact
+    * ([[graft.functions.Curation.writeShards]] — `stratum=…/bin=…`
+    * Hive tree + manifest) over a document STREAM by re-packing the
+    * accumulated set each epoch.
+    *
+    * ON A GROWING CORPUS USE [[curatedShardsIncremental]] — its
+    * per-epoch cost is O(increment) where this form pays O(accumulated
+    * corpus) every micro-batch (measured: flat 2.5 s vs
+    * corpus-growing 10–22 s per epoch, bench/scale_r13). This form
+    * remains the globally re-flowed reference layout — the parity
+    * target [[graft.functions.Curation.compactShards]] reproduces —
+    * and the right choice only when the corpus is small or bounded.
     *
     * Each micro-batch: (1) append the curated batch to a raw staging
     * tree (cheap, append-only, exactly the curated rows); (2) rebuild
