@@ -653,6 +653,27 @@ object ExtensionQueries {
         .orderBy(col("stratum"), col("bin"))
     }),
 
+    // Shard-targeted read (p06): the training-loader side of the shard
+    // lifecycle — one stratum's bin RANGE loaded back from the p04
+    // tree. Both predicates are static partition filters, so the scan
+    // reads only the requested stratum=/bin= directories
+    // (ShardWriteSpec asserts the partitions/files metrics); the
+    // oracle replays the t12 pack arithmetic and filters the same
+    // range, so content parity is hash-gated.
+    "p06_shard_read" -> ((s, dir) => {
+      val path = Scratch.path(dir, "p06_shards")
+      Scratch.reset(path)
+      Curation.writeShards(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "doc_id", "n_chars", budget = 2000L, path)
+      Curation.readShards(s, path, "en", binFrom = 2L, binTo = 5L)
+        .select(col("doc_id"), col("stratum"),
+          col("n_chars").cast(LongType).as("n_chars"),
+          col("bin").cast(LongType).as("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Data card (p05): the release-notes table of a published corpus —
     // docs/tokens/chars, exact-dup load (d02 fingerprints), mean doc
     // length — per language, per source, and overall, in ONE
@@ -3724,6 +3745,21 @@ object ExtensionQueries {
              THEN v END) AS p90,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM r GROUP BY lang ORDER BY lang""",
+
+    // mirrors p06: the t12 pack arithmetic (s10's bin SQL) filtered to
+    // the same stratum + bin range the partition-pruned read loads
+    "p06_shard_read" ->
+      """WITH b AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+           FROM (SELECT doc_id, lang, n_chars,
+                   sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM documents))
+         SELECT doc_id, lang AS stratum, CAST(n_chars AS BIGINT) AS n_chars,
+           bin
+         FROM b WHERE lang = 'en' AND bin BETWEEN 2 AND 5
+         ORDER BY doc_id""",
 
     // mirrors x13's composed estimates with the x12 rank arithmetic:
     // per-half medians over each half's rows, combined percentiles

@@ -314,6 +314,30 @@ object Curation {
     readShardManifest(spark, path)
   }
 
+  /** Shard-targeted read — the training-loader side of the
+    * [[writeShards]]/[[appendShards]] lifecycle: load exactly one
+    * stratum's bin RANGE from a shard tree. Because the tree is
+    * Hive-partitioned on (stratum, bin), both predicates are static
+    * partition filters: the scan lists and reads ONLY the requested
+    * `stratum=…/bin=…` directories (PartitionFilters — spec-asserted
+    * with the scan's partitions/files metrics, the e12 discipline), so
+    * a loader scheduling bins across trainer ranks does per-rank I/O
+    * proportional to its bin range, never the corpus. Works on both
+    * layouts (plain [[writeShards]] trees and [[appendShards]] trees
+    * with the `epoch=` sub-partition — the epoch column, when present,
+    * is dropped).
+    *
+    * @param binFrom/binTo inclusive bin range
+    */
+  def readShards(spark: SparkSession, path: String, stratum: String,
+      binFrom: Long, binTo: Long): DataFrame = {
+    require(binFrom <= binTo, "readShards: need binFrom <= binTo")
+    spark.read.parquet(path)
+      .filter(col("stratum") === stratum &&
+        col("bin") >= binFrom && col("bin") <= binTo)
+      .drop("epoch")
+  }
+
   /** Last committed [[appendShards]] epoch: max name in `_commits/`. */
   private def committedEpoch(spark: SparkSession, path: String): Option[Long] =
     listMarkers(spark, s"$path/_commits").maxOption

@@ -60,4 +60,35 @@ class ShardWriteSpec extends SparkSpec {
       s"no partition pruning in:\n$plan")
     assert(one.select("doc_id").as[Long].collect().toSeq == Seq(4L))
   }
+
+  test("readShards: bin-range load reads ONLY the requested directories " +
+      "(metric-level, on the epoch layout)") {
+    val path = Files.createTempDirectory("graft_shards_read").toString + "/t"
+    // appendShards layout (stratum/bin/epoch) — the harder case; the
+    // reader must also drop the epoch column
+    Curation.appendShards(corpus, "lang", "doc_id", "n_toks",
+      budget = 2000L, path = path, epoch = 0L)
+    val out = Curation.readShards(spark, path, "en", binFrom = 0L, binTo = 0L)
+    val rows = out.collect()
+    assert(!out.columns.contains("epoch"))
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 3L),
+      "bin-0 content mismatch")
+    // metric-level pruning (the e12 discipline): partitions read ==
+    // exactly the en/bin-0 dirs on disk, never the other strata/bins
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val scan = allScans(out.queryExecution.executedPlan).head
+    val wanted = new java.io.File(s"$path/stratum=en/bin=0").listFiles()
+      .count(_.getName.startsWith("epoch="))
+    val total = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("stratum=")).flatMap(_.listFiles()).length
+    assert(scan.metrics("numPartitions").value == wanted.toLong,
+      s"read ${scan.metrics("numPartitions").value} partitions, wanted $wanted")
+    assert(wanted < total, "pruning demonstrated nothing")
+  }
 }
