@@ -91,6 +91,7 @@ object Bench {
     // s10's streaming epochs minus the rebuild, e14 from e13 plus one
     // compaction pass, x13 from x12's scan pair, d30 from 2× d29)
     "s12_stream_shards_incremental" -> 10.0,
+    "p06_shard_read" -> 2.0,
     "e14_knn_ivfpq_compact" -> 9.0,
     "x13_quantile_compose" -> 1.0,
     "d30_linkage_sorted_multi" -> 2.5,
@@ -369,12 +370,26 @@ object Bench {
         // startup — warn loudly instead of silently skipping warmup
         System.err.println(s"WARN bench warmup failed: $e")
     }
-    // throwaway probe run at FULL probe size: the first noop write pays
-    // codegen/JIT/C2 cost that would inflate the "start" sample (and so
-    // the ratio) even on an idle machine, and a smaller warm-up leaves
-    // the 100M-row loop itself cold (r7 runs: start 0.43-0.71 s vs
-    // mid/end 0.18-0.40 s with a 1M-row warm-up)
-    probeOnce()
+    // warm the probe path to STEADY STATE before the first point: one
+    // throwaway run is not enough — C2 keeps re-optimizing the probe
+    // loop for minutes (r13 idle runs measured monotone start > mid >
+    // end, 0.30 → 0.19 s, on a provably quiet box — self-warm-up, not
+    // co-tenants), which alone pushes the max/min ratio past the 1.5
+    // clean-run bar and poisons the regression signal. Bounded: stop
+    // when two consecutive throwaways agree within 10% (or 8 tries);
+    // sustained co-tenant pressure inflates every later point equally,
+    // so real contention still moves the ratio.
+    var probePrev = Double.MaxValue
+    var probeWarm = 0
+    var probeSteady = false
+    while (probeWarm < 8 && !probeSteady) {
+      probeOnce() match {
+        case Right(t) =>
+          probeSteady = t >= probePrev * 0.9
+          probePrev = t; probeWarm += 1
+        case Left(_) => probeSteady = true
+      }
+    }
     probe("start")
 
     val queryFns = SparkEntry.queries

@@ -663,11 +663,14 @@ object ExtensionQueries {
     "p06_shard_read" -> ((s, dir) => {
       val path = Scratch.path(dir, "p06_shards")
       Scratch.reset(path)
+      // budget 20k keeps the tree a few dirs per stratum at either
+      // verify scale — the gate measures the pruned READ, not the
+      // cost of writing hundreds of tiny bin directories
       Curation.writeShards(
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           col("n_chars")),
-        "lang", "doc_id", "n_chars", budget = 2000L, path)
-      Curation.readShards(s, path, "en", binFrom = 2L, binTo = 5L)
+        "lang", "doc_id", "n_chars", budget = 20000L, path)
+      Curation.readShards(s, path, "en", binFrom = 1L, binTo = 2L)
         .select(col("doc_id"), col("stratum"),
           col("n_chars").cast(LongType).as("n_chars"),
           col("bin").cast(LongType).as("bin"))
@@ -3751,14 +3754,14 @@ object ExtensionQueries {
     "p06_shard_read" ->
       """WITH b AS (
            SELECT doc_id, lang, n_chars,
-             CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+             CAST(floor(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT) AS bin
            FROM (SELECT doc_id, lang, n_chars,
                    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                  FROM documents))
          SELECT doc_id, lang AS stratum, CAST(n_chars AS BIGINT) AS n_chars,
            bin
-         FROM b WHERE lang = 'en' AND bin BETWEEN 2 AND 5
+         FROM b WHERE lang = 'en' AND bin BETWEEN 1 AND 2
          ORDER BY doc_id""",
 
     // mirrors x13's composed estimates with the x12 rank arithmetic:
