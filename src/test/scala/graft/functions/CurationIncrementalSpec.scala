@@ -125,6 +125,39 @@ class CurationIncrementalSpec extends SparkSpec {
     assert(n == eps(0).count() + eps(1).count(), s"row count off: $n")
   }
 
+  test("empty and out-of-order epochs: rows pack exactly once, totals " +
+      "conserved, state advances") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 2)
+    // arrival REVERSED (late first half) plus an EMPTY micro-batch in
+    // the middle — the two streaming realities the in-order contract
+    // doesn't cover: batch parity is out the window (by contract), but
+    // every row must still pack exactly once and the manifest must add
+    // up
+    Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 0L)
+    Curation.appendShards(eps(0).filter(lit(false)), "lang", "doc_id",
+      "n_chars", 2000L, path, epoch = 1L)
+    Curation.appendShards(eps(0), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 2L)
+    val rows = spark.read.parquet(path)
+    assert(rows.count() == docs.count(), "rows lost or duplicated")
+    assert(rows.select(col("doc_id")).distinct().count() == docs.count())
+    val m = Curation.readShardManifest(spark, path)
+    val (nDocs, nToks) = m.agg(sum(col("n_docs")), sum(col("n_tokens")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val expectToks = docs.agg(sum(col("n_chars").cast("long")))
+      .head.getLong(0)
+    assert(nDocs == docs.count() && nToks == expectToks,
+      s"manifest totals off: $nDocs docs / $nToks tokens")
+    // a further in-order epoch still appends cleanly on top
+    val more = docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Curation.appendShards(more, "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 3L)
+    assert(spark.read.parquet(path).count() == docs.count() + 10)
+  }
+
   test("compactShards re-flows to one epoch and appends resume on top") {
     val path = freshPath()
     val eps = epochsOf(docs, 3)
