@@ -278,7 +278,10 @@ object Curation {
     *
     * The rebuild stages into a sibling directory and swaps, so a crash
     * mid-compaction leaves either the old tree or the new one, never a
-    * mix.
+    * mix. SINGLE-WRITER contract: pause the ingest stream while
+    * compacting — an epoch appended between the staging read and the
+    * swap would be dropped by the swap (the commit-log reset also
+    * assumes no concurrent appendShards).
     */
   def compactShards(spark: SparkSession, path: String, orderName: String,
       tokensName: String, budget: Long,

@@ -1133,9 +1133,12 @@ object Similarity {
     *
     * Stages into a sibling directory and swaps, so a crash
     * mid-compaction leaves either the old tree or the new one intact,
-    * never a mix. Run on a cadence (or when files-per-cell crosses a
-    * threshold); cost is one pass over the INDEX (m-byte codes per
-    * vector), never the corpus vectors.
+    * never a mix. SINGLE-WRITER contract (the usual one for index
+    * maintenance): pause the ingest stream / appends while compacting —
+    * an append that lands between the staging read and the swap would
+    * be silently dropped by the swap. Run on a cadence (or when
+    * files-per-cell crosses a threshold); cost is one pass over the
+    * INDEX (m-byte codes per vector), never the corpus vectors.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
