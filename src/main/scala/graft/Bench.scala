@@ -92,6 +92,7 @@ object Bench {
     // compaction pass, x13 from x12's scan pair, d30 from 2× d29)
     "s12_stream_shards_incremental" -> 10.0,
     "p06_shard_read" -> 2.0,
+    "t26_weighted_sample" -> 0.5,
     "e14_knn_ivfpq_compact" -> 9.0,
     "x13_quantile_compose" -> 1.0,
     "d30_linkage_sorted_multi" -> 2.5,

@@ -869,6 +869,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted Bernoulli sampling (t26): keep each document with
+    // probability min(1, n_chars·0.002) — per-row importance sampling
+    // (length-proportional here; quality-proportional in production),
+    // decided by the portable hash so the oracle replays the identical
+    // multiply/min/floor/threshold chain. Zero shuffle.
+    "t26_weighted_sample" -> ((s, dir) => {
+      TextFunctions.sampleByWeight(t(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), scale = 0.002)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Group-wise top-k quality filter: the 5 longest documents per
     // language (score = n_chars, deterministic doc_id tiebreak).
     "t08_top_per_group" -> ((s, dir) => {
@@ -2946,6 +2958,18 @@ object ExtensionQueries {
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 10000 <
            CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 ELSE 1000 END
+         ORDER BY doc_id""",
+
+    // mirrors TextFunctions.sampleByWeight: the identical
+    // multiply/min/floor chain on the same portable md5 hash — one
+    // multiply of exact operands, engine-portable (the t05/t06/t19
+    // convention)
+    "t26_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT)
+             % 10000 <
+           CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) * 0.002) * 10000)
+             AS BIGINT)
          ORDER BY doc_id""",
 
     // mirrors TextFunctions.resampleToMix: derived keep-rates (scale =

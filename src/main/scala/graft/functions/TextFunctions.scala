@@ -78,6 +78,33 @@ object TextFunctions {
     }
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: keep each row with
+    * probability `min(1, weight · scale)`, decided by the portable
+    * hash of `key` — per-row importance sampling (keep ∝ quality
+    * score, length, dedup-cluster size, …), the Poisson-sampling
+    * primitive behind proportional token budgeting. Same determinism
+    * contract as [[hashSplit]]/[[sampleByStratum]]: a pure function of
+    * (key, weight), rerun-stable, identical on any topology and in any
+    * engine with md5 (never `rand()` — a retry must not resample), and
+    * a ZERO-SHUFFLE filter, so it composes into any scan for free.
+    *
+    * Exactness: the keep test is `hash mod 10⁴ < floor(p·10⁴)` where
+    * p's arithmetic is one multiply + min of exact operands — the
+    * t05/t06/t19 engine-portability convention (gated as t26). Rows
+    * with weight ≥ 1/scale are ALWAYS kept (p caps at 1); non-positive
+    * weights are never kept.
+    */
+  def sampleByWeight(df: DataFrame, key: Column, weight: Column,
+      scale: Double): DataFrame = {
+    require(scale > 0, "sampleByWeight: scale must be positive")
+    val m = 10000L
+    val thresh = floor(
+      least(lit(1.0), weight.cast(DoubleType) * lit(scale)) * m)
+      .cast(LongType)
+    df.filter(
+      pmod(portableHash64(key.cast(StringType)), lit(m)) < thresh)
+  }
+
   /** Rolling `k`-char gram hashes for winnowing: position i gets the
     * 64-bit hash of `text[i, i+k)`. Empty array for texts shorter than
     * `k`. MATERIALIZE the result as a column before passing it to

@@ -515,6 +515,32 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq(), defaultRate = 1.0).count() == docs.count())
   }
 
+  test("sampleByWeight: keep-rate tracks the weight, caps at 1, " +
+      "deterministic, zero shuffle") {
+    import spark.implicits._
+    // 4000 rows in two weight tiers: w=100 at scale 0.002 → p=0.2;
+    // w=1000 → p=1 (always kept). Hash uniformity gives the 0.2 tier
+    // a rate near its probability.
+    val rows = (1L to 4000L).map(i =>
+      (i, if (i % 2 == 0) 100L else 1000L)).toDF("id", "w")
+    val kept = TextFunctions.sampleByWeight(rows, col("id"), col("w"), 0.002)
+    val byW = kept.groupBy(col("w")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byW(1000L) == 2000L, "p=1 tier must keep every row")
+    val lowRate = byW.getOrElse(100L, 0L).toDouble / 2000.0
+    assert(math.abs(lowRate - 0.2) < 0.06, s"p=0.2 tier kept $lowRate")
+    // deterministic across calls; non-positive weights never kept
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      TextFunctions.sampleByWeight(rows, col("id"), col("w"), 0.002)
+        .select("id").collect().map(_.getLong(0)).toSet)
+    assert(TextFunctions.sampleByWeight(
+      rows.withColumn("w", lit(0L)), col("id"), col("w"), 0.002)
+      .count() == 0)
+    // a pure filter: no exchange anywhere in the plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"weighted sample must not shuffle:\n$plan")
+  }
+
   test("ngramOverlapPairs: planted benchmark leak found, disjoint text not") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
