@@ -169,8 +169,13 @@ object Curation {
     * O(strata) carry snapshot and writes O(increment) rows + three
     * tiny markers.
     *
-    * @return the merged manifest as of this call ([[readShardManifest]]
-    *   — one row per (stratum, bin) over all committed epochs)
+    * @return THIS epoch's manifest delta rows (lazy — consuming it
+    *   re-runs the increment pack; on a replayed epoch, the stored
+    *   delta it committed the first time). The merged view over all
+    *   epochs is [[readShardManifest]] — an on-demand reporting call
+    *   whose O(#epochs) delta-dir listing must not ride along on every
+    *   epoch (returning the merged frame here would pay that listing
+    *   per micro-batch).
     */
   def appendShards(increment: DataFrame, stratumName: String,
       orderName: String, tokensName: String, budget: Long, path: String,
@@ -178,7 +183,17 @@ object Curation {
     require(budget > 0, "appendShards: budget must be positive")
     val spark = increment.sparkSession
     val committed = committedEpoch(spark, path)
-    if (committed.exists(_ >= epoch)) return readShardManifest(spark, path)
+    if (committed.exists(_ >= epoch)) {
+      // replay no-op: hand back the delta this epoch committed the
+      // first time (an EMPTY epoch writes a schema-less parquet dir —
+      // fall back to an empty delta-shaped frame)
+      return scala.util.Try(
+          spark.read.parquet(s"$path/_manifest_delta/epoch=$epoch"))
+        .getOrElse(manifestDelta(
+          increment.withColumnRenamed(stratumName, "stratum")
+            .withColumn("bin", lit(0L)).filter(lit(false)),
+          orderName, tokensName))
+    }
     // crashed prior attempt (inflight marker survived a failed epoch):
     // remove its partial epoch=N data dirs, then re-run idempotently
     inflightEpochs(spark, path).foreach { stale =>
@@ -210,12 +225,7 @@ object Curation {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("stratum", "bin", "epoch")
       .parquet(path)
-    val delta = packed.groupBy(col("stratum"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(tokensName).cast(LongType)).as("n_tokens"),
-        min(col(orderName)).as("first_doc"),
-        max(col(orderName)).as("last_doc"))
-      .persist()
+    val delta = manifestDelta(packed, orderName, tokensName).persist()
     delta.write.mode("overwrite")
       .parquet(s"$path/_manifest_delta/epoch=$epoch")
     // next-epoch carry: previous carry advanced by this epoch's totals
@@ -242,8 +252,17 @@ object Curation {
     committed.foreach(c => pruneMarkers(spark, s"$path/_commits", keep = c))
     packed.unpersist()
     delta.unpersist()
-    readShardManifest(spark, path)
+    delta
   }
+
+  /** One epoch's (stratum, bin) manifest rows over a packed frame. */
+  private def manifestDelta(packed: DataFrame, orderName: String,
+      tokensName: String): DataFrame =
+    packed.groupBy(col("stratum"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensName).cast(LongType)).as("n_tokens"),
+        min(col(orderName)).as("first_doc"),
+        max(col(orderName)).as("last_doc"))
 
   /** The merged (stratum, bin) manifest of an [[appendShards]] tree as
     * of its last COMMITTED epoch: union of the per-epoch delta files,
