@@ -386,7 +386,10 @@ object Bench {
     while (probeWarm < 8 && !probeSteady) {
       probeOnce() match {
         case Right(t) =>
-          probeSteady = t >= probePrev * 0.9
+          // two-sided: a SLOWER second run (a transient noise spike)
+          // must not end warm-up while the loop is still cold — only
+          // genuine agreement within ±10% does
+          probeSteady = t >= probePrev * 0.9 && t <= probePrev * 1.1
           probePrev = t; probeWarm += 1
         case Left(_) => probeSteady = true
       }

@@ -182,17 +182,27 @@ object Curation {
       epoch: Long, maxRecordsPerFile: Long = 0L): DataFrame = {
     require(budget > 0, "appendShards: budget must be positive")
     val spark = increment.sparkSession
+    // a [[compactShards]] crash can leave the tree renamed aside or
+    // fully staged but not yet swapped in; finish (or roll back) that
+    // swap BEFORE reading the commit log — starting a fresh tree on the
+    // transiently-empty path would silently restart every carry at 0
+    recoverSwap(spark, path, s"$path-compacting")
     val committed = committedEpoch(spark, path)
     if (committed.exists(_ >= epoch)) {
       // replay no-op: hand back the delta this epoch committed the
-      // first time (an EMPTY epoch writes a schema-less parquet dir —
-      // fall back to an empty delta-shaped frame)
-      return scala.util.Try(
-          spark.read.parquet(s"$path/_manifest_delta/epoch=$epoch"))
-        .getOrElse(manifestDelta(
-          increment.withColumnRenamed(stratumName, "stratum")
-            .withColumn("bin", lit(0L)).filter(lit(false)),
-          orderName, tokensName))
+      // first time. Only a dir with NO data files falls back to the
+      // empty delta-shaped frame (an EMPTY epoch writes a parquet dir
+      // holding just _SUCCESS, and a checkpoint may have pruned old
+      // delta dirs entirely); a dir WITH data files is read without a
+      // safety net — a corrupted committed delta must throw, never
+      // silently vanish into an empty result
+      val deltaDir = s"$path/_manifest_delta/epoch=$epoch"
+      return if (dirHasDataFiles(spark, deltaDir))
+        spark.read.parquet(deltaDir)
+      else manifestDelta(
+        increment.withColumnRenamed(stratumName, "stratum")
+          .withColumn("bin", lit(0L)).filter(lit(false)),
+        orderName, tokensName)
     }
     // crashed prior attempt (inflight marker survived a failed epoch):
     // remove its partial epoch=N data dirs, then re-run idempotently
@@ -273,6 +283,7 @@ object Curation {
     * the data tree.
     */
   def readShardManifest(spark: SparkSession, path: String): DataFrame = {
+    recoverSwap(spark, path, s"$path-compacting")
     val committed = committedEpoch(spark, path).getOrElse(
       throw new IllegalStateException(
         s"readShardManifest: no committed epoch under $path"))
@@ -295,16 +306,22 @@ object Curation {
     * valid training shards forever); cost is one pass over the corpus,
     * the price s10 used to pay per micro-batch.
     *
-    * The rebuild stages into a sibling directory and swaps, so a crash
-    * mid-compaction leaves either the old tree or the new one, never a
-    * mix. SINGLE-WRITER contract: pause the ingest stream while
-    * compacting — an epoch appended between the staging read and the
-    * swap would be dropped by the swap (the commit-log reset also
-    * assumes no concurrent appendShards).
+    * The rebuild stages into a sibling directory and swaps via
+    * [[swapStaged]] (rename the live tree ASIDE, rename the staged tree
+    * in, drop the old one last), so a crash at ANY point leaves either
+    * the old tree or the new one reachable, never a mix and never an
+    * empty path — and every entry point ([[appendShards]],
+    * [[readShardManifest]], [[readShards]], this call) first runs
+    * [[recoverSwap]] to finish or roll back an interrupted swap.
+    * SINGLE-WRITER contract: pause the ingest stream while compacting —
+    * an epoch appended between the staging read and the swap would be
+    * dropped by the swap (the commit-log reset also assumes no
+    * concurrent appendShards).
     */
   def compactShards(spark: SparkSession, path: String, orderName: String,
       tokensName: String, budget: Long,
       maxRecordsPerFile: Long = 0L): DataFrame = {
+    recoverSwap(spark, path, s"$path-compacting")
     val staged = s"$path-compacting"
     deleteMarker(spark, staged)
     val rows = spark.read.parquet(path).drop("bin", "epoch")
@@ -328,12 +345,64 @@ object Curation {
       .agg(sum(col("n_tokens")).as("cum_tokens"))
       .write.mode("overwrite").parquet(s"$staged/_carry/epoch=0")
     touchMarker(spark, s"$staged/_commits/0")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val fs = dest.getFileSystem(conf)
-    fs.delete(dest, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dest)
+    swapStaged(spark, staged, path)
     readShardManifest(spark, path)
+  }
+
+  /** Crash-safe directory swap: rename the live `dest` ASIDE to
+    * `dest-old`, rename the fully-written `staged` tree into place,
+    * delete the old tree LAST. The live tree is never deleted before
+    * its replacement is in place, so a crash at any point leaves a
+    * complete tree recoverable by [[recoverSwap]]: before the aside →
+    * `dest` untouched; between aside and swap → `staged` is complete
+    * (this is only called after staging finishes) and `dest-old` holds
+    * the previous tree; after the swap → `dest` is the new tree and
+    * `dest-old` is deletable debris.
+    */
+  private[functions] def swapStaged(spark: SparkSession, staged: String,
+      dest: String): Unit = {
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(s"$dest-old")
+    fs.delete(oldP, true) // debris from an earlier COMPLETED swap
+    if (fs.exists(destP)) fs.rename(destP, oldP)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), destP)
+    fs.delete(oldP, true)
+    ()
+  }
+
+  /** Finish (or roll back) an interrupted [[swapStaged]]. Branches, in
+    * order: `dest` present → any `dest-old` is post-swap debris, drop
+    * it (a partial `staged` from a crash DURING staging is left for the
+    * next compaction's own cleanup); `dest` missing and `staged`
+    * present → the crash hit between the aside and the swap, when
+    * staging had already completed — finish the swap; `dest` missing
+    * with only `dest-old` present → roll the aside back. Idempotent and
+    * cheap (2–3 metadata calls), so every shard-tree entry point runs
+    * it up front.
+    */
+  private[functions] def recoverSwap(spark: SparkSession, dest: String,
+      staged: String): Unit = {
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(s"$dest-old")
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    if (fs.exists(destP)) fs.delete(oldP, true)
+    else if (fs.exists(stagedP)) {
+      fs.rename(stagedP, destP)
+      fs.delete(oldP, true)
+    } else if (fs.exists(oldP)) fs.rename(oldP, destP)
+    ()
+  }
+
+  /** Whether `dir` exists and holds at least one data file (not just
+    * `_SUCCESS`) — distinguishes "empty/absent epoch" (fine, empty
+    * frame) from "present but unreadable" (must throw on read). */
+  private def dirHasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
   }
 
   /** Shard-targeted read — the training-loader side of the
@@ -349,15 +418,29 @@ object Curation {
     * with the `epoch=` sub-partition — the epoch column, when present,
     * is dropped).
     *
+    * COMMITTED-ONLY on [[appendShards]] trees: when the tree has a
+    * commit log, only `epoch <= committed` rows are visible — a crash
+    * mid-epoch leaves partial `epoch=N` data files on disk until the
+    * NEXT append's recovery pass, and without this filter a training
+    * loader could read partial/duplicate rows the commit log says don't
+    * exist. The filter is a static partition predicate, so it prunes at
+    * the listing alongside the stratum/bin predicates. Plain
+    * [[writeShards]] trees (no `_commits`) read as-is.
+    *
     * @param binFrom/binTo inclusive bin range
     */
   def readShards(spark: SparkSession, path: String, stratum: String,
       binFrom: Long, binTo: Long): DataFrame = {
     require(binFrom <= binTo, "readShards: need binFrom <= binTo")
-    spark.read.parquet(path)
+    recoverSwap(spark, path, s"$path-compacting")
+    val rows = spark.read.parquet(path)
       .filter(col("stratum") === stratum &&
         col("bin") >= binFrom && col("bin") <= binTo)
-      .drop("epoch")
+    committedEpoch(spark, path) match {
+      case Some(c) if rows.columns.contains("epoch") =>
+        rows.filter(col("epoch") <= c).drop("epoch")
+      case _ => rows.drop("epoch")
+    }
   }
 
   /** Last committed [[appendShards]] epoch: max name in `_commits/`. */

@@ -503,21 +503,9 @@ object Similarity {
           val kept =
             if (maxBucketSize != AutoBucketCap)
               counted.filter(col("__cell_n") <= maxBucketSize.toLong)
-            else {
-              // cap = ceil(max(1.0, maxSide / 2^planes) * safetyFactor)
-              // — the autoMaxBucketSize arithmetic (same operands, same
-              // IEEE ops), resolved IN-PLAN from two column-pruned lazy
-              // counts cross-joined as a 1-row broadcast (a map-side
-              // filter at any scale, never a corpus-sized loop)
-              val divisor = (1L << math.min(planes, 62)).toDouble
-              val caps = left.agg(count(lit(1)).as("__nl"))
-                .crossJoin(right.agg(count(lit(1)).as("__nr")))
-                .select(ceil(greatest(lit(1.0),
-                    greatest(col("__nl"), col("__nr")).cast("double")
-                      / lit(divisor)) * lit(64.0)).as("__cap"))
-              counted.crossJoin(broadcast(caps))
+            else
+              counted.crossJoin(broadcast(autoCapFrame(left, right, planes)))
                 .filter(col("__cell_n") <= col("__cap"))
-            }
           kept.drop("__cell_n", "__cap")
         }
         (guard(l0), guard(r0))
@@ -555,17 +543,30 @@ object Similarity {
     }.reduce(_ unionByName _)
     if (maxBucketSize != AutoBucketCap)
       sized.filter(col("bucket_size") > maxBucketSize)
-    else {
-      val divisor = (1L << math.min(planes, 62)).toDouble
-      val caps = left.agg(count(lit(1)).as("__nl"))
-        .crossJoin(right.agg(count(lit(1)).as("__nr")))
-        .select(ceil(greatest(lit(1.0),
-            greatest(col("__nl"), col("__nr")).cast("double")
-              / lit(divisor)) * lit(64.0)).as("__cap"))
-      sized.crossJoin(broadcast(caps))
+    else
+      sized.crossJoin(broadcast(autoCapFrame(left, right, planes)))
         .filter(col("bucket_size") > col("__cap"))
         .drop("__cap")
-    }
+  }
+
+  /** The [[AutoBucketCap]] resolution, in-plan: a 1-row `__cap` frame —
+    * `ceil(max(1.0, maxSide / 2^planes) * safetyFactor)`, the
+    * [[autoMaxBucketSize]] arithmetic with the SAME operands and IEEE
+    * ops, computed from two column-pruned lazy counts cross-joined for
+    * a 1-row broadcast (a map-side filter at any scale, never a
+    * corpus-sized loop). ONE definition shared by the capped join
+    * ([[annScoredCandidates]]) and its drop report
+    * ([[annDroppedBuckets]]), so "same arguments → same cap" holds by
+    * construction, not by a test pinning two copies together.
+    */
+  private def autoCapFrame(left: DataFrame, right: DataFrame,
+      planes: Int): DataFrame = {
+    val divisor = (1L << math.min(planes, 62)).toDouble
+    left.agg(count(lit(1)).as("__nl"))
+      .crossJoin(right.agg(count(lit(1)).as("__nr")))
+      .select(ceil(greatest(lit(1.0),
+          greatest(col("__nl"), col("__nr")).cast("double")
+            / lit(divisor)) * lit(64.0)).as("__cap"))
   }
 
   /** `maxBucketSize` sentinel: derive the hot-bucket cap from expected
@@ -1115,9 +1116,11 @@ object Similarity {
     * ([[graft.streaming.AnnStream.indexIngest]]), and reset the tree
     * with the checkpoint when restarting a logical run from scratch.
     */
-  def appendIvfPqIndex(index: DataFrame, path: String): Unit =
+  def appendIvfPqIndex(index: DataFrame, path: String): Unit = {
+    Curation.recoverSwap(index.sparkSession, path, s"$path-compacting")
     index.repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
 
   /** Rewrite a grown [[writeIvfPqIndex]] tree as one clean file set —
     * the small-file maintenance call every append-based index needs:
@@ -1131,9 +1134,13 @@ object Similarity {
     * through a compacted many-epoch tree is hash-identical; PqSpec
     * counts files-per-cell before/after).
     *
-    * Stages into a sibling directory and swaps, so a crash
-    * mid-compaction leaves either the old tree or the new one intact,
-    * never a mix. SINGLE-WRITER contract (the usual one for index
+    * Stages into a sibling directory and swaps via
+    * [[Curation.swapStaged]] (rename the live tree aside, rename the
+    * staged tree in, drop the old one last), so a crash at ANY point
+    * leaves either the old tree or the new one reachable — never a mix,
+    * never an empty path — and [[readIvfPqIndex]]/[[appendIvfPqIndex]]
+    * first run [[Curation.recoverSwap]] to finish or roll back an
+    * interrupted swap. SINGLE-WRITER contract (the usual one for index
     * maintenance): pause the ingest stream / appends while compacting —
     * an append that lands between the staging read and the swap would
     * be silently dropped by the swap. Run on a cadence (or when
@@ -1148,19 +1155,20 @@ object Similarity {
     val fs = stagedP.getFileSystem(conf)
     fs.delete(stagedP, true)
     writeIvfPqIndex(readIvfPqIndex(spark, path), staged)
-    val dest = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dest, true)
-    fs.rename(stagedP, dest)
-    ()
+    Curation.swapStaged(spark, staged, path)
   }
 
   /** Read a [[writeIvfPqIndex]] tree back as the (vec_id, centroid_id,
-    * codes) index frame (the partition column returns as int). */
+    * codes) index frame (the partition column returns as int). First
+    * finishes any [[compactIvfPqIndex]] swap a crash interrupted, so
+    * the tree is always reachable. */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
+      path: String): DataFrame = {
+    Curation.recoverSwap(spark, path, s"$path-compacting")
     spark.read.parquet(path)
       .select(col("vec_id"), col("centroid_id").cast(IntegerType),
         col("codes"))
+  }
 
   /** [[knnIvfPq]] against a [[writeIvfPqIndex]] on-disk index, with the
     * probe set pushed down to the FILE LISTING: the probed cells are

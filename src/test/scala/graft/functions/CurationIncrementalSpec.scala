@@ -159,6 +159,96 @@ class CurationIncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == docs.count() + 10)
   }
 
+  test("a compaction swap interrupted at EVERY crash point recovers to " +
+      "a complete tree (never an empty path, never a fresh carry)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fsOf(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+    def build(): String = {
+      val path = freshPath()
+      val eps = epochsOf(docs, 2)
+      Curation.appendShards(eps(0), "lang", "doc_id", "n_chars",
+        2000L, path, epoch = 0L)
+      Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+        2000L, path, epoch = 1L)
+      path
+    }
+    val batch = manifestSet(batchManifest)
+
+    // crash point A: between the aside-rename and the swap — dest is
+    // MISSING, the fully-staged tree and the old tree both exist. The
+    // old silent-failure mode: appendShards on the empty path saw no
+    // commit log and restarted the carry at 0. Now every entry point
+    // finishes the swap first.
+    val a = build()
+    Curation.compactShards(spark, a, "doc_id", "n_chars", 2000L)
+    val fs = fsOf(a)
+    // simulate: the compacted tree becomes the staged one, the
+    // pre-compaction tree the aside — exactly the on-disk state at A
+    fs.rename(new org.apache.hadoop.fs.Path(a),
+      new org.apache.hadoop.fs.Path(s"$a-compacting"))
+    assert(manifestSet(Curation.readShardManifest(spark, a)) == batch,
+      "crash point A: readShardManifest did not finish the swap")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$a-compacting")))
+
+    // crash point B: after the swap, before the old-tree delete — dest
+    // is the new tree, `-old` is debris that must be dropped, not
+    // resurrected.
+    val b = build()
+    Curation.compactShards(spark, b, "doc_id", "n_chars", 2000L)
+    fsOf(b).mkdirs(new org.apache.hadoop.fs.Path(s"$b-old/garbage"))
+    assert(manifestSet(Curation.readShardManifest(spark, b)) == batch)
+    assert(!fsOf(b).exists(new org.apache.hadoop.fs.Path(s"$b-old")),
+      "crash point B: post-swap debris survived recovery")
+
+    // crash point C: aside done, staging tree somehow gone (an operator
+    // deleted it) — the aside must roll BACK so the tree is reachable.
+    val c = build()
+    fsOf(c).rename(new org.apache.hadoop.fs.Path(c),
+      new org.apache.hadoop.fs.Path(s"$c-old"))
+    assert(manifestSet(Curation.readShardManifest(spark, c)) == batch,
+      "crash point C: aside tree was not rolled back")
+
+    // and appendShards itself recovers BEFORE consulting the commit
+    // log: an epoch appended right after crash point A lands on the
+    // swapped-in tree with the carry intact, not on a fresh one
+    val d = build()
+    Curation.compactShards(spark, d, "doc_id", "n_chars", 2000L)
+    fsOf(d).rename(new org.apache.hadoop.fs.Path(d),
+      new org.apache.hadoop.fs.Path(s"$d-compacting"))
+    val more = docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Curation.appendShards(more, "lang", "doc_id", "n_chars",
+      2000L, d, epoch = 7L)
+    val m = Curation.readShardManifest(spark, d)
+    val nDocs = m.agg(sum(col("n_docs"))).head.getLong(0)
+    assert(nDocs == docs.count() + 10,
+      s"crash point A + append: carry restarted or rows lost ($nDocs)")
+  }
+
+  test("readShards on a commit-logged tree hides uncommitted epochs") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 2)
+    Curation.appendShards(eps(0), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 0L)
+    Curation.appendShards(eps(1), "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 1L)
+    // un-commit epoch 1 (crash-mid-epoch state: data files on disk,
+    // inflight marker set, commit marker absent)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/1"), false)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_inflight/1"), true).close()
+    val lang = docs.select(col("lang")).distinct().head.getString(0)
+    val visible = Curation.readShards(spark, path, lang, 0L, Long.MaxValue)
+    val committedOnly = eps(0).filter(col("lang") === lang).count()
+    assert(visible.count() == committedOnly,
+      "readShards exposed uncommitted (crash-partial) epoch rows")
+    // the full tree really does hold more (the filter did the hiding)
+    assert(spark.read.parquet(path)
+      .filter(col("stratum") === lang).count() > committedOnly)
+  }
+
   test("compactShards re-flows to one epoch and appends resume on top") {
     val path = freshPath()
     val eps = epochsOf(docs, 3)

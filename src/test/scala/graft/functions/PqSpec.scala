@@ -267,6 +267,46 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("a compaction swap interrupted mid-crash recovers: the index is " +
+      "always reachable, never an empty path") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val cents = Similarity.ivfTrain(corpus, k = 3)
+    val cb = Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-recover").toString + "/idx"
+    try {
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus, cents, cb, m = 2, dims = dims), path)
+      val expect = Similarity.readIvfPqIndex(spark, path)
+        .collect().map(_.toString).sorted.toSeq
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      // crash between the aside-rename and the swap: dest missing, the
+      // fully-staged tree present — the old delete-then-rename window
+      // left NO tree here; now readIvfPqIndex finishes the swap
+      fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(s"$path-compacting"))
+      assert(Similarity.readIvfPqIndex(spark, path)
+        .collect().map(_.toString).sorted.toSeq == expect,
+        "read did not finish the interrupted swap")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path-compacting")))
+      // crash between the swap and the old-tree delete: debris dropped
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path-old/garbage"))
+      Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(queries, cents, cb, m = 2, dims = dims), path)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path-old")),
+        "append did not drop post-swap debris")
+      assert(Similarity.readIvfPqIndex(spark, path).count() ==
+        corpus.count() + queries.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(path).getParentFile)
+    }
+  }
+
   test("probe selectivity end-to-end: nprobe=2 of k_coarse=16 reads " +
       "exactly the probed directories") {
     val all = graft.Tables.df(spark, sf(), "embeddings")
