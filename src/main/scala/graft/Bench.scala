@@ -87,6 +87,11 @@ object Bench {
     * measured costs when `bench/cost_hints.json` exists.
     */
   private val bakedCostHint: Map[String, Double] = Map(
+    // round 14 additions (estimated from siblings: s13 from s12 plus a
+    // compactShards pass, p07 from p06 plus three appends + an epoch
+    // compaction)
+    "s13_stream_shards_ooo_repair" -> 16.0,
+    "p07_shard_read_compacted" -> 6.0,
     // round 13 additions (estimated from their siblings: s12 from
     // s10's streaming epochs minus the rebuild, e14 from e13 plus one
     // compaction pass, x13 from x12's scan pair, d30 from 2× d29)

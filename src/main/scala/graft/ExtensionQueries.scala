@@ -677,6 +677,35 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p06's targeted read THROUGH a grown-then-epoch-compacted tree
+    // (p07): the same stratum + bin range, but the tree was built by
+    // three in-order appendShards epochs (per-epoch file debris inside
+    // straddled bins) and then compacted with compactShardEpochs —
+    // bins are frozen, so compaction merges each bin's epoch files
+    // without moving a single row, and the read must hash-match p06's
+    // oracle exactly. The training-loader analogue of e14.
+    "p07_shard_read_compacted" -> ((s, dir) => {
+      val path = Scratch.path(dir, "p07_shards")
+      Scratch.reset(path)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      Seq(base.filter(col("doc_id") <= maxId / 3),
+          base.filter(col("doc_id") > maxId / 3 &&
+            col("doc_id") <= 2 * maxId / 3),
+          base.filter(col("doc_id") > 2 * maxId / 3))
+        .zipWithIndex.foreach { case (e, i) =>
+          Curation.appendShards(e, "lang", "doc_id", "n_chars",
+            budget = 20000L, path = path, epoch = i.toLong)
+        }
+      Curation.compactShardEpochs(s, path)
+      Curation.readShards(s, path, "en", binFrom = 1L, binTo = 2L)
+        .select(col("doc_id"), col("stratum"),
+          col("n_chars").cast(LongType).as("n_chars"),
+          col("bin").cast(LongType).as("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Data card (p05): the release-notes table of a published corpus —
     // docs/tokens/chars, exact-dup load (d02 fingerprints), mean doc
     // length — per language, per source, and overall, in ONE
@@ -1240,14 +1269,64 @@ object ExtensionQueries {
           .write.mode("append").parquet(in))
       val stream = s.readStream.schema(withTs(base).schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
+      // ckptEvery=2 puts a manifest CHECKPOINT inside the gate: the
+      // third epoch rolls the first two deltas into _manifest_ckpt, so
+      // the gated readShardManifest exercises the checkpoint+newer-
+      // deltas merge, hash-gated against the same batch oracle
       val q = streaming.CorpusStream.curatedShardsIncremental(stream,
         col("text"), col("doc_id"), shards,
         stratumName = "lang", orderName = "doc_id", tokensName = "n_chars",
         budget = 2000L, watermark = "1 hour",
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        ckptEvery = 2)
       q.awaitTermination()
       Curation.readShardManifest(s, shards)
+        .select(col("stratum"), col("bin"), col("n_docs"),
+          col("n_tokens"), col("first_doc"), col("last_doc"))
+        .orderBy(col("stratum"), col("bin"))
+    }),
+
+    // OUT-OF-ORDER arrival, repaired (s13): the one assumption in the
+    // s12 design a production stream eventually violates is in-order
+    // arrival — here the two base halves are DELIVERED REVERSED
+    // (second half first), so the incremental packer's mid-flight bins
+    // legitimately diverge from the batch pack (by contract: late rows
+    // pack into current bins, frozen ones never re-flow). The
+    // documented recovery path is then run end-to-end: compactShards
+    // re-flows the accumulated tree globally, and the result must
+    // hash-match the s10 batch oracle — divergence, then repair,
+    // proven at both verify scales. Watermark 24h so the reversed
+    // halves stay inside the dedup horizon (out-of-ORDER, not
+    // beyond-horizon, is the mode under test).
+    "s13_stream_shards_ooo_repair" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val reposts = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+      val in = Scratch.path(dir, "s13_in")
+      val shards = Scratch.path(dir, "s13_shards")
+      val ckpt = Scratch.path(dir, "s13_ckpt")
+      Seq(in, shards, ckpt).foreach(Scratch.reset)
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      def withTs(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      Seq(base.filter(col("doc_id") > maxId / 2), // second half FIRST
+          base.filter(col("doc_id") <= maxId / 2), // first half late
+          reposts)
+        .foreach(d => withTs(d).orderBy(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(in))
+      val stream = s.readStream.schema(withTs(base).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.curatedShardsIncremental(stream,
+        col("text"), col("doc_id"), shards,
+        stratumName = "lang", orderName = "doc_id", tokensName = "n_chars",
+        budget = 2000L, watermark = "24 hours",
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      Curation.compactShards(s, shards, "doc_id", "n_chars", budget = 2000L)
         .select(col("stratum"), col("bin"), col("n_docs"),
           col("n_tokens"), col("first_doc"), col("last_doc"))
         .orderBy(col("stratum"), col("bin"))
@@ -2035,7 +2114,14 @@ object ExtensionQueries {
     ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate")) +
     // s12 is s10's manifest through the epoch-frozen incremental
     // packer — in-order growth must equal the batch pack bin for bin
-    ("s12_stream_shards_incremental" -> oracleSqlBase("s10_stream_shards"))
+    ("s12_stream_shards_incremental" -> oracleSqlBase("s10_stream_shards")) +
+    // s13 is the same manifest after OUT-OF-ORDER delivery followed by
+    // the documented repair (compactShards' global re-flow) — recovery
+    // must land exactly on the batch pack
+    ("s13_stream_shards_ooo_repair" -> oracleSqlBase("s10_stream_shards")) +
+    // p07 is p06's targeted read through a grown-then-epoch-compacted
+    // tree — frozen-bin compaction must change nothing the reader sees
+    ("p07_shard_read_compacted" -> oracleSqlBase("p06_shard_read"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

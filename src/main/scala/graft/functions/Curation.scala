@@ -152,8 +152,19 @@ object Curation {
     *     bin-targeted readers prune identically.
     *   - `_manifest_delta/epoch=N` — epoch N's [[shardManifest]] rows
     *     (O(increment) write; [[readShardManifest]] merges them).
+    *   - `_manifest_ckpt/epoch=M` + `_ckpts/M` — every `ckptEvery`
+    *     epochs, the MERGED manifest through M (one small parquet, the
+    *     delta-checkpoint pattern): deltas already covered by the
+    *     PREVIOUS checkpoint are pruned into it, so the live
+    *     `_manifest_delta` listing stays O(2·ckptEvery) no matter how
+    *     many epochs the tree has lived — without a checkpoint,
+    *     [[readShardManifest]] on a 10⁵-epoch tree pays 10⁵ directory
+    *     listings. The one-checkpoint prune lag mirrors the two-marker
+    *     commit log: rolling back the newest commit still finds every
+    *     delta the previous checkpoint needs.
     *   - `_carry/epoch=N` — (stratum, cum_tokens) after epoch N: one
-    *     row per stratum, the entire packer state.
+    *     row per stratum, the entire packer state. Pruned to the last
+    *     TWO epochs (same rollback lag).
     *   - `_commits/N` — empty commit-marker files (atomic create,
     *     never rewritten — the Structured Streaming commit-log
     *     pattern); committed epoch = max. `_inflight/N` — intent
@@ -179,7 +190,8 @@ object Curation {
     */
   def appendShards(increment: DataFrame, stratumName: String,
       orderName: String, tokensName: String, budget: Long, path: String,
-      epoch: Long, maxRecordsPerFile: Long = 0L): DataFrame = {
+      epoch: Long, maxRecordsPerFile: Long = 0L,
+      ckptEvery: Int = 16): DataFrame = {
     require(budget > 0, "appendShards: budget must be positive")
     val spark = increment.sparkSession
     // a [[compactShards]] crash can leave the tree renamed aside or
@@ -258,12 +270,70 @@ object Curation {
     // prune below the PREVIOUS committed marker, not this one: the
     // newest marker's predecessor must survive so that rolling back /
     // losing the newest commit still exposes a valid carry chain —
-    // steady state keeps exactly two markers
-    committed.foreach(c => pruneMarkers(spark, s"$path/_commits", keep = c))
+    // steady state keeps exactly two markers (and two carry snapshots)
+    committed.foreach { c =>
+      pruneMarkers(spark, s"$path/_commits", keep = c)
+      listEpochDirs(spark, s"$path/_carry").filter(_ < c)
+        .foreach(e => deleteMarker(spark, s"$path/_carry/epoch=$e"))
+    }
+    maybeCheckpointManifest(spark, path, epoch, ckptEvery)
     packed.unpersist()
     delta.unpersist()
     delta
   }
+
+  /** Roll the per-epoch manifest deltas into a checkpoint once enough
+    * have accumulated since the last one — the delta-checkpoint pattern
+    * that keeps [[readShardManifest]]'s delta listing O(ckptEvery)
+    * instead of O(#epochs). Crash-ordered like the data commit: the
+    * merged parquet is written FIRST, the `_ckpts/<epoch>` marker
+    * second (an unmarked checkpoint dir is invisible debris, swept on
+    * the next checkpoint), and pruning runs last. Deltas are pruned
+    * only up to the PREVIOUS checkpoint and checkpoints are kept two
+    * deep, so losing/rolling back the newest commit marker still finds
+    * a checkpoint + delta chain that covers it.
+    */
+  private def maybeCheckpointManifest(spark: SparkSession, path: String,
+      epoch: Long, ckptEvery: Int): Unit = {
+    if (ckptEvery <= 0) return
+    val lastCkpt = listMarkers(spark, s"$path/_ckpts").maxOption
+    val deltaEpochs = listEpochDirs(spark, s"$path/_manifest_delta")
+    if (deltaEpochs.count(e => lastCkpt.forall(e > _)) < ckptEvery) return
+    val deltas = spark.read.parquet(s"$path/_manifest_delta")
+      .filter(col("epoch") <= epoch &&
+        lastCkpt.map(c => col("epoch") > c).getOrElse(lit(true)))
+      .drop("epoch")
+    val merged = mergeManifest(lastCkpt.fold(deltas)(c =>
+      spark.read.parquet(s"$path/_manifest_ckpt/epoch=$c")
+        .unionByName(deltas)))
+    merged.write.mode("overwrite")
+      .parquet(s"$path/_manifest_ckpt/epoch=$epoch")
+    touchMarker(spark, s"$path/_ckpts/$epoch")
+    // prune: deltas the PREVIOUS checkpoint already covers, checkpoints
+    // below the previous one, and unmarked checkpoint debris
+    lastCkpt.foreach { prev =>
+      deltaEpochs.filter(_ <= prev)
+        .foreach(e => deleteMarker(spark, s"$path/_manifest_delta/epoch=$e"))
+      listMarkers(spark, s"$path/_ckpts").filter(_ < prev).foreach { e =>
+        deleteMarker(spark, s"$path/_ckpts/$e")
+        deleteMarker(spark, s"$path/_manifest_ckpt/epoch=$e")
+      }
+    }
+    val marked = listMarkers(spark, s"$path/_ckpts").toSet
+    listEpochDirs(spark, s"$path/_manifest_ckpt").filterNot(marked)
+      .foreach(e => deleteMarker(spark, s"$path/_manifest_ckpt/epoch=$e"))
+  }
+
+  /** The (stratum, bin) manifest-merge aggregate shared by
+    * [[readShardManifest]] and the checkpoint writer: additive counts,
+    * extremal id range — associative, so checkpoint-then-merge equals
+    * one flat merge. */
+  private def mergeManifest(rows: DataFrame): DataFrame =
+    rows.groupBy(col("stratum"), col("bin"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
 
   /** One epoch's (stratum, bin) manifest rows over a packed frame. */
   private def manifestDelta(packed: DataFrame, orderName: String,
@@ -275,25 +345,31 @@ object Curation {
         max(col(orderName)).as("last_doc"))
 
   /** The merged (stratum, bin) manifest of an [[appendShards]] tree as
-    * of its last COMMITTED epoch: union of the per-epoch delta files,
-    * one partial-aggregatable group-by — bins spanning an epoch
-    * boundary (the carry-continued bin) merge to exactly the row a
-    * batch [[shardManifest]] over the same rows produces (s12). Reads
-    * only `_manifest_delta` (O(total bins) fixed-width rows), never
-    * the data tree.
+    * of its last COMMITTED epoch: the newest committed checkpoint plus
+    * only the deltas NEWER than it, one partial-aggregatable group-by —
+    * bins spanning an epoch boundary (the carry-continued bin) merge to
+    * exactly the row a batch [[shardManifest]] over the same rows
+    * produces (s12). Reads O(ckptEvery) delta dirs + one checkpoint
+    * file — never O(#epochs) listings (the checkpoint writer prunes
+    * consumed deltas), never the data tree.
     */
   def readShardManifest(spark: SparkSession, path: String): DataFrame = {
     recoverSwap(spark, path, s"$path-compacting")
     val committed = committedEpoch(spark, path).getOrElse(
       throw new IllegalStateException(
         s"readShardManifest: no committed epoch under $path"))
-    spark.read.parquet(s"$path/_manifest_delta")
-      .filter(col("epoch") <= committed)
-      .groupBy(col("stratum"), col("bin"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        min(col("first_doc")).as("first_doc"),
-        max(col("last_doc")).as("last_doc"))
+    // newest checkpoint within the committed range: a checkpoint ahead
+    // of a rolled-back commit marker is skipped in favor of its
+    // predecessor, whose delta chain the one-checkpoint prune lag keeps
+    val ckpt = listMarkers(spark, s"$path/_ckpts")
+      .filter(_ <= committed).maxOption
+    val deltas = spark.read.parquet(s"$path/_manifest_delta")
+      .filter(col("epoch") <= committed &&
+        ckpt.map(c => col("epoch") > c).getOrElse(lit(true)))
+      .drop("epoch")
+    mergeManifest(ckpt.fold(deltas)(c =>
+      spark.read.parquet(s"$path/_manifest_ckpt/epoch=$c")
+        .unionByName(deltas)))
   }
 
   /** Explicit full re-flow of an [[appendShards]] tree — the batch
@@ -347,6 +423,77 @@ object Curation {
     touchMarker(spark, s"$staged/_commits/0")
     swapStaged(spark, staged, path)
     readShardManifest(spark, path)
+  }
+
+  /** Epoch-FILE compaction for an [[appendShards]] tree — the light
+    * maintenance call between full [[compactShards]] re-flows: every
+    * epoch leaves one small file per straddled bin, so a thousand
+    * epochs leave a thousand files inside every long-lived
+    * `stratum=…/bin=…` directory and the file-listing cost of a
+    * bin-targeted read eventually eats the partition-pruning win (the
+    * same debris mode [[Similarity.compactIvfPqIndex]] fixes for the
+    * ANN index). This call merges each bin's per-epoch files into one
+    * clean file set WITHOUT re-flowing bin boundaries — bins are frozen
+    * by the append contract, so the row set and every bin assignment
+    * are trivially unchanged, unlike [[compactShards]] which renumbers
+    * bins globally.
+    *
+    * What changes: committed data rows collapse from `epoch=…` subdirs
+    * into a single `epoch=<committed>` dir per bin, whole-bins-per-task
+    * files. What is preserved VERBATIM: the manifest deltas,
+    * checkpoints, and their markers (so [[readShardManifest]] and the
+    * replay no-op contract are byte-identical before and after), and
+    * the committed carry snapshot. What resets: the commit log and
+    * carry history collapse to the single committed epoch — epoch
+    * history below the compaction point is gone, so a rollback past it
+    * is impossible by construction (the same trade [[compactShards]]
+    * makes). Uncommitted (crash-partial) epoch files are NOT copied —
+    * compaction doubles as cleanup.
+    *
+    * Stage + [[swapStaged]] + [[recoverSwap]], single-writer, like
+    * every other tree maintenance call. Cost: one pass over the DATA
+    * tree (no window, no re-pack — a read + repartition(stratum, bin) +
+    * write).
+    */
+  def compactShardEpochs(spark: SparkSession, path: String,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    recoverSwap(spark, path, s"$path-compacting")
+    val committed = committedEpoch(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"compactShardEpochs: no committed epoch under $path " +
+          "(plain writeShards trees have nothing to compact)"))
+    val staged = s"$path-compacting"
+    deleteMarker(spark, staged)
+    spark.read.parquet(path)
+      .filter(col("epoch") <= committed)
+      .withColumn("epoch", lit(committed))
+      .repartition(col("stratum"), col("bin"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("stratum", "bin", "epoch")
+      .parquet(staged)
+    copyTree(spark, s"$path/_manifest_delta", s"$staged/_manifest_delta")
+    copyTree(spark, s"$path/_manifest_ckpt", s"$staged/_manifest_ckpt")
+    copyTree(spark, s"$path/_ckpts", s"$staged/_ckpts")
+    copyTree(spark, s"$path/_carry/epoch=$committed",
+      s"$staged/_carry/epoch=$committed")
+    touchMarker(spark, s"$staged/_commits/$committed")
+    swapStaged(spark, staged, path)
+    readShardManifest(spark, path)
+  }
+
+  /** Recursive copy of a directory tree (no-op if `src` is absent) —
+    * used by [[compactShardEpochs]] to carry the manifest/checkpoint
+    * state into the staged tree verbatim. */
+  private def copyTree(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val fs = srcP.getFileSystem(conf)
+    if (fs.exists(srcP)) {
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, srcP, fs, new org.apache.hadoop.fs.Path(dst), false, conf)
+      ()
+    }
   }
 
   /** Crash-safe directory swap: rename the live `dest` ASIDE to
@@ -449,6 +596,18 @@ object Curation {
 
   private def inflightEpochs(spark: SparkSession, path: String): Seq[Long] =
     listMarkers(spark, s"$path/_inflight")
+
+  /** Epoch numbers of the `epoch=N` partition dirs under `dir` (empty
+    * if the dir doesn't exist) — one metadata listing. */
+  private def listEpochDirs(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("epoch=").toLong).toOption)
+  }
 
   private def listMarkers(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)

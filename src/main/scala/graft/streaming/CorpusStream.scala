@@ -163,13 +163,14 @@ object CorpusStream {
       budget: Long, watermark: String = "10 minutes",
       quality: Option[Column] = None,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      ckptEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val curated = curatedIngest(docs, content, id, watermark, quality)
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
       Curation.appendShards(batch, stratumName, orderName, tokensName,
-        budget, shardsPath, epoch = batchId)
+        budget, shardsPath, epoch = batchId, ckptEvery = ckptEvery)
       ()
     }
     val writer = curated.writeStream.outputMode("append").foreachBatch(step)

@@ -226,6 +226,53 @@ class CurationIncrementalSpec extends SparkSpec {
       s"crash point A + append: carry restarted or rows lost ($nDocs)")
   }
 
+  test("manifest checkpoint bounds the delta listing to O(ckptEvery); " +
+      "merged view, rollback, and carry pruning all hold") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 6)
+    eps.zipWithIndex.foreach { case (e, i) =>
+      Curation.appendShards(e, "lang", "doc_id", "n_chars",
+        budget = 2000L, path = path, epoch = i.toLong, ckptEvery = 3)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def epochDirs(sub: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+        .toSet
+    }
+    def markers(sub: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName.toLong).toSet
+    }
+    // ckpts fired at epoch 2 (deltas 0..2 pending) and epoch 5
+    // (deltas 3..5 newer than ckpt 2); the second prunes the deltas
+    // checkpoint 2 covers, so the live delta listing is 3 dirs, not 6
+    assert(markers("_ckpts") == Set(2L, 5L), s"ckpt markers: ${markers("_ckpts")}")
+    assert(epochDirs("_manifest_delta") == Set(3L, 4L, 5L),
+      s"delta dirs not pruned to the post-ckpt window: ${epochDirs("_manifest_delta")}")
+    assert(epochDirs("_manifest_ckpt") == Set(2L, 5L))
+    // carry snapshots pruned to the last two epochs (rollback lag)
+    assert(epochDirs("_carry") == Set(4L, 5L),
+      s"carry dirs not pruned: ${epochDirs("_carry")}")
+    // the checkpointed merged view equals the batch pack exactly
+    assert(manifestSet(Curation.readShardManifest(spark, path)) ==
+      manifestSet(batchManifest), "checkpointed manifest diverged")
+    // ROLLBACK: lose the newest commit marker — the newest checkpoint
+    // (epoch 5) is now ahead of the committed frontier (4), so the read
+    // falls back to checkpoint 2 plus deltas 3..4, all still on disk
+    // thanks to the one-checkpoint prune lag
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/5"), false)
+    val expect4 = manifestSet(Curation.shardManifest(
+      eps.take(5).reduce(_ unionByName _), col("lang"), col("doc_id"),
+      col("n_chars"), 2000L))
+    assert(manifestSet(Curation.readShardManifest(spark, path)) == expect4,
+      "rollback view diverged from the first-five-epochs batch pack")
+  }
+
   test("readShards on a commit-logged tree hides uncommitted epochs") {
     val path = freshPath()
     val eps = epochsOf(docs, 2)
@@ -247,6 +294,70 @@ class CurationIncrementalSpec extends SparkSpec {
     // the full tree really does hold more (the filter did the hiding)
     assert(spark.read.parquet(path)
       .filter(col("stratum") === lang).count() > committedOnly)
+  }
+
+  test("compactShardEpochs: per-epoch file debris collapses to whole-" +
+      "bin files; bins, manifest, replay contract, and appends all " +
+      "survive verbatim") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 4)
+    eps.zipWithIndex.foreach { case (e, i) =>
+      Curation.appendShards(e, "lang", "doc_id", "n_chars",
+        budget = 2000L, path = path, epoch = i.toLong)
+    }
+    val binsBefore = spark.read.parquet(path)
+      .select(col("doc_id"), col("bin").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deltaBefore = spark.read
+      .parquet(s"$path/_manifest_delta/epoch=3").collect()
+      .map(_.toString).sorted.toSeq
+    // files per stratum=/bin= dir, counted recursively through the
+    // epoch subdirs — growth debris means >1 for straddled bins
+    def filesPerBin(): Map[String, Int] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val out = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toString.stripPrefix(root.toString)
+        if (!rel.contains("/_") && rel.endsWith(".parquet"))
+          out(rel.split("/epoch=").head) += 1
+      }
+      out.toMap
+    }
+    val before = filesPerBin()
+    assert(before.values.exists(_ > 1),
+      s"expected multi-epoch file debris before compaction: $before")
+    Curation.compactShardEpochs(spark, path)
+    val after = filesPerBin()
+    assert(after.keySet == before.keySet,
+      "epoch compaction changed the bin directory set")
+    assert(after.values.forall(_ == 1),
+      s"epoch compaction must leave whole-bin files: $after")
+    // row-level bins untouched; merged manifest still == the batch pack
+    val binsAfter = spark.read.parquet(path)
+      .select(col("doc_id"), col("bin").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binsAfter == binsBefore, "epoch compaction moved a bin assignment")
+    assert(manifestSet(Curation.readShardManifest(spark, path)) ==
+      manifestSet(batchManifest))
+    // replay no-op contract preserved verbatim: a redelivered last
+    // epoch still hands back the delta it committed the first time
+    val replay = Curation.appendShards(eps(3), "lang", "doc_id",
+      "n_chars", 2000L, path, epoch = 3L)
+    assert(replay.collect().map(_.toString).sorted.toSeq == deltaBefore,
+      "post-compaction replay lost the committed delta")
+    assert(spark.read.parquet(path).count() == docs.count(),
+      "post-compaction replay duplicated rows")
+    // growth resumes on the compacted tree with the carry intact
+    val more = docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Curation.appendShards(more, "lang", "doc_id", "n_chars",
+      2000L, path, epoch = 4L)
+    assert(Curation.readShardManifest(spark, path)
+      .agg(sum(col("n_docs"))).head.getLong(0) == docs.count() + 10)
   }
 
   test("compactShards re-flows to one epoch and appends resume on top") {
