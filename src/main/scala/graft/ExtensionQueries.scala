@@ -2051,6 +2051,38 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Model refresh (e15): the tree is grown under a STALE model —
+    // coarse centroids and codebooks trained on only half the corpus —
+    // then retrainIvfPqIndex retrains both on the full corpus,
+    // re-encodes, and swaps in the versioned tree with the new model
+    // persisted inside it. Deterministic quantized Lloyd makes
+    // retrain-on-the-full-corpus equal the e11 one-shot build exactly,
+    // so the search through the retrained tree (using the model read
+    // BACK from the tree, the self-contained contract) shares e11's
+    // oracle. Completes the index lifecycle: build / append / compact /
+    // retrain, each hash-gated.
+    "e15_knn_ivfpq_retrain" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val stale = corpus.filter(col("vec_id") % 2 === 0)
+      val cents0 = Similarity.ivfTrain(stale, k = 8)
+      val cb0 = Similarity.pqTrain(stale, m = 4, k = 8, dims = 64)
+      val path = Scratch.path(dir, "e15")
+      Scratch.reset(path)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(stale, cents0, cb0, m = 4, dims = 64), path)
+      Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 1),
+          cents0, cb0, m = 4, dims = 64), path)
+      Similarity.retrainIvfPqIndex(s, path, corpus,
+        kCoarse = 8, m = 4, k = 8, dims = 64)
+      val (cents, cb) = Similarity.readIvfPqModel(s, path)
+      Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries, corpus,
+          k = 5, nprobe = 2, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // REAL video decode over YUV4MPEG2 (the standard uncompressed
     // container): header-token parse, FRAME walking, per-frame luma
     // pooling + aHash — the video analogue of m03. Fixture pixels
@@ -2109,6 +2141,9 @@ object ExtensionQueries {
     // e14 is the e11 search through a grown-then-COMPACTED tree — the
     // frozen-model contract says compaction must change nothing
     ("e14_knn_ivfpq_compact" -> oracleSqlBase("e11_knn_ivfpq")) +
+    // e15 is the e11 search through a stale-model tree RETRAINED on the
+    // full corpus — deterministic training makes retrain == rebuild
+    ("e15_knn_ivfpq_retrain" -> oracleSqlBase("e11_knn_ivfpq")) +
     // d28 is d22's decontamination routed through the persisted
     // benchmark index — the artifact round-trip must change nothing
     ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate")) +

@@ -1170,6 +1170,73 @@ object Similarity {
         col("codes"))
   }
 
+  /** MODEL REFRESH for an on-disk IVF-PQ tree — the missing third verb
+    * of the index lifecycle (build once / grow by increment / compact /
+    * RETRAIN): the frozen-model contract is what makes
+    * [[appendIvfPqIndex]] exact, but a corpus that drifts for a year
+    * degrades recall with no remedy short of a hand-orchestrated
+    * rebuild. This call retrains the coarse centroids and PQ codebooks
+    * on the CURRENT corpus (the same deterministic quantized Lloyd as
+    * [[ivfTrain]]/[[pqTrain]], so retrain-on-equal-corpus is
+    * bit-reproducible), re-encodes every vector (the zero-shuffle
+    * [[ivfPqIndex]] projection), and stages + swaps the new tree like
+    * [[compactIvfPqIndex]] — a crash leaves the old tree or the new
+    * one, never a mix, and [[Curation.recoverSwap]] on the read/append
+    * paths finishes an interrupted swap.
+    *
+    * The retrained tree is SELF-CONTAINED: the new model is persisted
+    * inside it under `_model/` (invisible to data reads — underscore
+    * rule), because after a retrain the caller's old centroid/codebook
+    * frames are silently WRONG for this tree — searching with them is
+    * the one mistake this API must make hard. Read the matching model
+    * back with [[readIvfPqModel]]; the new model is also returned.
+    *
+    * Gated (e15): a tree grown under a STALE model (trained on half
+    * the corpus), retrained over the full corpus, searches hash-equal
+    * to the one-shot full-corpus build — under deterministic training,
+    * retrain == rebuild, exactly.
+    *
+    * SINGLE-WRITER like every maintenance call. Cost: two training
+    * passes (`iters` corpus scans each, bounded k·dims driver state) +
+    * one encode pass — O(corpus), the price of a model refresh, run on
+    * a drift cadence, never per-ingest.
+    */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, kCoarse: Int = 8, m: Int = 4,
+      k: Int = 8, dims: Int = 64, iters: Int = 3): (DataFrame, DataFrame) = {
+    val cents = ivfTrain(corpus, kCoarse, iters)
+    val cb = pqTrain(corpus, m, k, dims, iters)
+    val staged = s"$path-compacting"
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    val fs = stagedP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagedP, true)
+    writeIvfPqIndex(ivfPqIndex(corpus, cents, cb, m, dims), staged)
+    cents.write.mode("overwrite").parquet(s"$staged/_model/centroids")
+    cb.write.mode("overwrite").parquet(s"$staged/_model/codebooks")
+    Curation.swapStaged(spark, staged, path)
+    (cents, cb)
+  }
+
+  /** The (centroids, codebooks) model persisted inside a
+    * [[retrainIvfPqIndex]] tree — the ONLY model valid for searching
+    * it. Fails loudly on trees without one (built by
+    * [[writeIvfPqIndex]], whose model lives with the caller). */
+  def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    Curation.recoverSwap(spark, path, s"$path-compacting")
+    val modelP = new org.apache.hadoop.fs.Path(s"$path/_model")
+    val fs = modelP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(modelP),
+      s"readIvfPqModel: no _model under $path — this tree was built by " +
+        "writeIvfPqIndex with an external model; only retrainIvfPqIndex " +
+        "trees are self-contained")
+    (spark.read.parquet(s"$path/_model/centroids")
+       .select(col("centroid_id").cast(IntegerType), col("centroid")),
+     spark.read.parquet(s"$path/_model/codebooks")
+       .select(col("subspace").cast(IntegerType),
+         col("centroid_id").cast(IntegerType), col("centroid")))
+  }
+
   /** [[knnIvfPq]] against a [[writeIvfPqIndex]] on-disk index, with the
     * probe set pushed down to the FILE LISTING: the probed cells are
     * collected (bounded queries × nprobe ints — the broadcastable-

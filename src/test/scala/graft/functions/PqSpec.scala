@@ -307,6 +307,55 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("retrainIvfPqIndex: a stale-model tree retrained on the full " +
+      "corpus equals the one-shot build; the tree carries its own model") {
+    val corpus = emb
+    val stale = emb.filter(col("vec_id") % 2 === 0)
+    val cents0 = Similarity.ivfTrain(stale, k = 3)
+    val cb0 = Similarity.pqTrain(stale, m = 2, k = 3, dims = dims)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-retrain").toString + "/idx"
+    try {
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(stale, cents0, cb0, m = 2, dims = dims), path)
+      Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(emb.filter(col("vec_id") % 2 === 1),
+          cents0, cb0, m = 2, dims = dims), path)
+      val staleRows = Similarity.readIvfPqIndex(spark, path)
+        .collect().map(_.toString).sorted.toSeq
+      // a writeIvfPqIndex tree has no in-tree model: loud failure
+      val err = intercept[IllegalArgumentException](
+        Similarity.readIvfPqModel(spark, path))
+      assert(err.getMessage.contains("_model"))
+      val (centsR, cbR) = Similarity.retrainIvfPqIndex(spark, path, corpus,
+        kCoarse = 3, m = 2, k = 3, dims = dims)
+      // retrain == rebuild, bit for bit, under deterministic training
+      val fresh = Similarity.ivfPqIndex(corpus,
+          Similarity.ivfTrain(corpus, k = 3),
+          Similarity.pqTrain(corpus, m = 2, k = 3, dims = dims),
+          m = 2, dims = dims)
+        .collect().map(_.toString).sorted.toSeq
+      val retrained = Similarity.readIvfPqIndex(spark, path)
+        .collect().map(_.toString).sorted.toSeq
+      assert(retrained == fresh,
+        "retrained tree diverged from the one-shot full-corpus build")
+      assert(retrained != staleRows,
+        "retrain changed nothing — the stale model was not stale")
+      // self-contained: the model read back from the tree IS the model
+      // the retrain returned (and searches identically)
+      val (centsT, cbT) = Similarity.readIvfPqModel(spark, path)
+      assert(centsT.collect().map(_.toString).sorted.toSeq ==
+        centsR.collect().map(_.toString).sorted.toSeq)
+      assert(cbT.collect().map(_.toString).sorted.toSeq ==
+        cbR.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(path).getParentFile)
+    }
+  }
+
   test("probe selectivity end-to-end: nprobe=2 of k_coarse=16 reads " +
       "exactly the probed directories") {
     val all = graft.Tables.df(spark, sf(), "embeddings")
