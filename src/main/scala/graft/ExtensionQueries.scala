@@ -95,10 +95,17 @@ object ExtensionQueries {
     * extra carried columns (`extra` = ", lang, n_chars" for s10).
     * Yields CTEs all_docs/feat/m/gated/k/keep; survivors are
     * `k JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.doc_id`.
-    * Shared by the s06 and s10 oracles so the two gates can never
-    * drift on curation semantics.
+    * Shared by the s06, s10, and s13 oracles so the gates can never
+    * drift on curation semantics. `keepCte` overrides the duplicate-
+    * survivor rule: the default min-id mirrors in-ID-order arrival
+    * (s06/s10/s12); s13's out-of-order feed passes an arrival-rank
+    * rule instead, because streaming content dedup keeps the FIRST
+    * arrival and s13 deliberately delivers the halves reversed.
     */
-  private def curatedSurvivorCtes(extra: String): String =
+  private def curatedSurvivorCtes(extra: String,
+      keepCte: String =
+        "keep AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp)")
+      : String =
     s"""all_docs AS (
            SELECT doc_id, text$extra FROM documents
            UNION ALL
@@ -141,7 +148,7 @@ object ExtensionQueries {
                 ELSE md5(regexp_replace(regexp_replace(
                   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) END AS fp
            FROM gated),
-         keep AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp)"""
+         $keepCte"""
 
   // ---- queries ---------------------------------------------------------
 
@@ -813,6 +820,38 @@ object ExtensionQueries {
           TextFunctions.normalizeUnicode(col("txt")).as("norm"),
           TextFunctions.foldAccents(col("txt")).as("folded"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Vocab-driven greedy tokenization (t27): deterministic longest-
+    // match segmentation against a fixed vocabulary — the EXACT token
+    // ids/counts a real pipeline derives from its tokenizer where t01's
+    // bpeish count approximates. Planted fixtures pin the greedy
+    // subtleties (longest-over-prefix: the|th, abc|ab|a; UNK runs) and
+    // a 150-doc corpus slice exercises real prose; the oracle REPLAYS
+    // the greedy walk with a recursive CTE + lateral longest-match, so
+    // every token id at every position is hash-gated. Corpus slice, not
+    // the full table: the oracle's walk is one recursion step per
+    // token, priced for the gate, while the Spark side is a zero-
+    // shuffle codegen'd trie projection at any scale.
+    "t27_tokenize_greedy" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq("the", "th", "he", "a", "ab", "abc", "ing", "in",
+        "row", "rows", "scan", "data", "er", " ")
+      val planted = Seq(
+        (9000001L, "theatre"),    // the|a|UNK t,r,e — "the" beats "th"
+        (9000002L, "abcabx"),     // abc|ab|UNK — 3-char beats 2-char
+        (9000003L, "thething"),   // the|th|ing — prefix fallback mid-word
+        (9000004L, "rowsscan"),   // rows|scan — "rows" beats "row"
+        (9000005L, "datarowing"), // data|row|ing
+        (9000006L, "xyz")         // all-UNK run
+      ).toDF("doc_id", "txt")
+      val src = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text").as("txt"))
+        .unionByName(planted)
+      src.select(col("doc_id"),
+          posexplode(TextFunctions.tokenizeGreedy(col("txt"), vocab))
+            .as(Seq("idx", "token_id")))
+        .orderBy(col("doc_id"), col("idx"))
     }),
 
     // PII redaction (t23): every email/phone/ipv4 match rewritten to a
@@ -2150,13 +2189,49 @@ object ExtensionQueries {
     // s12 is s10's manifest through the epoch-frozen incremental
     // packer — in-order growth must equal the batch pack bin for bin
     ("s12_stream_shards_incremental" -> oracleSqlBase("s10_stream_shards")) +
-    // s13 is the same manifest after OUT-OF-ORDER delivery followed by
-    // the documented repair (compactShards' global re-flow) — recovery
-    // must land exactly on the batch pack
-    ("s13_stream_shards_ooo_repair" -> oracleSqlBase("s10_stream_shards")) +
+    // s13 is the s10 manifest after OUT-OF-ORDER delivery followed by
+    // the documented repair (compactShards' global re-flow) — the pack
+    // re-flows to the batch bins exactly, but streaming content dedup
+    // keeps the FIRST ARRIVAL, so the oracle's duplicate-survivor rule
+    // ranks by delivery drop (second half first, then first half, then
+    // reposts; min id within a drop) instead of global min id
+    ("s13_stream_shards_ooo_repair" -> s13OracleSql) +
     // p07 is p06's targeted read through a grown-then-epoch-compacted
     // tree — frozen-bin compaction must change nothing the reader sees
     ("p07_shard_read_compacted" -> oracleSqlBase("p06_shard_read"))
+
+  /** The s13 oracle: the s10 manifest SQL with the duplicate-survivor
+    * rule rewritten for the gate's REVERSED delivery order — streaming
+    * content dedup keeps the first arrival, so a duplicate group's
+    * survivor is the member of the earliest DROP (0 = the second half
+    * `maxId/2 < id < 1000000`, 1 = the first half `id <= maxId/2`,
+    * 2 = the repost plant `id >= 1000000`), min id within a drop (the
+    * single-sorted-file micro-batch order, the same within-batch
+    * contract s12 relies on). The pack arithmetic is untouched:
+    * compactShards re-flows bins to exactly the batch cumsum.
+    */
+  private lazy val s13OracleSql: String =
+    s"""WITH ${curatedSurvivorCtes(", lang, n_chars",
+      keepCte = """keep AS (
+           SELECT fp, doc_id AS keep_id FROM (
+             SELECT fp, doc_id, row_number() OVER (PARTITION BY fp
+               ORDER BY CASE WHEN doc_id >= 1000000 THEN 2
+                 WHEN doc_id <= (SELECT max(doc_id)//2 FROM documents) THEN 1
+                 ELSE 0 END, doc_id) AS rn FROM k)
+           WHERE rn = 1)""")},
+         surv AS (SELECT k.doc_id, k.lang, k.n_chars FROM k
+           JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.doc_id),
+         b AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+           FROM (SELECT doc_id, lang, n_chars,
+                   sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM surv))
+         SELECT lang AS stratum, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 
@@ -2965,6 +3040,41 @@ object ExtensionQueries {
          SELECT doc_id, nfc_normalize(txt) AS norm,
            strip_accents(txt) AS folded
          FROM src ORDER BY doc_id""",
+
+    // mirrors TextFunctions.tokenizeGreedy: the greedy longest-match
+    // walk replayed as a recursive CTE — each step's LATERAL picks the
+    // longest vocab token matching at the current position (ties
+    // impossible: distinct entries), no match emits -1 and advances one
+    // codepoint; idx counts emitted tokens from 0. Vocab ids = the
+    // Spark gate's Seq order.
+    "t27_tokenize_greedy" ->
+      """WITH RECURSIVE vocab(id, tok) AS (
+           SELECT * FROM (VALUES (0,'the'),(1,'th'),(2,'he'),(3,'a'),
+             (4,'ab'),(5,'abc'),(6,'ing'),(7,'in'),(8,'row'),(9,'rows'),
+             (10,'scan'),(11,'data'),(12,'er'),(13,' ')) v(id, tok)),
+         src AS (
+           SELECT doc_id, text AS txt FROM documents WHERE doc_id < 150
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'theatre'),
+             (9000002, 'abcabx'),
+             (9000003, 'thething'),
+             (9000004, 'rowsscan'),
+             (9000005, 'datarowing'),
+             (9000006, 'xyz')) v(doc_id, txt)),
+         steps AS (
+           SELECT doc_id, txt, 1 AS pos, -2 AS token_id, -1 AS idx FROM src
+           UNION ALL
+           SELECT s.doc_id, s.txt, s.pos + coalesce(m.tlen, 1),
+             coalesce(m.id, -1), s.idx + 1
+           FROM steps s LEFT JOIN LATERAL (
+              SELECT v.id, len(v.tok) AS tlen FROM vocab v
+              WHERE substr(s.txt, s.pos, len(v.tok)) = v.tok
+              ORDER BY len(v.tok) DESC, v.id LIMIT 1) m ON true
+           WHERE s.pos <= len(s.txt))
+         SELECT doc_id, CAST(idx AS INT) AS idx,
+           CAST(token_id AS INT) AS token_id
+         FROM steps WHERE idx >= 0 ORDER BY doc_id, idx""",
 
     // mirrors TextFunctions.redactPii: sequential global replace in
     // pattern order (email, phone, ipv4), counts from the original

@@ -402,6 +402,21 @@ object TextFunctions {
       (acc, r) => acc + ceil(length(r).cast(DoubleType) / 4.0).cast(LongType))
   }
 
+  /** Vocab-driven tokenization: deterministic greedy longest-match
+    * segmentation of `text` against a fixed `vocab`, returning the
+    * `array<int>` of token ids (0-based vocab index; `-1` = UNK, one
+    * code point). The EXACT token source for sequence packing and shard
+    * budgets — `size(tokenizeGreedy(text, vocab))` replaces the
+    * [[bpeishTokenCount]] approximation wherever the real tokenizer's
+    * vocab is known. Zero shuffle: a codegen'd per-row trie walk with
+    * the vocab embedded as a plan literal (the broadcast-artifact
+    * contract); mirrored token for token by the t27 oracle's recursive
+    * greedy walk. See [[expressions.GreedyTokenize]] for the full
+    * semantics (longest match, UNK advance, determinism).
+    */
+  def tokenizeGreedy(text: Column, vocab: Seq[String]): Column =
+    expressions.GreedyTokenize(text, vocab)
+
   /** Quality heuristics (length / punctuation / stopword ratios), packed
     * into one struct column. All ratios are int/int divisions in double —
     * bit-identical across engines.
