@@ -205,6 +205,53 @@ object Bench {
   private[graft] def shouldPersistHints(probeRatio: Double): Boolean =
     probeRatio > 0 && probeRatio <= 3.0
 
+  /** Total busy CPU jiffies across all cores from `/proc/stat` line 1
+    * (every field except idle and iowait). Paired snapshots give the
+    * box's total CPU consumption over an interval — the input to the
+    * ABSOLUTE co-tenant measure below. None off-Linux / on read error.
+    */
+  private[graft] def totalBusyJiffies(): Option[Long] = scala.util.Try {
+    val line = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+  }.toOption
+
+  /** This JVM's cumulative CPU nanos (all threads — local[32] executors
+    * included, since local mode never forks). */
+  private[graft] def ownCpuNanos(): Option[Long] =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        Some(os.getProcessCpuTime).filter(_ >= 0)
+      case _ => None
+    }
+
+  /** The ABSOLUTE co-tenant CPU fraction over a measurement window:
+    * (box busy CPU − this JVM's CPU) / (wall × cores) — what share of
+    * the machine someone ELSE burned while we measured. This replaces
+    * the max/min probe ratio as the clean-run criterion: the ratio is
+    * noise-dominated on a quiet box (r13 measured 1.3–1.8 across runs
+    * whose totals agreed within 0.04%, tripping the <1.5 bar on
+    * provably idle hardware — JIT re-optimization and scheduler blips
+    * move a 0.2 s probe, not co-tenants), while this fraction reads
+    * ~0.01–0.03 idle (kernel + daemons) and rises directly with real
+    * co-tenant load. USER_HZ is 100 on every mainstream kernel.
+    * Negative drift (timer granularity) clamps to 0.
+    */
+  private[graft] def coTenantFraction(busyJiffies: Long, ownNanos: Long,
+      wallNanos: Long, cores: Int): Double = {
+    if (wallNanos <= 0 || cores <= 0) return -1.0
+    val busySec = busyJiffies / 100.0
+    val otherSec = busySec - ownNanos / 1e9
+    math.max(0.0, otherSec / (wallNanos / 1e9 * cores))
+  }
+
+  /** Clean-run bar for [[coTenantFraction]]: under 5% of the box spent
+    * by others — idle boxes measure 1–3% (kernel, journald, sshd); any
+    * real co-tenant Spark JVM reads far above it.
+    */
+  private[graft] val CoTenantQuietBar = 0.05
+
   /** How far one run may drag a hint UP relative to the value on file.
     * The probe-ratio gate catches sustained contention, but a burst
     * BETWEEN probes slips through: the r7 run-6 pass self-reported
@@ -269,6 +316,10 @@ object Bench {
       .LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // absolute co-tenant window anchor: set once the session is up (so
+    // JVM/Spark startup isn't charged to the box), read at emit time —
+    // the shutdown hook then still reports the window it actually saw
+    @volatile var coAnchor: Option[(Long, Long, Long)] = None // (busy, own, wallNanos)
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name filter for
     // targeted re-measurement after a plan change (skips cost-hint
     // writing below so a partial run never clobbers full-suite hints)
@@ -296,8 +347,24 @@ object Bench {
         val ratio =
           if (probes.nonEmpty && probes.values.min > 0) probes.values.max / probes.values.min
           else 0.0
+        // the ABSOLUTE co-tenant measure is the clean-run criterion;
+        // the max/min probe ratio stays emitted as informational only
+        // (it reads 1.3–1.8 on provably idle boxes — see coTenantFraction)
+        val coFrac = (for {
+          (b0, o0, w0) <- coAnchor
+          b1 <- totalBusyJiffies()
+          o1 <- ownCpuNanos()
+        } yield coTenantFraction(b1 - b0, o1 - o0,
+          System.nanoTime() - w0,
+          // the MACHINE's cores, not Spark's thread count: the fraction
+          // asks what share of the BOX someone else burned
+          Runtime.getRuntime.availableProcessors())).getOrElse(-1.0)
+        val quiet =
+          if (coFrac >= 0) coFrac < CoTenantQuietBar
+          else ratio > 0 && ratio <= 1.5 // no /proc/stat: ratio fallback
         val contention = (probes.map { case (k, v) => "\"" + esc(k) + "\":" + v } ++
-          Seq("\"ratio\":" + ratio)).mkString("{", ",", "}")
+          Seq("\"ratio\":" + ratio, "\"cotenant_frac\":" + coFrac,
+            "\"quiet\":" + quiet)).mkString("{", ",", "}")
         println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$nSamples,"errors":$errJson,"contention":$contention,"budget_expired":$expired,"skipped":$skipped,"elapsed":$elapsedS,"sf":"${esc(sfDir)}"}""")
         System.out.flush()
         // feed the next run's ordering with this run's measured costs
@@ -317,6 +384,9 @@ object Bench {
 
     val spark = LocalSession.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    coAnchor = for {
+      b <- totalBusyJiffies(); o <- ownCpuNanos()
+    } yield (b, o, System.nanoTime())
 
     /** Run `body` on a daemon thread under a named Spark job group; if
       * it exceeds `capS` seconds, cancel the group's jobs and report the

@@ -121,4 +121,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.shouldPersistHints(2.24)) // r6's near-idle committed pass
     assert(Bench.shouldPersistHints(3.0))
   }
+
+  test("co-tenant fraction: absolute, clamped, and readable on this box") {
+    // pure math: a 10 s window on 32 cores where the box burned 40 s of
+    // CPU and we burned 38 s → others burned 2 s of 320 core-seconds
+    val frac = Bench.coTenantFraction(busyJiffies = 4000,
+      ownNanos = 38000000000L, wallNanos = 10000000000L, cores = 32)
+    assert(math.abs(frac - 2.0 / 320.0) < 1e-12, s"frac=$frac")
+    // timer-granularity drift (own > busy) clamps to 0, never negative
+    assert(Bench.coTenantFraction(100, 2000000000L, 1000000000L, 32) == 0.0)
+    assert(Bench.coTenantFraction(0, 0, 0, 32) == -1.0) // degenerate window
+    // the probes exist on this (Linux) box and are monotone over time
+    val b0 = Bench.totalBusyJiffies()
+    val o0 = Bench.ownCpuNanos()
+    assert(b0.nonEmpty && o0.nonEmpty, "probe sources unavailable")
+    var spin = 0L
+    (0 until 20000000).foreach(i => spin += i) // burn measurable CPU
+    assert(Bench.totalBusyJiffies().get >= b0.get && spin != 0)
+    assert(Bench.ownCpuNanos().get >= o0.get)
+  }
 }
