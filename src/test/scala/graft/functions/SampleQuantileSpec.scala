@@ -31,15 +31,49 @@ class SampleQuantileSpec extends SparkSpec {
     assert(q(1.0) == 40.0)
   }
 
+  /** Uniform-ish [0,1) values INDEPENDENT of the sketch's row-selection
+    * hash. The sketch samples the rows with the smallest `xxhash64(id)`
+    * — deriving test values from `xxhash64(id)` too (the original form
+    * of these tests) made the sample exactly the values nearest 0.5,
+    * so every quantile estimated ≈0.5 and the q=0.5 assertion passed
+    * VACUOUSLY. A multiplicative-congruential scramble of the id shares
+    * no structure with xxhash64.
+    */
+  private def uniformV = (((col("id") * lit(2654435761L)) % 1000003L
+    + 1000003L) % 1000003L).cast("double") / lit(1000003.0)
+
   test("estimate regime: rank error ~1/sqrt(k) at n >> k") {
-    // uniform 0..1 values: the q-quantile should land near q
-    val df = spark.range(100000)
-      .select(col("id"), (xxhash64(col("id")).cast("double")
-        / lit(Long.MaxValue.toDouble) / 2 + lit(0.5)).as("v"))
+    val df = spark.range(100000).select(col("id"), uniformV.as("v"))
     val est = df.agg(SampleQuantile(col("id"), col("v"), 1024, 0.5))
       .collect().head.getDouble(0)
     // 1/sqrt(1024) ~ 3% rank error; allow 4 sigma
     assert(math.abs(est - 0.5) < 0.13, s"p50 estimate $est too far from 0.5")
+  }
+
+  test("error-vs-k curve: measured rank error within 4/sqrt(k) at every " +
+      "k, and more sample buys more accuracy (the sizing table in SCALE.md)") {
+    // deterministic uniform 0..1 values, INDEPENDENT of the selection
+    // hash (see uniformV) — the measured errors are reproducible
+    // constants, and the SCALE.md table IS this run
+    val df = spark.range(200000).select(col("id"), uniformV.as("v"))
+    val ks = Seq(64, 256, 1024, 4096)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val errs = ks.map { k =>
+      val maxErr = qs.map { p =>
+        val est = df.agg(SampleQuantile(col("id"), col("v"), k, p))
+          .collect().head.getDouble(0)
+        val err = math.abs(est - p) // uniform: rank error == value error
+        assert(err < 4.0 / math.sqrt(k),
+          f"k=$k q=$p err=$err%.4f breaches 4/sqrt(k)=${4.0 / math.sqrt(k)}%.4f")
+        err
+      }.max
+      info(f"k=$k%5d  worst |est-q| over q∈{0.1,0.5,0.9} = $maxErr%.4f" +
+        f"  (bound 4/√k = ${4.0 / math.sqrt(k)}%.4f)")
+      k -> maxErr
+    }
+    // the curve points down: 64x more sample must beat the smallest k
+    assert(errs.last._2 < errs.head._2,
+      s"error did not improve from k=64 to k=4096: $errs")
   }
 
   test("topology-independent: any partitioning gives the same estimate") {
