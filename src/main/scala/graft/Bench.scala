@@ -94,6 +94,7 @@ object Bench {
     "p07_shard_read_compacted" -> 6.0,
     "e15_knn_ivfpq_retrain" -> 8.0, // e13's append shape + two retrains
     "t27_tokenize_greedy" -> 0.5, // zero-shuffle trie projection
+    "t28_pack_by_tokens" -> 0.7, // t27's projection + the t12 window
     // round 13 additions (estimated from their siblings: s12 from
     // s10's streaming epochs minus the rebuild, e14 from e13 plus one
     // compaction pass, x13 from x12's scan pair, d30 from 2× d29)

@@ -854,6 +854,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // Exact-token sequence packing (t28): the t27 tokenizer FEEDING the
+    // t12 packer — context-window bins budgeted by the real greedy
+    // token count instead of the n_chars proxy, the composition a
+    // training pipeline actually runs. One zero-shuffle trie projection
+    // then the one pack window; the oracle re-derives every count with
+    // the recursive greedy walk and replays the cumsum bin arithmetic.
+    "t28_pack_by_tokens" -> ((s, dir) => {
+      val vocab = Seq("the", "th", "he", "a", "ab", "abc", "ing", "in",
+        "row", "rows", "scan", "data", "er", " ")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokenizeGreedy(col("text"), vocab))
+            .cast(LongType).as("n_tok"))
+      TextFunctions.packSequences(docs, col("lang"), col("doc_id"),
+          col("n_tok"), budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction (t23): every email/phone/ipv4 match rewritten to a
     // <NAME> placeholder + per-pattern counts from the original text —
     // regexScan's emit-side twin. PII fixtures are planted as literal
@@ -3075,6 +3094,39 @@ object ExtensionQueries {
          SELECT doc_id, CAST(idx AS INT) AS idx,
            CAST(token_id AS INT) AS token_id
          FROM steps WHERE idx >= 0 ORDER BY doc_id, idx""",
+
+    // mirrors t28: greedy-walk token counts per doc (the t27 recursion,
+    // counts only) driving the t12 pack arithmetic
+    "t28_pack_by_tokens" ->
+      """WITH RECURSIVE vocab(id, tok) AS (
+           SELECT * FROM (VALUES (0,'the'),(1,'th'),(2,'he'),(3,'a'),
+             (4,'ab'),(5,'abc'),(6,'ing'),(7,'in'),(8,'row'),(9,'rows'),
+             (10,'scan'),(11,'data'),(12,'er'),(13,' ')) v(id, tok)),
+         src AS (
+           SELECT doc_id, lang, text AS txt FROM documents
+           WHERE doc_id < 150),
+         steps AS (
+           SELECT doc_id, txt, 1 AS pos, -1 AS idx FROM src
+           UNION ALL
+           SELECT s.doc_id, s.txt, s.pos + coalesce(m.tlen, 1), s.idx + 1
+           FROM steps s LEFT JOIN LATERAL (
+              SELECT len(v.tok) AS tlen FROM vocab v
+              WHERE substr(s.txt, s.pos, len(v.tok)) = v.tok
+              ORDER BY len(v.tok) DESC, v.id LIMIT 1) m ON true
+           WHERE s.pos <= len(s.txt)),
+         tok AS (SELECT doc_id,
+             CAST(sum(CASE WHEN idx >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tok
+           FROM steps GROUP BY doc_id),
+         j AS (SELECT s.doc_id, s.lang, t.n_tok
+           FROM src s JOIN tok t ON t.doc_id = s.doc_id)
+         SELECT doc_id, lang, n_tok,
+           CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2000) AS BIGINT) AS bin
+         FROM (SELECT doc_id, lang, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM j)
+         ORDER BY doc_id""",
 
     // mirrors TextFunctions.redactPii: sequential global replace in
     // pattern order (email, phone, ipv4), counts from the original

@@ -674,6 +674,63 @@ object ScaleCurve {
     println(s"[scalecurve] wrote $outFile")
   }
 
+  /** `manifest <srcDir> <out.json>` — the round-14 checkpoint claim,
+    * measured on the EPOCH-COUNT axis (the axis the corpus-size curve
+    * can't see): grow an [[graft.functions.Curation.appendShards]] tree
+    * to 16/64/192 epochs with the manifest checkpoint OFF (ckptEvery=0)
+    * and ON (16), and record what a [[Curation.readShardManifest]] must
+    * pay at each age — the `_manifest_delta` directories it has to
+    * list (the defect: O(#epochs) when OFF, ≤ ~2·ckptEvery when ON)
+    * plus the read's wall time (min + median of 5), and the mean
+    * per-epoch append cost (the checkpoint's amortized write rides
+    * here — the price of bounding the read).
+    */
+  def manifestCurve(spark: SparkSession, srcDir: String,
+      outFile: String): Unit = {
+    val base = docs(spark, srcDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    val inc = base.orderBy(col("doc_id")).limit(64).persist()
+    inc.count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = for (ckptEvery <- Seq(0, 16); n <- Seq(16, 64, 192)) yield {
+      val path = Scratch.path(srcDir, s"curve_manifest_${ckptEvery}_$n")
+      Scratch.reset(path)
+      var appendTotal = 0.0
+      (0 until n).foreach { e =>
+        val shifted = inc.withColumn("doc_id",
+          col("doc_id") + lit((maxId + 1) * (e + 1)))
+        val t0 = System.nanoTime()
+        Curation.appendShards(shifted, "lang", "doc_id", "n_chars",
+          budget = 2000L, path = path, epoch = e.toLong,
+          ckptEvery = ckptEvery)
+        appendTotal += (System.nanoTime() - t0) / 1e9
+      }
+      def nDirs(sub: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.listStatus(p).length else 0
+      }
+      val reads = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        Curation.readShardManifest(spark, path)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[scalecurve] manifest ckptEvery=$ckptEvery epochs=$n " +
+        f"deltaDirs=${nDirs("_manifest_delta")} ckptDirs=${nDirs("_manifest_ckpt")} " +
+        f"append=${appendTotal / n}%.3fs/epoch readMin=${reads.head}%.3fs")
+      s"""{"ckpt_every":$ckptEvery,"epochs":$n,""" +
+        s""""delta_dirs":${nDirs("_manifest_delta")},""" +
+        s""""ckpt_dirs":${nDirs("_manifest_ckpt")},""" +
+        s""""append_mean_s":${appendTotal / n},""" +
+        s""""read_min_s":${reads.head},"read_med_s":${reads(reads.size / 2)}}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      rows.mkString("[", ",", "]"))
+    println(s"[scalecurve] wrote $outFile")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions sized to the data, not the core count, is the
@@ -700,11 +757,14 @@ object ScaleCurve {
           val Array(l, d) = a.split("=", 2); (l, d)
         }
         time(spark, out, dirs, samples = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt)
+      case "manifest" :: src :: out :: Nil =>
+        manifestCurve(spark, src, out)
       case _ =>
         System.err.println(
           "usage: ScaleCurve gen <srcDir> <outDir> <replicas> | " +
             "ScaleCurve time <out.json> <label=dir> [label=dir ...] | " +
-            "ScaleCurve work <out.json> <label=dir> [label=dir ...]")
+            "ScaleCurve work <out.json> <label=dir> [label=dir ...] | " +
+            "ScaleCurve manifest <srcDir> <out.json>")
         sys.exit(2)
     }
     spark.stop()

@@ -299,6 +299,11 @@ object Curation {
     val lastCkpt = listMarkers(spark, s"$path/_ckpts").maxOption
     val deltaEpochs = listEpochDirs(spark, s"$path/_manifest_delta")
     if (deltaEpochs.count(e => lastCkpt.forall(e > _)) < ckptEvery) return
+    // an EMPTY epoch's delta dir holds only _SUCCESS; a window of
+    // nothing but empty epochs has no schema to read — skip this
+    // checkpoint (the next data-bearing epoch's window rolls them up)
+    if (!deltaEpochs.exists(e =>
+        dirHasDataFiles(spark, s"$path/_manifest_delta/epoch=$e"))) return
     val deltas = spark.read.parquet(s"$path/_manifest_delta")
       .filter(col("epoch") <= epoch &&
         lastCkpt.map(c => col("epoch") > c).getOrElse(lit(true)))
@@ -363,6 +368,15 @@ object Curation {
     // predecessor, whose delta chain the one-checkpoint prune lag keeps
     val ckpt = listMarkers(spark, s"$path/_ckpts")
       .filter(_ <= committed).maxOption
+    // a window of only-empty epochs has no delta schema to read: fall
+    // back to the checkpoint alone (it IS the manifest then)
+    val anyDeltaData = listEpochDirs(spark, s"$path/_manifest_delta")
+      .exists(e => dirHasDataFiles(spark, s"$path/_manifest_delta/epoch=$e"))
+    if (!anyDeltaData)
+      return ckpt.fold(
+        throw new IllegalStateException(
+          s"readShardManifest: no manifest data under $path"))(c =>
+        spark.read.parquet(s"$path/_manifest_ckpt/epoch=$c"))
     val deltas = spark.read.parquet(s"$path/_manifest_delta")
       .filter(col("epoch") <= committed &&
         ckpt.map(c => col("epoch") > c).getOrElse(lit(true)))

@@ -273,6 +273,45 @@ class CurationIncrementalSpec extends SparkSpec {
       "rollback view diverged from the first-five-epochs batch pack")
   }
 
+  test("empty-epoch checkpoint windows: roll up while any delta has " +
+      "schema, SKIP once all live deltas are empty, read falls back to " +
+      "the checkpoint alone — never a schema crash") {
+    val path = freshPath()
+    val eps = epochsOf(docs, 6)
+    eps.zipWithIndex.foreach { case (e, i) =>
+      Curation.appendShards(e, "lang", "doc_id", "n_chars",
+        budget = 2000L, path = path, epoch = i.toLong, ckptEvery = 3)
+    } // ckpts fire at 2 and 5; live deltas now {3,4,5}, all data-bearing
+    val empty = eps(0).filter(lit(false))
+    def ckpts(fs: org.apache.hadoop.fs.FileSystem): Set[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_ckpts"))
+        .map(_.getPath.getName.toLong).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // window 6..8 is all-empty: this Spark writes schema-bearing empty
+    // part files, so the checkpoint at 8 rolls up normally (content ==
+    // checkpoint 5) and prunes the data-bearing deltas 3..5 away
+    (6 to 8).foreach(e => Curation.appendShards(empty, "lang", "doc_id",
+      "n_chars", budget = 2000L, path = path, epoch = e.toLong,
+      ckptEvery = 3))
+    assert(ckpts(fs) == Set(5L, 8L), s"ckpts after empty window: ${ckpts(fs)}")
+    assert(manifestSet(Curation.readShardManifest(spark, path)) ==
+      manifestSet(batchManifest), "empty epochs changed the manifest")
+    // SCHEMA-LESS live deltas (what an older Spark's empty write, or a
+    // manual sweep of empty part files, leaves behind): strip the part
+    // files from the post-checkpoint window — the read must fall back
+    // to the checkpoint ALONE, never crash on schema inference
+    (6 to 8).foreach { e =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_manifest_delta/epoch=$e")
+      fs.listStatus(dir).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    assert(manifestSet(Curation.readShardManifest(spark, path)) ==
+      manifestSet(batchManifest),
+      "schema-less delta window broke the checkpoint fallback")
+  }
+
   test("readShards on a commit-logged tree hides uncommitted epochs") {
     val path = freshPath()
     val eps = epochsOf(docs, 2)
