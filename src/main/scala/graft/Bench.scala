@@ -95,6 +95,10 @@ object Bench {
     "e15_knn_ivfpq_retrain" -> 8.0, // e13's append shape + two retrains
     "t27_tokenize_greedy" -> 0.5, // zero-shuffle trie projection
     "t28_pack_by_tokens" -> 0.7, // t27's projection + the t12 window
+    "t29_lm_familiarity" -> 0.8, // two model aggs + broadcast join + per-doc agg
+    "p08_zorder_layout" -> 0.5, // zero-shuffle Morton projection
+    "s14_stream_ann_search" -> 8.0, // retrain + 2 streamed searches
+    "d31_decontaminate_spans" -> 2.0, // broadcast bench set + hit-only rebuild
     // round 13 additions (estimated from their siblings: s12 from
     // s10's streaming epochs minus the rebuild, e14 from e13 plus one
     // compaction pass, x13 from x12's scan pair, d30 from 2× d29)

@@ -553,6 +553,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-level decontamination (d31): the GPT-3/PaLM overlap rule —
+    // cut only the benchmark-matching k-windows out of a training doc,
+    // keep the rest (d22 drops the whole doc; this is the surgical
+    // form). Bench = the d11 split (doc_id < 20) plus a planted eval
+    // item; corpus = the rest plus one planted leak (its slogan spans
+    // must vanish, its surrounding words survive) and one clean plant
+    // (must pass through verbatim). k=5 so the ORGANIC cross-split
+    // overlaps (present at every SF) exercise the path alongside the
+    // plants; production default is the published k=13.
+    "d31_decontaminate_spans" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val slogan = "alpha beta gamma delta epsilon zeta eta theta"
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (8000001L, s"leak marker $slogan end")).toDF("doc_id", "text"))
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (9000001L, s"prefix words then $slogan and a tail here"),
+          (9000002L, "clean document with no leaked content at all"))
+          .toDF("doc_id", "text"))
+      Dedup.decontaminateSpans(corpus, bench, col("doc_id"), col("text"),
+          col("text"), k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Fuzzy record linkage / entity resolution: block customers on
     // (nation, segment), pair names within Levenshtein distance 1,
     // transitive-closure the match graph (star CC), assign every record
@@ -713,6 +741,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Z-order clustered layout (p08): the multi-dimensional
+    // data-skipping organization (Delta OPTIMIZE ZORDER's shape) —
+    // dimension codes (lang rank, n_chars bucket) Morton-interleaved
+    // by Curation.zorderValue, the corpus emitted in layout order so
+    // the hash pins every file's z-contiguity; ZorderSpec measures the
+    // both-dimension file skipping the layout buys. Zero-shuffle
+    // projection; the one range exchange is the layout's write cost.
+    "p08_zorder_layout" -> ((s, dir) => {
+      val za = when(col("lang") === "en", 0L)
+        .when(col("lang") === "de", 1L)
+        .when(col("lang") === "es", 2L)
+        .when(col("lang") === "fr", 3L).otherwise(4L)
+      val zb = expr("n_chars div 16")
+      t(s, dir, "documents")
+        .select(col("doc_id"), za.as("za"), zb.as("zb"),
+          Curation.zorderValue(za, zb, bits = 6).as("z"))
+        .orderBy(col("z"), col("doc_id"))
+    }),
+
     // Data card (p05): the release-notes table of a published corpus —
     // docs/tokens/chars, exact-dup load (d02 fingerprints), mean doc
     // length — per language, per source, and overall, in ONE
@@ -870,6 +917,30 @@ object ExtensionQueries {
       TextFunctions.packSequences(docs, col("lang"), col("doc_id"),
           col("n_tok"), budget = 2000L)
         .select(col("doc_id"), col("lang"), col("n_tok"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram-LM familiarity (t29): the CCNet/Gopher perplexity-style
+    // quality filter in exact integer arithmetic — model trained on the
+    // en reference slice (bigram count c2 + context count c1), every
+    // doc scored by the broadcast join's two BIGINT sums and ONE IEEE
+    // division Σc2/Σc1, plus the n_known/n_bigrams OOV coverage.
+    // Planted rows pin the null contract: a sub-bigram doc and an
+    // all-OOV doc score null (unknown, not zero).
+    "t29_lm_familiarity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val planted = Seq(
+        (9000001L, "singleword"),                  // no bigram → null
+        (9000002L, "zz qq vv zz"),                 // all-OOV → null
+        (9000003L, "the table value part a row")   // in-vocab prose
+      ).toDF("doc_id", "txt")
+      val model = TextFunctions.lmTrainBigrams(
+        docs.filter(col("lang") === "en"), col("text"))
+      TextFunctions.lmFamiliarity(
+          docs.select(col("doc_id"), col("text").as("txt"))
+            .unionByName(planted),
+          model, col("doc_id"), col("txt"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1418,6 +1489,38 @@ object ExtensionQueries {
       q.awaitTermination()
       Similarity.knnIvfPqOnDisk(s, idx, cents, cb, queries, corpus,
           k = 5, nprobe = 2, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Streaming ANN search (s14): the QUERY side of the index
+    // lifecycle — a self-contained (retrained) on-disk tree built
+    // once, then query vectors arriving as a stream, each micro-batch
+    // searched via knnIvfPqOnDisk (probed cells pushed to the file
+    // listing) into idempotent batch= result dirs. The union of the
+    // per-batch results must equal the one-shot batch search — s14
+    // shares e11's oracle, so the streaming seam is hash-gated to
+    // change nothing.
+    "s14_stream_ann_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val in = Scratch.path(dir, "s14_in")
+      val idx = Scratch.path(dir, "s14_idx")
+      val out = Scratch.path(dir, "s14_out")
+      val ckpt = Scratch.path(dir, "s14_ckpt")
+      Seq(in, idx, out, ckpt).foreach(Scratch.reset)
+      Similarity.retrainIvfPqIndex(s, idx, corpus)
+      (0 until 2).foreach(r => queries.filter(col("vec_id") % 2 === r)
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.AnnStream.searchIngest(stream, idx, corpus, out,
+        k = 5, nprobe = 2, rerank = 50, m = 4, dims = 64,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2202,6 +2305,9 @@ object ExtensionQueries {
     // e15 is the e11 search through a stale-model tree RETRAINED on the
     // full corpus — deterministic training makes retrain == rebuild
     ("e15_knn_ivfpq_retrain" -> oracleSqlBase("e11_knn_ivfpq")) +
+    // s14 is the e11 search with the QUERIES arriving as a stream —
+    // per-batch results union to exactly the one-shot batch search
+    ("s14_stream_ann_search" -> oracleSqlBase("e11_knn_ivfpq")) +
     // d28 is d22's decontamination routed through the persisted
     // benchmark index — the artifact round-trip must change nothing
     ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate")) +
@@ -2764,6 +2870,50 @@ object ExtensionQueries {
          FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
          ORDER BY b.doc_id""",
 
+    // mirrors d31: benchmark 5-windows as a distinct set (the oracle
+    // compares window STRINGS where Spark compares the salted hash
+    // pair — identical semantics, collisions nonexistent at gate
+    // scale), covered = positions under any matching corpus window,
+    // hit docs rebuilt from kept tokens, clean docs verbatim
+    "d31_decontaminate_spans" ->
+      """WITH bsrc AS (
+           SELECT text FROM documents WHERE doc_id < 20
+           UNION ALL
+           SELECT 'leak marker alpha beta gamma delta epsilon zeta eta theta end'),
+         bwins AS (SELECT DISTINCT
+             unnest(list_transform(range(1, len(w)-3),
+               p -> array_to_string(w[p:p+4], ' '))) AS g
+           FROM (SELECT string_split(text, ' ') AS w FROM bsrc)),
+         base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 20
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'prefix words then alpha beta gamma delta epsilon zeta eta theta and a tail here'),
+             (9000002, 'clean document with no leaked content at all')) v(doc_id, text)),
+         t AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+         toks AS (SELECT doc_id, u.i AS idx, u.tok FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+             i -> {'i': i, 'tok': w[i]})) AS u FROM t)),
+         wins AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-3),
+             p -> {'p': p, 'g': array_to_string(w[p:p+4], ' ')})) AS u FROM t)),
+         covered AS (SELECT DISTINCT doc_id, idx FROM (
+           SELECT w.doc_id, unnest(range(w.p, w.p+5)) AS idx
+           FROM wins w JOIN bwins b ON b.g = w.g)),
+         hit AS (SELECT DISTINCT doc_id FROM covered),
+         kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM toks tk
+                  ANTI JOIN covered c
+                    ON c.doc_id = tk.doc_id AND c.idx = tk.idx),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+                     FROM kept GROUP BY doc_id)
+         SELECT b.doc_id,
+           CASE WHEN h.doc_id IS NOT NULL THEN coalesce(r.text, '')
+                ELSE b.text END AS text
+         FROM base b
+         LEFT JOIN hit h ON h.doc_id = b.doc_id
+         LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
+
     // mirrors Dedup.linkRecords: (nation, segment) blocking, DuckDB's
     // levenshtein (the identical DP metric Spark codegens), the d08
     // recursive-CTE transitive closure, singletons → themselves
@@ -3127,6 +3277,39 @@ object ExtensionQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                FROM j)
          ORDER BY doc_id""",
+
+    // mirrors t29: bigram model (c2 + context c1) from the en slice,
+    // per-doc BIGINT sums over matched bigrams, one final division
+    "t29_lm_familiarity" ->
+      """WITH mw AS (SELECT string_split(text, ' ') AS w
+             FROM documents WHERE lang = 'en'),
+         mb AS (SELECT unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS s FROM mw),
+         big AS (SELECT s, count(*) AS c2 FROM mb GROUP BY 1),
+         ctx AS (SELECT string_split(s, ' ')[1] AS w1,
+             CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         model AS (SELECT s, c2, c1 FROM big
+           JOIN ctx ON string_split(big.s, ' ')[1] = ctx.w1),
+         src AS (
+           SELECT doc_id, text AS txt FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'singleword'),
+             (9000002, 'zz qq vv zz'),
+             (9000003, 'the table value part a row')) v(doc_id, txt)),
+         db AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS s
+           FROM (SELECT doc_id, string_split(txt, ' ') AS w FROM src)),
+         agg AS (SELECT doc_id, count(*) AS nb, count(c2) AS nk,
+             CAST(sum(c2) AS BIGINT) AS sc2,
+             CAST(sum(c1) AS BIGINT) AS sc1
+           FROM db LEFT JOIN model USING (s) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(nk, 0) AS BIGINT) AS n_known,
+           CAST(sc2 AS DOUBLE) / sc1 AS familiarity
+         FROM src d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // mirrors TextFunctions.redactPii: sequential global replace in
     // pattern order (email, phone, ipv4), counts from the original
@@ -3493,6 +3676,20 @@ object ExtensionQueries {
            CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors p08: the Morton interleave as explicit shift/mask/or
+    // terms — bit i of za lands at z-bit 2i, bit i of zb at 2i+1
+    "p08_zorder_layout" ->
+      """WITH dims AS (SELECT doc_id,
+           CAST(CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+             WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS BIGINT) AS za,
+           n_chars // 16 AS zb
+         FROM documents)
+         SELECT doc_id, za, zb,
+           CAST(list_sum(list_transform(range(0, 6), i ->
+             (((za >> i) & 1) << (2 * i))
+               + (((zb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+         FROM dims ORDER BY z, doc_id""",
 
     // mirrors Curation.dataCard: per-doc projection (token count,
     // char count, d02 fingerprint), one GROUPING SETS aggregate,

@@ -1292,6 +1292,61 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
   }
 
+  /** SPAN-level decontamination — the GPT-3/PaLM eval-overlap rule
+    * ([[decontaminate]]'s surgical sibling): instead of DROPPING every
+    * training document that shares an n-gram with the benchmark, cut
+    * only the overlapping spans and keep the rest of the document. The
+    * word positions covered by any corpus k-window whose text equals a
+    * benchmark k-window are removed; everything else survives
+    * verbatim. `k = 13` is the published contamination width; gates
+    * pin a smaller k so organic cross-split overlaps exercise the
+    * path.
+    *
+    * Plan shape, sized for a 100 TB corpus against a ~10⁶-row bench
+    * set: the benchmark's distinct window hash-pairs are BROADCAST
+    * (bench sets are small by definition — that asymmetry is the whole
+    * design), so marking is a zero-shuffle map-side semi join over the
+    * corpus window projection. Only documents that HIT a benchmark
+    * window enter the rebuild aggregate — the contaminated fraction,
+    * not the corpus — and untouched documents pass through without
+    * being exploded and re-joined (unlike [[removeRepeatedSpans]],
+    * whose duplicate test itself needs the corpus-global aggregate).
+    * Windows compare by the same salted 128-bit hash pair (collision =
+    * a wrongly-cut span; 64 bits would expect ~10⁶ at target scale,
+    * 128 bits expects zero).
+    *
+    * Returns (doc_id, text); a fully-contaminated document comes back
+    * as `''` (cut, not dropped — the caller's length filter will drop
+    * it, keeping the accounting visible).
+    */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, benchText: Column, k: Int = 13): DataFrame = {
+    require(k >= 1, "decontaminateSpans: need k >= 1 (window width)")
+    val words = spanWords(corpus, id, text)
+    val contaminated = spanWindows(spanWords(bench, lit(0L), benchText), k)
+      .select(col("h"), col("h2")).distinct()
+    val covered = spanWindows(words, k)
+      .join(broadcast(contaminated), Seq("h", "h2"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("idx"))
+      .distinct()
+    val hitDocs = covered.select(col("doc_id")).distinct()
+    val toks = words.join(hitDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
+    val rebuilt = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s("tok"))).as("__kept"))
+    corpus.select(id.as("doc_id"), text.as("__orig"))
+      .join(hitDocs.withColumn("__hit", lit(true)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__hit"), coalesce(col("__kept"), lit("")))
+          .otherwise(col("__orig")).as("text"))
+  }
+
   /** (doc_id, w) word arrays — the shared base of the span-removal
     * family. */
   private def spanWords(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -1318,9 +1373,11 @@ object Dedup {
     * exact strings; the paired hash restores that guarantee to within
     * cosmic-ray probability while still never shipping window text.
     */
-  private def coveredSpanPositions(words: DataFrame, k: Int,
-      materialize: Boolean): DataFrame = {
-    val wins0 = words.select(col("doc_id"), posexplode(
+  /** (doc_id, p, h, h2) k-word windows of every doc — the paired-hash
+    * window projection shared by the span-removal family. Zero
+    * shuffle; window text never leaves the row. */
+  private def spanWindows(words: DataFrame, k: Int): DataFrame =
+    words.select(col("doc_id"), posexplode(
         when(size(col("w")) < k, array().cast(ArrayType(StringType)))
           .otherwise(transform(sequence(lit(1), size(col("w")) - (k - 1)),
             p => concat_ws(" ", slice(col("w"), p, lit(k))))))
@@ -1328,6 +1385,10 @@ object Dedup {
       .select(col("doc_id"), (col("p0") + 1).as("p"),
         xxhash64(col("g")).as("h"),
         xxhash64(lit("graft:span:2"), col("g")).as("h2"))
+
+  private def coveredSpanPositions(words: DataFrame, k: Int,
+      materialize: Boolean): DataFrame = {
+    val wins0 = spanWindows(words, k)
     val wins = if (materialize) Materialize(wins0) else wins0
     val dups = wins.groupBy(col("h"), col("h2"))
       .agg(min(struct(col("doc_id"), col("p"))).as("first"),

@@ -273,6 +273,63 @@ object TextFunctions {
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Train the bigram language model for [[lmFamiliarity]]: one row per
+    * distinct bigram `s` ("w1 w2", space-joined) with its corpus count
+    * `c2` and its CONTEXT count `c1` (total continuations of `w1` —
+    * `sum(c2)` over bigrams sharing the first word), so each model row
+    * carries everything the conditional frequency `c2/c1` needs. Two
+    * aggregates over the reference slice; the result is vocabulary²-
+    * bounded — orders of magnitude smaller than the corpus — which is
+    * what makes the scoring side a broadcast join at any corpus size.
+    * A 100 TB pipeline trains this once on its trusted reference slice
+    * and persists it like any other model artifact.
+    */
+  def lmTrainBigrams(corpus: DataFrame, text: Column): DataFrame = {
+    val shingled = corpus.select(words(text).as("__w"))
+      .select(explode(wordShingles(col("__w"), 2)).as("s"))
+    val big = shingled.groupBy(col("s")).agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy(split(col("s"), " ").getItem(0).as("__w1"))
+      .agg(sum(col("c2")).as("c1"))
+    big.join(ctx, split(big("s"), " ").getItem(0) === ctx("__w1"))
+      .select(col("s"), col("c2"), col("c1"))
+  }
+
+  /** Bigram language-model familiarity scoring — the perplexity-style
+    * quality filter of CCNet/Gopher pipelines (score every document
+    * against an n-gram model trained on a trusted reference slice,
+    * then keep/weight by score), re-expressed in EXACT integer
+    * arithmetic. A classic per-bigram `log(c2/c1)` sum is not
+    * reproducible across engines or partial-aggregation orders (libm
+    * ulps + float addition order); instead each doc aggregates two
+    * BIGINT sums over its model-matched bigrams — `Σc2` and `Σc1` —
+    * and emits ONE IEEE division `familiarity = Σc2/Σc1` (the
+    * context-frequency-weighted mean conditional probability, the same
+    * keep/drop ordering signal), plus the coverage counts `n_bigrams`
+    * and `n_known` whose ratio is the OOV-rate filter. Bit-identical
+    * under any plan: integer partial sums commute.
+    *
+    * Scoring is a zero-shuffle shingle projection, a broadcast join
+    * against the vocabulary²-bounded model, and one per-doc partial
+    * aggregate — the doc-contiguous input makes the combine map-side,
+    * so the whole filter costs one small shuffle at 100 TB. Documents
+    * with no model-matched bigram (or fewer than two words) score
+    * null — unknown, not zero; route them by `n_known`/`n_bigrams`.
+    */
+  def lmFamiliarity(docs: DataFrame, model: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val b = docs.select(id.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"),
+        explode_outer(wordShingles(col("__w"), 2)).as("s"))
+    b.join(broadcast(model), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("s")).as("n_bigrams"),
+        count(col("c2")).as("n_known"),
+        sum(col("c2")).as("__sc2"),
+        sum(col("c1")).as("__sc1"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        (col("__sc2").cast(DoubleType) / col("__sc1")).as("familiarity"))
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff the portable
     * hash of its key lands under the stratum's rate threshold
     * (`pmod(hash(key), granularity) < rate·granularity`). Hash-based,

@@ -59,4 +59,47 @@ object AnnStream {
     trigger.foreach(t => writer.trigger(t))
     writer.start()
   }
+
+  /** The QUERY side of the continuous-ANN story (s14) — a stream of
+    * query vectors searched against a frozen self-contained
+    * ([[graft.functions.Similarity.retrainIvfPqIndex]]) on-disk index,
+    * each micro-batch's top-k appended under `resultsPath`. This is
+    * the online-serving shape of the index lifecycle: the tree is
+    * built/retrained offline, and an arriving query pays exactly the
+    * batch search cost — the probed `centroid_id=` directories pushed
+    * to the file listing by
+    * [[graft.functions.Similarity.knnIvfPqOnDisk]], never a scan of
+    * the tree. Per-batch driver state stays bounded: the model read is
+    * k·dims longs and the probe collect is queries×nprobe ints.
+    *
+    * The model is re-read from `_model/` each batch (two tiny parquet
+    * reads) so a search can never pair a retrained tree with stale
+    * frames — the e15 self-contained contract, kept under streaming.
+    *
+    * Failure semantics: each batch writes its OWN `batch=<id>`
+    * directory with `mode("overwrite")`, so at-least-once redelivery
+    * overwrites instead of duplicating result rows (the s10 staging
+    * idempotence pattern). Run with a checkpoint so completed batches
+    * don't replay; reset results and checkpoint TOGETHER when
+    * restarting a logical run.
+    */
+  def searchIngest(queries: DataFrame, indexPath: String,
+      corpus: DataFrame, resultsPath: String,
+      k: Int, nprobe: Int = 2, rerank: Int = 50,
+      m: Int = 4, dims: Int = 64,
+      checkpointPath: Option[String] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      val spark = batch.sparkSession
+      val (cents, cb) = Similarity.readIvfPqModel(spark, indexPath)
+      Similarity.knnIvfPqOnDisk(spark, indexPath, cents, cb, batch,
+          corpus, k, nprobe, rerank, m, dims)
+        .write.mode("overwrite").parquet(s"$resultsPath/batch=$batchId")
+      ()
+    }
+    val writer = queries.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
 }
