@@ -99,6 +99,7 @@ object Bench {
     "p08_zorder_layout" -> 0.5, // zero-shuffle Morton projection
     "s14_stream_ann_search" -> 8.0, // retrain + 2 streamed searches
     "d31_decontaminate_spans" -> 2.0, // broadcast bench set + hit-only rebuild
+    "e16_knn_ivfpq_fullprobe" -> 1.0, // e11's shape, all cells probed
     // round 13 additions (estimated from their siblings: s12 from
     // s10's streaming epochs minus the rebuild, e14 from e13 plus one
     // compaction pass, x13 from x12's scan pair, d30 from 2× d29)

@@ -2118,6 +2118,25 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Full-probe degeneration (e16): IVF-PQ with nprobe = k_coarse
+    // probes EVERY cell, so the candidate set is the whole index and
+    // the search must equal exhaustive ADC (e10) row for row — the
+    // identity that pins the coarse quantizer as a pure candidate
+    // filter (recall loss comes ONLY from unprobed cells, never from
+    // scoring). Shares e10's oracle; the recall-vs-nprobe curve in
+    // SCALE.md interpolates between this endpoint and nprobe=1.
+    "e16_knn_ivfpq_fullprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val index = Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64)
+      Similarity.knnIvfPq(index, cents, cb, queries, corpus, k = 5,
+          nprobe = 8, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Composed IVF-PQ (the FAISS IVFADC shape): coarse k=8 Lloyd
     // centroids gate WHICH cells are scored (nprobe=2 per query), PQ
     // codes gate HOW they're scored (ADC), exact cosine re-ranks the
@@ -2308,6 +2327,9 @@ object ExtensionQueries {
     // s14 is the e11 search with the QUERIES arriving as a stream —
     // per-batch results union to exactly the one-shot batch search
     ("s14_stream_ann_search" -> oracleSqlBase("e11_knn_ivfpq")) +
+    // e16 is IVF-PQ at nprobe = k_coarse — probing every cell must
+    // degenerate to e10's exhaustive ADC exactly
+    ("e16_knn_ivfpq_fullprobe" -> oracleSqlBase("e10_knn_pq")) +
     // d28 is d22's decontamination routed through the persisted
     // benchmark index — the artifact round-trip must change nothing
     ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate")) +

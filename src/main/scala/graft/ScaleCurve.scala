@@ -731,6 +731,72 @@ object ScaleCurve {
     println(s"[scalecurve] wrote $outFile")
   }
 
+  /** Measured IVF-PQ recall@k against the exact brute-force top-k —
+    * the sizing table for the two search knobs (`nprobe`: how many
+    * coarse cells are candidates; `rerank`: how deep the exact re-rank
+    * digs into the ADC shortlist). Full-probe (`nprobe = k_coarse`)
+    * isolates the rerank axis (by the e16 identity it IS exhaustive
+    * ADC), so the two sweeps decompose recall loss into its two
+    * sources: unprobed cells vs a too-shallow shortlist. 100 queries,
+    * k=10, the gate model config (k_coarse=16 cells, m=4 PQ).
+    */
+  def recallCurve(spark: SparkSession, srcDir: String,
+      outFile: String): Unit = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 100).persist()
+    val queries = emb.filter(col("vec_id") < 100).persist()
+    val nQ = queries.count(); corpus.count()
+    val k = 10
+    val kCoarse = 16
+    val truth = Similarity.knnBrute(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    truth.count()
+    val cents = Similarity.ivfTrain(corpus, kCoarse)
+    val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+    val index = Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64)
+      .persist()
+    index.count()
+    def measure(nprobe: Int, rerank: Int): (Double, Double) = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.knnIvfPq(index, cents, cb, queries, corpus, k,
+            nprobe, rerank)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val hits = Similarity.knnIvfPq(index, cents, cb, queries, corpus,
+          k, nprobe, rerank)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      (hits.toDouble / (nQ * k), times.head)
+    }
+    val probeRows = Seq(1, 2, 4, 8, 16).map { np =>
+      val (recall, t) = measure(np, rerank = 50)
+      println(f"[scalecurve] recall nprobe=$np rerank=50 " +
+        f"recall@$k=$recall%.4f t=$t%.2fs")
+      s"""{"axis":"nprobe","nprobe":$np,"rerank":50,""" +
+        s""""recall_at_$k":$recall,"time_min_s":$t}"""
+    }
+    val rerankRows = Seq(10, 25, 50, 100).map { rr =>
+      val (recall, t) = measure(kCoarse, rr)
+      println(f"[scalecurve] recall nprobe=$kCoarse rerank=$rr " +
+        f"recall@$k=$recall%.4f t=$t%.2fs")
+      s"""{"axis":"rerank","nprobe":$kCoarse,"rerank":$rr,""" +
+        s""""recall_at_$k":$recall,"time_min_s":$t}"""
+    }
+    val bruteTimes = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      Similarity.knnBrute(corpus, queries, k)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"[scalecurve] recall brute recall@$k=1.0 t=${bruteTimes.head}%.2fs")
+    val bruteRow =
+      s"""{"axis":"brute","recall_at_$k":1.0,"time_min_s":${bruteTimes.head}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      (probeRows ++ rerankRows :+ bruteRow).mkString("[", ",", "]"))
+    println(s"[scalecurve] wrote $outFile")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions sized to the data, not the core count, is the
@@ -759,12 +825,15 @@ object ScaleCurve {
         time(spark, out, dirs, samples = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt)
       case "manifest" :: src :: out :: Nil =>
         manifestCurve(spark, src, out)
+      case "recall" :: src :: out :: Nil =>
+        recallCurve(spark, src, out)
       case _ =>
         System.err.println(
           "usage: ScaleCurve gen <srcDir> <outDir> <replicas> | " +
             "ScaleCurve time <out.json> <label=dir> [label=dir ...] | " +
             "ScaleCurve work <out.json> <label=dir> [label=dir ...] | " +
-            "ScaleCurve manifest <srcDir> <out.json>")
+            "ScaleCurve manifest <srcDir> <out.json> | " +
+            "ScaleCurve recall <srcDir> <out.json>")
         sys.exit(2)
     }
     spark.stop()
