@@ -379,6 +379,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Personalized PageRank (g06): teleport mass restricted to a seed
+    // set (doc_id % 10 == 0) — authority RELATIVE to vetted seeds, the
+    // seed-expansion signal for growing a trusted corpus slice. Same
+    // near-dup graph and exact ppm div chain as g01; the oracle's
+    // unrolled sweeps differ only in the CASE'd base/init terms.
+    "g06_personalized_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"))
+      Graph.personalizedPageRank(Dedup.jaccardPairs(sh, 0.8),
+          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+          iters = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Degree-ordered triangle counting over the same near-dup graph:
     // the clustering-coefficient numerator, each triangle materialized
     // once at its minimum-(degree, id) vertex — the Suri–Vassilvitskii
@@ -3647,6 +3661,31 @@ object ExtensionQueries {
                    UNION ALL SELECT id_b, id_a FROM p),
          deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
          it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         ${sweep(1)}, ${sweep(2)}, ${sweep(3)}, ${sweep(4)}, ${sweep(5)}
+         SELECT id AS doc_id, pr FROM it5 ORDER BY doc_id"""
+    },
+
+    // mirrors g06: g01's unrolled ppm sweeps with the base/init terms
+    // CASE'd onto the seed predicate (id % 10 = 0)
+    "g06_personalized_pagerank" -> {
+      def sweep(k: Int) =
+        s"""it$k AS (
+           |  SELECT e.dst AS id,
+           |    CAST(CASE WHEN e.dst % 10 = 0 THEN 150000 ELSE 0 END
+           |         + SUM(((s.pr * 850000) // 1000000) // d.deg)
+           |         AS BIGINT) AS pr
+           |  FROM edges e
+           |  JOIN it${k - 1} s ON s.id = e.src
+           |  JOIN deg d ON d.id = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      s"""WITH $JaccardCtes,
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+         it0 AS (SELECT id,
+           CAST(CASE WHEN id % 10 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+           FROM deg),
          ${sweep(1)}, ${sweep(2)}, ${sweep(3)}, ${sweep(4)}, ${sweep(5)}
          SELECT id AS doc_id, pr FROM it5 ORDER BY doc_id"""
     },

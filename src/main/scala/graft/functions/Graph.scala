@@ -99,6 +99,62 @@ object Graph {
     scores
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * landing ONLY on a seed set, so scores measure authority *relative
+    * to the seeds* (random walks restart at them): the
+    * seed-set-expansion signal a curation pipeline uses to grow a
+    * trusted slice — seed the domains/documents editors vetted, rank
+    * the corpus by proximity, keep the head. Same exact integer ppm
+    * arithmetic as [[pageRank]] (damping per contribution, base term
+    * `1M − damping` added at seed nodes only, seed init 1M / non-seed
+    * 0), so results are bit-stable on any topology and the oracle
+    * replays the identical `div` chain. The seed set is broadcast (a
+    * seed list is small by definition); per-iteration cost is the same
+    * two O(|E|) hash shuffles as [[pageRank]], lineage truncated on
+    * the [[CheckpointEvery]] cadence. Nodes outside the seed set's
+    * reachable component score exactly 0 — drop them before
+    * normalizing.
+    */
+  def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
+      iters: Int = 5, dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1, "personalizedPageRank: iters must be >= 1")
+    require(dampingPpm >= 0 && dampingPpm <= Unit1M,
+      s"personalizedPageRank: dampingPpm must be in [0, $Unit1M]")
+    val edges = Materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val degrees = Materialize(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val base = Unit1M - dampingPpm
+    val seedSet = broadcast(seeds.toDF("__sid").distinct()
+      .withColumn("__seed", lit(true)))
+    var scores = degrees
+      .join(seedSet, degrees("src") === seedSet("__sid"), "left")
+      .select(col("src").as("doc_id"),
+        when(col("__seed"), lit(Unit1M)).otherwise(lit(0L))
+          .cast(LongType).as("pr"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(scores, edges("src") === scores("doc_id"))
+        .join(degrees, Seq("src"))
+        .select(col("dst"),
+          expr(s"((pr * $dampingPpm) div $Unit1M) div deg").as("c"))
+      val next0 = contrib.groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("c")).as("__m"))
+        .join(seedSet, col("doc_id") === col("__sid"), "left")
+        .select(col("doc_id"),
+          (when(col("__seed"), lit(base)).otherwise(lit(0L)) + col("__m"))
+            .cast(LongType).as("pr"))
+      scores =
+        if ((i + 1) % CheckpointEvery == 0 && (i + 1) < iters)
+          Materialize(next0)
+        else next0
+      i += 1
+    }
+    scores
+  }
+
   /** Score-table lineage truncation cadence for [[pageRank]] — every
     * N iterations the accumulated join chain is cut (the
     * [[Dedup.connectedComponents]] convention). Small enough that a

@@ -212,4 +212,38 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0)).toSet
     assert(core1 == Set(1L, 2L), s"self-loop kept a phantom core: $core1")
   }
+
+  test("personalized PageRank: mass concentrates around the seeds") {
+    // two structurally IDENTICAL triangles, bridged; seeds in the
+    // first — its nodes must outrank their mirror images, and with no
+    // seeds anywhere reachable a node scores exactly 0
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),    // triangle A (seeded)
+      (4L, 5L), (5L, 6L), (4L, 6L),    // triangle B (mirror)
+      (3L, 4L),                        // bridge
+      (20L, 21L)                       // far island, unreachable
+    ).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 2L).toDF("doc_id")
+    val pr = Graph.personalizedPageRank(pairs, seeds, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) > pr(6L) && pr(2L) > pr(5L) && pr(3L) > pr(4L),
+      s"seeded triangle must outrank its mirror: $pr")
+    assert(pr(20L) == 0L && pr(21L) == 0L,
+      s"unreachable island must score exactly 0: $pr")
+    // global pageRank is seed-blind: the mirrors tie there
+    val global = Graph.pageRank(pairs.filter(col("id_a") < 20L), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(global(1L) == global(6L) && global(2L) == global(5L),
+      s"sanity: global PR must tie the mirrors: $global")
+  }
+
+  test("personalized PageRank: determinism under repartitioning") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("doc_id")
+    def run(p: org.apache.spark.sql.DataFrame) =
+      Graph.personalizedPageRank(p, seeds, iters = 6)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(pairs) == run(pairs.repartition(5)))
+  }
 }
