@@ -595,6 +595,33 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d31 routed through the PERSISTED span index (d32): the benchmark
+    // windowed+hashed once into an artifact (window width stored
+    // inside — a k mismatch can't silently no-op the sweep), the
+    // corpus decontaminated against it. Artifact round-trip must
+    // change nothing: shares d31's oracle.
+    "d32_span_index_artifact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val slogan = "alpha beta gamma delta epsilon zeta eta theta"
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (8000001L, s"leak marker $slogan end")).toDF("doc_id", "text"))
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (9000001L, s"prefix words then $slogan and a tail here"),
+          (9000002L, "clean document with no leaked content at all"))
+          .toDF("doc_id", "text"))
+      val path = Scratch.path(dir, "d32_spanidx")
+      Scratch.reset(path)
+      Dedup.writeSpanIndex(bench, col("text"), path, k = 5)
+      Dedup.decontaminateSpansWithIndex(corpus, col("doc_id"),
+          col("text"), path)
+        .orderBy(col("doc_id"))
+    }),
+
     // Fuzzy record linkage / entity resolution: block customers on
     // (nation, segment), pair names within Levenshtein distance 1,
     // transitive-closure the match graph (star CC), assign every record
@@ -2347,6 +2374,9 @@ object ExtensionQueries {
     // d28 is d22's decontamination routed through the persisted
     // benchmark index — the artifact round-trip must change nothing
     ("d28_decontam_artifact" -> oracleSqlBase("d22_decontaminate")) +
+    // d32 is d31's span decontamination through the persisted span
+    // index — same rule, bench side entirely from the artifact
+    ("d32_span_index_artifact" -> oracleSqlBase("d31_decontaminate_spans")) +
     // s12 is s10's manifest through the epoch-frozen incremental
     // packer — in-order growth must equal the batch pack bin for bin
     ("s12_stream_shards_incremental" -> oracleSqlBase("s10_stream_shards")) +

@@ -1322,9 +1322,52 @@ object Dedup {
   def decontaminateSpans(corpus: DataFrame, bench: DataFrame, id: Column,
       text: Column, benchText: Column, k: Int = 13): DataFrame = {
     require(k >= 1, "decontaminateSpans: need k >= 1 (window width)")
-    val words = spanWords(corpus, id, text)
-    val contaminated = spanWindows(spanWords(bench, lit(0L), benchText), k)
+    cutContaminatedSpans(corpus, id, text,
+      spanWindows(spanWords(bench, lit(0L), benchText), k)
+        .select(col("h"), col("h2")).distinct(), k)
+  }
+
+  /** Persist a benchmark's span-decontamination index — the
+    * [[writeBenchIndex]] pattern for [[decontaminateSpans]]:
+    * benchmarks are static while the corpus grows daily, so the bench
+    * side is windowed+hashed ONCE into `path/hashes` (distinct 128-bit
+    * pairs) and every corpus increment decontaminates against the
+    * artifact ([[decontaminateSpansWithIndex]]). The window width `k`
+    * is stored IN the artifact (`path/meta`) and read back at use —
+    * a caller-supplied k that disagreed with the indexed hashes would
+    * match nothing and silently skip the decontamination, the failure
+    * mode a contamination sweep can least afford.
+    */
+  def writeSpanIndex(bench: DataFrame, benchText: Column, path: String,
+      k: Int = 13): Unit = {
+    require(k >= 1, "writeSpanIndex: need k >= 1 (window width)")
+    spanWindows(spanWords(bench, lit(0L), benchText), k)
       .select(col("h"), col("h2")).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    bench.sparkSession.range(1).select(lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[decontaminateSpans]] against a [[writeSpanIndex]] artifact —
+    * the daily-increment shape: the increment is windowed live, the
+    * benchmark side (hash pairs AND window width) comes entirely from
+    * the artifact. Result bit-identical to the live path over the
+    * same bench (d32 shares d31's oracle).
+    */
+  def decontaminateSpansWithIndex(corpus: DataFrame, id: Column,
+      text: Column, indexPath: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val k = spark.read.parquet(s"$indexPath/meta").head.getInt(0)
+    cutContaminatedSpans(corpus, id, text,
+      spark.read.parquet(s"$indexPath/hashes"), k)
+  }
+
+  /** The cut machinery shared by the live and artifact span-decontam
+    * paths: mark positions covered by any corpus window in the
+    * broadcast `contaminated` (h, h2) set, rebuild ONLY hit docs. */
+  private def cutContaminatedSpans(corpus: DataFrame, id: Column,
+      text: Column, contaminated: DataFrame, k: Int): DataFrame = {
+    val words = spanWords(corpus, id, text)
     val covered = spanWindows(words, k)
       .join(broadcast(contaminated), Seq("h", "h2"))
       .select(col("doc_id"),

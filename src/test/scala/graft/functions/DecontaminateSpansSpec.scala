@@ -49,4 +49,20 @@ class DecontaminateSpansSpec extends SparkSpec {
     assert(run(Seq((1L, "alpha beta gamma delta tail q1 seven")), k = 7)
       == Seq((1L, "alpha beta gamma delta tail q1 seven")))
   }
+
+  test("the persisted span index reproduces the live path; k rides inside") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spanidx").toString
+    Dedup.writeSpanIndex(bench, col("text"), dir, k = 3)
+    val k = spark.read.parquet(s"$dir/meta").head.getInt(0)
+    assert(k == 3, "window width must be stored in the artifact")
+    val corpus = Seq((1L, "intro alpha beta gamma delta outro"),
+      (2L, "totally clean words here")).toDF("doc_id", "text")
+    val viaIndex = Dedup.decontaminateSpansWithIndex(corpus,
+        col("doc_id"), col("text"), dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaIndex == Seq((1L, "intro outro"),
+      (2L, "totally clean words here")))
+  }
 }
