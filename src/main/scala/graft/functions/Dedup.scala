@@ -1319,12 +1319,17 @@ object Dedup {
     * as `''` (cut, not dropped — the caller's length filter will drop
     * it, keeping the accounting visible).
     */
+  /** `broadcastBench = false` switches the marking join to an ordinary
+    * shuffle join for bench window sets past the broadcast budget
+    * (a 10⁶-item benchmark × tens of windows each is ~10⁷–10⁸ hash
+    * pairs) — same rows, one extra exchange on the window hash. */
   def decontaminateSpans(corpus: DataFrame, bench: DataFrame, id: Column,
-      text: Column, benchText: Column, k: Int = 13): DataFrame = {
+      text: Column, benchText: Column, k: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
     require(k >= 1, "decontaminateSpans: need k >= 1 (window width)")
     cutContaminatedSpans(corpus, id, text,
       spanWindows(spanWords(bench, lit(0L), benchText), k)
-        .select(col("h"), col("h2")).distinct(), k)
+        .select(col("h"), col("h2")).distinct(), k, broadcastBench)
   }
 
   /** Persist a benchmark's span-decontamination index — the
@@ -1355,21 +1360,26 @@ object Dedup {
     * same bench (d32 shares d31's oracle).
     */
   def decontaminateSpansWithIndex(corpus: DataFrame, id: Column,
-      text: Column, indexPath: String): DataFrame = {
+      text: Column, indexPath: String,
+      broadcastBench: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     val k = spark.read.parquet(s"$indexPath/meta").head.getInt(0)
     cutContaminatedSpans(corpus, id, text,
-      spark.read.parquet(s"$indexPath/hashes"), k)
+      spark.read.parquet(s"$indexPath/hashes"), k, broadcastBench)
   }
 
   /** The cut machinery shared by the live and artifact span-decontam
     * paths: mark positions covered by any corpus window in the
-    * broadcast `contaminated` (h, h2) set, rebuild ONLY hit docs. */
+    * `contaminated` (h, h2) set (broadcast by default), rebuild ONLY
+    * hit docs. */
   private def cutContaminatedSpans(corpus: DataFrame, id: Column,
-      text: Column, contaminated: DataFrame, k: Int): DataFrame = {
+      text: Column, contaminated: DataFrame, k: Int,
+      broadcastBench: Boolean): DataFrame = {
     val words = spanWords(corpus, id, text)
+    val benchSide =
+      if (broadcastBench) broadcast(contaminated) else contaminated
     val covered = spanWindows(words, k)
-      .join(broadcast(contaminated), Seq("h", "h2"))
+      .join(benchSide, Seq("h", "h2"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("idx"))
       .distinct()

@@ -120,6 +120,9 @@ object Graph {
     require(iters >= 1, "personalizedPageRank: iters must be >= 1")
     require(dampingPpm >= 0 && dampingPpm <= Unit1M,
       s"personalizedPageRank: dampingPpm must be in [0, $Unit1M]")
+    require(seeds.columns.length == 1,
+      "personalizedPageRank: seeds must be a single id column, got " +
+        seeds.columns.mkString("(", ", ", ")"))
     val edges = Materialize(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))

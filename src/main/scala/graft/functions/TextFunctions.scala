@@ -283,14 +283,25 @@ object TextFunctions {
     * what makes the scoring side a broadcast join at any corpus size.
     * A 100 TB pipeline trains this once on its trusted reference slice
     * and persists it like any other model artifact.
+    *
+    * `minCount` is the standard LM pruning knob — on open-domain text
+    * the raw bigram TYPE count grows far past any broadcast budget
+    * (hapax bigrams dominate), and dropping `c2 < minCount` rows
+    * shrinks the model by orders of magnitude while barely moving the
+    * scores (pruned bigrams score as OOV, which the coverage columns
+    * report). Context counts `c1` are computed BEFORE pruning, so a
+    * pruned model still conditions on the true context mass.
     */
-  def lmTrainBigrams(corpus: DataFrame, text: Column): DataFrame = {
+  def lmTrainBigrams(corpus: DataFrame, text: Column,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "lmTrainBigrams: minCount must be >= 1")
     val shingled = corpus.select(words(text).as("__w"))
       .select(explode(wordShingles(col("__w"), 2)).as("s"))
     val big = shingled.groupBy(col("s")).agg(count(lit(1)).as("c2"))
     val ctx = big.groupBy(split(col("s"), " ").getItem(0).as("__w1"))
       .agg(sum(col("c2")).as("c1"))
-    big.join(ctx, split(big("s"), " ").getItem(0) === ctx("__w1"))
+    big.filter(col("c2") >= minCount)
+      .join(ctx, split(big("s"), " ").getItem(0) === ctx("__w1"))
       .select(col("s"), col("c2"), col("c1"))
   }
 

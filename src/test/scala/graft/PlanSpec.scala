@@ -166,4 +166,28 @@ class PlanSpec extends SparkSpec {
       .select("v").queryExecution.executedPlan.toString
     assert(p.contains("BatchScan"), p)
   }
+
+  test("round-14 operators: broadcast models, bounded shuffles, no cartesians") {
+    // p08 z-order values: a pure projection — the only exchange is the
+    // gate's output ORDER BY
+    val p08 = plan("p08_zorder_layout")
+    assert("Exchange".r.findAllIn(p08).length <= 1,
+      s"p08 z-value computation shuffles:\n$p08")
+    // t29 LM scoring: the model side joins as a BROADCAST (the whole
+    // design — corpus never shuffles for the lookup); the per-doc
+    // aggregate is hash-based with a map-side partial
+    val t29 = plan("t29_lm_familiarity")
+    assert(t29.contains("BroadcastHashJoin"),
+      s"t29 model join not broadcast:\n$t29")
+    assert(t29.contains("partial_count") || t29.contains("HashAggregate"),
+      s"t29 lost map-side partial aggregation:\n$t29")
+    // d31 span decontamination: bench marking join broadcast, never a
+    // cartesian anywhere in the rewrite
+    val d31 = plan("d31_decontaminate_spans")
+    assert(d31.contains("BroadcastHashJoin"),
+      s"d31 bench set not broadcast:\n$d31")
+    assert(!d31.contains("CartesianProduct") &&
+      !d31.contains("BroadcastNestedLoopJoin"),
+      s"d31 degenerated to a cross product:\n$d31")
+  }
 }

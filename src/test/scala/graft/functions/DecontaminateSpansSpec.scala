@@ -50,6 +50,18 @@ class DecontaminateSpansSpec extends SparkSpec {
       == Seq((1L, "alpha beta gamma delta tail q1 seven")))
   }
 
+  test("the shuffle-join fallback (broadcastBench = false) is identical") {
+    val corpus = Seq((1L, "intro alpha beta gamma delta outro"),
+      (2L, "totally clean words here"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    def run(bcast: Boolean) =
+      Dedup.decontaminateSpans(corpus, bench, col("doc_id"), col("text"),
+          col("text"), k = 3, broadcastBench = bcast)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run(true) == run(false))
+  }
+
   test("the persisted span index reproduces the live path; k rides inside") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-spanidx").toString

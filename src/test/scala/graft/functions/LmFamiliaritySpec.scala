@@ -45,6 +45,15 @@ class LmFamiliaritySpec extends SparkSpec {
     assert(got(3) == ((4L, 4L, 2L, Some(4.0 / 6.0))))
   }
 
+  test("minCount prunes hapax bigrams; context mass stays pre-prune") {
+    val pruned = TextFunctions.lmTrainBigrams(
+      Seq("a b a b c", "a b x").toDF("text"), col("text"), minCount = 2L)
+    val rows = pruned.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // only "a b" (c2=3) survives; its c1 still counts ALL of a's mass
+    assert(rows == Set(("a b", 3L, 3L)))
+  }
+
   test("scores are invariant to input partitioning (integer partials)") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val m = TextFunctions.lmTrainBigrams(
