@@ -252,6 +252,38 @@ object ScaleCurve {
         budget = 2000L, path = path)
       s.range(1).toDF("ok")
     }),
+    // round-14 additions: the new corpus-scale text/graph operators.
+    //  - t29: model trained on the en slice (corpus-linear aggregates,
+    //    vocabulary²-bounded output), whole corpus scored through the
+    //    broadcast join — expected ~linear end to end;
+    //  - d31: span decontamination at the d22 bench convention (ids
+    //    < 20 = a CONSTANT bench while the corpus grows — replica ids
+    //    are id·replicas + r, so the slice stays the two original
+    //    docs' replicas); cost = the corpus window projection plus a
+    //    rebuild bounded by the contaminated fraction — expected
+    //    ~linear;
+    //  - g06: personalized PageRank over the organic d03 pair graph
+    //    (g01's per-sweep cost with the seed flag riding a broadcast).
+    "t29_lm_familiarity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextFunctions.lmTrainBigrams(
+        d.filter(col("lang") === "en"), col("text"))
+      TextFunctions.lmFamiliarity(d, model, col("doc_id"), col("text"))
+    }),
+    "d31_decontam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateSpans(d.filter(col("doc_id") >= 20),
+        d.filter(col("doc_id") < 20),
+        col("doc_id"), col("text"), col("text"), k = 5)
+    }),
+    "g06_ppr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Graph.personalizedPageRank(
+        Dedup.jaccardPairs(
+          Dedup.shingleRows(d, col("doc_id"), col("text")), 0.8),
+        d.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+        iters = 5)
+    }),
     // e14's maintenance cost: one compaction pass over a 4-epoch tree —
     // O(index), expected ~linear in the corpus (codes are m bytes/vec),
     // run once per cadence rather than per epoch
