@@ -985,6 +985,31 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Markup stripping (t30): the first stage of a web-corpus pipeline
+    // — script/style/comment blocks dropped with contents, tags
+    // stripped (prose math `a < b` survives the letter-anchored tag
+    // regex), entities decoded single-pass (&amp; last), whitespace
+    // collapsed. Planted HTML fixtures carry every rule; the organic
+    // corpus (no markup) must pass through as a trim/collapse no-op.
+    "t30_strip_markup" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "<html><head><script type=\"text/js\">var x = 1 < 2;" +
+          "</script><style>p { color: red }</style></head><body>" +
+          "<p>Hello <b>world</b> &amp; friends</p><!-- hidden -->" +
+          "<div>a &lt; b &gt; c &quot;q&quot; &#39;s&#39;&nbsp;end" +
+          "</div></body></html>"),
+        (9000002L, "plain text with math a < b and c > d stays"),
+        (9000003L, "double encode &amp;lt; stays entity"),
+        (9000004L, "<P CLASS=\"x\">upper <BR/> tags</P> <!doctype html>")
+      ).toDF("doc_id", "txt")
+      t(s, dir, "documents").select(col("doc_id"), col("text").as("txt"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          TextFunctions.stripMarkup(col("txt")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction (t23): every email/phone/ipv4 match rewritten to a
     // <NAME> placeholder + per-pattern counts from the original text —
     // regexScan's emit-side twin. PII fixtures are planted as literal
@@ -3376,6 +3401,32 @@ object ExtensionQueries {
            CAST(sc2 AS DOUBLE) / sc1 AS familiarity
          FROM src d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // mirrors t30: the identical regexp/replace chain — blocks, tags,
+    // entities (&amp; last), whitespace collapse
+    "t30_strip_markup" ->
+      """WITH src AS (
+           SELECT doc_id, text AS txt FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, '<html><head><script type="text/js">var x = 1 < 2;</script><style>p { color: red }</style></head><body><p>Hello <b>world</b> &amp; friends</p><!-- hidden --><div>a &lt; b &gt; c &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'),
+             (9000002, 'plain text with math a < b and c > d stays'),
+             (9000003, 'double encode &amp;lt; stays entity'),
+             (9000004, '<P CLASS="x">upper <BR/> tags</P> <!doctype html>')) v(doc_id, txt))
+         SELECT doc_id, trim(regexp_replace(
+           replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(txt, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '</?[!a-zA-Z][^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+           '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean
+         FROM src ORDER BY doc_id""",
 
     // mirrors TextFunctions.redactPii: sequential global replace in
     // pattern order (email, phone, ipv4), counts from the original

@@ -273,6 +273,34 @@ object TextFunctions {
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Markup stripping — the FIRST stage of every web-corpus pipeline
+    * (C4/CCNet start from crawled HTML): drop `<script>`/`<style>`
+    * blocks WITH their contents and HTML comments, strip remaining
+    * tags (a tag must open with `</`, `<!` or `<letter`, so prose
+    * math like `a < b` survives), decode the six common entities with
+    * `&amp;` LAST (single-pass decode: `&amp;lt;` → `&lt;`, never
+    * `<`), and collapse whitespace. Pure regexp/replace chain on the
+    * Java∩RE2 subset (the t07/t23 convention, so the oracle replays
+    * it verbatim) — codegen'd, zero shuffle, embarrassingly parallel.
+    * This is a cleaner, not a parser: pathological markup (unclosed
+    * `<script`, attributes containing `>`) degrades to extra stripped
+    * text, the standard tradeoff every regex-based pipeline cleaner
+    * makes; documents that need DOM fidelity need a DOM, not a regex.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(text,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "</?[!a-zA-Z][^>]*>", " ")
+    val decoded = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&apos;"), lit("'")), lit("&nbsp;"), lit(" "))
+    trim(regexp_replace(replace(decoded, lit("&amp;"), lit("&")),
+      "\\s+", " "))
+  }
+
   /** Train the bigram language model for [[lmFamiliarity]]: one row per
     * distinct bigram `s` ("w1 w2", space-joined) with its corpus count
     * `c2` and its CONTEXT count `c1` (total continuations of `w1` —
