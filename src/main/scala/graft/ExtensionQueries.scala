@@ -1010,6 +1010,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization (t31): the crawl pipeline's URL-dedup key —
+    // scheme/host lowercased, www. and default ports stripped,
+    // fragment dropped, trailing slashes trimmed, tracking params
+    // removed and survivors SORTED. Planted fixtures carry every rule;
+    // the organic corpus text (no scheme://) passes through verbatim.
+    "t31_canonical_url" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag"),
+        (9000002L, "https://site.org:443/"),
+        (9000003L, "http://example.com/page?fbclid=123"),
+        (9000004L, "http://example.com/?a=1"),
+        (9000005L, "https://Site.org/a//b/"),
+        (9000006L, "https://x.io/p?gclid=9&utm_medium=m&z=1&a=2"),
+        (9000007L, "http://example.com:8080/keep"),
+        (9000008L, "https://www.deep.example.com/x?utm_campaign=c")
+      ).toDF("doc_id", "url")
+      t(s, dir, "documents").select(col("doc_id"), col("text").as("url"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          TextFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction (t23): every email/phone/ipv4 match rewritten to a
     // <NAME> placeholder + per-pattern counts from the original text —
     // regexScan's emit-side twin. PII fixtures are planted as literal
@@ -3401,6 +3425,48 @@ object ExtensionQueries {
            CAST(sc2 AS DOUBLE) / sc1 AS familiarity
          FROM src d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // mirrors t31: the identical extract/normalize chain; DuckDB's
+    // regexp_extract returns '' on no-match like Spark's, but
+    // array_to_string of an EMPTY list is NULL — hence the coalesce
+    "t31_canonical_url" ->
+      """WITH src AS (
+           SELECT doc_id, text AS url FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag'),
+             (9000002, 'https://site.org:443/'),
+             (9000003, 'http://example.com/page?fbclid=123'),
+             (9000004, 'http://example.com/?a=1'),
+             (9000005, 'https://Site.org/a//b/'),
+             (9000006, 'https://x.io/p?gclid=9&utm_medium=m&z=1&a=2'),
+             (9000007, 'http://example.com:8080/keep'),
+             (9000008, 'https://www.deep.example.com/x?utm_campaign=c')) v(doc_id, url)),
+         p AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+           FROM src),
+         n AS (
+           SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(
+                    CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5) ELSE hostport END, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(
+                    CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5) ELSE hostport END, ':443$', '')
+                  ELSE CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5) ELSE hostport END
+             END AS host,
+             regexp_replace(path, '/+$', '') AS cpath,
+             coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+               x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS cq
+           FROM p)
+         SELECT doc_id,
+           CASE WHEN scheme = '' THEN url
+                ELSE scheme || '://' || host || cpath ||
+                     CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+           END AS canonical_url
+         FROM n ORDER BY doc_id""",
 
     // mirrors t30: the identical regexp/replace chain — blocks, tags,
     // entities (&amp; last), whitespace collapse

@@ -301,6 +301,40 @@ object TextFunctions {
       "\\s+", " "))
   }
 
+  /** URL canonicalization — the dedup key a crawl pipeline computes
+    * before anything else (the same page arrives as `HTTP://WWW.X.COM
+    * :80/p/?utm_source=a#frag` and `http://x.com/p`): lowercase
+    * scheme+host, strip a leading `www.`, drop the scheme's default
+    * port, drop the fragment, strip trailing path slashes, remove
+    * tracking parameters (`utm_*`, `fbclid`, `gclid`) and SORT the
+    * survivors so parameter order can't split a group. Path case and
+    * interior slashes are preserved (they are semantic). Strings with
+    * no `scheme://` pass through unchanged — this is a normalizer,
+    * not a validator. Pure regexp/HOF chain on the Java∩RE2 subset
+    * (t07/t23 convention), zero shuffle; `groupBy(canonicalizeUrl(u))`
+    * keep-first IS the URL-level dedup, one hash-agg shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val path = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val noWww = when(hostport.startsWith("www."),
+      hostport.substr(lit(5), length(hostport))).otherwise(hostport)
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val cpath = regexp_replace(path, "/+$", "")
+    val cq = array_join(array_sort(filter(split(query, "&"),
+      x => length(x) > 0 && !x.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))),
+      "&")
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, cpath,
+        when(cq === "", lit("")).otherwise(concat(lit("?"), cq))))
+  }
+
   /** Train the bigram language model for [[lmFamiliarity]]: one row per
     * distinct bigram `s` ("w1 w2", space-joined) with its corpus count
     * `c2` and its CONTEXT count `c1` (total continuations of `w1` —
