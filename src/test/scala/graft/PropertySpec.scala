@@ -360,4 +360,30 @@ class PropertySpec extends SparkSpec {
         s"k=$k docs=$docs\n got=$got\nwant=$want")
     }
   }
+
+  test("canonicalizeUrl is idempotent on generated URLs") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // a canonical form that isn't a fixed point would split dup groups
+    // between first-pass and re-canonicalized pipelines
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "ftp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "x.io", "a.b.ORG")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/P/q", "/a//B/", "/p/")
+      query <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x&z=9",
+        "?fbclid=1", "?gclid=2&utm_medium=m&k=v")
+      frag <- Gen.oneOf("", "#frag", "#a/b?c")
+    } yield s"$scheme://$www$host$port$path$query$frag"
+    forAllSampled(Gen.listOfN(24, urlGen), n = 3) { urls =>
+      val once = urls.toDF("u")
+        .select(TextFunctions.canonicalizeUrl(col("u")).as("c"))
+      val twice = once
+        .select(TextFunctions.canonicalizeUrl(col("c")).as("c"))
+      val (a, b) = (once.collect().map(_.getString(0)).toSeq,
+        twice.collect().map(_.getString(0)).toSeq)
+      assert(a == b, s"not a fixed point:\n${a.zip(b).filter(p => p._1 != p._2)}")
+    }
+  }
 }
