@@ -1025,7 +1025,8 @@ object ExtensionQueries {
         (9000005L, "https://Site.org/a//b/"),
         (9000006L, "https://x.io/p?gclid=9&utm_medium=m&z=1&a=2"),
         (9000007L, "http://example.com:8080/keep"),
-        (9000008L, "https://www.deep.example.com/x?utm_campaign=c")
+        (9000008L, "https://www.deep.example.com/x?utm_campaign=c"),
+        (9000009L, "https://h.io/p#a?notquery=1")
       ).toDF("doc_id", "url")
       t(s, dir, "documents").select(col("doc_id"), col("text").as("url"))
         .unionByName(planted)
@@ -3441,13 +3442,14 @@ object ExtensionQueries {
              (9000005, 'https://Site.org/a//b/'),
              (9000006, 'https://x.io/p?gclid=9&utm_medium=m&z=1&a=2'),
              (9000007, 'http://example.com:8080/keep'),
-             (9000008, 'https://www.deep.example.com/x?utm_campaign=c')) v(doc_id, url)),
+             (9000008, 'https://www.deep.example.com/x?utm_campaign=c'),
+             (9000009, 'https://h.io/p#a?notquery=1')) v(doc_id, url)),
          p AS (
            SELECT doc_id, url,
              lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
              lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-             regexp_extract(url, '\?([^#]*)', 1) AS query
+             regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
            FROM src),
          n AS (
            SELECT doc_id, url, scheme,

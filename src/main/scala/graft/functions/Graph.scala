@@ -131,6 +131,11 @@ object Graph {
     val base = Unit1M - dampingPpm
     val seedSet = broadcast(seeds.toDF("__sid").distinct()
       .withColumn("__seed", lit(true)))
+    // an empty seed frame would silently zero every score — almost
+    // certainly an upstream filter bug, so fail loudly (seed lists are
+    // small by contract; the count is cheap)
+    require(!seedSet.isEmpty,
+      "personalizedPageRank: seeds is empty — every score would be 0")
     var scores = degrees
       .join(seedSet, degrees("src") === seedSet("__sid"), "left")
       .select(col("src").as("doc_id"),

@@ -320,7 +320,9 @@ object TextFunctions {
       "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
     val path = regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query starts at the FIRST '?' BEFORE any '#': [^#?]* can
+    // cross neither, so a '?' inside the fragment can never leak in
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val noWww = when(hostport.startsWith("www."),
       hostport.substr(lit(5), length(hostport))).otherwise(hostport)
     val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))

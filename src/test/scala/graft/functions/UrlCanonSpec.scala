@@ -36,6 +36,8 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("not a url at all") == "not a url at all")
     assert(canon("https://site.org:4430/x") == "https://site.org:4430/x",
       ":443 strips only as a SUFFIX port, not a prefix of a real one")
+    assert(canon("https://h.io/p#a?notquery=1") == "https://h.io/p",
+      "a '?' inside the fragment is fragment, never query")
   }
 
   test("groupBy(canonical) is the URL dedup: variants land together") {
