@@ -104,6 +104,7 @@ object Bench {
     "d32_span_index_artifact" -> 2.5, // d31 + the index write round-trip
     "t30_strip_markup" -> 0.5, // codegen'd regexp/replace projection
     "t31_canonical_url" -> 0.5, // zero-shuffle extract/normalize chain
+    "s15_stream_heavy_hitters" -> 1.5, // windowed MG sketch over events
     // round 13 additions (estimated from their siblings: s12 from
     // s10's streaming epochs minus the rebuild, e14 from e13 plus one
     // compaction pass, x13 from x12's scan pair, d30 from 2× d29)

@@ -1615,6 +1615,20 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Windowed heavy hitters (s15): "top talkers per hour" as a
+    // Misra–Gries sketch under the streaming window plan — per-window
+    // state is `capacity` counters regardless of key cardinality (the
+    // bounded-state property an exact per-(window, user) count lacks).
+    // Gate regime is exact (≤166 distinct users/hour « capacity 1024),
+    // so the oracle is the TRUE per-window top-5 with the sketch's
+    // (n DESC, item-string) tie-break; EventsStreamSpec pins the
+    // streaming execution equal to this batch plan.
+    "s15_stream_heavy_hitters" -> ((s, dir) => {
+      streaming.EventsStream.windowedHeavyHitters(
+          t(s, dir, "events"), col("user_id"), capacity = 1024, k = 5)
+        .orderBy(col("win_start"), col("rank"))
+    }),
+
     // Per-user quota (s08): first-50-events-per-user rate cap, run
     // through the ACTUAL Spark 4 transformWithState processor in batch
     // mode (typed ValueState, one long per user) — the oracle is the
@@ -4420,6 +4434,18 @@ object ExtensionQueries {
            FROM c)
          SELECT lang, CAST(rank AS BIGINT) AS rank, word, n
          FROM r WHERE rank <= 10 ORDER BY lang, rank""",
+
+    // mirrors s15 in the sketch's exact regime: true per-window top-5
+    // user counts with the sketch's (n DESC, item-string) tie-break
+    "s15_stream_heavy_hitters" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS win_start,
+             CAST(user_id AS VARCHAR) AS item, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT win_start, item, n, row_number()
+             OVER (PARTITION BY win_start ORDER BY n DESC, item) AS rank
+           FROM c)
+         SELECT win_start, CAST(rank AS BIGINT) AS rank, item, n
+         FROM r WHERE rank <= 5 ORDER BY win_start, rank""",
 
     // mirrors the x11 theta combine in its exact regime: true distinct
     // sets joined on user, inclusion–exclusion for the union — below k

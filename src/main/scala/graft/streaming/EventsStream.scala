@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -55,6 +55,36 @@ object EventsStream {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Windowed heavy hitters — the "top talkers per hour" monitor every
+    * ingest pipeline runs, as a SKETCH under streaming: per tumbling
+    * window, the top `k` items by a Misra–Gries summary
+    * ([[graft.functions.expressions.FrequentItems]]) of `capacity`
+    * counters, so per-window state is `capacity` entries NO MATTER how
+    * many distinct items the window sees — the property that keeps a
+    * 100 TB/day stream's aggregation state bounded where an exact
+    * per-(window, item) count grows with the key cardinality. The
+    * summary is a TypedImperativeAggregate with map-side partials, and
+    * the identical plan runs batch or streaming (`withWatermark` is a
+    * no-op on batch frames — the [[windowedCounts]] convention;
+    * EventsStreamSpec pins stream == batch). Below `capacity` distinct
+    * items per window the summary is provably exact (the x10 regime —
+    * the s15 gate's DuckDB oracle is the TRUE per-window top-k);
+    * above, counts carry the documented ≤ n/capacity undercount.
+    * Schema out: (win_start, rank, item, n).
+    */
+  def windowedHeavyHitters(events: DataFrame, item: Column,
+      capacity: Int = 1024, k: Int = 5,
+      window_ : String = "1 hour", watermark: String = "10 minutes",
+      setWatermark: Boolean = true): DataFrame =
+    (if (setWatermark) events.withWatermark("ts", watermark) else events)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.expressions.FrequentItems(
+        item.cast(StringType), capacity, k).as("top"))
+      .select(col("window.start").as("win_start"),
+        posexplode(col("top")).as(Seq("i", "tw")))
+      .select(col("win_start"), (col("i") + 1).cast(LongType).as("rank"),
+        col("tw.item").as("item"), col("tw.n").as("n"))
 
   /** Stream–static enrichment: join each event to a static (or
     * slowly-changing, re-read per micro-batch) dimension table, then

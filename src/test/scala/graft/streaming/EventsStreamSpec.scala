@@ -46,6 +46,30 @@ class EventsStreamSpec extends SparkSpec {
       s"stream/batch divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
   }
 
+  test("windowed heavy hitters: the sketch streams to the exact batch result") {
+    val dir = eventsDir
+    // TypedImperativeAggregate state (the Misra–Gries buffer) must
+    // survive the streaming state store's serialize/merge cycle — this
+    // is what the test pins beyond plain batch/stream plan parity
+    val stream = EventsStream.windowedHeavyHitters(
+      EventsStream.readEvents(spark, dir), col("user_id"),
+      capacity = 1024, k = 5)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hh_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).toSet
+    val expected = EventsStream.windowedHeavyHitters(
+        spark.read.parquet(dir), col("user_id"), capacity = 1024, k = 5)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"stream/batch divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("redelivery dedup: duplicated files stream to the exact batch result") {
     // the same events written TWICE into the watched directory — an
     // at-least-once source redelivering every file
