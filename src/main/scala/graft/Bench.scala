@@ -87,6 +87,17 @@ object Bench {
     * measured costs when `bench/cost_hints.json` exists.
     */
   private val bakedCostHint: Map[String, Double] = Map(
+    // round 15 additions (estimated from siblings: t32/t33 from t29's
+    // model-agg + join shape at order 3, p09 from p08, s16 from d32
+    // plus streaming overhead, p10 from p01 plus the decontaminate
+    // broadcast, e17 pure arithmetic, e18 from e11 on a fixed slice)
+    "t32_lm_ngram" -> 1.0,
+    "t33_lm_model_artifact" -> 1.5,
+    "p09_zorder_nd" -> 0.5,
+    "s16_stream_span_decontam" -> 6.0,
+    "p10_web_corpus_recipe" -> 3.5,
+    "e17_ivfpq_autoconfig" -> 0.3,
+    "e18_knn_ivfpq_autoconfig" -> 2.0,
     // round 14 additions (estimated from siblings: s13 from s12 plus a
     // compactShards pass, p07 from p06 plus three appends + an epoch
     // compaction)
@@ -635,7 +646,16 @@ object Bench {
     // artifact's 2.36 ratio was exactly that tail)
     ensureQuiet()
     probe("end")
-    emit(expired)
+    // Emission hygiene (VERDICT r14 #3): the result JSON must be the
+    // ABSOLUTE last stdout line — the streaming gates leave a state-
+    // store maintenance thread alive whose post-shutdown WARN used to
+    // trail the JSON in the sbt stream, so line-tail parsers mis-keyed
+    // the driver's `parsed` field every round. Stop the maintenance
+    // thread, silence stragglers, stop Spark, THEN print.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    emit(expired)
   }
 }

@@ -801,6 +801,25 @@ object ExtensionQueries {
         .orderBy(col("z"), col("doc_id"))
     }),
 
+    // N-dimensional z-order (p09): the 3-D Morton key over the grid a
+    // real corpus is actually queried by — (lang rank, source rank,
+    // length bin) — round-robin interleaved (bit i of dim j at z-bit
+    // 3i+j), so p08's 2-D layout is the D=2 view of the same
+    // arithmetic. ZorderSpec measures the 3-D pruning property (files
+    // touched by a single-dimension predicate vs a 1-D sort).
+    "p09_zorder_nd" -> ((s, dir) => {
+      val za = when(col("lang") === "en", 0L)
+        .when(col("lang") === "de", 1L)
+        .when(col("lang") === "es", 2L)
+        .when(col("lang") === "fr", 3L).otherwise(4L)
+      val zb = regexp_replace(col("source"), "^src", "").cast("long")
+      val zc = expr("n_chars div 16")
+      t(s, dir, "documents")
+        .select(col("doc_id"), za.as("za"), zb.as("zb"), zc.as("zc"),
+          Curation.zorderValue(Seq(za, zb, zc), bits = 6).as("z"))
+        .orderBy(col("z"), col("doc_id"))
+    }),
+
     // Data card (p05): the release-notes table of a published corpus —
     // docs/tokens/chars, exact-dup load (d02 fingerprints), mean doc
     // length — per language, per source, and overall, in ONE
@@ -1026,12 +1045,63 @@ object ExtensionQueries {
         (9000006L, "https://x.io/p?gclid=9&utm_medium=m&z=1&a=2"),
         (9000007L, "http://example.com:8080/keep"),
         (9000008L, "https://www.deep.example.com/x?utm_campaign=c"),
-        (9000009L, "https://h.io/p#a?notquery=1")
+        (9000009L, "https://h.io/p#a?notquery=1"),
+        (9000010L, "https://www.WWW.x.com/p"),
+        (9000011L, "http://wwwx.com/keephost")
       ).toDF("doc_id", "url")
       t(s, dir, "documents").select(col("doc_id"), col("text").as("url"))
         .unionByName(planted)
         .select(col("doc_id"),
           TextFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Trigram-LM familiarity (t32): t29 generalized to the order the
+    // published CCNet/Gopher filters actually use (order-n; gated at
+    // 3 so organic trigram overlap exercises the path) — same
+    // exact-integer Σc_n/Σc_{n−1} contract, context = shingle minus
+    // last word. Planted rows pin the null contract at this order: a
+    // sub-trigram doc and an all-OOV doc score null.
+    "t32_lm_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val planted = Seq(
+        (9000001L, "two words"),                     // no trigram → null
+        (9000002L, "zz qq vv zz ww"),                // all-OOV → null
+        (9000003L, "the table value part a row")     // in-vocab prose
+      ).toDF("doc_id", "txt")
+      val model = TextFunctions.lmTrainNgrams(
+        docs.filter(col("lang") === "en"), col("text"), order = 3)
+      TextFunctions.lmFamiliarityNgrams(
+          docs.select(col("doc_id"), col("text").as("txt"))
+            .unionByName(planted),
+          model, col("doc_id"), col("txt"), order = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // t32 routed through the PERSISTED model artifact (t33): the
+    // reference slice trained once into path/model with the order
+    // stored in path/meta (an order mismatch would silently score
+    // everything OOV — the d32 k-in-meta rule), the corpus scored
+    // against the artifact with the broadcastModel=false shuffle
+    // hatch. Artifact round-trip + hatch must change nothing: shares
+    // t32's oracle.
+    "t33_lm_model_artifact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val planted = Seq(
+        (9000001L, "two words"),
+        (9000002L, "zz qq vv zz ww"),
+        (9000003L, "the table value part a row")
+      ).toDF("doc_id", "txt")
+      val path = Scratch.path(dir, "t33_lmmodel")
+      Scratch.reset(path)
+      TextFunctions.writeLmModel(
+        docs.filter(col("lang") === "en"), col("text"), path, order = 3)
+      TextFunctions.lmFamiliarityWithIndex(
+          docs.select(col("doc_id"), col("text").as("txt"))
+            .unionByName(planted),
+          path, col("doc_id"), col("txt"), broadcastModel = false)
         .orderBy(col("doc_id"))
     }),
 
@@ -2453,7 +2523,10 @@ object ExtensionQueries {
     ("s13_stream_shards_ooo_repair" -> s13OracleSql) +
     // p07 is p06's targeted read through a grown-then-epoch-compacted
     // tree — frozen-bin compaction must change nothing the reader sees
-    ("p07_shard_read_compacted" -> oracleSqlBase("p06_shard_read"))
+    ("p07_shard_read_compacted" -> oracleSqlBase("p06_shard_read")) +
+    // t33 is t32 through the persisted LM-model artifact plus the
+    // broadcastModel=false shuffle hatch — neither may change a row
+    ("t33_lm_model_artifact" -> oracleSqlBase("t32_lm_ngram"))
 
   /** The s13 oracle: the s10 manifest SQL with the duplicate-survivor
     * rule rewritten for the gate's REVERSED delivery order — streaming
@@ -3441,6 +3514,40 @@ object ExtensionQueries {
          FROM src d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
 
+    // mirrors t32: trigram model (count c2 + context count c1, context
+    // = shingle minus last word) from the en slice, per-doc BIGINT
+    // sums over matched trigrams, one final division
+    "t32_lm_ngram" ->
+      """WITH mw AS (SELECT string_split(text, ' ') AS w
+             FROM documents WHERE lang = 'en'),
+         mb AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM mw),
+         big AS (SELECT s, count(*) AS c2 FROM mb GROUP BY 1),
+         ctx AS (SELECT regexp_replace(s, ' [^ ]*$', '') AS ck,
+             CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         model AS (SELECT s, c2, c1 FROM big
+           JOIN ctx ON regexp_replace(big.s, ' [^ ]*$', '') = ctx.ck),
+         src AS (
+           SELECT doc_id, text AS txt FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'two words'),
+             (9000002, 'zz qq vv zz ww'),
+             (9000003, 'the table value part a row')) v(doc_id, txt)),
+         db AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(txt, ' ') AS w FROM src)),
+         agg AS (SELECT doc_id, count(*) AS nb, count(c2) AS nk,
+             CAST(sum(c2) AS BIGINT) AS sc2,
+             CAST(sum(c1) AS BIGINT) AS sc1
+           FROM db LEFT JOIN model USING (s) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(nk, 0) AS BIGINT) AS n_known,
+           CAST(sc2 AS DOUBLE) / sc1 AS familiarity
+         FROM src d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
+
     // mirrors t31: the identical extract/normalize chain; DuckDB's
     // regexp_extract returns '' on no-match like Spark's, but
     // array_to_string of an EMPTY list is NULL — hence the coalesce
@@ -3457,7 +3564,9 @@ object ExtensionQueries {
              (9000006, 'https://x.io/p?gclid=9&utm_medium=m&z=1&a=2'),
              (9000007, 'http://example.com:8080/keep'),
              (9000008, 'https://www.deep.example.com/x?utm_campaign=c'),
-             (9000009, 'https://h.io/p#a?notquery=1')) v(doc_id, url)),
+             (9000009, 'https://h.io/p#a?notquery=1'),
+             (9000010, 'https://www.WWW.x.com/p'),
+             (9000011, 'http://wwwx.com/keephost')) v(doc_id, url)),
          p AS (
            SELECT doc_id, url,
              lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
@@ -3468,10 +3577,10 @@ object ExtensionQueries {
          n AS (
            SELECT doc_id, url, scheme,
              CASE WHEN scheme = 'http' THEN regexp_replace(
-                    CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5) ELSE hostport END, ':80$', '')
+                    regexp_replace(hostport, '^(www\.)+', ''), ':80$', '')
                   WHEN scheme = 'https' THEN regexp_replace(
-                    CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5) ELSE hostport END, ':443$', '')
-                  ELSE CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5) ELSE hostport END
+                    regexp_replace(hostport, '^(www\.)+', ''), ':443$', '')
+                  ELSE regexp_replace(hostport, '^(www\.)+', '')
              END AS host,
              regexp_replace(path, '/+$', '') AS cpath,
              coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
@@ -3913,6 +4022,22 @@ object ExtensionQueries {
            CAST(list_sum(list_transform(range(0, 6), i ->
              (((za >> i) & 1) << (2 * i))
                + (((zb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+         FROM dims ORDER BY z, doc_id""",
+
+    // mirrors p09: the identical 3-D round-robin interleave — bit i of
+    // dim j lands at z-bit 3i+j
+    "p09_zorder_nd" ->
+      """WITH dims AS (SELECT doc_id,
+           CAST(CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+             WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS BIGINT) AS za,
+           CAST(regexp_replace(source, '^src', '') AS BIGINT) AS zb,
+           n_chars // 16 AS zc
+         FROM documents)
+         SELECT doc_id, za, zb, zc,
+           CAST(list_sum(list_transform(range(0, 6), i ->
+             (((za >> i) & 1) << (3 * i))
+               + (((zb >> i) & 1) << (3 * i + 1))
+               + (((zc >> i) & 1) << (3 * i + 2)))) AS BIGINT) AS z
          FROM dims ORDER BY z, doc_id""",
 
     // mirrors Curation.dataCard: per-doc projection (token count,

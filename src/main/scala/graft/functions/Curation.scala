@@ -723,19 +723,38 @@ object Curation {
     * out-of-range inputs fail loudly rather than silently aliasing
     * into a neighbor's tile.
     */
-  def zorderValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "zorderValue: need 1 <= bits <= 31")
+  def zorderValue(a: Column, b: Column, bits: Int): Column =
+    zorderValue(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave (round-robin: bit `i` of dimension
+    * `j` lands at z-bit `i·D + j`, so for D = 2 this IS the classic
+    * (a, b) layout above — the 2-D form is a view of this one). Real
+    * z-order clustering takes however many dimensions the corpus is
+    * queried by (Delta `OPTIMIZE ZORDER BY c1, …, cN`); the interleave
+    * stays pure unrolled long arithmetic — codegen'd, zero shuffle,
+    * engine-portable — and each dimension keeps its own loud
+    * out-of-range guard (silent aliasing into a neighbor's tile is the
+    * failure a layout op can least afford). `bits · D ≤ 63` keeps the
+    * key in one signed long.
+    */
+  def zorderValue(dims: Seq[Column], bits: Int): Column = {
+    val d = dims.size
+    require(d >= 1, "zorderValue: need at least one dimension")
+    require(bits >= 1 && bits * d <= 63,
+      s"zorderValue: need 1 <= bits and bits*dims <= 63 (got $bits*$d)")
     val cap = 1L << bits
     val guard = (c: Column, n: String) =>
       when(c.isNull || c < 0 || c >= cap,
         raise_error(concat(lit(s"zorderValue: $n out of [0, $cap): "),
           c.cast("string")))).otherwise(c)
-    val av = guard(a.cast(LongType), "a")
-    val bv = guard(b.cast(LongType), "b")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(av, i).bitwiseAND(1L), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(bv, i).bitwiseAND(1L), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+    val vs = dims.zipWithIndex.map { case (c, j) =>
+      guard(c.cast(LongType), if (d == 2) (if (j == 0) "a" else "b")
+        else s"dim$j") }
+    (for {
+      i <- 0 until bits
+      (v, j) <- vs.zipWithIndex
+    } yield shiftleft(shiftright(v, i).bitwiseAND(1L), i * d + j))
+      .reduce(_.bitwiseOR(_))
   }
 
   /** Z-order clustered layout — the multi-dimensional data-skipping
@@ -753,11 +772,25 @@ object Curation {
     * op: run it once per rewrite cycle, not per query.
     */
   def zorderLayout(df: DataFrame, a: Column, b: Column, bits: Int,
+      numFiles: Int): DataFrame =
+    zorderLayout(df, Seq(a, b), bits, numFiles)
+
+  /** N-dimensional [[zorderLayout]] — one range exchange on the
+    * [[zorderValue]] key over however many dimensions the corpus is
+    * queried by. The staging key column picks a name the input does
+    * not already use (an input that legitimately carries a `__z`
+    * column must survive the layout intact, not be silently
+    * overwritten and dropped).
+    */
+  def zorderLayout(df: DataFrame, dims: Seq[Column], bits: Int,
       numFiles: Int): DataFrame = {
     require(numFiles >= 1, "zorderLayout: numFiles must be positive")
-    df.withColumn("__z", zorderValue(a, b, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    val z = Iterator.from(0)
+      .map(i => if (i == 0) "__z" else s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(z, zorderValue(dims, bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
   }
 }

@@ -323,8 +323,11 @@ object TextFunctions {
     // the query starts at the FIRST '?' BEFORE any '#': [^#?]* can
     // cross neither, so a '?' inside the fragment can never leak in
     val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
-    val noWww = when(hostport.startsWith("www."),
-      hostport.substr(lit(5), length(hostport))).otherwise(hostport)
+    // (www\.)+ not a single strip: www.www.x.com must canonicalize to
+    // x.com in ONE pass or the form isn't a fixed point (idempotence
+    // is what lets a re-canonicalized pipeline share dedup groups with
+    // a first-pass one — PropertySpec pins it with doubled prefixes)
+    val noWww = regexp_replace(hostport, "^(www\\.)+", "")
     val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(noWww)
@@ -357,15 +360,35 @@ object TextFunctions {
     * pruned model still conditions on the true context mass.
     */
   def lmTrainBigrams(corpus: DataFrame, text: Column,
+      minCount: Long = 1L): DataFrame =
+    lmTrainNgrams(corpus, text, order = 2, minCount)
+
+  /** Order-n generalization of [[lmTrainBigrams]] — the model the
+    * published CCNet/Gopher quality filters actually use is a 5-gram
+    * LM, not a bigram one. One row per distinct n-gram `s`
+    * (space-joined) with its corpus count `c2` and its CONTEXT count
+    * `c1` (total continuations of the n-gram's first n−1 words), so
+    * the exact-integer Σc2/Σc1 scoring contract carries over from the
+    * bigram form unchanged. The context key is the shingle minus its
+    * last word (`regexp_replace(s, " [^ ]*$", "")` — Java∩RE2, so the
+    * oracle replays it verbatim); for order = 2 that IS the first
+    * word, which is why [[lmTrainBigrams]] is this with order = 2.
+    * Same pruning contract: `c1` is computed BEFORE the `minCount`
+    * filter, so a pruned model still conditions on true context mass.
+    */
+  def lmTrainNgrams(corpus: DataFrame, text: Column, order: Int,
       minCount: Long = 1L): DataFrame = {
-    require(minCount >= 1, "lmTrainBigrams: minCount must be >= 1")
+    require(order >= 2,
+      "lmTrainNgrams: need order >= 2 (a context to condition on)")
+    require(minCount >= 1, "lmTrainNgrams: minCount must be >= 1")
     val shingled = corpus.select(words(text).as("__w"))
-      .select(explode(wordShingles(col("__w"), 2)).as("s"))
+      .select(explode(wordShingles(col("__w"), order)).as("s"))
     val big = shingled.groupBy(col("s")).agg(count(lit(1)).as("c2"))
-    val ctx = big.groupBy(split(col("s"), " ").getItem(0).as("__w1"))
+    val ctxOf = (c: Column) => regexp_replace(c, " [^ ]*$", "")
+    val ctx = big.groupBy(ctxOf(col("s")).as("__ctx"))
       .agg(sum(col("c2")).as("c1"))
     big.filter(col("c2") >= minCount)
-      .join(ctx, split(big("s"), " ").getItem(0) === ctx("__w1"))
+      .join(ctx, ctxOf(big("s")) === ctx("__ctx"))
       .select(col("s"), col("c2"), col("c1"))
   }
 
@@ -391,18 +414,74 @@ object TextFunctions {
     * null — unknown, not zero; route them by `n_known`/`n_bigrams`.
     */
   def lmFamiliarity(docs: DataFrame, model: DataFrame, id: Column,
-      text: Column): DataFrame = {
+      text: Column, broadcastModel: Boolean = true): DataFrame =
+    lmFamiliarityNgrams(docs, model, id, text, order = 2, broadcastModel)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
+
+  /** Order-n [[lmFamiliarity]] — score against an [[lmTrainNgrams]]
+    * model of the matching order. Same exact-integer contract: two
+    * BIGINT sums per doc over its model-matched n-grams, ONE IEEE
+    * division, null (not zero) for docs with no matched n-gram.
+    *
+    * `broadcastModel = false` switches the scoring join to an ordinary
+    * shuffle join — the hatch for UNPRUNED open-domain models, whose
+    * n-gram type count (hapax n-grams dominate, worse with order) can
+    * grow past any broadcast budget; same rows, one extra exchange on
+    * the shingle key (the d31 `broadcastBench` pattern).
+    *
+    * Schema out: (doc_id, n_ngrams, n_known, familiarity).
+    */
+  def lmFamiliarityNgrams(docs: DataFrame, model: DataFrame, id: Column,
+      text: Column, order: Int, broadcastModel: Boolean = true): DataFrame = {
+    require(order >= 2,
+      "lmFamiliarityNgrams: need order >= 2 (a context to condition on)")
     val b = docs.select(id.as("doc_id"), words(text).as("__w"))
       .select(col("doc_id"),
-        explode_outer(wordShingles(col("__w"), 2)).as("s"))
-    b.join(broadcast(model), Seq("s"), "left")
+        explode_outer(wordShingles(col("__w"), order)).as("s"))
+    val m = if (broadcastModel) broadcast(model) else model
+    b.join(m, Seq("s"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(col("s")).as("n_bigrams"),
+      .agg(count(col("s")).as("n_ngrams"),
         count(col("c2")).as("n_known"),
         sum(col("c2")).as("__sc2"),
         sum(col("c1")).as("__sc1"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+      .select(col("doc_id"), col("n_ngrams"), col("n_known"),
         (col("__sc2").cast(DoubleType) / col("__sc1")).as("familiarity"))
+  }
+
+  /** Persist an [[lmTrainNgrams]] model as an artifact — the
+    * train-once/score-daily shape every other model family here
+    * already has ([[Dedup.writeBenchIndex]], [[Dedup.writeSpanIndex]],
+    * the IVF-PQ `_model/` tree): the reference slice is shingled and
+    * counted ONCE into `path/model`, and every corpus increment scores
+    * against the artifact ([[lmFamiliarityWithIndex]]). The order and
+    * minCount are stored IN the artifact (`path/meta`, the d32
+    * k-in-meta rule) and read back at use — a caller-supplied order
+    * that disagreed with the indexed shingles would match nothing and
+    * silently score every document OOV.
+    */
+  def writeLmModel(corpus: DataFrame, text: Column, path: String,
+      order: Int = 5, minCount: Long = 1L): Unit = {
+    lmTrainNgrams(corpus, text, order, minCount)
+      .write.mode("overwrite").parquet(s"$path/model")
+    corpus.sparkSession.range(1)
+      .select(lit(order).as("order"), lit(minCount).as("min_count"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[lmFamiliarityNgrams]] against a [[writeLmModel]] artifact — the
+    * daily-increment shape: the increment is shingled live, the model
+    * side (counts AND order) comes entirely from the artifact. Result
+    * bit-identical to the live path over the same reference slice
+    * (t33 shares t32's oracle).
+    */
+  def lmFamiliarityWithIndex(docs: DataFrame, indexPath: String,
+      id: Column, text: Column, broadcastModel: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    val order = spark.read.parquet(s"$indexPath/meta")
+      .select(col("order")).head.getInt(0)
+    lmFamiliarityNgrams(docs, spark.read.parquet(s"$indexPath/model"),
+      id, text, order, broadcastModel)
   }
 
   /** Deterministic per-stratum sampling: keep a row iff the portable

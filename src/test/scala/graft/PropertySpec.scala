@@ -368,7 +368,7 @@ class PropertySpec extends SparkSpec {
     // between first-pass and re-canonicalized pipelines
     val urlGen: Gen[String] = for {
       scheme <- Gen.oneOf("http", "https", "HTTP", "ftp")
-      www <- Gen.oneOf("", "www.", "WWW.")
+      www <- Gen.oneOf("", "www.", "WWW.", "www.www.", "WWW.www.")
       host <- Gen.oneOf("Example.COM", "x.io", "a.b.ORG")
       port <- Gen.oneOf("", ":80", ":443", ":8080")
       path <- Gen.oneOf("", "/", "/P/q", "/a//B/", "/p/")

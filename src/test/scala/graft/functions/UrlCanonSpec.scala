@@ -20,6 +20,10 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag")
       == "http://example.com/Path/To/Page?a=1&b=2")
     assert(canon("https://site.org:443/") == "https://site.org")
+    assert(canon("https://www.WWW.x.com/p") == "https://x.com/p",
+      "repeated www. prefixes strip in ONE pass (fixed point)")
+    assert(canon("http://wwwx.com/keephost") == "http://wwwx.com/keephost",
+      "www without a dot is a real host prefix, not the subdomain")
   }
 
   test("tracking params drop; survivors sort; empty query vanishes") {
