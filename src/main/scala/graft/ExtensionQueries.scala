@@ -2071,6 +2071,52 @@ object ExtensionQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Recall-targeted IVF-PQ sizing (e17): the r14 recall-curve
+    // findings (nprobe saturation, shortlist dilution) applied as a
+    // derived-config rule — kCoarse=clamp(floor(sqrt n), 1, n/39),
+    // sub<=8 dims per PQ subspace, nprobe=ceil(kCoarse·t) in exact
+    // ppm integers, rerank=max(4k, 2k·nprobe) so a probe can never
+    // crowd out another cell's candidates. The oracle replays the
+    // arithmetic over the same grid; AutoIvfPqSpec MEASURES recall ≥
+    // target at the derived config on the curve corpus.
+    "e17_ivfpq_autoconfig" -> ((s, dir) => {
+      import s.implicits._
+      val grid: Seq[(Long, Int, Int, Double)] = Seq(
+        (500L, 64, 10, 0.25), (500L, 64, 10, 0.5), (500L, 64, 10, 0.8),
+        (500L, 64, 10, 1.0), (1900L, 64, 10, 0.5), (1900L, 64, 10, 0.9),
+        (1900L, 64, 10, 1.0), (65536L, 64, 5, 0.8),
+        (1000000L, 64, 100, 0.9), (1000000000L, 64, 10, 0.9),
+        (1000000L, 20, 10, 0.8), (1000000L, 7, 10, 0.8),
+        (123456L, 16, 25, 0.66))
+      grid.map { case (n, dims, k, tr) =>
+        val c = Similarity.autoIvfPqConfig(n, dims, k, tr)
+        (n, dims, k, tr, c.kCoarse, c.m, c.nprobe, c.rerank)
+      }.toDF("n", "dims", "k", "target",
+          "k_coarse", "m", "nprobe", "rerank")
+        .orderBy(col("n"), col("dims"), col("k"), col("target"))
+    }),
+
+    // The derived config end to end (e18): autoIvfPqConfig at
+    // targetRecall=1.0 must DEGENERATE to the exact search — full
+    // probe (the e16 identity) + rerank=n — so a train/index/search
+    // through the derived knobs on a fixed 500-vector slice is
+    // hash-gated equal to brute force. Pins the config→search seam,
+    // not just the arithmetic.
+    "e18_knn_ivfpq_autoconfig" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 510)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cfg = Similarity.autoIvfPqConfig(500L, dims = 64, k = 5,
+        targetRecall = 1.0)
+      val cents = Similarity.ivfTrain(corpus, cfg.kCoarse)
+      val cb = Similarity.pqTrain(corpus, m = cfg.m, k = 8, dims = 64)
+      val index = Similarity.ivfPqIndex(corpus, cents, cb, m = cfg.m,
+        dims = 64)
+      Similarity.knnIvfPq(index, cents, cb, queries, corpus, k = 5,
+          nprobe = cfg.nprobe, rerank = cfg.rerank, m = cfg.m, dims = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Exact ANN baseline: brute-force quantized cosine top-5 for the
     // first 10 vectors against the rest of the corpus.
     "e01_knn_brute" -> ((s, dir) => {
@@ -4676,6 +4722,62 @@ object ExtensionQueries {
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // mirrors e17: the identical sizing arithmetic — floor(IEEE sqrt)
+    // for the cell count, exact ppm² integers for the probe fraction
+    // (BIGINT-safe at this grid: k_coarse·tppm² ≤ 2.6e16)
+    "e17_ivfpq_autoconfig" ->
+      """WITH grid(n, dims, k, target) AS (VALUES
+           (500, 64, 10, 0.25), (500, 64, 10, 0.5), (500, 64, 10, 0.8),
+           (500, 64, 10, 1.0), (1900, 64, 10, 0.5), (1900, 64, 10, 0.9),
+           (1900, 64, 10, 1.0), (65536, 64, 5, 0.8),
+           (1000000, 64, 100, 0.9), (1000000000, 64, 10, 0.9),
+           (1000000, 20, 10, 0.8), (1000000, 7, 10, 0.8),
+           (123456, 16, 25, 0.66)),
+         base AS (SELECT CAST(n AS BIGINT) AS n, dims, k,
+             CAST(target AS DOUBLE) AS target,
+             GREATEST(1, LEAST(
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT),
+               CAST(n AS BIGINT) // 39)) AS k_coarse,
+             CASE WHEN dims % 8 = 0 THEN dims // 8
+                  WHEN dims % 4 = 0 THEN dims // 4
+                  WHEN dims % 2 = 0 THEN dims // 2
+                  ELSE dims END AS m,
+             CAST(round(CAST(target AS DOUBLE) * 1000000) AS BIGINT) AS tppm
+           FROM grid),
+         np AS (SELECT *,
+             CASE WHEN tppm >= 1000000 THEN k_coarse
+                  ELSE GREATEST(1, LEAST(k_coarse,
+                    (k_coarse * tppm + 999999) // 1000000)) END AS nprobe
+           FROM base)
+         SELECT n, dims, k, target,
+           CAST(k_coarse AS INT) AS k_coarse, CAST(m AS INT) AS m,
+           CAST(nprobe AS INT) AS nprobe,
+           CAST(CASE WHEN tppm >= 1000000 THEN LEAST(n, 2147483647)
+                ELSE LEAST(n, GREATEST(4 * k, 2 * k * nprobe)) END AS INT)
+             AS rerank
+         FROM np ORDER BY n, dims, k, target""",
+
+    // mirrors e18: brute-force exact cosine top-5 over the fixed
+    // 500-vector slice — what the derived config at targetRecall=1.0
+    // must reproduce through the full train/index/search path
+    "e18_knn_ivfpq_autoconfig" ->
+      s"""WITH qv AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         cv AS (SELECT * FROM embeddings
+                WHERE vec_id >= 10 AND vec_id < 510),
+         scored AS (
+           SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             CAST(${dotQ("qv.embedding", "cv.embedding")} AS DOUBLE)
+               / (sqrt(CAST(${dotQ("qv.embedding", "qv.embedding")} AS DOUBLE))
+                  * sqrt(CAST(${dotQ("cv.embedding", "cv.embedding")} AS DOUBLE))) AS cos
+           FROM qv CROSS JOIN cv),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
 
     "e01_knn_brute" ->
       s"""WITH qv AS (SELECT * FROM embeddings WHERE vec_id < 10),

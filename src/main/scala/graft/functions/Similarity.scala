@@ -1024,6 +1024,83 @@ object Similarity {
       collectCodebooks(codebooks, m), corpus, k, rerank, m, dims / m)
   }
 
+  /** A derived IVF-PQ operating point: coarse cell count, PQ subspace
+    * count, probed cells per query, and exact-rerank shortlist depth.
+    */
+  final case class IvfPqConfig(kCoarse: Int, m: Int, nprobe: Int,
+    rerank: Int)
+
+  /** Recall-targeted IVF-PQ sizing — the measured findings of the
+    * r14 recall curve (`ann_recall_curve.json` / SCALE.md) turned into
+    * an applied rule, the way [[autoPlanes]] / [[autoClusters]] /
+    * [[autoMaxBucketSize]] encode theirs:
+    *
+    *   - `kCoarse = clamp(floor(sqrt(n)), 1, n/39)` — the standard IVF
+    *     cell rule (cells ≈ sqrt(n) keeps probe work ≈ nprobe·sqrt(n)
+    *     rows), capped so every centroid keeps ≥ 39 training points
+    *     (under-trained cells collapse and skew occupancy).
+    *   - `m = dims / sub` with the LARGEST sub ∈ {8, 4, 2, 1} dividing
+    *     `dims` — ≤ 8 dims per subspace keeps ADC informative; the
+    *     r14 curve's weak recall ceiling traced to the gate model's
+    *     deliberate 16-dim subspaces (sized for oracle tractability).
+    *   - `nprobe = clamp(ceil(kCoarse · t), 1, kCoarse)` — probe
+    *     fraction linear in the target, interpolating to full probe
+    *     as t → 1. Deliberately conservative: the rule is calibrated
+    *     on the curve corpus's UNSTRUCTURED (uniform-random)
+    *     embeddings — the worst case for a coarse quantizer, where
+    *     neighbors are near-equidistant and cell membership carries
+    *     little signal. Clustered real-world embeddings reach the
+    *     same recall at far smaller fractions; the rule promises the
+    *     target even without that structure.
+    *   - `rerank = max(4k, 2k · nprobe)` — the SHORTLIST-DILUTION
+    *     rule, the curve's sharpest finding (more probes at fixed
+    *     rerank LOWER recall — re-measured in AutoIvfPqSpec's grid:
+    *     0.63 → 0.52 at fixed rerank=80 as nprobe goes 6 → 12): 2k
+    *     shortlist slots per probed cell means adding a probe can
+    *     never crowd earlier cells' candidates out, and the 2×
+    *     headroom absorbs ADC mis-ranking within each cell (measured:
+    *     k·nprobe slots miss the target by ~0.2 recall on the curve
+    *     corpus; 2k·nprobe clears it).
+    *   - `targetRecall = 1.0` degenerates to the exact search —
+    *     nprobe = kCoarse (the e16 full-probe identity) and
+    *     rerank = n, hash-gated equal to brute force (e18).
+    *
+    * All arithmetic is integer-exact or IEEE-specified (sqrt is
+    * correctly rounded by IEEE-754; the target is quantized to ppm
+    * before use) so the derived config is engine-reproducible — the
+    * e17 gate replays the rule in SQL. Recall at the derived config
+    * is MEASURED, not assumed: AutoIvfPqSpec pins recall@k ≥
+    * targetRecall on the curve corpus.
+    */
+  def autoIvfPqConfig(corpusSize: Long, dims: Int, k: Int,
+      targetRecall: Double): IvfPqConfig = {
+    require(corpusSize > 0, "autoIvfPqConfig: corpusSize must be positive")
+    require(dims > 0, "autoIvfPqConfig: dims must be positive")
+    require(k > 0 && k <= corpusSize,
+      "autoIvfPqConfig: need 0 < k <= corpusSize")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      "autoIvfPqConfig: targetRecall must be in (0, 1]")
+    val kCoarse = math.min(Int.MaxValue.toLong, math.max(1L, math.min(
+      math.floor(math.sqrt(corpusSize.toDouble)).toLong,
+      corpusSize / 39L))).toInt
+    val sub = Seq(8, 4, 2, 1).find(dims % _ == 0).get
+    val m = dims / sub
+    val tppm = math.round(targetRecall * 1000000.0)
+    val (nprobe, rerank) =
+      if (tppm >= 1000000L) (kCoarse.toLong, corpusSize)
+      else {
+        // ceil(kCoarse · t) in exact ppm integer space (kCoarse·tppm
+        // ≤ 2^31 · 10^6 — fits a signed long)
+        val np = math.max(1L, math.min(kCoarse.toLong,
+          (kCoarse * tppm + 999999L) / 1000000L))
+        val rr = BigInt(2L) * k * np
+        (np, math.min(corpusSize,
+          math.max(4L * k, rr.min(Long.MaxValue).toLong)))
+      }
+    IvfPqConfig(kCoarse, m, nprobe.toInt,
+      math.min(rerank, Int.MaxValue.toLong).toInt)
+  }
+
   /** The probe set: each query's `nprobe` nearest coarse cells —
     * (query_id, q_emb, centroid_id), queries × nprobe rows, bounded by
     * the broadcastable-queries contract. */
