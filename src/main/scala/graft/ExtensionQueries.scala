@@ -1685,6 +1685,46 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Streaming span decontamination (s16): the d32 artifact under
+    // continuous ingest — benchmark windowed+hashed ONCE into the
+    // persisted span index, the d31 corpus (same plants) delivered as
+    // a two-drop file stream, each micro-batch cut against the artifact
+    // (re-read per batch, the s14 stale-frames rule) into idempotent
+    // batch= dirs. The union of per-batch outputs must equal the
+    // one-shot batch sweep: shares d31's oracle.
+    "s16_stream_span_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val slogan = "alpha beta gamma delta epsilon zeta eta theta"
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (8000001L, s"leak marker $slogan end")).toDF("doc_id", "text"))
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (9000001L, s"prefix words then $slogan and a tail here"),
+          (9000002L, "clean document with no leaked content at all"))
+          .toDF("doc_id", "text"))
+      val idx = Scratch.path(dir, "s16_spanidx")
+      val in = Scratch.path(dir, "s16_in")
+      val out = Scratch.path(dir, "s16_out")
+      val ckpt = Scratch.path(dir, "s16_ckpt")
+      Seq(idx, in, out, ckpt).foreach(Scratch.reset)
+      Dedup.writeSpanIndex(bench, col("text"), idx, k = 5)
+      (0 until 2).foreach(r => corpus.filter(col("doc_id") % 2 === r)
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.decontaminateSpansIngest(stream,
+        col("doc_id"), col("text"), idx, out,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
+        .orderBy(col("doc_id"))
+    }),
+
     // Windowed heavy hitters (s15): "top talkers per hour" as a
     // Misra–Gries sketch under the streaming window plan — per-window
     // state is `capacity` counters regardless of key cardinality (the
@@ -2572,7 +2612,10 @@ object ExtensionQueries {
     ("p07_shard_read_compacted" -> oracleSqlBase("p06_shard_read")) +
     // t33 is t32 through the persisted LM-model artifact plus the
     // broadcastModel=false shuffle hatch — neither may change a row
-    ("t33_lm_model_artifact" -> oracleSqlBase("t32_lm_ngram"))
+    ("t33_lm_model_artifact" -> oracleSqlBase("t32_lm_ngram")) +
+    // s16 is d31's span sweep run per micro-batch against the d32
+    // artifact — streaming the corpus must change nothing
+    ("s16_stream_span_decontam" -> oracleSqlBase("d31_decontaminate_spans"))
 
   /** The s13 oracle: the s10 manifest SQL with the duplicate-survivor
     * rule rewritten for the gate's REVERSED delivery order — streaming

@@ -178,4 +178,49 @@ object CorpusStream {
     trigger.foreach(t => writer.trigger(t))
     writer.start()
   }
+
+  /** Streaming SPAN decontamination (s16) — the daily-increment story
+    * [[graft.functions.Dedup.writeSpanIndex]] enables, run as a
+    * stream: document increments arrive as files, each micro-batch is
+    * span-decontaminated against the persisted benchmark index
+    * ([[graft.functions.Dedup.decontaminateSpansWithIndex]] — the
+    * bench side, hash pairs AND window width, comes entirely from the
+    * artifact) and written under `outPath`. Per-batch cost is
+    * O(batch): the artifact's hash pairs stream through the marking
+    * join, only hit documents are rebuilt, and no state accumulates
+    * across batches — a document's cut depends only on its own text
+    * and the frozen benchmark, so (unlike the shard tree's
+    * corpus-global bins) per-batch IS the exact semantics: the union
+    * of per-batch outputs equals the one-shot batch sweep, hash-gated
+    * against d31's oracle.
+    *
+    * The index is RE-READ each micro-batch (two parquet reads — the
+    * s14 stale-frames rule), so a re-published benchmark index takes
+    * effect at the next epoch without a stream restart.
+    *
+    * Failure semantics: each batch writes its OWN `batch=<id>`
+    * directory with `mode("overwrite")` (the s10/s14 idempotence
+    * pattern) — at-least-once redelivery overwrites instead of
+    * duplicating. Run with a checkpoint so completed batches don't
+    * replay; reset output and checkpoint TOGETHER when restarting a
+    * logical run.
+    */
+  def decontaminateSpansIngest(docs: DataFrame, id: Column, text: Column,
+      indexPath: String, outPath: String,
+      broadcastBench: Boolean = true,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      graft.functions.Dedup.decontaminateSpansWithIndex(batch, id, text,
+          indexPath, broadcastBench)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      ()
+    }
+    val writer = docs.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
 }
