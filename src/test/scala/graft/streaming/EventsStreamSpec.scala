@@ -70,6 +70,72 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("heavy hitters ABOVE capacity: Misra–Gries bounds hold through " +
+      "the state store") {
+    // s15's gate regime is exact (distinct « capacity); the operator's
+    // whole point is the other regime — here 2003 distinct users per
+    // window crowd a 16-counter sketch, streamed in four micro-batches
+    // so the MG buffer survives serialize/merge cycles, and the
+    // published deterministic bounds must hold: every item with true
+    // frequency f > n/(capacity+1) IS reported, with estimate in
+    // [f − n/(capacity+1), f].
+    val capacity = 16
+    val k = 5
+    val heavies = Seq("hh_a" -> 300, "hh_b" -> 300, "hh_c" -> 300)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def rows(winOffsetH: Int): Seq[(java.sql.Timestamp, String)] = {
+      val t0 = base.getTime + winOffsetH * 3600L * 1000L
+      val heavy = heavies.flatMap { case (u, f) =>
+        (0 until f).map(i => (new java.sql.Timestamp(t0 + i), u)) }
+      val light = (1 to 2000).map(i =>
+        (new java.sql.Timestamp(t0 + 1000 + i), f"u$i%04d"))
+      heavy ++ light
+    }
+    val n = rows(0).size // per-window mass: 2900
+    val slack = n / (capacity + 1) // 170: the MG undercount bound
+    val dir = Files.createTempDirectory("events-hh-cap").toString
+    // shuffle arrival order deterministically so each micro-batch
+    // carries a mix of heavy and light rows (merges do real work)
+    (rows(0) ++ rows(1)).sortBy { case (t, u) =>
+      (u.hashCode * 31 + t.getTime).abs }
+      .zipWithIndex.groupBy(_._2 % 4).foreach { case (part, rs) =>
+        rs.map(_._1).toDF("ts", "user_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drop=$part")
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.StringType)))
+    val stream = EventsStream.windowedHeavyHitters(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/drop=*"),
+      col("user_id"), capacity = capacity, k = k)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_cap_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hh_cap_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(got.size == 2, s"two windows expected: ${got.keys}")
+    got.foreach { case (win, top) =>
+      assert(top.size <= k, s"$win: at most k rows")
+      heavies.foreach { case (u, f) =>
+        assert(top.contains(u),
+          s"$win: true-heavy $u (f=$f > n/(cap+1)=$slack) must be reported")
+        val est = top(u)
+        assert(est <= f && est >= f - slack,
+          s"$win: $u estimate $est outside [${f - slack}, $f]")
+      }
+      // MG never overcounts: a light item can never outrank a heavy's
+      // guaranteed floor
+      top.foreach { case (u, est) =>
+        if (!heavies.exists(_._1 == u))
+          assert(est <= 1 + slack, s"$win: light $u overcounted to $est")
+      }
+    }
+  }
+
   test("redelivery dedup: duplicated files stream to the exact batch result") {
     // the same events written TWICE into the watched directory — an
     // at-least-once source redelivering every file
