@@ -72,6 +72,72 @@ object Curation {
     TextFunctions.packSequences(sampled, lang, id, tokens, budget)
   }
 
+  /** The one-call WEB-corpus recipe — [[curate]]'s crawl-side sibling,
+    * composing the individually-gated crawl stages in the order a real
+    * web pipeline runs them (each stage feeds exactly the survivors of
+    * the previous one; the order is FIXED and is itself the contract
+    * the p10 gate pins):
+    *
+    *   1. markup strip ([[TextFunctions.stripMarkup]]) — cheapest,
+    *      zero-shuffle, and every later stage must see prose, not
+    *      tags;
+    *   2. URL-level dedup — keep the minimum-id document per
+    *      [[TextFunctions.canonicalizeUrl]] key (the same page
+    *      arrives under scheme/www/port/tracking-param variants);
+    *      one hash-aggregate shuffle, run BEFORE quality so a
+    *      duplicate can't dodge the dedup by failing the gate while
+    *      its twin passes;
+    *   3. quality gate — default
+    *      [[TextFunctions.gopherRules]]`.pass` at the paper's
+    *      thresholds, evaluated on the CLEANED text (pass any boolean
+    *      Column over `text` to compose differently, e.g. the
+    *      Gopher∧C4 conjunction); stateless, zero shuffle;
+    *   4. near-duplicate removal ([[Dedup.dedupNear]] — content
+    *      twins that survive URL dedup because they live at genuinely
+    *      different canonical URLs);
+    *   5. benchmark decontamination ([[Dedup.decontaminate]] — drop
+    *      survivors sharing ≥ `minCommon` word n-grams with any
+    *      benchmark document), LAST so the expensive overlap join
+    *      sees the smallest possible corpus.
+    *
+    * Shuffle profile is the sum of its gated parts: one hash-agg for
+    * the URL keep-first, the pair/CC shuffles of the dedup stage, one
+    * overlap join against the (bloom-prescreened, broadcast) bench
+    * side; stages 1 and 3 are codegen projections. Nothing here is
+    * new machinery — the value is the seam order, which p01/p02
+    * proved catches real bugs that per-stage gates cannot.
+    *
+    * `quality` resolves against a frame whose cleaned text column is
+    * named `text` (and canonical URL `url`).
+    *
+    * @return surviving rows as (doc_id, url, text) — canonical URL,
+    *         cleaned text
+    */
+  def curateWeb(docs: DataFrame, id: Column, url: Column, text: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      minCommon: Long = 10L, ngram: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      pairStrategy: Dedup.PairStrategy = Dedup.Auto(),
+      keepBy: Option[Column] = None,
+      quality: Option[Column] = None): DataFrame = {
+    val cleaned = docs.select(id.as("doc_id"),
+      TextFunctions.canonicalizeUrl(url).as("url"),
+      TextFunctions.stripMarkup(text).as("text"))
+    val keep = cleaned.groupBy(col("url"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val urlDeduped = cleaned.join(keep, Seq("url", "doc_id"), "left_semi")
+    val gate = quality.getOrElse(
+      TextFunctions.gopherRules(col("text")).getField("pass"))
+    val qualified = urlDeduped.filter(gate)
+    val deduped = Dedup.dedupNear(qualified, col("doc_id"), col("text"),
+      jaccardThreshold, n = ngram, keepBy = keepBy,
+      strategy = pairStrategy)
+    Dedup.decontaminate(deduped,
+        bench.select(benchId.as("doc_id"), benchText.as("text")),
+        col("doc_id"), col("text"), minCommon, ngram)
+      .select(col("doc_id"), col("url"), col("text"))
+  }
+
   /** Per-shard manifest of a [[TextFunctions.packSequences]] layout:
     * one row per (stratum, bin) with document count, token total, and
     * the id range — the table a training launcher reads to schedule
