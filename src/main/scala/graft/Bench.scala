@@ -87,17 +87,15 @@ object Bench {
     * measured costs when `bench/cost_hints.json` exists.
     */
   private val bakedCostHint: Map[String, Double] = Map(
-    // round 15 additions (estimated from siblings: t32/t33 from t29's
-    // model-agg + join shape at order 3, p09 from p08, s16 from d32
-    // plus streaming overhead, p10 from p01 plus the decontaminate
-    // broadcast, e17 pure arithmetic, e18 from e11 on a fixed slice)
-    "t32_lm_ngram" -> 1.0,
-    "t33_lm_model_artifact" -> 1.5,
-    "p09_zorder_nd" -> 0.5,
-    "s16_stream_span_decontam" -> 6.0,
-    "p10_web_corpus_recipe" -> 3.5,
-    "e17_ivfpq_autoconfig" -> 0.3,
-    "e18_knn_ivfpq_autoconfig" -> 2.0,
+    // round 15 additions (measured idle, sf0.1 local[32] —
+    // bench/scale_r15/bench_189q_idle.json)
+    "t32_lm_ngram" -> 1.8,
+    "t33_lm_model_artifact" -> 2.5,
+    "p09_zorder_nd" -> 0.3,
+    "s16_stream_span_decontam" -> 3.1,
+    "p10_web_corpus_recipe" -> 13.7,
+    "e17_ivfpq_autoconfig" -> 0.1,
+    "e18_knn_ivfpq_autoconfig" -> 6.5,
     // round 14 additions (estimated from siblings: s13 from s12 plus a
     // compactShards pass, p07 from p06 plus three appends + an epoch
     // compaction)

@@ -276,6 +276,36 @@ object ScaleCurve {
         d.filter(col("doc_id") < 20),
         col("doc_id"), col("text"), col("text"), k = 5)
     }),
+    // round 15: order-3 LM — same train/score shape as t29, the wider
+    // shingle only fattens the projection and the model frame
+    "t32_lm_ngram3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextFunctions.lmTrainNgrams(
+        d.filter(col("lang") === "en"), col("text"), order = 3)
+      TextFunctions.lmFamiliarityNgrams(d, model, col("doc_id"),
+        col("text"), order = 3)
+    }),
+    // round 15: the composed crawl recipe — expected ≈ the sum of its
+    // gated stage curves; the synthesized URL/markup columns are the
+    // p10 gate's (zero-shuffle projections, not measured work)
+    "p10_curate_web" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val base = d.filter(col("doc_id") >= 20)
+      val pid = when(col("doc_id") % 10 < 2,
+        col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
+      val crawl = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<p>"), col("text"), lit("</p>")))
+          .otherwise(col("text")).as("raw"),
+        concat(lit("http://web"), (pid % 40).cast("string"),
+          lit(".com/a/"), pid.cast("string")).as("url"))
+      Curation.curateWeb(crawl, col("doc_id"), col("url"), col("raw"),
+        bench, col("doc_id"), col("text"),
+        quality = Some(TextFunctions.gopherRules(col("text"),
+          minWords = 10).getField("pass")))
+    }),
     "g06_ppr" -> ((s, dir) => {
       val d = docs(s, dir)
       Graph.personalizedPageRank(
