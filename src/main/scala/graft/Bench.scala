@@ -94,6 +94,7 @@ object Bench {
     "p09_zorder_nd" -> 0.3,
     "s16_stream_span_decontam" -> 3.1,
     "p10_web_corpus_recipe" -> 13.7,
+    "p11_web_recipe_spans" -> 15.5, // p10's chain + the d31 span cut
     "e17_ivfpq_autoconfig" -> 0.1,
     "e18_knn_ivfpq_autoconfig" -> 6.5,
     // round 14 additions (estimated from siblings: s13 from s12 plus a

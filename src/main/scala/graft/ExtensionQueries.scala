@@ -839,6 +839,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p10 with the SURGICAL final stage (p11): same crawl, same
+    // stages 1-4, but benchmark overlap is cut span-by-span
+    // (decontaminateSpans, k=5 so organic cross-split overlaps fire)
+    // instead of dropping the document — the policy seam isolated to
+    // the last stage. Output keeps every survivor with its cut text;
+    // a fully-contaminated doc comes back as '' (cut, not dropped).
+    "p11_web_recipe_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") >= 20)
+      val pid = when(col("doc_id") % 10 < 2,
+        col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
+      val crawl = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<div class=\"x\">"), col("text"),
+            lit("</div> <script>var a = 1 < 2;</script>")))
+          .otherwise(col("text")).as("raw"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
+            lit(".COM:80/a/"), pid.cast("string"),
+            lit("/?utm_source=x&b=2&a=1#f")))
+          .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
+            lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
+          .as("url"))
+      Curation.curateWebSpans(crawl, col("doc_id"), col("url"),
+          col("raw"), bench, col("text"), k = 5,
+          quality = Some(TextFunctions.gopherRules(col("text"),
+            minWords = 10).getField("pass")))
+        .orderBy(col("doc_id"))
+    }),
+
     // N-dimensional z-order (p09): the 3-D Morton key over the grid a
     // real corpus is actually queried by — (lang rank, source rank,
     // length bin) — round-robin interleaved (bit i of dim j at z-bit
@@ -4074,6 +4106,110 @@ object ExtensionQueries {
          SELECT doc_id, url FROM surv
          WHERE doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY doc_id""",
+
+    // mirrors p11: p10's survivor chain verbatim, then the d31-style
+    // span cut (5-word benchmark windows as a distinct string set,
+    // covered positions unioned, hit docs rebuilt, clean docs pass
+    // through verbatim) instead of the drop
+    "p11_web_recipe_spans" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text,
+           CASE WHEN doc_id % 10 < 2 THEN doc_id - (doc_id % 10)
+                ELSE doc_id END AS pid
+           FROM documents WHERE doc_id >= 20),
+         canon AS (SELECT doc_id, text,
+           'http://web' || CAST(pid % 40 AS VARCHAR) || '.com/a/' ||
+             CAST(pid AS VARCHAR) || '?a=1&b=2' AS url
+           FROM base),
+         ukeep AS (SELECT url, min(doc_id) AS doc_id FROM canon GROUP BY 1),
+         u AS (SELECT c.doc_id, c.url, c.text FROM canon c
+               JOIN ukeep k ON k.url = c.url AND k.doc_id = c.doc_id),
+         feat AS (SELECT doc_id, url, text,
+           string_split_regex(
+             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+             '[ \t\n\x0b\f\r]+') AS wds,
+           string_split(text, chr(10)) AS lns FROM u),
+         m AS (SELECT doc_id, url, text,
+           CAST(len(wds) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
+           greatest(
+             ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
+               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
+               / CAST(len(wds) AS DOUBLE),
+             (length(text) - length(regexp_replace(text, '#', '', 'g')))
+               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
+           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
+             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
+             /len(lns) AS bullet_line_ratio,
+           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
+             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
+           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
+             /len(wds) AS alpha_word_ratio,
+           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
+           FROM feat),
+         qual AS (SELECT doc_id, url, text FROM m
+           WHERE n_words >= 10 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_ratio <= 0.9
+             AND ellipsis_line_ratio <= 0.3
+             AND alpha_word_ratio >= 0.8
+             AND n_stopwords >= 2),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM qual))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(common AS DOUBLE)/(ca.n + cb.n - common) AS jaccard
+           FROM prs
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b),
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         surv AS (
+           SELECT q.* FROM qual q
+           LEFT JOIN cc ON cc.id = q.doc_id
+           WHERE cc.id IS NULL OR cc.cluster_id = q.doc_id),
+         bwins AS (SELECT DISTINCT
+             unnest(list_transform(range(1, len(w)-3),
+               p -> array_to_string(w[p:p+4], ' '))) AS g
+           FROM (SELECT string_split(text, ' ') AS w
+                 FROM documents WHERE doc_id < 20)),
+         st AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+         toks AS (SELECT doc_id, uu.i AS idx, uu.tok FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+             i -> {'i': i, 'tok': w[i]})) AS uu FROM st)),
+         wins AS (SELECT doc_id, uu.p AS p, uu.g AS g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-3),
+             p -> {'p': p, 'g': array_to_string(w[p:p+4], ' ')})) AS uu FROM st)),
+         covered AS (SELECT DISTINCT doc_id, idx FROM (
+           SELECT w.doc_id, unnest(range(w.p, w.p+5)) AS idx
+           FROM wins w JOIN bwins b ON b.g = w.g)),
+         hit AS (SELECT DISTINCT doc_id FROM covered),
+         kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM toks tk
+                  ANTI JOIN covered c
+                    ON c.doc_id = tk.doc_id AND c.idx = tk.idx),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+                     FROM kept GROUP BY doc_id)
+         SELECT s.doc_id, s.url,
+           CASE WHEN h.doc_id IS NOT NULL THEN coalesce(r.text, '')
+                ELSE s.text END AS text
+         FROM surv s
+         LEFT JOIN hit h ON h.doc_id = s.doc_id
+         LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+         ORDER BY s.doc_id""",
 
     // p01's composed oracle with the QUALITY-AWARE representative: the
     // t02 score expression ranks each cluster's members (score DESC,

@@ -119,7 +119,49 @@ object Curation {
       jaccardThreshold: Double = 0.8,
       pairStrategy: Dedup.PairStrategy = Dedup.Auto(),
       keepBy: Option[Column] = None,
-      quality: Option[Column] = None): DataFrame = {
+      quality: Option[Column] = None): DataFrame =
+    Dedup.decontaminate(
+        webSurvivors(docs, id, url, text, jaccardThreshold, pairStrategy,
+          keepBy, quality, ngram),
+        bench.select(benchId.as("doc_id"), benchText.as("text")),
+        col("doc_id"), col("text"), minCommon, ngram)
+      .select(col("doc_id"), col("url"), col("text"))
+
+  /** [[curateWeb]] with SPAN-LEVEL decontamination — the surgical
+    * final stage ([[Dedup.decontaminateSpans]], the GPT-3/PaLM rule):
+    * instead of DROPPING every survivor that overlaps the benchmark,
+    * cut only the overlapping k-word spans and keep the rest of the
+    * document. Stages 1–4 are [[curateWeb]]'s, verbatim; the policy
+    * choice lives entirely in the last seam. A fully-contaminated
+    * document comes back with `text = ''` (cut, not dropped — the
+    * caller's length filter drops it, keeping the accounting
+    * visible). Same scale shape as d31: the bench window set
+    * broadcasts, only HIT documents are rebuilt.
+    */
+  def curateWebSpans(docs: DataFrame, id: Column, url: Column,
+      text: Column, bench: DataFrame, benchText: Column,
+      k: Int = 13, ngram: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      pairStrategy: Dedup.PairStrategy = Dedup.Auto(),
+      keepBy: Option[Column] = None,
+      quality: Option[Column] = None,
+      broadcastBench: Boolean = true): DataFrame = {
+    val surv = webSurvivors(docs, id, url, text, jaccardThreshold,
+      pairStrategy, keepBy, quality, ngram)
+    Dedup.decontaminateSpans(surv, bench, col("doc_id"), col("text"),
+        benchText, k, broadcastBench)
+      .join(surv.select(col("doc_id"), col("url")), Seq("doc_id"))
+      .select(col("doc_id"), col("url"), col("text"))
+  }
+
+  /** [[curateWeb]]'s stages 1–4 (markup strip → canonical-URL
+    * keep-first → quality gate → near-dedup), shared by both
+    * decontamination policies. Returns (doc_id, url, text) survivors.
+    */
+  private def webSurvivors(docs: DataFrame, id: Column, url: Column,
+      text: Column, jaccardThreshold: Double,
+      pairStrategy: Dedup.PairStrategy, keepBy: Option[Column],
+      quality: Option[Column], ngram: Int): DataFrame = {
     val cleaned = docs.select(id.as("doc_id"),
       TextFunctions.canonicalizeUrl(url).as("url"),
       TextFunctions.stripMarkup(text).as("text"))
@@ -129,13 +171,9 @@ object Curation {
     val gate = quality.getOrElse(
       TextFunctions.gopherRules(col("text")).getField("pass"))
     val qualified = urlDeduped.filter(gate)
-    val deduped = Dedup.dedupNear(qualified, col("doc_id"), col("text"),
+    Dedup.dedupNear(qualified, col("doc_id"), col("text"),
       jaccardThreshold, n = ngram, keepBy = keepBy,
       strategy = pairStrategy)
-    Dedup.decontaminate(deduped,
-        bench.select(benchId.as("doc_id"), benchText.as("text")),
-        col("doc_id"), col("text"), minCommon, ngram)
-      .select(col("doc_id"), col("url"), col("text"))
   }
 
   /** Per-shard manifest of a [[TextFunctions.packSequences]] layout:

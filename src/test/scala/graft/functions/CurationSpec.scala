@@ -98,6 +98,52 @@ class CurationSpec extends SparkSpec {
     assert("LocalTableScan".r.findAllIn(plan).length <= 1)
   }
 
+  test("curateWeb stage seams: url keep-first before quality; spans cut, not drop") {
+    import spark.implicits._
+    // four crawl docs: 1 and 2 share a canonical URL (2 is the decorated
+    // variant and FAILS quality — keep-first must still collapse the
+    // group to doc 1, not let 2 dodge the dedup by failing the gate);
+    // doc 3 is fully contaminated by the bench; doc 4 is clean.
+    // docs 5 and 6 share a canonical URL where the MIN-id member fails
+    // quality: keep-first-THEN-quality kills the whole group (keep 5,
+    // gate drops 5) — quality-first would have let 6 survive, so the
+    // group's absence pins the stage order itself
+    val docs = Seq(
+      (1L, "http://x.com/p?b=2&a=1",
+        "the quick brown fox jumps over the lazy dog and that is all with more"),
+      (2L, "HTTP://WWW.x.com:80/p/?utm_source=t&a=1&b=2#f", "short junk"),
+      (3L, "http://y.com/q",
+        "leaked bench alpha beta gamma delta epsilon zeta eta theta words here"),
+      (4L, "http://z.com/r",
+        "a clean page of prose that must survive with the text intact and be kept"),
+      (5L, "http://w.com/s", "tiny page"),
+      (6L, "HTTP://WWW.w.com:80/s/",
+        "a perfectly fine prose page whose lower id twin fails the gate first")
+    ).toDF("doc_id", "url", "text")
+    val bench = Seq(
+      (100L, "prefix leaked bench alpha beta gamma delta epsilon zeta eta theta words here end")
+    ).toDF("doc_id", "text")
+    val quality = Some(TextFunctions.gopherRules(col("text"),
+      minWords = 5, minStopwords = 0).getField("pass"))
+    val out = Curation.curateWebSpans(docs, col("doc_id"), col("url"),
+        col("text"), bench, col("text"), k = 5, quality = quality)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 4L),
+      s"doc 2 collapses into doc 1's group; the 5/6 group dies because " +
+        s"keep-first runs BEFORE quality (keeps 5, gate drops 5): ${out.toSeq}")
+    assert(out(0)._2 == "http://x.com/p?a=1&b=2", "canonical url emitted")
+    assert(out(1)._3 == "", "fully-contaminated doc is CUT to '', never dropped")
+    assert(out(2)._3.startsWith("a clean page"), "clean doc verbatim")
+    // the drop policy differs in exactly the last seam
+    val dropped = Curation.curateWeb(docs, col("doc_id"), col("url"),
+        col("text"), bench, col("doc_id"), col("text"),
+        minCommon = 5, quality = quality)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(dropped.toSeq == Seq(1L, 4L),
+      "curateWeb DROPS the contaminated doc the span form keeps as ''")
+  }
+
   test("bins are contiguous per language starting at 0") {
     val bins = out.groupBy(col("lang"))
       .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
