@@ -1755,6 +1755,42 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Streaming web ingest (s17): curateWeb's stream-resident stages
+    // in the batch recipe's fixed order — markup strip → canonical-URL
+    // keep-first (BEFORE quality) → gopher gate on the cleaned text →
+    // content-fingerprint dedup. The p10 crawl synthesis plus the s06
+    // re-post plant: a re-post carries a FRESH id, hence a fresh
+    // canonical URL — it must pass the URL stage and die at the
+    // fingerprint stage, so the two stateful stages are exercised
+    // independently. Batch form gated here (min-id keep-first at both
+    // stages); streaming parity spec-pinned (CorpusStreamSpec).
+    "s17_stream_web_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+      val all = base.unionByName(base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val pid = when(col("doc_id") % 10 < 2,
+        col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
+      val crawl = all.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<div class=\"x\">"), col("text"),
+            lit("</div> <script>var a = 1 < 2;</script>")))
+          .otherwise(col("text")).as("raw"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
+            lit(".COM:80/a/"), pid.cast("string"),
+            lit("/?utm_source=x&b=2&a=1#f")))
+          .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
+            lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
+          .as("url"))
+      streaming.CorpusStream.curatedWebIngest(crawl, col("url"),
+          col("raw"), col("doc_id"),
+          quality = Some(TextFunctions.gopherRules(col("text"),
+            minWords = 10).getField("pass")))
+        .select(col("doc_id"), col("url"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming span decontamination (s16): the d32 artifact under
     // continuous ingest — benchmark windowed+hashed ONCE into the
     // persisted span index, the d31 corpus (same plants) delivered as
@@ -4106,6 +4142,71 @@ object ExtensionQueries {
          SELECT doc_id, url FROM surv
          WHERE doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY doc_id""",
+
+    // mirrors s17: the p10 crawl synthesis over originals + re-posts,
+    // canonical URLs derived by hand, URL keep-min BEFORE the gopher
+    // gate (the curateWeb seam order), then the s06 fingerprint
+    // keep-min over the gated survivors — a re-post's fresh id gives
+    // it a fresh URL (passes stage 2) and the same fingerprint (dies
+    // at stage 4)
+    "s17_stream_web_ingest" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0),
+         pidt AS (SELECT doc_id, text,
+           CASE WHEN doc_id % 10 < 2 THEN doc_id - (doc_id % 10)
+                ELSE doc_id END AS pid
+           FROM all_docs),
+         canon AS (SELECT doc_id, text,
+           'http://web' || CAST(pid % 40 AS VARCHAR) || '.com/a/' ||
+             CAST(pid AS VARCHAR) || '?a=1&b=2' AS url
+           FROM pidt),
+         ukeep AS (SELECT url, min(doc_id) AS doc_id FROM canon GROUP BY 1),
+         u AS (SELECT c.doc_id, c.url, c.text FROM canon c
+               JOIN ukeep uk ON uk.url = c.url AND uk.doc_id = c.doc_id),
+         feat AS (SELECT doc_id, url, text,
+           string_split_regex(
+             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+             '[ \t\n\x0b\f\r]+') AS wds,
+           string_split(text, chr(10)) AS lns FROM u),
+         m AS (SELECT doc_id, url, text,
+           CAST(len(wds) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
+           greatest(
+             ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
+               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
+               / CAST(len(wds) AS DOUBLE),
+             (length(text) - length(regexp_replace(text, '#', '', 'g')))
+               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
+           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
+             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
+             /len(lns) AS bullet_line_ratio,
+           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
+             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
+           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
+             /len(wds) AS alpha_word_ratio,
+           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
+           FROM feat),
+         gated AS (SELECT doc_id, url, text FROM m
+           WHERE n_words >= 10 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_ratio <= 0.9
+             AND ellipsis_line_ratio <= 0.3
+             AND alpha_word_ratio >= 0.8
+             AND n_stopwords >= 2),
+         k AS (SELECT doc_id, url, text,
+           CASE WHEN trim(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) = ''
+                THEN md5('graft:raw:' || text)
+                ELSE md5(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) END AS fp
+           FROM gated),
+         keep AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp)
+         SELECT k.doc_id, k.url, k.text FROM k
+         JOIN keep ON keep.fp = k.fp AND keep.keep_id = k.doc_id
+         ORDER BY k.doc_id""",
 
     // mirrors p11: p10's survivor chain verbatim, then the d31-style
     // span cut (5-word benchmark windows as a distinct string set,

@@ -179,6 +179,47 @@ object CorpusStream {
     writer.start()
   }
 
+  /** Streaming WEB ingest (s17) — [[graft.functions.Curation.curateWeb]]'s
+    * stream-resident stages in the batch recipe's FIXED order:
+    * markup strip (stateless, zero shuffle) → canonical-URL keep-first
+    * ([[EventsStream.dedupByKey]] on
+    * [[graft.functions.TextFunctions.canonicalizeUrl]] — BEFORE
+    * quality, the curateWeb seam rule: a duplicate can't dodge the
+    * dedup by failing the gate its twin passes) → quality gate on the
+    * CLEANED text → content-fingerprint dedup
+    * ([[EventsStream.dedupByContent]] — re-posts under fresh URLs
+    * still collapse). Two stateful operators, both watermark-evicted:
+    * URL-dedup state is keyed on the canonical-URL string at the
+    * pre-gate rate (the key is tiny — the page identity itself);
+    * content state keys the post-gate survivors (filter-pushdown
+    * ordering, as in [[curatedIngest]]). The corpus-global stages
+    * (near-dedup, decontamination) stay batch/artifact calls —
+    * d31/d32/s16 cover the streaming decontamination seam.
+    *
+    * On a batch frame the same call is the deterministic min-`id`
+    * keep-first at both stateful stages — the s17-gated form,
+    * DuckDB-oracle-checked; streaming parity is spec-pinned
+    * (CorpusStreamSpec, the s06 pattern). The canonical URL lands in
+    * `url` and the cleaned text in `text` (added if the input named
+    * them differently).
+    */
+  def curatedWebIngest(docs: DataFrame, url: Column, text: Column,
+      id: Column, watermark: String = "10 minutes",
+      quality: Option[Column] = None): DataFrame = {
+    val cleaned = docs
+      .withColumn("url", TextFunctions.canonicalizeUrl(url))
+      .withColumn("text", TextFunctions.stripMarkup(text))
+    val urlKept = EventsStream.dedupByKey(cleaned, col("url"),
+      watermark, id)
+    val gate = quality.getOrElse(
+      TextFunctions.gopherRules(col("text")).getField("pass"))
+    // the watermark is declared ONCE per streaming query (at the URL
+    // stage); the content stage inherits it — Spark 4 supports the
+    // two stateful dedups in one query but rejects a redefinition
+    EventsStream.dedupByContent(urlKept.filter(gate), col("text"),
+      watermark, id, setWatermark = false)
+  }
+
   /** Streaming SPAN decontamination (s16) — the daily-increment story
     * [[graft.functions.Dedup.writeSpanIndex]] enables, run as a
     * stream: document increments arrive as files, each micro-batch is

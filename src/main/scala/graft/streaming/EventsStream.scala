@@ -167,20 +167,45 @@ object EventsStream {
     * don't get the formatting-robust canonicalization (which has no
     * meaning for scripts it would erase).
     */
+  /** Keep-first dedup on an ARBITRARY key expression — the generic
+    * form of [[dedupByContent]] for keys that are already canonical
+    * (a canonicalized URL, an external content id): on a stream,
+    * `dropDuplicatesWithinWatermark` keyed on the expression (state
+    * evicted as the watermark passes — bounded forever); on a batch
+    * frame, the deterministic min-`id` keep-one
+    * ([[graft.functions.Dedup.dedupExact]]). No normalization is
+    * applied to the key — canonicalize BEFORE keying (that's the
+    * caller's stage, e.g. [[graft.functions.TextFunctions.canonicalizeUrl]]).
+    */
+  def dedupByKey(events: DataFrame, key: org.apache.spark.sql.Column,
+      watermark: String = "10 minutes",
+      id: org.apache.spark.sql.Column = col("event_id"),
+      setWatermark: Boolean = true): DataFrame = {
+    val keyed = events.withColumn("__k", key)
+    if (events.isStreaming) {
+      val wm = if (setWatermark) keyed.withWatermark("ts", watermark)
+        else keyed // already watermarked upstream (one per query)
+      wm.dropDuplicatesWithinWatermark("__k").drop("__k")
+    } else
+      graft.functions.Dedup.dedupExact(keyed, col("__k"), id)
+        .drop("__k")
+  }
+
   def dedupByContent(events: DataFrame, content: org.apache.spark.sql.Column,
       watermark: String = "10 minutes",
-      id: org.apache.spark.sql.Column = col("event_id")): DataFrame = {
+      id: org.apache.spark.sql.Column = col("event_id"),
+      setWatermark: Boolean = true): DataFrame = {
     val normalized = regexp_replace(
       regexp_replace(lower(content), "[^a-z0-9 ]", ""), " +", " ")
     val keyed = events.withColumn("__fp",
       when(trim(normalized) === "",
         md5(concat(lit("graft:raw:"), content)))
         .otherwise(graft.functions.TextFunctions.fingerprint(content)))
-    if (events.isStreaming)
-      keyed.withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark("__fp")
-        .drop("__fp")
-    else
+    if (events.isStreaming) {
+      val wm = if (setWatermark) keyed.withWatermark("ts", watermark)
+        else keyed // already watermarked upstream (one per query)
+      wm.dropDuplicatesWithinWatermark("__fp").drop("__fp")
+    } else
       graft.functions.Dedup.dedupExact(keyed, col("__fp"), id)
         .drop("__fp")
   }

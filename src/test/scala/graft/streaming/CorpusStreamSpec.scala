@@ -59,6 +59,65 @@ class CorpusStreamSpec extends SparkSpec {
     assert(nFail == 0, s"$nFail survivors fail the Gopher gate")
   }
 
+  test("web ingest: file stream keeps exactly the batch survivor set " +
+      "(both stateful stages)") {
+    // the s17 crawl: markup wrappers on every 4th doc, synthesized URL
+    // variants with per-decade keep-first pairs, re-posts under fresh
+    // ids — a re-post gets a fresh canonical URL (passes the URL
+    // stage) and the same fingerprint (dies at the content stage)
+    val d = Tables.df(spark, sf(), "documents")
+    val base = d.select(col("doc_id"), col("text"))
+    val all = base.unionByName(base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val pid = when(col("doc_id") % 10 < 2,
+      col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
+    val crawl = all.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<p>"), col("text"), lit("</p>")))
+        .otherwise(col("text")).as("raw"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
+          lit(".COM:80/a/"), pid.cast("string"),
+          lit("/?utm_source=x&b=2&a=1#f")))
+        .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
+          lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
+        .as("url"),
+      timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+    val quality = Some(graft.functions.TextFunctions.gopherRules(
+      col("text"), minWords = 10).getField("pass"))
+    val dir = Files.createTempDirectory("web-stream").toString
+    // two drops in id order so first-arrival == min-id survivors
+    crawl.filter(col("doc_id") < 1000000L).orderBy("doc_id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    crawl.filter(col("doc_id") >= 1000000L).orderBy("doc_id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val schema = crawl.schema
+    val stream = CorpusStream.curatedWebIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir),
+      col("url"), col("raw"), col("doc_id"),
+      watermark = "24 hours", quality = quality)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("s17_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s17_out").select("doc_id", "url", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val want = CorpusStream.curatedWebIngest(crawl, col("url"),
+        col("raw"), col("doc_id"), quality = quality)
+      .select("doc_id", "url", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == want,
+      s"stream/batch divergence: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    assert(got.nonEmpty, "web ingest kept nothing — a stage is vacuous")
+    // both stateful stages did real work: some id collapsed at the URL
+    // stage, and every re-post collapsed at the fingerprint stage
+    assert(!got.exists(_._1 >= 1000000L), "re-posts must die on content")
+    val urlDupIds = got.map(_._1).filter(i => i % 10 == 1)
+    assert(urlDupIds.isEmpty, "decade+1 docs must die on canonical URL")
+  }
+
   test("curated ingest: cross-batch dedup state pins first-arrival == min-id survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
