@@ -93,9 +93,9 @@ object Bench {
     "t33_lm_model_artifact" -> 2.5,
     "p09_zorder_nd" -> 0.3,
     "s16_stream_span_decontam" -> 3.1,
-    "p10_web_corpus_recipe" -> 13.7,
-    "p11_web_recipe_spans" -> 15.5, // p10's chain + the d31 span cut
-    "s17_stream_web_ingest" -> 2.5, // s06's two-agg shape + the URL stage
+    "p10_web_corpus_recipe" -> 8.4, // with the survivor-frame materialization
+    "p11_web_recipe_spans" -> 9.4, // p10's chain + the d31 span cut
+    "s17_stream_web_ingest" -> 1.9, // s06's two-agg shape + the URL stage
     "e17_ivfpq_autoconfig" -> 0.1,
     "e18_knn_ivfpq_autoconfig" -> 6.5,
     // round 14 additions (estimated from siblings: s13 from s12 plus a

@@ -120,9 +120,12 @@ object Curation {
       pairStrategy: Dedup.PairStrategy = Dedup.Auto(),
       keepBy: Option[Column] = None,
       quality: Option[Column] = None): DataFrame =
+    // decontaminate reads its corpus twice (overlap shingles + the
+    // final anti-join) and the corpus here is the whole stage-1–4
+    // chain — materialize it once (the dedupNear shingle-index seam)
     Dedup.decontaminate(
-        webSurvivors(docs, id, url, text, jaccardThreshold, pairStrategy,
-          keepBy, quality, ngram),
+        Materialize(webSurvivors(docs, id, url, text, jaccardThreshold,
+          pairStrategy, keepBy, quality, ngram)),
         bench.select(benchId.as("doc_id"), benchText.as("text")),
         col("doc_id"), col("text"), minCommon, ngram)
       .select(col("doc_id"), col("url"), col("text"))
@@ -146,8 +149,13 @@ object Curation {
       keepBy: Option[Column] = None,
       quality: Option[Column] = None,
       broadcastBench: Boolean = true): DataFrame = {
-    val surv = webSurvivors(docs, id, url, text, jaccardThreshold,
-      pairStrategy, keepBy, quality, ngram)
+    // the survivor frame is read 3+ times downstream (the span cutter
+    // windows it, semi-joins it, and left-joins it back; the url
+    // rejoin reads it again) and its producer is the whole stage-1–4
+    // chain incl. the pair graph — materialize it once (the
+    // Dedup.dedupNear shingle-index seam, same env-selected mode)
+    val surv = Materialize(webSurvivors(docs, id, url, text,
+      jaccardThreshold, pairStrategy, keepBy, quality, ngram))
     Dedup.decontaminateSpans(surv, bench, col("doc_id"), col("text"),
         benchText, k, broadcastBench)
       .join(surv.select(col("doc_id"), col("url")), Seq("doc_id"))
