@@ -1149,6 +1149,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The PUBLISHED width (t34): order-5 LM — the width the CCNet
+    // paper actually trains — WITH the minCount pruning contract doing
+    // real work (minCount=2 drops ~98% of 5-gram types here: 10,684 →
+    // 201 at sf0.01; hapax n-grams dominate exactly as the docstring
+    // warns). Context mass c1 is computed BEFORE the prune, so the
+    // survivors still condition on true continuation counts — the
+    // property the oracle replays. A sub-5-gram planted doc pins the
+    // null contract at this order.
+    "t34_lm_ngram5" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val planted = Seq(
+        (9000001L, "four word doc only")            // no 5-gram → null
+      ).toDF("doc_id", "txt")
+      val model = TextFunctions.lmTrainNgrams(
+        docs.filter(col("lang") === "en"), col("text"), order = 5,
+        minCount = 2L)
+      TextFunctions.lmFamiliarityNgrams(
+          docs.select(col("doc_id"), col("text").as("txt"))
+            .unionByName(planted),
+          model, col("doc_id"), col("txt"), order = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // t32 routed through the PERSISTED model artifact (t33): the
     // reference slice trained once into path/model with the order
     // stored in path/meta (an order mismatch would silently score
@@ -3731,6 +3755,41 @@ object ExtensionQueries {
              (9000003, 'the table value part a row')) v(doc_id, txt)),
          db AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(txt, ' ') AS w FROM src)),
+         agg AS (SELECT doc_id, count(*) AS nb, count(c2) AS nk,
+             CAST(sum(c2) AS BIGINT) AS sc2,
+             CAST(sum(c1) AS BIGINT) AS sc1
+           FROM db LEFT JOIN model USING (s) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(nk, 0) AS BIGINT) AS n_known,
+           CAST(sc2 AS DOUBLE) / sc1 AS familiarity
+         FROM src d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // mirrors t34: 5-gram model with the minCount=2 prune AFTER the
+    // context aggregation (c1 conditions on the unpruned mass), then
+    // the same per-doc BIGINT sums and one division
+    "t34_lm_ngram5" ->
+      """WITH mw AS (SELECT string_split(text, ' ') AS w
+             FROM documents WHERE lang = 'en'),
+         mb AS (SELECT unnest(list_transform(range(1, len(w) - 3),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                  w[i+3] || ' ' || w[i+4])) AS s FROM mw),
+         big AS (SELECT s, count(*) AS c2 FROM mb GROUP BY 1),
+         ctx AS (SELECT regexp_replace(s, ' [^ ]*$', '') AS ck,
+             CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         model AS (SELECT s, c2, c1 FROM big
+           JOIN ctx ON regexp_replace(big.s, ' [^ ]*$', '') = ctx.ck
+           WHERE c2 >= 2),
+         src AS (
+           SELECT doc_id, text AS txt FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'four word doc only')) v(doc_id, txt)),
+         db AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                  w[i+3] || ' ' || w[i+4])) AS s
            FROM (SELECT doc_id, string_split(txt, ' ') AS w FROM src)),
          agg AS (SELECT doc_id, count(*) AS nb, count(c2) AS nk,
              CAST(sum(c2) AS BIGINT) AS sc2,
