@@ -92,6 +92,7 @@ object Bench {
     "t32_lm_ngram" -> 1.8,
     "t33_lm_model_artifact" -> 2.5,
     "t34_lm_ngram5" -> 1.5, // t32's shape, wider shingle, pruned model
+    "t35_resample_tokens" -> 0.5, // t19's broadcast-threshold filter
     "p09_zorder_nd" -> 0.3,
     "s16_stream_span_decontam" -> 3.1,
     "p10_web_corpus_recipe" -> 8.4, // with the survivor-frame materialization

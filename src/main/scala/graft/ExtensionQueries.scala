@@ -1260,6 +1260,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-weighted mixture resample (t35): the mix a training run
+    // actually specifies is TOKEN mass, not document count — group
+    // mass is Σ n_chars (exact BIGINT), scale from the binding
+    // group's token/weight ratio, per-row portable-hash selection so
+    // kept token mass follows the target in expectation with the
+    // t19 determinism contract.
+    "t35_resample_tokens" -> ((s, dir) => {
+      TextFunctions.resampleToMixTokens(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), col("n_chars"),
+          Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+            "fr" -> 0.15, "zh" -> 0.15))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-smoothed resample (t24): target weights DERIVED from
     // the observed counts as n^0.5 (XLM's published α) — the smallest
     // language keeps everything, larger ones thin by (n_min/n)^0.5.
@@ -4005,6 +4020,27 @@ object ExtensionQueries {
     // chain of IEEE double operations (weights CAST to DOUBLE — DuckDB
     // parses bare decimals as DECIMAL), thresholded on the same
     // portable md5 hash as t05/t06.
+    // mirrors t35: t19's threshold chain with group mass = Σ n_chars
+    // (CAST to BIGINT — DuckDB sums BIGINT into HUGEINT)
+    "t35_resample_tokens" ->
+      """WITH w(grp, wt) AS (VALUES
+           ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+           ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+           ('zh', CAST(0.15 AS DOUBLE))),
+         counts AS (SELECT lang AS grp, CAST(sum(n_chars) AS BIGINT) AS n
+                    FROM documents GROUP BY lang),
+         cw AS (SELECT c.grp, c.n, w.wt FROM counts c JOIN w ON w.grp = c.grp),
+         s AS (SELECT min(n / wt) AS scale FROM cw),
+         thr AS (SELECT grp,
+                   floor(CAST(1048576 AS DOUBLE) *
+                     least(CAST(1.0 AS DOUBLE), wt * scale / n)) AS t
+                 FROM cw, s)
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         JOIN thr ON thr.grp = d.lang
+         WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
+           % 1048576 < thr.t
+         ORDER BY d.doc_id""",
+
     "t19_resample_mix" ->
       """WITH w(grp, wt) AS (VALUES
            ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),

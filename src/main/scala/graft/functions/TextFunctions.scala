@@ -533,17 +533,42 @@ object TextFunctions {
     * itself is never shuffled, the filter is a codegen projection.
     */
   def resampleToMix(df: DataFrame, group: Column, id: Column,
-      weights: Map[String, Double], buckets: Int = 1 << 20): DataFrame = {
-    require(weights.nonEmpty, "resampleToMix: weights must be non-empty")
+      weights: Map[String, Double], buckets: Int = 1 << 20): DataFrame =
+    resampleByMass(df, group, id, count(lit(1)), weights, buckets,
+      "resampleToMix")
+
+  /** [[resampleToMix]] weighted by TOKENS instead of rows — the mix a
+    * training run actually specifies ("30% code, 50% web, 20% books"
+    * means token mass, not document count; a corpus whose code
+    * documents average 10× the web documents' length would be wildly
+    * off-mix under row weighting). Group mass is `Σ tokens` (exact
+    * BIGINT), scale `S = min_g(T_g / w_g)`, per-group keep-rate
+    * `r_g = min(1, w_g·S / T_g)` — the binding group keeps everything.
+    * Selection stays the per-ROW portable hash: within a group it is
+    * length-agnostic, so the kept token mass matches the target in
+    * expectation with the same reproducibility contract (never
+    * `rand()`); same one-tiny-aggregate + broadcast-thresholds plan,
+    * the corpus never shuffles.
+    */
+  def resampleToMixTokens(df: DataFrame, group: Column, id: Column,
+      tokens: Column, weights: Map[String, Double],
+      buckets: Int = 1 << 20): DataFrame =
+    resampleByMass(df, group, id, sum(tokens.cast(LongType)), weights,
+      buckets, "resampleToMixTokens")
+
+  private def resampleByMass(df: DataFrame, group: Column, id: Column,
+      mass: Column, weights: Map[String, Double], buckets: Int,
+      name: String): DataFrame = {
+    require(weights.nonEmpty, s"$name: weights must be non-empty")
     require(weights.values.forall(_ > 0),
-      "resampleToMix: weights must be positive (omit a group to drop it)")
-    require(buckets > 0, "resampleToMix: buckets must be positive")
+      s"$name: weights must be positive (omit a group to drop it)")
+    require(buckets > 0, s"$name: buckets must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF("__grp", "__w")
     val keyed = df.withColumn("__grp", group)
     // inner join: groups without a weight are dropped by construction
-    val counts = keyed.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+    val counts = keyed.groupBy(col("__grp")).agg(mass.as("__n"))
       .join(broadcast(w), "__grp")
     val scale = counts.agg(min(col("__n") / col("__w")).as("__scale"))
     val thresholds = counts.crossJoin(broadcast(scale))

@@ -36,6 +36,33 @@ class ResampleMixSpec extends SparkSpec {
     }
   }
 
+  test("token weighting: binding group by token mass; kept TOKEN mix tracks target") {
+    val tokens = docs.groupBy("lang")
+      .agg(sum(col("n_chars")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = mix.keys.minBy(g => tokens(g) / mix(g))
+    val keptRows = TextFunctions.resampleToMixTokens(docs, col("lang"),
+      col("doc_id"), col("n_chars"), mix)
+    val kept = keptRows.groupBy("lang")
+      .agg(sum(col("n_chars")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept(binding) == tokens(binding),
+      s"binding group $binding thinned by tokens")
+    val total = kept.values.sum.toDouble
+    mix.foreach { case (g, w) =>
+      assert(kept(g) <= tokens(g))
+      val realized = kept(g) / total
+      assert(math.abs(realized - w) < 0.08,
+        s"$g realized token share $realized vs target $w")
+    }
+    // same determinism contract as the row form
+    val a = keptRows.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextFunctions.resampleToMixTokens(docs.repartition(7),
+        col("lang"), col("doc_id"), col("n_chars"), mix)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("groups without a weight are dropped; empty-overlap mix throws nothing extra") {
     val kept = TextFunctions.resampleToMix(docs, col("lang"), col("doc_id"),
         Map("en" -> 0.7, "de" -> 0.3))
