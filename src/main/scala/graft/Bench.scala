@@ -91,13 +91,13 @@ object Bench {
     // bench/scale_r15/bench_189q_idle.json)
     "t32_lm_ngram" -> 1.8,
     "t33_lm_model_artifact" -> 2.5,
-    "t34_lm_ngram5" -> 1.5, // t32's shape, wider shingle, pruned model
-    "t35_resample_tokens" -> 0.5, // t19's broadcast-threshold filter
+    "t34_lm_ngram5" -> 2.3, // measured idle, sf0.1 (193q archive)
+    "t35_resample_tokens" -> 0.6, // measured idle, sf0.1 (193q archive)
     "p09_zorder_nd" -> 0.3,
     "s16_stream_span_decontam" -> 3.1,
-    "p10_web_corpus_recipe" -> 8.4, // with the survivor-frame materialization
-    "p11_web_recipe_spans" -> 9.4, // p10's chain + the d31 span cut
-    "s17_stream_web_ingest" -> 1.9, // s06's two-agg shape + the URL stage
+    "p10_web_corpus_recipe" -> 9.3, // measured idle, sf0.1 (193q archive)
+    "p11_web_recipe_spans" -> 11.2, // measured idle, sf0.1 (193q archive)
+    "s17_stream_web_ingest" -> 2.0, // measured idle, sf0.1 (193q archive)
     "e17_ivfpq_autoconfig" -> 0.1,
     "e18_knn_ivfpq_autoconfig" -> 6.5,
     // round 14 additions (estimated from siblings: s13 from s12 plus a
