@@ -150,6 +150,121 @@ object ExtensionQueries {
            FROM gated),
          $keepCte"""
 
+  /** The e11 IVF-PQ oracle generator — unrolled coarse training,
+    * all 12 subspace sweeps, assignment, probing, ADC, and exact
+    * re-rank. `delPred` injects an extra predicate on the candidate
+    * (index) side — "" for e11 itself; e19 passes the deletion
+    * filter, because deleteFromIvfPqIndex is a row operation under
+    * the full-corpus model (never a retrain).
+    */
+  private def ivfPqOracleSql(delPred: String): String = {
+    val m = 4; val sub = 16
+      val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      def coarseSweep(n: Int, prev: String) = s"""
+        a$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc CROSS JOIN $prev),
+        u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
+      def subSweep(j: Int, n: Int, prev: String) = s"""
+        a${j}x$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc$j CROSS JOIN $prev),
+        u${j}x$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a${j}x$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c${j}x$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u${j}x$n u ON p.centroid_id = u.centroid_id)"""
+      def subspace(j: Int) = s"""
+        qc$j AS (SELECT vec_id,
+            list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}],
+              x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id >= 10),
+        qq$j AS (SELECT vec_id,
+            list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}],
+              x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id < 10),
+        c${j}x0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+            q AS c
+          FROM (SELECT vec_id, q FROM qc$j ORDER BY vec_id LIMIT 8)),
+        ${subSweep(j, 1, s"c${j}x0")}, ${subSweep(j, 2, s"c${j}x1")},
+        ${subSweep(j, 3, s"c${j}x2")},
+        enc$j AS (SELECT vec_id, centroid_id, c FROM (
+            SELECT v.vec_id, c.centroid_id, c.c,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+            FROM qc$j v CROSS JOIN c${j}x3 c) WHERE rn = 1)"""
+      s"""WITH qc AS (SELECT vec_id, embedding, $qv AS q
+             FROM embeddings WHERE vec_id >= 10),
+         qq AS (SELECT vec_id, embedding, $qv AS q
+             FROM embeddings WHERE vec_id < 10),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
+             FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
+         ${coarseSweep(1, "c0")}, ${coarseSweep(2, "c1")}, ${coarseSweep(3, "c2")},
+         assigned AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, centroid_id FROM (
+             SELECT v.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM qq v CROSS JOIN c3 c) WHERE rn <= 2),
+         ${(0 until m).map(subspace).mkString(",")},
+         scored AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(${sqd("q0.q", "e0.c")} + ${sqd("q1.q", "e1.c")}
+               + ${sqd("q2.q", "e2.c")} + ${sqd("q3.q", "e3.c")} AS BIGINT) AS adist
+           FROM probes p
+           JOIN assigned a ON a.centroid_id = p.centroid_id
+             AND a.vec_id <> p.query_id $delPred
+           JOIN enc0 e0 ON e0.vec_id = a.vec_id
+           JOIN enc1 e1 ON e1.vec_id = a.vec_id
+           JOIN enc2 e2 ON e2.vec_id = a.vec_id
+           JOIN enc3 e3 ON e3.vec_id = a.vec_id
+           JOIN qq0 q0 ON q0.vec_id = p.query_id
+           JOIN qq1 q1 ON q1.vec_id = p.query_id
+           JOIN qq2 q2 ON q2.vec_id = p.query_id
+           JOIN qq3 q3 ON q3.vec_id = p.query_id),
+         shortlist AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist, neighbor_id) AS crn
+             FROM scored) WHERE crn <= 50),
+         rescored AS (
+           SELECT s.query_id, s.neighbor_id,
+             ${cosQ("qe.embedding", "ce.embedding")} AS cos
+           FROM shortlist s
+           JOIN embeddings qe ON qe.vec_id = s.query_id
+           JOIN embeddings ce ON ce.vec_id = s.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn
+           FROM rescored)
+         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+  }
+
   // ---- queries ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2299,6 +2414,34 @@ object ExtensionQueries {
         dims = 64)
       Similarity.knnIvfPq(index, cents, cb, queries, corpus, k = 5,
           nprobe = cfg.nprobe, rerank = cfg.rerank, m = cfg.m, dims = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Index deletion / takedown (e19): build the e11 tree on disk,
+    // deleteFromIvfPqIndex every vec_id % 7 == 0 (twice — idempotence
+    // rides inside the gate), search the survivor tree with the
+    // UNCHANGED full-corpus model. Deletion is a row operation, never
+    // a retrain: the oracle is e11's replay with the deleted ids
+    // excluded from the candidate set only.
+    "e19_knn_ivfpq_delete" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(corpus, k = 8)
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val path = Scratch.path(dir, "e19")
+      Scratch.reset(path)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64), path)
+      val takedown = corpus.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"))
+      Similarity.deleteFromIvfPqIndex(s, path, takedown)
+      // re-running the same takedown must be a no-op (idempotence)
+      Similarity.deleteFromIvfPqIndex(s, path, takedown)
+      Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries,
+          corpus.filter(col("vec_id") % 7 =!= 0),
+          k = 5, nprobe = 2, rerank = 50)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -5517,113 +5660,15 @@ object ExtensionQueries {
     // (full-width, 3 sweeps) selects the probed cells, the e09/e10
     // subspace training encodes, ADC scores probed cells only, exact
     // cosine re-ranks the 50-shortlist — the complete IVFADC unroll
-    "e11_knn_ivfpq" -> {
-      val m = 4; val sub = 16
-      val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
-      def sqd(a: String, b: String) =
-        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
-      def coarseSweep(n: Int, prev: String) = s"""
-        a$n AS (SELECT vec_id, q, centroid_id,
-            row_number() OVER (PARTITION BY vec_id
-              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
-          FROM qc CROSS JOIN $prev),
-        u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
-            SELECT centroid_id, pos,
-              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
-            FROM (SELECT centroid_id, unnest(q) AS val,
-                    unnest(range(1, len(q)+1)) AS pos
-                  FROM a$n WHERE rn = 1)
-            GROUP BY centroid_id, pos) GROUP BY centroid_id),
-        c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
-          FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
-      def subSweep(j: Int, n: Int, prev: String) = s"""
-        a${j}x$n AS (SELECT vec_id, q, centroid_id,
-            row_number() OVER (PARTITION BY vec_id
-              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
-          FROM qc$j CROSS JOIN $prev),
-        u${j}x$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
-            SELECT centroid_id, pos,
-              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
-            FROM (SELECT centroid_id, unnest(q) AS val,
-                    unnest(range(1, len(q)+1)) AS pos
-                  FROM a${j}x$n WHERE rn = 1)
-            GROUP BY centroid_id, pos) GROUP BY centroid_id),
-        c${j}x$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
-          FROM $prev p LEFT JOIN u${j}x$n u ON p.centroid_id = u.centroid_id)"""
-      def subspace(j: Int) = s"""
-        qc$j AS (SELECT vec_id,
-            list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}],
-              x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q
-          FROM embeddings WHERE vec_id >= 10),
-        qq$j AS (SELECT vec_id,
-            list_transform(embedding[${j * sub + 1}:${(j + 1) * sub}],
-              x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q
-          FROM embeddings WHERE vec_id < 10),
-        c${j}x0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-            q AS c
-          FROM (SELECT vec_id, q FROM qc$j ORDER BY vec_id LIMIT 8)),
-        ${subSweep(j, 1, s"c${j}x0")}, ${subSweep(j, 2, s"c${j}x1")},
-        ${subSweep(j, 3, s"c${j}x2")},
-        enc$j AS (SELECT vec_id, centroid_id, c FROM (
-            SELECT v.vec_id, c.centroid_id, c.c,
-              row_number() OVER (PARTITION BY v.vec_id
-                ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
-            FROM qc$j v CROSS JOIN c${j}x3 c) WHERE rn = 1)"""
-      s"""WITH qc AS (SELECT vec_id, embedding, $qv AS q
-             FROM embeddings WHERE vec_id >= 10),
-         qq AS (SELECT vec_id, embedding, $qv AS q
-             FROM embeddings WHERE vec_id < 10),
-         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
-             FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
-         ${coarseSweep(1, "c0")}, ${coarseSweep(2, "c1")}, ${coarseSweep(3, "c2")},
-         assigned AS (
-           SELECT vec_id, centroid_id FROM (
-             SELECT v.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
-             FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
-         probes AS (
-           SELECT query_id, centroid_id FROM (
-             SELECT v.vec_id AS query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
-             FROM qq v CROSS JOIN c3 c) WHERE rn <= 2),
-         ${(0 until m).map(subspace).mkString(",")},
-         scored AS (
-           SELECT p.query_id, a.vec_id AS neighbor_id,
-             CAST(${sqd("q0.q", "e0.c")} + ${sqd("q1.q", "e1.c")}
-               + ${sqd("q2.q", "e2.c")} + ${sqd("q3.q", "e3.c")} AS BIGINT) AS adist
-           FROM probes p
-           JOIN assigned a ON a.centroid_id = p.centroid_id
-             AND a.vec_id <> p.query_id
-           JOIN enc0 e0 ON e0.vec_id = a.vec_id
-           JOIN enc1 e1 ON e1.vec_id = a.vec_id
-           JOIN enc2 e2 ON e2.vec_id = a.vec_id
-           JOIN enc3 e3 ON e3.vec_id = a.vec_id
-           JOIN qq0 q0 ON q0.vec_id = p.query_id
-           JOIN qq1 q1 ON q1.vec_id = p.query_id
-           JOIN qq2 q2 ON q2.vec_id = p.query_id
-           JOIN qq3 q3 ON q3.vec_id = p.query_id),
-         shortlist AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY adist, neighbor_id) AS crn
-             FROM scored) WHERE crn <= 50),
-         rescored AS (
-           SELECT s.query_id, s.neighbor_id,
-             ${cosQ("qe.embedding", "ce.embedding")} AS cos
-           FROM shortlist s
-           JOIN embeddings qe ON qe.vec_id = s.query_id
-           JOIN embeddings ce ON ce.vec_id = s.neighbor_id),
-         ranked AS (
-           SELECT query_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cos DESC, neighbor_id) AS rn
-           FROM rescored)
-         SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos
-         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
-    },
+    "e11_knn_ivfpq" -> ivfPqOracleSql(delPred = ""),
+
+    // e19 is e11's search through the tree AFTER deleteFromIvfPqIndex
+    // removed every vec_id % 7 == 0 row: the model stays the one
+    // trained on the FULL corpus (deletion is a row operation, never a
+    // retrain), so the oracle is e11's replay with the deleted ids
+    // excluded from the candidate set only
+    "e19_knn_ivfpq_delete" ->
+      ivfPqOracleSql(delPred = "AND a.vec_id % 7 <> 0"),
 
     "e04_ann_join" -> {
       // candidates = bucket collision in table 0 OR table 1; UNION

@@ -1235,6 +1235,58 @@ object Similarity {
     Curation.swapStaged(spark, staged, path)
   }
 
+  /** TAKEDOWN for an on-disk IVF-PQ tree — the deletion verb of the
+    * index lifecycle (build / grow / compact / retrain / DELETE): a
+    * training-data platform must be able to remove documents (legal
+    * takedowns, right-to-be-forgotten, contamination discoveries)
+    * from every derived artifact, and the ANN index is the artifact
+    * that silently keeps serving a removed document as a neighbor.
+    *
+    * Deletion is a ROW operation under the tree's existing model —
+    * never a retrain: the frozen-model contract means removing rows
+    * changes no other row's cell or codes, so the deleted tree's row
+    * set equals a fresh build over corpus-minus-deleted WITH THE SAME
+    * model (e19, hash-gated; recall drift from a shrunken corpus is a
+    * model question — run [[retrainIvfPqIndex]] on its own cadence).
+    * Idempotent by construction (deleting absent ids is a no-op), so
+    * a takedown job can simply re-run after any failure.
+    *
+    * Cost and crash safety follow [[compactIvfPqIndex]]: one pass
+    * over the INDEX (m-byte codes per vector, never the corpus
+    * vectors), staged + swapped — a crash leaves the old tree or the
+    * new one, never a mix — and the pass doubles as a compaction of
+    * append-grown cell files. A self-contained
+    * ([[retrainIvfPqIndex]]) tree keeps its `_model/` through the
+    * swap: the model is corpus-trained state, not row state, and
+    * remains THE model for the surviving rows. SINGLE-WRITER like
+    * every maintenance call; `ids` needs a `vec_id` column and is
+    * broadcast (takedown lists are small by nature — pass a frame,
+    * not a collected Seq, so a large legal sweep still plans as an
+    * ordinary join if Spark decides broadcast no longer fits).
+    */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit = {
+    val staged = s"$path-compacting"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    val fs = stagedP.getFileSystem(conf)
+    fs.delete(stagedP, true)
+    val idSide = broadcast(ids.select(col("vec_id")).distinct())
+    writeIvfPqIndex(
+      readIvfPqIndex(spark, path).join(idSide, Seq("vec_id"), "left_anti"),
+      staged)
+    val modelP = new org.apache.hadoop.fs.Path(s"$path/_model")
+    if (fs.exists(modelP)) {
+      // corpus-trained state rides along: re-emit the tiny model
+      // parquet under the staged tree so the swap can't orphan it
+      spark.read.parquet(s"$path/_model/centroids")
+        .write.mode("overwrite").parquet(s"$staged/_model/centroids")
+      spark.read.parquet(s"$path/_model/codebooks")
+        .write.mode("overwrite").parquet(s"$staged/_model/codebooks")
+    }
+    Curation.swapStaged(spark, staged, path)
+  }
+
   /** Read a [[writeIvfPqIndex]] tree back as the (vec_id, centroid_id,
     * codes) index frame (the partition column returns as int). First
     * finishes any [[compactIvfPqIndex]] swap a crash interrupted, so

@@ -415,6 +415,46 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromIvfPqIndex: exact row removal, idempotent, keeps _model, " +
+      "never serves a deleted id") {
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val queries = emb.filter(col("vec_id") < 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_delete").toString + "/idx"
+    try {
+      // a self-contained tree: _model must survive the delete swap
+      Similarity.retrainIvfPqIndex(spark, path, corpus, kCoarse = 2,
+        m = 2, k = 3, dims = dims)
+      val before = Similarity.readIvfPqIndex(spark, path)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val takedown = Seq(3L, 5L, 999L).toDF("vec_id") // 999 absent
+      Similarity.deleteFromIvfPqIndex(spark, path, takedown)
+      val after = Similarity.readIvfPqIndex(spark, path)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(after == before -- Set(3L, 5L),
+        s"exactly the present takedown ids vanish: $after")
+      // idempotent: a re-run (the crash-recovery story) changes nothing
+      Similarity.deleteFromIvfPqIndex(spark, path, takedown)
+      val again = Similarity.readIvfPqIndex(spark, path)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(again == after)
+      // the corpus-trained model rides through the swap and still
+      // searches the survivor tree; no deleted id is ever served
+      val (cents, cb) = Similarity.readIvfPqModel(spark, path)
+      val out = Similarity.knnIvfPqOnDisk(spark, path, cents, cb,
+        queries, corpus.filter(!col("vec_id").isin(3L, 5L)),
+        k = 2, nprobe = 2, rerank = 4, m = 2, dims = dims).collect()
+      assert(out.nonEmpty)
+      assert(!out.exists(r => Set(3L, 5L)(r.getLong(1))),
+        "a deleted vector must never be served as a neighbor")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(path).getParentFile)
+    }
+  }
+
   test("knnIvfPq narrow probe scores only probed cells") {
     val corpus = emb.filter(col("vec_id") >= 2)
     val queries = emb.filter(col("vec_id") < 2)
