@@ -100,7 +100,7 @@ object Bench {
     "s17_stream_web_ingest" -> 2.0, // measured idle, sf0.1 (193q archive)
     "e17_ivfpq_autoconfig" -> 0.1,
     "e18_knn_ivfpq_autoconfig" -> 6.5,
-    "e19_knn_ivfpq_delete" -> 4.0, // e12 build + two delete swaps + search
+    "e19_knn_ivfpq_delete" -> 5.9, // measured idle, sf0.1 (194q archive)
     // round 14 additions (estimated from siblings: s13 from s12 plus a
     // compactShards pass, p07 from p06 plus three appends + an epoch
     // compaction)
