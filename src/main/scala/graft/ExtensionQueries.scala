@@ -20,6 +20,21 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.df(s, dir, name)
 
+  /** t36/t38's planted BPE training fixture — the Sennrich corpus
+    * (arXiv:1508.07909 fig. 1 shape) whose first seven merges,
+    * including three tie-breaks, are hand-derived in BpeSpec.
+    */
+  private val BpePlanted = Seq(
+    "low low low low low lower lower",
+    "newest newest newest newest newest newest widest widest widest")
+
+  /** t37's fixed well-formed merge list: chained ranks, a same-char
+    * pair, and an overlap bait — every rank-order subtlety the encode
+    * loop has.
+    */
+  private val BpeFixedMerges = Seq(("t", "h"), ("th", "e"), ("a", "a"),
+    ("i", "n"), ("in", "g"), ("e", "r"), ("a", "n"))
+
   /** d23's planted boilerplate sentence (11 words — four duplicated
     * 8-word windows per later carrier, so coverage-union is exercised).
     */
@@ -1388,6 +1403,72 @@ object ExtensionQueries {
             "fr" -> 0.15, "zh" -> 0.15))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE tokenizer TRAINING (t36): learn 8 merges on a corpus slice
+    // plus the planted Sennrich fixture (whose first seven merges —
+    // including three tie-breaks — are hand-derived in BpeSpec). The
+    // oracle replays ALL EIGHT iterations: pair count weighted by word
+    // frequency, (count desc, left, right) argmax, and the
+    // left-to-right single-pass apply as a list_reduce fold. Every
+    // learned merge at every rank is hash-gated.
+    "t36_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("text"))
+        .unionByName(BpePlanted.toDF("text"))
+      TextFunctions.bpeTrain(src, col("text"), numMerges = 8)
+        .select(col("rank").as("merge_rank"), col("left").as("lhs"),
+          col("right").as("rhs"), col("merged"))
+        .orderBy(col("merge_rank"))
+    }),
+
+    // BPE ENCODE (t37): apply a fixed well-formed merge list — chained
+    // ranks (t,h)->(th,e), (i,n)->(in,g), a same-char pair (a,a), and
+    // an overlap-bait (a,n) behind it — to planted fixtures pinning
+    // the single-pass/rank-order subtleties plus a corpus slice of
+    // real prose. The oracle replays every merge as a list_reduce fold
+    // per word, so every token at every position is hash-gated.
+    "t37_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "aaa aa a"),       // single pass: aaa -> [aa, a]
+        (9000002L, "the thinking"),   // chained ranks inside one word
+        (9000003L, "anand"),          // [a,n,a,n,d]: (a,n) twice -> an|an|d
+        (9000004L, "xyz"),            // unknown chars: their own tokens
+        (9000005L, "thethe banana")   // repeated merged tokens + tail
+      ).toDF("doc_id", "txt")
+      val src = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text").as("txt"))
+        .unionByName(planted)
+      src.select(col("doc_id"),
+          posexplode(TextFunctions.bpeEncode(col("txt"), BpeFixedMerges))
+            .as(Seq("idx", "token")))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // BPE artifact round-trip (t38): train on the t36 corpus, persist
+    // via writeBpeModel (merges + knobs in meta), encode probe docs
+    // THROUGH the artifact. The oracle re-derives the full training
+    // (t36's eight iterations) and then folds each probe word through
+    // the learned merges — train and encode hash-gated end to end.
+    "t38_bpe_artifact" -> ((s, dir) => {
+      import s.implicits._
+      val train = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("text"))
+        .unionByName(BpePlanted.toDF("text"))
+      val path = Scratch.path(dir, "t38_bpe")
+      Scratch.reset(path)
+      TextFunctions.writeBpeModel(train, col("text"), path, numMerges = 8)
+      val probes = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (9000001L, "low lower lowest newest widest"),
+          (9000002L, "unseen probe words entirely")).toDF("doc_id", "text"))
+      TextFunctions.bpeEncodeWithModel(probes, col("text"), path)
+        .select(col("doc_id"),
+          posexplode(col("bpe_tokens")).as(Seq("idx", "token")))
+        .orderBy(col("doc_id"), col("idx"))
     }),
 
     // Temperature-smoothed resample (t24): target weights DERIVED from
@@ -2858,7 +2939,138 @@ object ExtensionQueries {
     })
   )
 
+  // ---- BPE oracle fragments (t36/t37/t38) ------------------------------
+
+  /** One left-to-right single-pass merge application as a list_reduce
+    * fold over a space-delimited token string: because merged = l || r
+    * and the merge fires only when the accumulator's LAST token is
+    * exactly `l` (tokens are space-free, so `ends_with(acc, ' ' || l)`
+    * tests exactly that), appending `r` with NO separator IS the merge.
+    * `l`/`r` are SQL expressions — literals for t37's fixed list,
+    * captured argmax columns for t36/t38's training replay.
+    */
+  private def bpeFold(ts: String, l: String, r: String): String =
+    s"""list_reduce(list_prepend('', string_split($ts, ' ')),
+       |      (acc, x) -> CASE
+       |        WHEN x = $r AND (acc = $l OR ends_with(acc, ' ' || $l))
+       |          THEN acc || x
+       |        WHEN acc = '' THEN x
+       |        ELSE acc || ' ' || x END)""".stripMargin
+
+  /** The training replay: word-frequency table + code-point split,
+    * then `n` unrolled iterations of (weighted pair count, argmax with
+    * the (count desc, l, r) tie-break, fold apply). Pair keys ride as
+    * `l || ' ' || r` strings — unambiguous because tokens are
+    * space-free, and the argmax re-splits before ordering so the
+    * tie-break compares (l, r) exactly like the Spark side.
+    */
+  private def bpeTrainCtes(srcSql: String, n: Int): String = {
+    val head =
+      s"""src AS ($srcSql),
+         |wf AS (SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM src)
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (SELECT f,
+         |  array_to_string(regexp_extract_all(w, '.'), ' ') AS ts FROM wf)""".stripMargin
+    val stages = (1 to n).map { k =>
+      s"""p$k AS (SELECT string_split(pair, ' ')[1] AS l,
+         |    string_split(pair, ' ')[2] AS r, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT f, unnest(list_transform(range(1, len(s)),
+         |      i -> s[i] || ' ' || s[i+1])) AS pair
+         |    FROM (SELECT f, string_split(ts, ' ') AS s FROM s${k - 1}))
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$k AS (SELECT f, ${bpeFold("ts", s"m$k.l", s"m$k.r")} AS ts
+         |  FROM s${k - 1} CROSS JOIN m$k)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** Words of `srcRel`(doc_id, txt) with 1-based positions, then the
+    * code-point split — the encode replay's starting state `${p}0`. */
+  private def bpeWordsCtes(srcRel: String, p: String): String =
+    s"""${p}w AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> struct_pack(wi := i, w := ws[i]))) AS u
+       |    FROM (SELECT doc_id, string_split(txt, ' ') AS ws FROM $srcRel))
+       |  WHERE u.w <> ''),
+       |${p}0 AS (SELECT doc_id, wi,
+       |  array_to_string(regexp_extract_all(w, '.'), ' ') AS ts FROM ${p}w)""".stripMargin
+
+  /** Flatten the final per-word token strings of `rel` back to
+    * (doc_id, idx, token) with the posexplode numbering. */
+  private def bpeFlatSql(rel: String): String =
+    s"""flat AS (SELECT doc_id, wi, u.ti AS ti, u.tok AS tok FROM (
+       |    SELECT doc_id, wi, unnest(list_transform(range(1, len(tk) + 1),
+       |      i -> struct_pack(ti := i, tok := tk[i]))) AS u
+       |    FROM (SELECT doc_id, wi, string_split(ts, ' ') AS tk FROM $rel)))
+       |SELECT doc_id, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY wi, ti) - 1 AS INT) AS idx,
+       |  tok AS token
+       |FROM flat ORDER BY doc_id, idx""".stripMargin
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** t36/t38's training source: the corpus slice plus BpePlanted. */
+  private lazy val BpeTrainSrcSql =
+    s"""SELECT text FROM documents WHERE doc_id < 120
+       |  UNION ALL SELECT * FROM (VALUES
+       |    (${sqlLit(BpePlanted(0))}),
+       |    (${sqlLit(BpePlanted(1))})) v(text)""".stripMargin
+
+  // mirrors t36: eight unrolled training iterations, every learned
+  // merge at every rank hash-gated
+  private lazy val BpeTrainOracle =
+    s"""WITH ${bpeTrainCtes(BpeTrainSrcSql, 8)}
+       |SELECT * FROM (
+       |${(1 to 8).map(k =>
+          s"  SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged FROM m$k")
+         .mkString("\n  UNION ALL\n")}
+       |) ORDER BY merge_rank""".stripMargin
+
+  // mirrors t37: the fixed merge list folded per word in rank order
+  private lazy val BpeEncodeOracle = {
+    val src =
+      """SELECT doc_id, text AS txt FROM documents WHERE doc_id < 150
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9000001, 'aaa aa a'),
+        |    (9000002, 'the thinking'),
+        |    (9000003, 'anand'),
+        |    (9000004, 'xyz'),
+        |    (9000005, 'thethe banana')) v(doc_id, txt)""".stripMargin
+    val folds = BpeFixedMerges.zipWithIndex.map { case ((l, r), i) =>
+      s"""e${i + 1} AS (SELECT doc_id, wi,
+         |  ${bpeFold("ts", sqlLit(l), sqlLit(r))} AS ts FROM e$i)""".stripMargin
+    }
+    s"""WITH src AS ($src),
+       |${bpeWordsCtes("src", "e")},
+       |${folds.mkString(",\n")},
+       |${bpeFlatSql(s"e${BpeFixedMerges.size}")}""".stripMargin
+  }
+
+  // mirrors t38: the t36 training replay, then every probe word folded
+  // through the learned merges m1..m8 — train and encode in one oracle
+  private lazy val BpeArtifactOracle = {
+    val probe =
+      """SELECT doc_id, text AS txt FROM documents WHERE doc_id < 60
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9000001, 'low lower lowest newest widest'),
+        |    (9000002, 'unseen probe words entirely')) v(doc_id, txt)""".stripMargin
+    val folds = (1 to 8).map { k =>
+      s"""e$k AS (SELECT doc_id, wi, ${bpeFold("ts", s"m$k.l", s"m$k.r")} AS ts
+         |  FROM e${k - 1} CROSS JOIN m$k)""".stripMargin
+    }
+    s"""WITH ${bpeTrainCtes(BpeTrainSrcSql, 8)},
+       |probe AS ($probe),
+       |${bpeWordsCtes("probe", "e")},
+       |${folds.mkString(",\n")},
+       |${bpeFlatSql("e8")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase +
+    ("t36_bpe_train" -> BpeTrainOracle) +
+    ("t37_bpe_encode" -> BpeEncodeOracle) +
+    ("t38_bpe_artifact" -> BpeArtifactOracle) +
     // e12 is the e11 search bit-for-bit, routed through the on-disk
     // partition-pruned index — one oracle, two gated plans
     ("e12_knn_ivfpq_disk" -> oracleSqlBase("e11_knn_ivfpq")) +

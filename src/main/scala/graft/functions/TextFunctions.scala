@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -652,6 +652,141 @@ object TextFunctions {
     */
   def tokenizeGreedy(text: Column, vocab: Seq[String]): Column =
     expressions.GreedyTokenize(text, vocab)
+
+  /** BPE merge application ([[bpeTrain]]'s encode half): tokenize
+    * `text` by splitting each whitespace-separated word into code
+    * points and applying `merges` in rank order, each as one
+    * left-to-right non-overlapping pass. Returns `array<string>` of
+    * token strings in document order. A native codegen'd expression
+    * (see [[expressions.BpeEncode]] for the min-rank-repeat
+    * implementation and the well-formedness contract) — zero shuffle,
+    * merge-count-independent per-word cost.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    expressions.BpeEncode(text, merges)
+
+  /** BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909 §3.2) —
+    * the train half of the tokenizer lifecycle: [[bpeTrain]] learns the
+    * merge list, [[bpeEncode]] applies it, [[tokenizeGreedy]] consumes
+    * a flat vocabulary where a WordPiece-style walk is wanted instead.
+    * Classic semantics: start from the corpus word-frequency table with
+    * words split into code points; `numMerges` times, count every
+    * adjacent symbol pair (weighted by word frequency, overlapping
+    * positions counted — the published counting rule), merge the most
+    * frequent pair everywhere it occurs, ties broken (count desc, left
+    * asc, right asc) so the learned list is deterministic and
+    * oracle-replayable. Stops early when no pair remains or the best
+    * count falls below `minPairCount` (Sennrich's frequency threshold).
+    * Merges never cross word boundaries; no end-of-word marker is
+    * appended (the within-word formulation — callers that need
+    * boundary-aware vocab can append their own sentinel to `text`).
+    *
+    * Returns (rank, left, right, merged) with rank 1-based in learned
+    * order — the artifact [[bpeEncode]] and [[writeBpeModel]] consume.
+    *
+    * Scale shape, sized for a 100 TB corpus: the corpus is read ONCE
+    * (the word-frequency aggregate — partial-aggregatable, the only
+    * corpus-wide shuffle); every training iteration then runs over the
+    * cached DISTINCT-WORD table — vocabulary-bound, not corpus-bound
+    * (`minWordCount` prunes the hapax tail that dominates open-domain
+    * vocabularies, the standard trainer knob). Iteration state is
+    * never mutated-and-checkpointed: the current tokenization is
+    * re-derived each round by the codegen'd [[bpeEncode]] with the
+    * merges learned so far (per-word cost is bounded by word LENGTH,
+    * not merge count — a word stops changing once fully merged), so
+    * lineage stays flat at any `numMerges`. Per iteration: one scan of
+    * the cached word table + one pair-count shuffle whose keys are
+    * symbol pairs (tiny) + one `limit(1)` argmax — the only driver
+    * state is one row per iteration and the growing merge list
+    * (`numMerges` entries, the broadcast-artifact contract).
+    */
+  def bpeTrain(df: DataFrame, text: Column, numMerges: Int,
+      minPairCount: Long = 1L, minWordCount: Long = 1L): DataFrame = {
+    require(numMerges >= 1 && numMerges <= (1 << 16),
+      s"bpeTrain: numMerges must be in [1, ${1 << 16}], got $numMerges")
+    require(minPairCount >= 1L,
+      s"bpeTrain: minPairCount must be >= 1, got $minPairCount")
+    require(minWordCount >= 1L,
+      s"bpeTrain: minWordCount must be >= 1, got $minWordCount")
+    val spark = df.sparkSession
+    val base = df.select(explode(words(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minWordCount)
+      .persist()
+    try {
+      val learned = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String)]
+      var stop = false
+      while (learned.size < numMerges && !stop) {
+        // current tokenization, re-derived from the frozen word table:
+        // code-point split for round 1, then the merges learned so far
+        val syms =
+          if (learned.isEmpty) regexp_extract_all(col("w"), lit("."), lit(0))
+          else bpeEncode(col("w"), learned.toSeq.map(m => (m._2, m._3)))
+        val top = base.select(col("f"), syms.as("s"))
+          .filter(size(col("s")) >= 2)
+          .select(col("f"), explode(zip_with(
+              slice(col("s"), lit(1), size(col("s")) - 1),
+              slice(col("s"), lit(2), size(col("s")) - 1),
+              (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(2) < minPairCount) stop = true
+        else {
+          val l = top(0).getString(0)
+          val r = top(0).getString(1)
+          learned += ((learned.size + 1, l, r, l + r))
+        }
+      }
+      import spark.implicits._
+      learned.toSeq.toDF("rank", "left", "right", "merged")
+    } finally base.unpersist()
+  }
+
+  /** Persist a trained BPE merge list — the [[writeLmModel]] pattern
+    * for the tokenizer: train once on the trusted corpus, encode every
+    * increment against the artifact. The training knobs ride INSIDE
+    * the artifact (`path/meta`) so a consumer can audit what produced
+    * the merges; the merges themselves live at `path/model` ordered by
+    * rank.
+    */
+  def writeBpeModel(df: DataFrame, text: Column, path: String,
+      numMerges: Int, minPairCount: Long = 1L,
+      minWordCount: Long = 1L): Unit = {
+    bpeTrain(df, text, numMerges, minPairCount, minWordCount)
+      .write.mode("overwrite").parquet(s"$path/model")
+    df.sparkSession.range(1)
+      .select(lit(numMerges).as("num_merges"),
+        lit(minPairCount).as("min_pair_count"),
+        lit(minWordCount).as("min_word_count"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a [[writeBpeModel]] artifact back as the rank-ordered merge
+    * list [[bpeEncode]] takes. The collect is bounded by the artifact's
+    * own `num_merges` (driver state = the merge list, the same
+    * broadcast-artifact contract as the PQ codebooks).
+    */
+  def readBpeModel(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(s"$path/model")
+      .orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+
+  /** [[bpeEncode]] against a [[writeBpeModel]] artifact — the
+    * daily-increment shape: the increment is encoded live, the merge
+    * list comes entirely from the artifact. Result bit-identical to
+    * encoding with the in-session trained list (t38 shares t37's
+    * oracle). Appends a `bpe_tokens` array column.
+    */
+  def bpeEncodeWithModel(df: DataFrame, text: Column,
+      path: String): DataFrame =
+    df.withColumn("bpe_tokens",
+      bpeEncode(text, readBpeModel(df.sparkSession, path)))
 
   /** Quality heuristics (length / punctuation / stopword ratios), packed
     * into one struct column. All ratios are int/int divisions in double —
