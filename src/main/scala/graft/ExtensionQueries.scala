@@ -35,6 +35,14 @@ object ExtensionQueries {
   private val BpeFixedMerges = Seq(("t", "h"), ("th", "e"), ("a", "a"),
     ("i", "n"), ("in", "g"), ("e", "r"), ("a", "n"))
 
+  /** x14/x15's point-query probes: common words across the corpus
+    * languages, rarer ones, and one absent item (whose estimate is
+    * pure collision mass — still deterministic under the replayed
+    * arithmetic).
+    */
+  private val CmsProbes =
+    Seq("the", "und", "la", "el", "de", "data", "zz-absent-zz")
+
   /** d23's planted boilerplate sentence (11 words — four duplicated
     * 8-word windows per later carrier, so coverage-union is exercised).
     */
@@ -2401,6 +2409,49 @@ object ExtensionQueries {
         size(merged).cast(LongType).as("n_sample"))
     }),
 
+    // Count-Min sketch (x14): the bounded-memory point-query counter —
+    // one 3×64 counter matrix over every corpus word (thousands of
+    // distinct words into 64 buckets, so collisions do real work),
+    // probed for common words, rare words, and an absent one. The
+    // oracle replays the ENTIRE sketch arithmetic: every bucket sum
+    // (portable md5 hash, salted per row) and every min — estimates
+    // are deterministic, not just bounded.
+    "x14_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      val wordsDf = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("item"))
+        .filter(col("item") =!= "")
+      val sk = wordsDf.agg(
+        functions.Sketches.cmsSketch(col("item"), 3, 64).as("sk"))
+      CmsProbes.toDF("item").crossJoin(sk)
+        .select(col("item"),
+          functions.Sketches.cmsEstimate(col("sk"), col("item"), 3, 64)
+            .as("est"))
+        .orderBy(col("item"))
+    }),
+
+    // CMS linearity (x15): sketch each half of the corpus separately
+    // (even/odd doc_id), merge by pointwise addition, probe the merged
+    // matrix. CMS is linear, so this must equal the one-shot x14
+    // sketch bit for bit — shares x14's oracle.
+    "x15_cms_compose" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      def half(pred: org.apache.spark.sql.Column) = d.filter(pred)
+        .select(explode(split(col("text"), " ")).as("item"))
+        .filter(col("item") =!= "")
+      val sa = half(col("doc_id") % 2 === 0)
+        .agg(functions.Sketches.cmsSketch(col("item"), 3, 64).as("sk_a"))
+      val sb = half(col("doc_id") % 2 === 1)
+        .agg(functions.Sketches.cmsSketch(col("item"), 3, 64).as("sk_b"))
+      val merged = functions.Sketches.cmsMerge(col("sk_a"), col("sk_b"))
+      CmsProbes.toDF("item").crossJoin(sa.crossJoin(sb))
+        .select(col("item"),
+          functions.Sketches.cmsEstimate(merged, col("item"), 3, 64)
+            .as("est"))
+        .orderBy(col("item"))
+    }),
+
     // CSV round-trip: the reference's A2 surface (scratch.py:7 reads
     // CSV via pandas) through Spark's csv source — header + explicit
     // schema, quoted fields, hash-matched against the parquet oracle.
@@ -3067,10 +3118,35 @@ object ExtensionQueries {
        |${bpeFlatSql("e8")}""".stripMargin
   }
 
+  // mirrors x14: the full CMS arithmetic — per-(row, bucket) collision
+  // sums over the true word counts, then the per-probe min — with the
+  // identical salted portable hash
+  private lazy val CmsOracle = {
+    val h = (of: String) =>
+      s"CAST(('0x' || substr(md5('cms:' || CAST(j.j AS VARCHAR) || ':' || $of), 1, 14)) AS BIGINT) % 64"
+    s"""WITH wc AS (SELECT item, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+       |  WHERE item <> '' GROUP BY 1),
+       |j(j) AS (VALUES (0), (1), (2)),
+       |cell AS (SELECT j, b, CAST(sum(f) AS BIGINT) AS c FROM (
+       |    SELECT f, j.j AS j, ${h("item")} AS b
+       |    FROM wc CROSS JOIN j) GROUP BY 1, 2),
+       |probes(item) AS (VALUES ${CmsProbes.map(p => s"(${sqlLit(p)})").mkString(", ")}),
+       |pb AS (SELECT item, j.j AS j, ${h("item")} AS b
+       |  FROM probes CROSS JOIN j)
+       |SELECT pb.item, CAST(min(coalesce(cell.c, 0)) AS BIGINT) AS est
+       |FROM pb LEFT JOIN cell ON cell.j = pb.j AND cell.b = pb.b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("t36_bpe_train" -> BpeTrainOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +
+    ("x14_cms_counts" -> CmsOracle) +
+    // x15 is x14 through the pointwise-addition combine — CMS
+    // linearity says the merged matrix IS the one-shot matrix
+    ("x15_cms_compose" -> CmsOracle) +
     // e12 is the e11 search bit-for-bit, routed through the on-disk
     // partition-pruned index — one oracle, two gated plans
     ("e12_knn_ivfpq_disk" -> oracleSqlBase("e11_knn_ivfpq")) +

@@ -134,4 +134,42 @@ object Sketches {
     val idx1 = least(n, greatest(lit(1L), ceil(lit(q) * n).cast(LongType)))
     when(size(vals) > 0, get(vals, (idx1 - 1L).cast("int")))
   }
+
+  /** Count-Min sketch of `item` per group: the `depth × width` counter
+    * matrix as a row-major `array<bigint>` — the bounded-memory
+    * POINT-QUERY counter (see [[expressions.CountMinSketch]] for the
+    * guarantees and the portable-hash contract). */
+  def cmsSketch(item: Column, depth: Int, width: Int): Column =
+    expressions.CountMinSketch(item, depth, width)
+
+  /** Point-count estimate of `item` from a [[cmsSketch]] array built
+    * with the same `depth`/`width`: the minimum of the item's `depth`
+    * counters. Never undercounts; overcounts by at most the collision
+    * mass of the item's emptiest row. The bucket arithmetic is the
+    * portable 56-bit md5 hash of `cms:<row>:<item>` mod width — the
+    * exact chain [[expressions.CountMinSketch.bucket]] runs on the
+    * build side and the x14 DuckDB oracle replays.
+    */
+  def cmsEstimate(sketch: Column, item: Column, depth: Int,
+      width: Int): Column = {
+    require(depth >= 1 && depth <= 16,
+      s"cmsEstimate: depth must be in [1, 16], got $depth")
+    require(width >= 2 && width <= (1 << 20),
+      s"cmsEstimate: width must be in [2, ${1 << 20}], got $width")
+    (0 until depth).map { j =>
+      element_at(sketch,
+        (pmod(TextFunctions.portableHash64(
+            concat(lit(s"cms:$j:"), item)), lit(width.toLong))
+          + lit(j.toLong * width) + lit(1L)).cast(IntegerType))
+    }.reduce(least(_, _))
+  }
+
+  /** Merge two [[cmsSketch]] arrays (same depth/width) by pointwise
+    * addition — CMS is linear, so the merged sketch equals the sketch
+    * of the concatenated inputs EXACTLY (x15 shares x14's oracle
+    * through this combine; CountMinSpec pins linearity). This is how
+    * per-shard / per-day sketches roll up without touching the raw
+    * data again. */
+  def cmsMerge(sketchA: Column, sketchB: Column): Column =
+    zip_with(sketchA, sketchB, (a, b) => a + b)
 }
