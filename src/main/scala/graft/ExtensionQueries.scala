@@ -531,6 +531,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HITS hubs/authorities (g07): the DIRECTED two-sided authority
+    // signal — near-dup pairs oriented low→high id (a deterministic
+    // directed graph over organic corpus structure), five exact ppm
+    // sweeps with per-sweep max renormalization. The oracle unrolls
+    // the identical Σ + `x·1M // max` chain per side per sweep.
+    "g07_hits" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      Graph.hits(Dedup.jaccardPairs(sh, 0.8)
+          .select(col("id_a").as("src"), col("id_b").as("dst")),
+        iters = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Degree-ordered triangle counting over the same near-dup graph:
     // the clustering-coefficient numerator, each triangle materialized
     // once at its minimum-(degree, id) vertex — the Suri–Vassilvitskii
@@ -3139,7 +3153,38 @@ object ExtensionQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // mirrors g07: five unrolled HITS sweeps — auth sum + max-renorm,
+  // then hub sum + max-renorm, all in the `//` ppm integer chain
+  private lazy val HitsOracle = {
+    // max-renorm via MAX() OVER (): ONE reference per CTE — a scalar
+    // subquery would make DuckDB re-inline the whole upstream chain
+    // per sweep (exponential re-reads of the parquet scan)
+    def sweep(k: Int) =
+      s"""a$k AS (SELECT id, CAST((ar * 1000000) // MAX(ar) OVER ()
+         |    AS BIGINT) AS auth FROM (
+         |  SELECT e.dst AS id, CAST(SUM(h.hub) AS BIGINT) AS ar
+         |  FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1)),
+         |h$k AS (SELECT id, CAST((hr * 1000000) // MAX(hr) OVER ()
+         |    AS BIGINT) AS hub FROM (
+         |  SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT) AS hr
+         |  FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY 1))""".stripMargin
+    s"""WITH $JaccardCtes,
+       |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+       |${(1 to 5).map(sweep).mkString(",\n")}
+       |SELECT n.id AS doc_id,
+       |  CAST(coalesce(h5.hub, 0) AS BIGINT) AS hub,
+       |  CAST(coalesce(a5.auth, 0) AS BIGINT) AS auth
+       |FROM nodes n
+       |LEFT JOIN h5 ON h5.id = n.id
+       |LEFT JOIN a5 ON a5.id = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase +
+    ("g07_hits" -> HitsOracle) +
     ("t36_bpe_train" -> BpeTrainOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +

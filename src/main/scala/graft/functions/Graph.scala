@@ -172,6 +172,84 @@ object Graph {
     */
   val CheckpointEvery = 5
 
+  /** HITS hubs and authorities (Kleinberg, JACM '99) over a DIRECTED
+    * edge list (`src`, `dst`) — the two-sided complement to
+    * [[pageRank]]'s single authority score: a crawl-curation pipeline
+    * wants BOTH "which pages are cited by good hubs" (authority — the
+    * quality prior for content) and "which pages point at good
+    * content" (hub — the quality prior for link/index pages, and the
+    * frontier-expansion signal for the crawler itself). Direction
+    * matters here, so the input is an edge list as-crawled, not the
+    * symmetrized pair graph the undirected operators take.
+    *
+    * Fixed `iters` power sweeps of the mutual recursion in EXACT ppm
+    * integers (the [[Unit1M]] contract): `auth'(v) = Σ_{u→v} hub(u)`,
+    * `hub'(u) = Σ_{u→v} auth'(v)` — each side renormalized per sweep
+    * by its MAXIMUM (`x·1M div max`), not the classic L2 norm: a
+    * per-sweep positive scalar keeps the power iteration's direction
+    * and every ranking identical, but `max` + floor-division is
+    * bit-reproducible across engines and summation orders where an L2
+    * `sqrt`-of-a-double-sum drifts with partial-aggregation order (the
+    * g01 determinism rule; the g07 oracle unrolls the identical `//`
+    * chain). The top hub and top authority read exactly 1M each sweep.
+    * Nodes with no in-edges score auth 0, no out-edges hub 0;
+    * multi-edges count once per occurrence (adjacency-matrix
+    * semantics — `distinct` the input to collapse them).
+    *
+    * Scale shape: per sweep, two O(|E|) hash-join+aggregate passes
+    * (edges→hub on src grouped by dst, then edges→auth on dst grouped
+    * by src) plus two single-row max aggregates broadcast back — no
+    * cartesian, no collect; edges and the node universe are
+    * materialized once up front, and the hub table's lineage is cut on
+    * the [[CheckpointEvery]] cadence. Total work O(iters · |E|)
+    * shuffled rows, the same envelope as [[pageRank]].
+    *
+    * Returns (doc_id, hub, auth) — ppm-scaled longs over the node
+    * universe (every id appearing as src or dst).
+    */
+  def hits(edgeList: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val edges = Materialize(edgeList.select(
+      col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")))
+    val nodes = Materialize(edges.select(col("src").as("doc_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"))).distinct())
+    var hub = nodes.select(col("doc_id").as("id"),
+      lit(Unit1M).cast(LongType).as("hub"))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      // each raw-sum frame is read TWICE (its max aggregate + the
+      // renorm join), so it is materialized every sweep — the pageRank
+      // tolPpm rule: an unmaterialized double reference doubles the
+      // plan per read and the sweep chain would grow 4^iters. The
+      // frames are node-cardinality, a rounding error next to the
+      // O(|E|) join that produced them.
+      val araw = Materialize(
+        edges.join(hub, edges("src") === hub("id"))
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("ar")))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      val authK = araw.crossJoin(broadcast(amax))
+        .select(col("id"), expr(s"(ar * $Unit1M) div am").as("auth"))
+      val hraw = Materialize(
+        edges.join(authK, edges("dst") === authK("id"))
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hr")))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      val hubK = hraw.crossJoin(broadcast(hmax))
+        .select(col("id"), expr(s"(hr * $Unit1M) div hm").as("hub"))
+      hub = hubK
+      auth = authK
+      i += 1
+    }
+    nodes.join(hub.select(col("id").as("doc_id"), col("hub")),
+        Seq("doc_id"), "left")
+      .join(auth.select(col("id").as("doc_id"), col("auth")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hub"), lit(0L)).cast(LongType).as("hub"),
+        coalesce(col("auth"), lit(0L)).cast(LongType).as("auth"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED pair graph — the
     * clustering-coefficient numerator (spam/boilerplate link farms are
     * triangle-dense; a curation pipeline uses the count as a graph

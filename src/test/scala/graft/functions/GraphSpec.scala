@@ -246,4 +246,58 @@ class GraphSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq
     assert(run(pairs) == run(pairs.repartition(5)))
   }
+
+  private def hitsOf(edges: Seq[(Long, Long)], iters: Int = 5,
+      parts: Int = 1): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("HITS: star — sources are the hubs, the sink is the authority") {
+    // 1,2,3 all point at 4; 4 points nowhere
+    val h = hitsOf(Seq((1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(h(4L) === ((0L, Graph.Unit1M)), "pure sink: auth 1M, hub 0")
+    Seq(1L, 2L, 3L).foreach { n =>
+      assert(h(n) === ((Graph.Unit1M, 0L)), s"pure source $n: hub 1M, auth 0")
+    }
+  }
+
+  test("HITS: the hub pointing at MORE authorities outranks (direction " +
+      "matters — undirected PR ties what HITS separates)") {
+    // hub 1 cites both authorities, hub 2 cites one
+    val h = hitsOf(Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+    assert(h(1L)._1 === Graph.Unit1M, "two-citation hub is the top hub")
+    assert(h(2L)._1 < h(1L)._1)
+    // authority cited by both hubs outranks the one cited by one
+    assert(h(10L)._2 === Graph.Unit1M)
+    assert(h(11L)._2 < h(10L)._2)
+  }
+
+  test("HITS: one hand-computed sweep (iters = 1)") {
+    // edges: 1->3, 2->3, 2->4
+    //   auth raw: 3 <- hub(1)+hub(2) = 2M, 4 <- 1M; max 2M
+    //   auth:     3 = 1M, 4 = 500000
+    //   hub raw:  1 -> auth(3) = 1M, 2 -> auth(3)+auth(4) = 1.5M; max 1.5M
+    //   hub:      1 = 666666 (floor), 2 = 1M
+    val h = hitsOf(Seq((1L, 3L), (2L, 3L), (2L, 4L)), iters = 1)
+    assert(h(3L)._2 === Graph.Unit1M)
+    assert(h(4L)._2 === 500000L)
+    assert(h(2L)._1 === Graph.Unit1M)
+    assert(h(1L)._1 === 666666L)
+  }
+
+  test("HITS: renormalization pins the top of each side at exactly 1M") {
+    val h = hitsOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), iters = 7)
+    assert(h.values.map(_._1).max === Graph.Unit1M)
+    assert(h.values.map(_._2).max === Graph.Unit1M)
+  }
+
+  test("HITS: deterministic across partitioning; multi-edges count " +
+      "per occurrence") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (1L, 3L))
+    assert(hitsOf(edges, parts = 1) === hitsOf(edges, parts = 8))
+    // a doubled edge shifts mass toward its endpoints
+    val doubled = hitsOf(Seq((1L, 10L), (1L, 10L), (2L, 11L)))
+    assert(doubled(10L)._2 > doubled(11L)._2,
+      "the double-cited authority must outrank")
+  }
 }
