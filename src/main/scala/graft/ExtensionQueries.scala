@@ -1493,6 +1493,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // DSIR importance resampling (t39): select corpus documents that
+    // look like the TARGET slice (en) relative to the raw corpus —
+    // importance = familiarity_target / familiarity_raw (three IEEE
+    // divisions of exact BIGINT sums), kept by the portable-hash
+    // Bernoulli at probability min(1, importance·0.5). The oracle
+    // replays BOTH bigram models, the ratio, and the hash threshold.
+    "t39_importance_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextFunctions.importanceResample(docs,
+          docs.filter(col("lang") === "en"), col("doc_id"), col("text"),
+          col("text"), scale = 0.5)
+        .select(col("doc_id"), col("n_ngrams"), col("n_known_target"),
+          col("importance"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-smoothed resample (t24): target weights DERIVED from
     // the observed counts as n^0.5 (XLM's published α) — the smallest
     // language keeps everything, larger ones thin by (n_min/n)^0.5.
@@ -3183,8 +3199,53 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // mirrors t39: two bigram models (target = en slice, raw = all),
+  // one scoring pass with both left joins, the three-division
+  // importance ratio, and the t26 hash-threshold keep
+  private lazy val ImportanceOracle =
+    """WITH tb AS (SELECT unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i+1])) AS s
+         FROM (SELECT string_split(text, ' ') AS w FROM documents
+               WHERE lang = 'en')),
+       tbig AS (SELECT s, count(*) AS c2 FROM tb GROUP BY 1),
+       tctx AS (SELECT string_split(s, ' ')[1] AS w1,
+           CAST(sum(c2) AS BIGINT) AS c1 FROM tbig GROUP BY 1),
+       tmodel AS (SELECT s, c2 AS c2t, c1 AS c1t FROM tbig
+         JOIN tctx ON string_split(tbig.s, ' ')[1] = tctx.w1),
+       rb AS (SELECT unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i+1])) AS s
+         FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+       rbig AS (SELECT s, count(*) AS c2 FROM rb GROUP BY 1),
+       rctx AS (SELECT string_split(s, ' ')[1] AS w1,
+           CAST(sum(c2) AS BIGINT) AS c1 FROM rbig GROUP BY 1),
+       rmodel AS (SELECT s, c2 AS c2r, c1 AS c1r FROM rbig
+         JOIN rctx ON string_split(rbig.s, ' ')[1] = rctx.w1),
+       db AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i+1])) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       agg AS (SELECT doc_id, count(*) AS nb, count(c2t) AS nkt,
+           CAST(sum(c2t) AS BIGINT) AS sc2t,
+           CAST(sum(c1t) AS BIGINT) AS sc1t,
+           CAST(sum(c2r) AS BIGINT) AS sc2r,
+           CAST(sum(c1r) AS BIGINT) AS sc1r
+         FROM db LEFT JOIN tmodel USING (s) LEFT JOIN rmodel USING (s)
+         GROUP BY 1),
+       sc AS (SELECT doc_id, CAST(nb AS BIGINT) AS n_ngrams,
+           CAST(nkt AS BIGINT) AS n_known_target,
+           (CAST(sc2t AS DOUBLE) / sc1t) / (CAST(sc2r AS DOUBLE) / sc1r)
+             AS importance
+         FROM agg)
+       SELECT doc_id, n_ngrams, n_known_target, importance
+       FROM sc
+       WHERE importance IS NOT NULL
+         AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+               AS BIGINT) % 10000
+             < CAST(floor(least(1.0, importance * 0.5) * 10000) AS BIGINT)
+       ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("g07_hits" -> HitsOracle) +
+    ("t39_importance_resample" -> ImportanceOracle) +
     ("t36_bpe_train" -> BpeTrainOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +

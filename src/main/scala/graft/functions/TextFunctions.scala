@@ -484,6 +484,83 @@ object TextFunctions {
       id, text, order, broadcastModel)
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every corpus document by how much more a TARGET-domain
+    * n-gram model likes it than the RAW-corpus model does —
+    * `importance = familiarity_target / familiarity_raw` — the
+    * select-what-looks-like-the-target signal that beats a one-sided
+    * quality filter when the raw corpus has its own strong modes.
+    * Deterministic divergences from the paper, both forced by the
+    * reproducibility contract: the per-feature log-likelihood sum
+    * becomes the [[lmFamiliarityNgrams]] exact-integer Σc2/Σc1 ratio
+    * (a libm `log` drifts by ulps across engines; the familiarity
+    * ratio is the same keep/drop ordering signal), and each side is
+    * ONE IEEE division of exact BIGINT sums, the importance a third —
+    * a fixed expression tree of correctly-rounded ops, bit-identical
+    * anywhere.
+    *
+    * One shingle projection over the corpus, ONE left join against
+    * each model (both vocabulary-bounded; `broadcastModels = false`
+    * is the unpruned-model shuffle hatch), one per-doc map-side-
+    * combined aggregate computing all four BIGINT sums at once — the
+    * corpus is read once and never shuffled beyond the doc-id combine.
+    * Documents with no target-matched n-gram score importance null
+    * (unknown, not zero — the zero-target-probability drop of the
+    * paper); `n_known_target`/`n_ngrams` is the coverage diagnostic.
+    *
+    * Schema out: (doc_id, n_ngrams, n_known_target, n_known_raw,
+    * familiarity_target, familiarity_raw, importance).
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, id: Column,
+      text: Column, targetText: Column, order: Int = 2,
+      minCount: Long = 1L, broadcastModels: Boolean = true): DataFrame = {
+    require(order >= 2,
+      "importanceWeights: need order >= 2 (a context to condition on)")
+    val mT = lmTrainNgrams(target, targetText, order, minCount)
+      .select(col("s"), col("c2").as("__c2t"), col("c1").as("__c1t"))
+    val mR = lmTrainNgrams(corpus, text, order, minCount)
+      .select(col("s"), col("c2").as("__c2r"), col("c1").as("__c1r"))
+    val bt = if (broadcastModels) broadcast(mT) else mT
+    val br = if (broadcastModels) broadcast(mR) else mR
+    val famT = col("__sc2t").cast(DoubleType) / col("__sc1t")
+    val famR = col("__sc2r").cast(DoubleType) / col("__sc1r")
+    corpus.select(id.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"),
+        explode_outer(wordShingles(col("__w"), order)).as("s"))
+      .join(bt, Seq("s"), "left")
+      .join(br, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("s")).as("n_ngrams"),
+        count(col("__c2t")).as("n_known_target"),
+        count(col("__c2r")).as("n_known_raw"),
+        sum(col("__c2t")).as("__sc2t"), sum(col("__c1t")).as("__sc1t"),
+        sum(col("__c2r")).as("__sc2r"), sum(col("__c1r")).as("__sc1r"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_known_target"),
+        col("n_known_raw"), famT.as("familiarity_target"),
+        famR.as("familiarity_raw"), (famT / famR).as("importance"))
+  }
+
+  /** Importance RESAMPLING — [[importanceWeights]] fed through the
+    * [[sampleByWeight]] portable-hash Bernoulli keep (probability
+    * `min(1, importance · scale)`): the deterministic stand-in for the
+    * paper's Gumbel-top-k draw (a Gumbel perturbation needs `log`;
+    * the hash filter keeps the proportional-to-weight selection with
+    * the never-`rand()` reproducibility contract — a rerun or retry
+    * keeps exactly the same corpus). Documents with null importance
+    * (no target-matched n-gram) are dropped. Selection is a codegen'd
+    * filter over the scored frame — no shuffle beyond
+    * [[importanceWeights]]' one combine.
+    */
+  def importanceResample(corpus: DataFrame, target: DataFrame, id: Column,
+      text: Column, targetText: Column, scale: Double, order: Int = 2,
+      minCount: Long = 1L, broadcastModels: Boolean = true): DataFrame =
+    sampleByWeight(
+      importanceWeights(corpus, target, id, text, targetText, order,
+        minCount, broadcastModels)
+        .filter(col("importance").isNotNull),
+      col("doc_id"), col("importance"), scale)
+
   /** Deterministic per-stratum sampling: keep a row iff the portable
     * hash of its key lands under the stratum's rate threshold
     * (`pmod(hash(key), granularity) < rate·granularity`). Hash-based,
