@@ -2104,6 +2104,41 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming BPE tokenization (s18): t38's train→artifact→encode
+    // with the PROBES arriving as a stream — two micro-batches
+    // (even/odd ids), the merge list re-read each batch (the s14
+    // stale-frames rule), idempotent batch= dirs. The per-batch union
+    // must be bit-equal to the one-shot batch encode: shares t38's
+    // oracle.
+    "s18_stream_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val train = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("text"))
+        .unionByName(BpePlanted.toDF("text"))
+      val model = Scratch.path(dir, "s18_bpe")
+      val in = Scratch.path(dir, "s18_in")
+      val out = Scratch.path(dir, "s18_out")
+      val ckpt = Scratch.path(dir, "s18_ckpt")
+      Seq(model, in, out, ckpt).foreach(Scratch.reset)
+      TextFunctions.writeBpeModel(train, col("text"), model, numMerges = 8)
+      val probes = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (9000001L, "low lower lowest newest widest"),
+          (9000002L, "unseen probe words entirely")).toDF("doc_id", "text"))
+      (0 until 2).foreach(r => probes.filter(col("doc_id") % 2 === r)
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.bpeEncodeIngest(stream,
+        col("doc_id"), col("text"), model, out,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // Windowed heavy hitters (s15): "top talkers per hour" as a
     // Misra–Gries sketch under the streaming window plan — per-window
     // state is `capacity` counters regardless of key cardinality (the
@@ -3249,6 +3284,9 @@ object ExtensionQueries {
     ("t36_bpe_train" -> BpeTrainOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +
+    // s18 is t38's encode with the probes delivered as a stream — the
+    // frozen-artifact contract says the per-batch union changes nothing
+    ("s18_stream_bpe_encode" -> BpeArtifactOracle) +
     ("x14_cms_counts" -> CmsOracle) +
     // x15 is x14 through the pointwise-addition combine — CMS
     // linearity says the merged matrix IS the one-shot matrix

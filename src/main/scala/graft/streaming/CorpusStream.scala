@@ -264,4 +264,35 @@ object CorpusStream {
     trigger.foreach(t => writer.trigger(t))
     writer.start()
   }
+
+  /** Streaming BPE tokenization (s18) — the t38 tokenizer artifact
+    * under continuous ingest: each micro-batch is encoded against the
+    * persisted [[graft.functions.TextFunctions.writeBpeModel]] tree,
+    * with the merge list RE-READ every batch (the s14 stale-frames
+    * rule: a concurrent retrain is picked up at the next batch
+    * boundary, never half-applied inside one), into idempotent
+    * `batch=<id>` dirs of (doc_id, idx, token) rows. Per-batch is the
+    * exact semantics — a document's tokens depend only on its own text
+    * and the frozen merge list — so the streamed union is bit-equal to
+    * the one-shot batch encode (s18 shares t38's oracle).
+    */
+  def bpeEncodeIngest(docs: DataFrame, id: Column, text: Column,
+      modelPath: String, outPath: String,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      graft.functions.TextFunctions.bpeEncodeWithModel(batch, text,
+          modelPath)
+        .select(id.as("doc_id"),
+          posexplode(col("bpe_tokens")).as(Seq("idx", "token")))
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      ()
+    }
+    val writer = docs.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
 }

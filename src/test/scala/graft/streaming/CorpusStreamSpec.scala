@@ -187,4 +187,44 @@ class CorpusStreamSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L), s"got $out")
   }
+
+  test("streaming BPE encode re-reads the model artifact each batch " +
+      "(a retrain between batches is picked up, never half-applied)") {
+    import graft.functions.TextFunctions
+    val root = Files.createTempDirectory("bpe-stream").toString
+    val model = s"$root/model"
+    val in = s"$root/in"
+    val out = s"$root/out"
+    // model v1: merge (l,o) only
+    val corpusV1 = Seq("lo lo lo").toDF("text")
+    TextFunctions.writeBpeModel(corpusV1, col("text"), model, numMerges = 1)
+    val docs = Seq((1L, "low")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("append").parquet(in)
+
+    def runBatch(ckpt: String): Map[(Long, Int), String] = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = CorpusStream.bpeEncodeIngest(stream, col("doc_id"),
+        col("text"), model, out, checkpointPath = Some(s"$root/$ckpt"),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      spark.read.parquet(out).drop("batch").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    }
+
+    // batch 1 under model v1: "low" -> lo|w
+    val got1 = runBatch("ckpt1")
+    assert(got1 === Map((1L, 0) -> "lo", (1L, 1) -> "w"))
+
+    // retrain: model v2 learns (l,o) then (lo,w); the next batch (same
+    // doc re-delivered as a new file) must see the NEW merges
+    val corpusV2 = Seq("low low low").toDF("text")
+    TextFunctions.writeBpeModel(corpusV2, col("text"), model, numMerges = 2)
+    docs.select((col("doc_id") + 1).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val got2 = runBatch("ckpt1")
+    assert(got2((2L, 0)) === "low", s"retrained merge not picked up: $got2")
+    // batch 1's output is untouched (idempotent batch dirs)
+    assert(got2((1L, 0)) === "lo" && got2((1L, 1)) === "w")
+  }
 }
