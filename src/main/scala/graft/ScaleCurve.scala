@@ -346,6 +346,42 @@ object ScaleCurve {
             .kmvSetEstimates(col("sk_a"), col("sk_b"), 4096).as("o"))
         .select(col("lang_a"), col("lang_b"), col("o.n_a"), col("o.n_b"),
           col("o.n_union"), col("o.n_intersect"))
+    }),
+    // t36's training cost: one corpus-wide word-freq aggregate, then
+    // 8 vocabulary-bound iterations — the curve separates the
+    // corpus-linear first pass from the distinct-word-bound loop
+    "t36_bpe_train8" -> ((s, dir) =>
+      TextFunctions.bpeTrain(docs(s, dir), col("text"), numMerges = 8)),
+    // t37's encode: a zero-shuffle codegen projection — expected linear
+    "t37_bpe_encode" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(TextFunctions.bpeEncode(col("text"),
+          Seq(("t", "h"), ("th", "e"), ("a", "a"), ("i", "n"),
+            ("in", "g"), ("e", "r"), ("a", "n")))).as("tok"))),
+    // x14's build: one map-side-combined matrix aggregate — linear scan,
+    // constant output
+    "x14_cms_build" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.words(col("text"))).as("item"))
+        .filter(col("item") =!= "")
+        .agg(graft.functions.expressions.CountMinSketch(
+          col("item"), 3, 64).as("sk"))
+        .select(size(col("sk")).as("n"))),
+    // g07: five sweeps, 2 O(|E|) join+agg passes each over the
+    // near-dup DAG — the same envelope as g01
+    "g07_hits" -> ((s, dir) =>
+      Graph.hits(
+        Dedup.jaccardPairs(
+          Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text")), 0.8)
+          .select(col("id_a").as("src"), col("id_b").as("dst")),
+        iters = 5)),
+    // t39: two model aggregates + one scoring pass — three shuffles on
+    // shingle/doc keys, all corpus-linear
+    "t39_importance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextFunctions.importanceWeights(d,
+        d.filter(col("lang") === "en"), col("doc_id"), col("text"),
+        col("text"))
     }))
 
   /** Candidate-stage WORK counts per operator — the environment-proof
