@@ -934,6 +934,33 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Shard takedown (p12): delete every 7th document from a two-epoch
+    // appendShards tree — bins stay FROZEN (holes, no re-flow), only
+    // manifest-range candidate bins rewritten, manifest reset. The
+    // whole surviving tree is read back: the oracle is the batch pack
+    // over ALL rows with the deleted ids filtered out at the END —
+    // exactly the frozen-bin contract (a pack over the filtered corpus
+    // would re-flow bins and is the one thing deletion must NOT do).
+    "p12_shard_delete" -> ((s, dir) => {
+      val path = Scratch.path(dir, "p12_shards")
+      Scratch.reset(path)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      Curation.appendShards(base.filter(col("doc_id") <= maxId / 2),
+        "lang", "doc_id", "n_chars", budget = 2000L, path, epoch = 0L)
+      Curation.appendShards(base.filter(col("doc_id") > maxId / 2),
+        "lang", "doc_id", "n_chars", budget = 2000L, path, epoch = 1L)
+      Curation.deleteFromShards(s, path,
+        base.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        orderName = "doc_id", tokensName = "n_chars")
+      s.read.parquet(path)
+        .select(col("doc_id"), col("stratum"),
+          col("bin").cast(LongType).as("bin"),
+          col("n_chars").cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-order clustered layout (p08): the multi-dimensional
     // data-skipping organization (Delta OPTIMIZE ZORDER's shape) —
     // dimension codes (lang rank, n_chars bucket) Morton-interleaved
@@ -3278,9 +3305,25 @@ object ExtensionQueries {
              < CAST(floor(least(1.0, importance * 0.5) * 10000) AS BIGINT)
        ORDER BY doc_id"""
 
+  // mirrors p12: the s10/s12 batch-pack cumsum over ALL rows (frozen
+  // bins never re-flow), deleted ids filtered out at the end
+  private lazy val ShardDeleteOracle =
+    """WITH b AS (
+         SELECT doc_id, lang, n_chars,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT)
+             AS bin
+         FROM (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM documents))
+       SELECT doc_id, lang AS stratum, bin, CAST(n_chars AS BIGINT) AS n_chars
+       FROM b WHERE doc_id % 7 <> 3
+       ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("g07_hits" -> HitsOracle) +
     ("t39_importance_resample" -> ImportanceOracle) +
+    ("p12_shard_delete" -> ShardDeleteOracle) +
     ("t36_bpe_train" -> BpeTrainOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +

@@ -472,6 +472,7 @@ object Curation {
     */
   def readShardManifest(spark: SparkSession, path: String): DataFrame = {
     recoverSwap(spark, path, s"$path-compacting")
+    recoverBinSwaps(spark, path)
     val committed = committedEpoch(spark, path).getOrElse(
       throw new IllegalStateException(
         s"readShardManifest: no committed epoch under $path"))
@@ -608,6 +609,162 @@ object Curation {
     readShardManifest(spark, path)
   }
 
+  /** TAKEDOWN for an [[appendShards]] tree — the deletion verb the
+    * shard lifecycle was missing ([[Similarity.deleteFromIvfPqIndex]]'s
+    * rule applied to the data tree): remove every document whose ORDER
+    * key appears in `ids` (single-column frame), rewriting ONLY the
+    * `stratum=…/bin=…` partitions that can contain them. Bins stay
+    * FROZEN: deletion leaves holes, never re-flows boundaries, so
+    * untouched bins are bit-identical (spec-pinned via file mtimes) and
+    * a targeted reader's bin arithmetic is unchanged
+    * ([[compactShards]] remains the explicit re-flow).
+    *
+    * Locating the ids NEVER scans the corpus: candidate bins come from
+    * the manifest's per-bin [first_doc, last_doc] order-key ranges (a
+    * broadcast range join against the tiny manifest frame), so rewrite
+    * cost is O(bins that can hold the ids), not O(corpus). A range
+    * false positive — an absent id inside some bin's range — rewrites
+    * that bin to identical content: wasted I/O, never wrong data.
+    *
+    * Each touched bin rewrites via its own stage-and-swap under the
+    * underscore roots `_delete_staged`/`_delete_old` (invisible to
+    * data reads — a `bin=N-old` SIBLING would poison partition
+    * discovery, which is why [[swapStaged]]'s `-old` suffix cannot be
+    * used inside the data tree), with [[recoverBinSwaps]] run up front
+    * here and on both read entry points. Per-bin atomicity; the call
+    * is IDEMPOTENT — a crash mid-sequence leaves every bin either old
+    * or new and a re-run converges; deletion is monotone, so a reader
+    * in the window sees at worst not-yet-deleted rows, never corrupt
+    * ones.
+    *
+    * The manifest is RESET, not delta'd: deltas are additive and
+    * cannot re-derive a bin's min/max id range after rows vanish. The
+    * touched bins' manifest rows are recomputed from the kept rows,
+    * merged with the untouched rows, written as the checkpoint AT the
+    * committed epoch, and every delta it covers is pruned — with ZERO
+    * prune lag on purpose: the usual one-checkpoint lag exists so the
+    * newest commit can roll back, and a takedown must not be
+    * rollback-able to the deleted rows.
+    *
+    * The per-stratum CARRY is deliberately untouched: future appends
+    * continue the token cumsum as if the deleted mass were still
+    * packed (the frozen-bin contract — re-basing the carry would
+    * re-flow every future bin against the batch-pack oracle).
+    *
+    * SINGLE-WRITER like every maintenance call. Returns the fresh
+    * merged manifest.
+    */
+  def deleteFromShards(spark: SparkSession, path: String, ids: DataFrame,
+      orderName: String, tokensName: String,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    recoverSwap(spark, path, s"$path-compacting")
+    recoverBinSwaps(spark, path)
+    val committed = committedEpoch(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"deleteFromShards: no committed epoch under $path " +
+          "(appendShards trees only — re-run writeShards for plain trees)"))
+    val idSide = broadcast(
+      ids.select(col(ids.columns.head).as("__del_id")).distinct())
+    val manifest = readShardManifest(spark, path)
+    val touchedDf = manifest.join(idSide,
+        col("__del_id") >= col("first_doc") &&
+          col("__del_id") <= col("last_doc"), "left_semi")
+    val touched = touchedDf.select(col("stratum"), col("bin")).collect()
+    val keptRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    touched.foreach { r =>
+      val st = r.get(0)
+      val bin = r.get(1)
+      val binDir = s"$path/stratum=$st/bin=$bin"
+      val staged = s"$path/_delete_staged/stratum=$st/bin=$bin"
+      val aside = s"$path/_delete_old/stratum=$st/bin=$bin"
+      // rows read from the bin dir carry the epoch sub-partition but
+      // NOT stratum/bin (those are path levels above)
+      val rows = spark.read.parquet(binDir)
+      val kept = rows.join(idSide,
+        rows(orderName) === col("__del_id"), "left_anti").persist()
+      try {
+        val w = kept.write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+        (if (kept.columns.contains("epoch")) w.partitionBy("epoch") else w)
+          .parquet(staged)
+        // the touched bin's fresh manifest row, from the kept rows
+        val agg = kept.agg(count(lit(1)), sum(col(tokensName)
+            .cast(LongType)), min(col(orderName)), max(col(orderName)))
+          .head
+        if (agg.getLong(0) > 0L)
+          keptRows += org.apache.spark.sql.Row(st, bin, agg.getLong(0),
+            agg.getLong(1), agg.get(2), agg.get(3))
+      } finally kept.unpersist()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(aside).getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(binDir),
+        new org.apache.hadoop.fs.Path(aside))
+      fs.rename(new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(binDir))
+      fs.delete(new org.apache.hadoop.fs.Path(aside), true)
+    }
+    val recomputed = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(keptRows.toSeq).asJava),
+      manifest.schema)
+    val untouched = manifest.join(
+      touchedDf.select(col("stratum"), col("bin")).distinct(),
+      Seq("stratum", "bin"), "left_anti")
+    // MATERIALIZE before the write: when the pre-delete manifest came
+    // from an existing checkpoint at this same epoch (any second
+    // deletion on the tree), the overwrite below would delete the very
+    // files the lazy union still reads from
+    Materialize(untouched.unionByName(recomputed))
+      .write.mode("overwrite")
+      .parquet(s"$path/_manifest_ckpt/epoch=$committed")
+    touchMarker(spark, s"$path/_ckpts/$committed")
+    listEpochDirs(spark, s"$path/_manifest_delta").filter(_ <= committed)
+      .foreach(e => deleteMarker(spark, s"$path/_manifest_delta/epoch=$e"))
+    listMarkers(spark, s"$path/_ckpts").filter(_ < committed).foreach { e =>
+      deleteMarker(spark, s"$path/_ckpts/$e")
+      deleteMarker(spark, s"$path/_manifest_ckpt/epoch=$e")
+    }
+    deleteMarker(spark, s"$path/_delete_staged")
+    deleteMarker(spark, s"$path/_delete_old")
+    readShardManifest(spark, path)
+  }
+
+  /** Finish (or roll back) per-bin swaps a [[deleteFromShards]] crash
+    * interrupted. For each aside under `_delete_old`: live bin present
+    * → the swap completed, the aside is debris; live bin missing with
+    * the staged copy present → staging had finished (the aside rename
+    * is ordered after it), finish the swap; otherwise roll the aside
+    * back. Remaining `_delete_staged` dirs are mid-staging debris.
+    * Idempotent; a few metadata calls when the roots are absent, so
+    * the read entry points run it up front.
+    */
+  private[functions] def recoverBinSwaps(spark: SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$path/_delete_old")
+    val fs = oldRoot.getFileSystem(conf)
+    if (fs.exists(oldRoot)) {
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/_delete_old/*/*")).foreach { s =>
+        val bin = s.getPath.getName
+        val stratum = s.getPath.getParent.getName
+        val live = new org.apache.hadoop.fs.Path(s"$path/$stratum/$bin")
+        val staged = new org.apache.hadoop.fs.Path(
+          s"$path/_delete_staged/$stratum/$bin")
+        if (fs.exists(live)) fs.delete(s.getPath, true)
+        else if (fs.exists(staged)) {
+          fs.rename(staged, live)
+          fs.delete(s.getPath, true)
+        } else fs.rename(s.getPath, live)
+        ()
+      }
+      fs.delete(oldRoot, true)
+    }
+    deleteMarker(spark, s"$path/_delete_staged")
+  }
+
   /** Recursive copy of a directory tree (no-op if `src` is absent) —
     * used by [[compactShardEpochs]] to carry the manifest/checkpoint
     * state into the staged tree verbatim. */
@@ -706,6 +863,7 @@ object Curation {
       binFrom: Long, binTo: Long): DataFrame = {
     require(binFrom <= binTo, "readShards: need binFrom <= binTo")
     recoverSwap(spark, path, s"$path-compacting")
+    recoverBinSwaps(spark, path)
     val rows = spark.read.parquet(path)
       .filter(col("stratum") === stratum &&
         col("bin") >= binFrom && col("bin") <= binTo)

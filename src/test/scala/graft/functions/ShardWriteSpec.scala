@@ -91,4 +91,98 @@ class ShardWriteSpec extends SparkSpec {
       s"read ${scan.metrics("numPartitions").value} partitions, wanted $wanted")
     assert(wanted < total, "pruning demonstrated nothing")
   }
+
+  // ---- takedown (p12, deleteFromShards) --------------------------------
+
+  private def appendTree(path: String): Unit = {
+    Curation.appendShards(corpus.filter(col("doc_id") <= 4),
+      "lang", "doc_id", "n_toks", budget = 2000L, path, epoch = 0L)
+    Curation.appendShards(corpus.filter(col("doc_id") > 4),
+      "lang", "doc_id", "n_toks", budget = 2000L, path, epoch = 1L)
+    ()
+  }
+
+  private def treeRows(path: String): Set[(String, Long, Long)] =
+    spark.read.parquet(path)
+      .select(col("stratum"), col("bin").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("deleteFromShards: holes not re-flow; manifest reset; " +
+      "untouched bins' files untouched; idempotent") {
+    val path = Files.createTempDirectory("graft_del").toString + "/t"
+    appendTree(path)
+    val before = treeRows(path)
+    // fr's only bin is untouched by the deletion — its file mtimes
+    // must not move (the manifest-range pruning claim, observed)
+    val frFile = new java.io.File(s"$path/stratum=fr/bin=0")
+    def mtimes(d: java.io.File): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val frBefore = mtimes(frFile)
+    val del = Seq(2L, 10L).toDF("doc_id")
+    val m = Curation.deleteFromShards(spark, path, del, "doc_id", "n_toks")
+      .orderBy("stratum", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // rows: deleted ids gone, every other row in its ORIGINAL bin
+    assert(treeRows(path) ===
+      before.filterNot(t => t._3 == 2L || t._3 == 10L))
+    // manifest reset: en bin 0 lost doc 2 (count 3->2, tokens -900,
+    // range min/max recomputed); de bin 0 lost doc 10 (2->1, id range
+    // collapses to 11); fr untouched
+    assert(m.toSeq === Seq(
+      ("de", 0L, 1L, 900L, 11L, 11L),
+      ("en", 0L, 2L, 1500L, 1L, 3L),
+      ("en", 1L, 1L, 600L, 4L, 4L),
+      ("fr", 0L, 1L, 100L, 20L, 20L)))
+    assert(mtimes(frFile) === frBefore, "untouched bin was rewritten")
+    // idempotent: deleting the same ids again changes nothing
+    val m2 = Curation.deleteFromShards(spark, path, del, "doc_id", "n_toks")
+      .orderBy("stratum", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(m2.toSeq === m.toSeq)
+    // readShards never serves a deleted id
+    val served = Curation.readShards(spark, path, "en", 0L, 9L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served === Set(1L, 3L, 4L))
+  }
+
+  test("deleteFromShards: deleting a whole bin empties it out of the " +
+      "manifest; absent ids are a no-op") {
+    val path = Files.createTempDirectory("graft_del2").toString + "/t"
+    appendTree(path)
+    // en bin 1 holds exactly doc 4
+    val m = Curation.deleteFromShards(spark, path, Seq(4L).toDF("doc_id"),
+        "doc_id", "n_toks")
+      .select("stratum", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!m.contains(("en", 1L)), "emptied bin must leave the manifest")
+    // absent id (inside no bin's range): nothing changes
+    val before = treeRows(path)
+    val m2 = Curation.deleteFromShards(spark, path,
+      Seq(999999L).toDF("doc_id"), "doc_id", "n_toks")
+    assert(treeRows(path) === before)
+    assert(m2.count() === 3)
+  }
+
+  test("deleteFromShards: an interrupted per-bin swap recovers on the " +
+      "next read (aside present, live bin missing)") {
+    val path = Files.createTempDirectory("graft_del3").toString + "/t"
+    appendTree(path)
+    val before = treeRows(path)
+    // simulate the crash window between the aside rename and the
+    // swap-in, with NO staged copy: recovery must roll the aside back
+    val live = new java.io.File(s"$path/stratum=fr/bin=0")
+    val aside = new java.io.File(s"$path/_delete_old/stratum=fr/bin=0")
+    aside.getParentFile.mkdirs()
+    assert(live.renameTo(aside))
+    val served = Curation.readShards(spark, path, "fr", 0L, 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served === Set(20L), "aside not rolled back")
+    assert(treeRows(path) === before)
+    assert(!new java.io.File(s"$path/_delete_old").exists())
+  }
 }
