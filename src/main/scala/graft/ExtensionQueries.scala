@@ -1536,6 +1536,26 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t39 routed through PERSISTED models (t40): both the target and
+    // the raw LM are writeLmModel artifacts (orders stored in meta and
+    // cross-checked loudly), the corpus scored against them — the
+    // train-once/score-daily shape. Artifact round-trip must change
+    // nothing: shares t39's oracle.
+    "t40_importance_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tPath = Scratch.path(dir, "t40_target")
+      val rPath = Scratch.path(dir, "t40_raw")
+      Seq(tPath, rPath).foreach(Scratch.reset)
+      TextFunctions.writeLmModel(docs.filter(col("lang") === "en"),
+        col("text"), tPath, order = 2)
+      TextFunctions.writeLmModel(docs, col("text"), rPath, order = 2)
+      TextFunctions.importanceResampleWithIndex(docs, tPath, rPath,
+          col("doc_id"), col("text"), scale = 0.5)
+        .select(col("doc_id"), col("n_ngrams"), col("n_known_target"),
+          col("importance"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-smoothed resample (t24): target weights DERIVED from
     // the observed counts as n^0.5 (XLM's published α) — the smallest
     // language keeps everything, larger ones thin by (n_min/n)^0.5.
@@ -3323,6 +3343,9 @@ object ExtensionQueries {
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("g07_hits" -> HitsOracle) +
     ("t39_importance_resample" -> ImportanceOracle) +
+    // t40 is t39 scored through the two persisted LM artifacts — the
+    // frozen-model contract says the round-trip changes nothing
+    ("t40_importance_artifact" -> ImportanceOracle) +
     ("p12_shard_delete" -> ShardDeleteOracle) +
     ("t36_bpe_train" -> BpeTrainOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +

@@ -517,9 +517,20 @@ object TextFunctions {
       minCount: Long = 1L, broadcastModels: Boolean = true): DataFrame = {
     require(order >= 2,
       "importanceWeights: need order >= 2 (a context to condition on)")
-    val mT = lmTrainNgrams(target, targetText, order, minCount)
+    scoreImportance(corpus,
+      lmTrainNgrams(target, targetText, order, minCount),
+      lmTrainNgrams(corpus, text, order, minCount),
+      id, text, order, broadcastModels)
+  }
+
+  /** The shared t39/t40 scoring pass over explicit (s, c2, c1) model
+    * frames. */
+  private def scoreImportance(corpus: DataFrame, modelTarget: DataFrame,
+      modelRaw: DataFrame, id: Column, text: Column, order: Int,
+      broadcastModels: Boolean): DataFrame = {
+    val mT = modelTarget
       .select(col("s"), col("c2").as("__c2t"), col("c1").as("__c1t"))
-    val mR = lmTrainNgrams(corpus, text, order, minCount)
+    val mR = modelRaw
       .select(col("s"), col("c2").as("__c2r"), col("c1").as("__c1r"))
     val bt = if (broadcastModels) broadcast(mT) else mT
     val br = if (broadcastModels) broadcast(mR) else mR
@@ -540,6 +551,45 @@ object TextFunctions {
         col("n_known_raw"), famT.as("familiarity_target"),
         famR.as("familiarity_raw"), (famT / famR).as("importance"))
   }
+
+  /** [[importanceWeights]] against two [[writeLmModel]] artifacts —
+    * the train-once shape for the DSIR selector: both the TARGET model
+    * (static by definition) and the RAW-corpus model (retrained on a
+    * drift cadence, not per increment) are persisted trees, and every
+    * corpus increment scores against them. The two artifacts' orders
+    * must agree — mismatched orders would produce n-gram keys that
+    * never match and silently score everything OOV, so the call
+    * fails loudly instead (the d32 k-in-meta rule, applied across two
+    * artifacts). Result bit-identical to the live path over the same
+    * slices (t40 shares t39's oracle).
+    */
+  def importanceWeightsWithIndex(corpus: DataFrame, targetPath: String,
+      rawPath: String, id: Column, text: Column,
+      broadcastModels: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val ot = spark.read.parquet(s"$targetPath/meta")
+      .select(col("order")).head.getInt(0)
+    val or = spark.read.parquet(s"$rawPath/meta")
+      .select(col("order")).head.getInt(0)
+    require(ot == or,
+      s"importanceWeightsWithIndex: target model order $ot != raw model " +
+        s"order $or — the n-gram keys would never match and every " +
+        "document would silently score OOV")
+    scoreImportance(corpus, spark.read.parquet(s"$targetPath/model"),
+      spark.read.parquet(s"$rawPath/model"), id, text, ot,
+      broadcastModels)
+  }
+
+  /** [[importanceResample]] against two [[writeLmModel]] artifacts —
+    * [[importanceWeightsWithIndex]] fed through the same portable-hash
+    * Bernoulli keep. */
+  def importanceResampleWithIndex(corpus: DataFrame, targetPath: String,
+      rawPath: String, id: Column, text: Column, scale: Double,
+      broadcastModels: Boolean = true): DataFrame =
+    sampleByWeight(
+      importanceWeightsWithIndex(corpus, targetPath, rawPath, id, text,
+        broadcastModels).filter(col("importance").isNotNull),
+      col("doc_id"), col("importance"), scale)
 
   /** Importance RESAMPLING — [[importanceWeights]] fed through the
     * [[sampleByWeight]] portable-hash Bernoulli keep (probability

@@ -89,4 +89,24 @@ class ImportanceSpec extends SparkSpec {
     // scale large enough that min(1, w·scale) = 1 for every scored doc
     assert(kept === Set(1L, 2L, 3L))
   }
+
+  test("artifact path is bit-equal to live; order mismatch fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-imp").toString
+    TextFunctions.writeLmModel(target, col("text"), s"$root/t", order = 2)
+    TextFunctions.writeLmModel(corpus, col("text"), s"$root/r", order = 2)
+    val viaIdx = TextFunctions.importanceWeightsWithIndex(corpus,
+        s"$root/t", s"$root/r", col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().toSeq
+    val live = TextFunctions.importanceWeights(corpus, target,
+        col("doc_id"), col("text"), col("text"), order = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaIdx === live)
+    // a raw model trained at a different order must be rejected, not
+    // silently score everything OOV
+    TextFunctions.writeLmModel(corpus, col("text"), s"$root/r3", order = 3)
+    val e = intercept[IllegalArgumentException](
+      TextFunctions.importanceWeightsWithIndex(corpus, s"$root/t",
+        s"$root/r3", col("doc_id"), col("text")))
+    assert(e.getMessage.contains("order"))
+  }
 }
