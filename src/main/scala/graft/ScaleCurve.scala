@@ -895,6 +895,57 @@ object ScaleCurve {
     println(s"[scalecurve] wrote $outFile")
   }
 
+  /** `delete <srcDir> <out.json>` — the p12 claim, measured on the
+    * TREE-SIZE axis: grow an appendShards tree to 4/16/48 epochs (the
+    * corpus the tree holds grows with it), then delete the SAME fixed
+    * 16-document set (epoch-0 residents, so their bins exist at every
+    * scale) and record the deletion's wall time plus the bins it
+    * actually rewrote vs the bins the tree holds. The manifest-range
+    * pruning claim is that the rewrite tracks TOUCHED bins, not the
+    * corpus — a flat line with a growing bins_total column.
+    */
+  def deleteCurve(spark: SparkSession, srcDir: String,
+      outFile: String): Unit = {
+    val base = docs(spark, srcDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val inc = base.orderBy(col("doc_id")).limit(256).persist()
+    inc.count()
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    val delIds = inc.filter(col("doc_id") % 16 === 3)
+      .select(col("doc_id")).persist()
+    val nDel = delIds.count()
+    val rows = for (epochs <- Seq(4, 16, 48)) yield {
+      val path = Scratch.path(srcDir, s"curve_delete_$epochs")
+      Scratch.reset(path)
+      (0 until epochs).foreach { e =>
+        // epoch e appends the same 256-doc increment shifted to fresh
+        // ids ABOVE everything before it (the in-order contract)
+        graft.functions.Curation.appendShards(
+          inc.withColumn("doc_id",
+            col("doc_id") + lit(e.toLong * (maxId + 1000L))),
+          "lang", "doc_id", "n_chars", budget = 2000L, path,
+          epoch = e.toLong)
+        ()
+      }
+      val manifest = graft.functions.Curation.readShardManifest(spark, path)
+      val binsTotal = manifest.count()
+      val t0 = System.nanoTime()
+      val after = graft.functions.Curation.deleteFromShards(spark, path,
+        delIds.withColumn("doc_id", col("doc_id") + lit(3L * (maxId + 1000L))),
+        orderName = "doc_id", tokensName = "n_chars")
+      val binsAfter = after.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scalecurve] delete epochs=$epochs bins=$binsTotal " +
+        f"t=$secs%.2fs")
+      s"""{"epochs":$epochs,"bins_total":$binsTotal,""" +
+        s""""bins_after":$binsAfter,"n_deleted":$nDel,""" +
+        s""""delete_s":$secs}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      rows.mkString("[", ",", "]"))
+    println(s"[scalecurve] wrote $outFile")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions sized to the data, not the core count, is the
@@ -925,6 +976,8 @@ object ScaleCurve {
         manifestCurve(spark, src, out)
       case "recall" :: src :: out :: Nil =>
         recallCurve(spark, src, out)
+      case "delete" :: src :: out :: Nil =>
+        deleteCurve(spark, src, out)
       case _ =>
         System.err.println(
           "usage: ScaleCurve gen <srcDir> <outDir> <replicas> | " +

@@ -672,38 +672,68 @@ object Curation {
     val touched = touchedDf.select(col("stratum"), col("bin")).collect()
     val keptRows = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.Row]
-    touched.foreach { r =>
-      val st = r.get(0)
-      val bin = r.get(1)
-      val binDir = s"$path/stratum=$st/bin=$bin"
-      val staged = s"$path/_delete_staged/stratum=$st/bin=$bin"
-      val aside = s"$path/_delete_old/stratum=$st/bin=$bin"
-      // rows read from the bin dir carry the epoch sub-partition but
-      // NOT stratum/bin (those are path levels above)
-      val rows = spark.read.parquet(binDir)
+    if (touched.nonEmpty) {
+      // ONE partition-pruned read + ONE partitioned staged write for
+      // every touched bin (a per-bin job loop pays fixed job overhead
+      // per bin — measured 3-4x slower at 16 bins); the swap stays a
+      // per-bin metadata loop. Small touched sets prune STATICALLY via
+      // an OR-chain of (stratum, bin) equalities; larger ones (the
+      // chain overflows the expression converter past a few hundred
+      // terms) go through a broadcast semi join on the partition
+      // columns — dynamic partition pruning when the planner applies
+      // it, a full listing otherwise, and in either case only touched
+      // bins are REWRITTEN. A mass deletion approaching the whole tree
+      // should use the compactShards-style rebuild instead.
+      val tree = spark.read.parquet(path)
+      val rows =
+        if (touched.length <= 64)
+          tree.filter(touched.map(r =>
+              col("stratum") === lit(r.get(0)) &&
+                col("bin") === lit(r.get(1)))
+            .reduce(_ || _))
+        else
+          tree.join(
+            broadcast(touchedDf.select(col("stratum"), col("bin"))
+              .distinct()),
+            Seq("stratum", "bin"), "left_semi")
       val kept = rows.join(idSide,
         rows(orderName) === col("__del_id"), "left_anti").persist()
       try {
         val w = kept.write.mode("overwrite")
           .option("maxRecordsPerFile", maxRecordsPerFile)
-        (if (kept.columns.contains("epoch")) w.partitionBy("epoch") else w)
-          .parquet(staged)
-        // the touched bin's fresh manifest row, from the kept rows
-        val agg = kept.agg(count(lit(1)), sum(col(tokensName)
-            .cast(LongType)), min(col(orderName)), max(col(orderName)))
-          .head
-        if (agg.getLong(0) > 0L)
-          keptRows += org.apache.spark.sql.Row(st, bin, agg.getLong(0),
-            agg.getLong(1), agg.get(2), agg.get(3))
+        (if (kept.columns.contains("epoch"))
+           w.partitionBy("stratum", "bin", "epoch")
+         else w.partitionBy("stratum", "bin"))
+          .parquet(s"$path/_delete_staged")
+        // fresh manifest rows for the touched bins, collected BEFORE
+        // the swaps (the lazy frame reads the pre-swap files); a
+        // fully-deleted bin yields no row and leaves the manifest
+        kept.groupBy(col("stratum"), col("bin").cast(LongType).as("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col(tokensName).cast(LongType)).as("n_tokens"),
+            min(col(orderName)).as("first_doc"),
+            max(col(orderName)).as("last_doc"))
+          .collect().foreach(keptRows += _)
       } finally kept.unpersist()
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(aside).getParent)
-      fs.rename(new org.apache.hadoop.fs.Path(binDir),
-        new org.apache.hadoop.fs.Path(aside))
-      fs.rename(new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(binDir))
-      fs.delete(new org.apache.hadoop.fs.Path(aside), true)
+      touched.foreach { r =>
+        val st = r.get(0)
+        val bin = r.get(1)
+        val binDir = new org.apache.hadoop.fs.Path(
+          s"$path/stratum=$st/bin=$bin")
+        val staged = new org.apache.hadoop.fs.Path(
+          s"$path/_delete_staged/stratum=$st/bin=$bin")
+        val aside = new org.apache.hadoop.fs.Path(
+          s"$path/_delete_old/stratum=$st/bin=$bin")
+        fs.mkdirs(aside.getParent)
+        fs.rename(binDir, aside)
+        // a fully-deleted bin has no staged dir: the bin simply ends
+        // (partition discovery skips the absent directory)
+        if (fs.exists(staged)) fs.rename(staged, binDir)
+        fs.delete(aside, true)
+        ()
+      }
     }
     val recomputed = spark.createDataFrame(
       new java.util.ArrayList(
