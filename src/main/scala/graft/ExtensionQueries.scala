@@ -43,6 +43,12 @@ object ExtensionQueries {
   private val CmsProbes =
     Seq("the", "und", "la", "el", "de", "data", "zz-absent-zz")
 
+  /** d33's increment-internal duplicate run (9 words — two 8-word
+    * windows, so the increment-local keep-first covers an overlap).
+    */
+  private val SpanUniqRun =
+    "orange violet crimson amber teal indigo maroon ochre silver"
+
   /** d23's planted boilerplate sentence (11 words — four duplicated
     * 8-word windows per later carrier, so coverage-union is exercised).
     */
@@ -716,6 +722,40 @@ object ExtensionQueries {
             concat(col("text"), lit(" " + SpanSlogan)))
           .otherwise(col("text")).as("text"))
       Dedup.removeRepeatedSpans(planted, col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL exact-substring self-dedup (d33): the corpus is
+    // split into an immutable archive (lower half) and an increment —
+    // the archive's window set persisted once (writeCorpusSpanIndex),
+    // the increment cleaned against it (archive occurrences are
+    // globally first under in-order ids) AND against its own
+    // duplicates (increment-local keep-first). Planted: slogan
+    // carriers on both sides (archive owns the span, increment
+    // carriers lose it), an increment-only duplicate pair (first
+    // keeps), and a clean doc. Oracle = d23's batch algebra over the
+    // UNION, restricted to the increment's ids.
+    "d33_repeated_spans_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + SpanSlogan)))
+          .otherwise(col("text")).as("text"))
+      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      val archive = planted.filter(col("doc_id") <= maxId / 2)
+      val increment = planted.filter(col("doc_id") > maxId / 2)
+        .unionByName(Seq(
+          (9000001L, SpanUniqRun),
+          (9000002L, s"intro words here $SpanUniqRun and a trailing bit"),
+          (9000003L, "completely clean increment document with nothing " +
+            "shared at all")).toDF("doc_id", "text"))
+      val path = Scratch.path(dir, "d33_spanidx")
+      Scratch.reset(path)
+      Dedup.writeCorpusSpanIndex(archive, col("doc_id"), col("text"),
+        path, k = 8)
+      Dedup.removeRepeatedSpansIncremental(increment, col("doc_id"),
+          col("text"), path)
         .orderBy(col("doc_id"))
     }),
 
@@ -3340,7 +3380,44 @@ object ExtensionQueries {
        FROM b WHERE doc_id % 7 <> 3
        ORDER BY doc_id"""
 
+  // mirrors d33: d23's batch keep-first algebra over archive ∪
+  // increment, restricted to the increment's ids — the in-order
+  // contract makes the incremental result bit-equal to this
+  private lazy val SpanIncrementalOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' $SpanSlogan'
+       |         ELSE text END AS text
+       |  FROM documents
+       |  UNION ALL SELECT * FROM (VALUES
+       |    (9000001, '$SpanUniqRun'),
+       |    (9000002, 'intro words here $SpanUniqRun and a trailing bit'),
+       |    (9000003, 'completely clean increment document with nothing shared at all')) v(doc_id, text)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+       |toks AS (SELECT doc_id, u.i AS idx, u.tok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+       |    i -> {'i': i, 'tok': w[i]})) AS u FROM t)),
+       |wins AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)-6),
+       |    p -> {'p': p, 'g': array_to_string(w[p:p+7], ' ')})) AS u FROM t)),
+       |dups AS (SELECT g, min(doc_id*1000000+p) AS f FROM wins GROUP BY g
+       |         HAVING count(*) > 1),
+       |covered AS (SELECT DISTINCT doc_id, idx FROM (
+       |  SELECT w.doc_id, unnest(range(w.p, w.p+8)) AS idx
+       |  FROM wins w JOIN dups d ON d.g = w.g
+       |  WHERE w.doc_id*1000000 + w.p <> d.f)),
+       |kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM toks tk
+       |         ANTI JOIN covered c
+       |           ON c.doc_id = tk.doc_id AND c.idx = tk.idx),
+       |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+       |            FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, coalesce(r.text, '') AS text
+       |FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+       |WHERE b.doc_id > (SELECT max(doc_id) // 2 FROM documents)
+       |ORDER BY b.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlBase +
+    ("d33_repeated_spans_incremental" -> SpanIncrementalOracle) +
     ("g07_hits" -> HitsOracle) +
     ("t39_importance_resample" -> ImportanceOracle) +
     // t40 is t39 scored through the two persisted LM artifacts — the

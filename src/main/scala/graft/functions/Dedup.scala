@@ -1279,10 +1279,19 @@ object Dedup {
       k: Int = 8, materialize: Boolean = true): DataFrame = {
     require(k >= 1, "removeRepeatedSpans: need k >= 1 (window width)")
     val words = spanWords(df, id, text)
+    rebuildKeptText(df, id, words,
+      coveredSpanPositions(words, k, materialize))
+  }
+
+  /** Rebuild (doc_id, text) from `words`, keeping every position NOT
+    * in `covered` — shared by the one-shot and incremental span-dedup
+    * forms. One input-bounded aggregate per document; docs that lose
+    * everything come back as `''` (cut, not dropped). */
+  private def rebuildKeptText(df: DataFrame, id: Column, words: DataFrame,
+      covered: DataFrame): DataFrame = {
     val toks = words.select(col("doc_id"),
         posexplode(col("w")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
-    val covered = coveredSpanPositions(words, k, materialize)
     val rebuilt = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(concat_ws(" ",
@@ -1290,6 +1299,85 @@ object Dedup {
           s => s("tok"))).as("__kept"))
     df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
+
+  /** Persist the distinct window hash-pairs of an already-ingested
+    * ARCHIVE — the state the incremental form of
+    * [[removeRepeatedSpans]] dedups daily increments against (the
+    * [[writeSpanIndex]] pattern turned on the corpus itself). The
+    * width `k` rides inside the artifact (`path/meta` — a mismatched
+    * k would match nothing and silently skip the dedup). Ownership
+    * detail is deliberately NOT stored: under the in-order-ingest
+    * contract (increment ids above everything archived — what a
+    * monotone ingest id gives for free), an archived occurrence is
+    * always globally first, so membership alone decides the cut.
+    */
+  def writeCorpusSpanIndex(archive: DataFrame, id: Column, text: Column,
+      path: String, k: Int = 8): Unit = {
+    require(k >= 1, "writeCorpusSpanIndex: need k >= 1 (window width)")
+    spanWindows(spanWords(archive, id, text), k)
+      .select(col("h"), col("h2")).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    archive.sparkSession.range(1).select(lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Grow a [[writeCorpusSpanIndex]] artifact by one increment's
+    * windows — O(increment), append-only (duplicate hash-pairs across
+    * appends are harmless to the semi-join membership test; rewrite
+    * the index with [[writeCorpusSpanIndex]] over the full corpus on
+    * a compaction cadence if the duplication ever dominates). Append
+    * the increment's RAW text (pre-dedup) — batch parity needs the
+    * window set of what ARRIVED, and a later duplicate of a cut span
+    * must still be recognized.
+    */
+  def appendCorpusSpanIndex(increment: DataFrame, id: Column,
+      text: Column, path: String): Unit = {
+    val spark = increment.sparkSession
+    val k = spark.read.parquet(s"$path/meta").head.getInt(0)
+    spanWindows(spanWords(increment, id, text), k)
+      .select(col("h"), col("h2")).distinct()
+      .write.mode("append").parquet(s"$path/hashes")
+  }
+
+  /** INCREMENTAL [[removeRepeatedSpans]] (d33) — the daily-increment
+    * shape for exact-substring self-dedup: archived documents are
+    * immutable, so only the increment is cleaned, against (a) the
+    * archive's window set from the [[writeCorpusSpanIndex]] artifact
+    * (an archived occurrence is globally first under the in-order
+    * contract — every increment occurrence of it is cut) and (b) the
+    * increment's OWN duplicate windows (keep the increment-local
+    * first occurrence — the one-shot keep-first rule). Under the
+    * in-order-ingest contract the result is BIT-IDENTICAL to the
+    * batch [[removeRepeatedSpans]] over archive ∪ increment,
+    * restricted to the increment's ids (d33 shares d23's oracle
+    * algebra over the union).
+    *
+    * Cost tracks the INCREMENT: its window projection, one
+    * membership semi-join against the artifact (shuffle by default —
+    * the archive window set grows with the corpus and is NOT
+    * broadcast-safe; `broadcastIndex = true` is the small-archive
+    * hatch), the increment-local keep-first aggregate, and one
+    * rebuild — the accumulated corpus is never re-read. Call
+    * [[appendCorpusSpanIndex]] with the same increment afterwards to
+    * grow the archive state.
+    */
+  def removeRepeatedSpansIncremental(increment: DataFrame, id: Column,
+      text: Column, indexPath: String,
+      broadcastIndex: Boolean = false): DataFrame = {
+    val spark = increment.sparkSession
+    val k = spark.read.parquet(s"$indexPath/meta").head.getInt(0)
+    val idx = spark.read.parquet(s"$indexPath/hashes")
+    val idxSide = if (broadcastIndex) broadcast(idx) else idx
+    val words = spanWords(increment, id, text)
+    val wins = Materialize(spanWindows(words, k))
+    val archiveHit = wins.join(idxSide, Seq("h", "h2"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("idx"))
+    val covered = archiveHit
+      .unionByName(laterOccurrencePositions(wins, k))
+      .distinct()
+    rebuildKeptText(increment, id, words, covered)
   }
 
   /** SPAN-level decontamination — the GPT-3/PaLM eval-overlap rule
@@ -1443,6 +1531,14 @@ object Dedup {
       materialize: Boolean): DataFrame = {
     val wins0 = spanWindows(words, k)
     val wins = if (materialize) Materialize(wins0) else wins0
+    laterOccurrencePositions(wins, k)
+  }
+
+  /** Positions covered by every window occurrence that is NOT its
+    * hash-pair's first (min (doc_id, p)) — the keep-first half of the
+    * span-dedup algebra, shared by the one-shot and incremental
+    * forms. */
+  private def laterOccurrencePositions(wins: DataFrame, k: Int): DataFrame = {
     val dups = wins.groupBy(col("h"), col("h2"))
       .agg(min(struct(col("doc_id"), col("p"))).as("first"),
         count(lit(1)).as("__c"))

@@ -101,4 +101,63 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction"),
       "no window sort in the duplicate-detection stage")
   }
+
+  // ---- incremental form (d33) ------------------------------------------
+
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+
+  private def incRun(rows: Seq[(Long, String)], path: String,
+      broadcastIndex: Boolean = false): Map[Long, String] =
+    Dedup.removeRepeatedSpansIncremental(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), path, broadcastIndex)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private val passage = "one two three four five six seven eight"
+
+  test("incremental == batch over the union, restricted to the increment " +
+      "(in-order ids); append chains a second epoch") {
+    val archive = Seq(
+      (1L, s"alpha start $passage omega end"),
+      (2L, "an unrelated archived document body here"))
+    val inc1 = Seq(
+      (10L, s"carrier of $passage again"),                 // archive-owned
+      (11L, "fresh rare tokens qux zz yy xx ww vv uu tt"), // first of a pair
+      (12L, "prefix fresh rare tokens qux zz yy xx ww vv uu tt suffix"))
+    val inc2 = Seq(
+      (20L, s"late copy $passage resurfaces"),             // still archive-owned
+      (21L, "fresh rare tokens qux zz yy xx ww vv uu tt")) // owned by epoch 1
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-spaninc").toString
+    Dedup.writeCorpusSpanIndex(archive.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, k = 8)
+    val got1 = incRun(inc1, path)
+    Dedup.appendCorpusSpanIndex(inc1.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val got2 = incRun(inc2, path)
+    // the batch reference over everything, restricted per epoch
+    val batch = run(archive ++ inc1 ++ inc2, k = 8)
+    inc1.map(_._1).foreach(id => assert(got1(id) === batch(id), s"doc $id"))
+    inc2.map(_._1).foreach(id => assert(got2(id) === batch(id), s"doc $id"))
+    // the semantics themselves: 10/20 lose the archived passage, 11
+    // keeps (its epoch's first), 12 and 21 lose the duplicated run
+    assert(got1(10L) === "carrier of again")
+    assert(got1(11L) === inc1(1)._2)
+    assert(got1(12L) === "prefix suffix")
+    assert(got2(21L) === "")
+    // the broadcast hatch changes nothing
+    assert(incRun(inc2, path, broadcastIndex = true) === got2)
+  }
+
+  test("incremental: k rides in the artifact — an index built at one " +
+      "width cuts at that width regardless of caller assumptions") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-spank").toString
+    // k=5 index: a 5-word passage is owned by the archive
+    Dedup.writeCorpusSpanIndex(
+      Seq((1L, "aa bb cc dd ee tail words")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, k = 5)
+    val got = incRun(Seq((10L, "start aa bb cc dd ee finish")), path)
+    assert(got(10L) === "start finish")
+  }
 }
