@@ -2191,6 +2191,50 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming span self-dedup (s19): d33 with the increment arriving
+    // as a stream — the corpus-span index is the cross-batch state,
+    // grown per batch (epoch = batchId+1; the seeded archive is epoch
+    // 0), each batch cleaned against strictly-earlier epochs only (the
+    // replay guard). In-order delivery (batch 1 = lower ids) makes the
+    // batch-dir union bit-equal to d33's one-shot result: shares d33's
+    // oracle.
+    "s19_stream_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + SpanSlogan)))
+          .otherwise(col("text")).as("text"))
+      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      val archive = planted.filter(col("doc_id") <= maxId / 2)
+      val incLow = planted.filter(col("doc_id") > maxId / 2 &&
+        col("doc_id") <= maxId * 3 / 4)
+      val incHigh = planted.filter(col("doc_id") > maxId * 3 / 4)
+        .unionByName(Seq(
+          (9000001L, SpanUniqRun),
+          (9000002L, s"intro words here $SpanUniqRun and a trailing bit"),
+          (9000003L, "completely clean increment document with nothing " +
+            "shared at all")).toDF("doc_id", "text"))
+      val idx = Scratch.path(dir, "s19_spanidx")
+      val in = Scratch.path(dir, "s19_in")
+      val out = Scratch.path(dir, "s19_out")
+      val ckpt = Scratch.path(dir, "s19_ckpt")
+      Seq(idx, in, out, ckpt).foreach(Scratch.reset)
+      Dedup.writeCorpusSpanIndex(archive, col("doc_id"), col("text"),
+        idx, k = 8)
+      Seq(incLow, incHigh).foreach(f => f.orderBy(col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(incHigh.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.repeatedSpansIngest(stream,
+        col("doc_id"), col("text"), idx, out,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming BPE tokenization (s18): t38's train→artifact→encode
     // with the PROBES arriving as a stream — two micro-batches
     // (even/odd ids), the merge list re-read each batch (the s14
@@ -3418,6 +3462,9 @@ object ExtensionQueries {
 
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("d33_repeated_spans_incremental" -> SpanIncrementalOracle) +
+    // s19 is d33 with the increment delivered as an in-order stream —
+    // the per-batch union must land on the same one-shot result
+    ("s19_stream_span_dedup" -> SpanIncrementalOracle) +
     ("g07_hits" -> HitsOracle) +
     ("t39_importance_resample" -> ImportanceOracle) +
     // t40 is t39 scored through the two persisted LM artifacts — the

@@ -1317,27 +1317,37 @@ object Dedup {
     require(k >= 1, "writeCorpusSpanIndex: need k >= 1 (window width)")
     spanWindows(spanWords(archive, id, text), k)
       .select(col("h"), col("h2")).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/epoch=0")
     archive.sparkSession.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Grow a [[writeCorpusSpanIndex]] artifact by one increment's
-    * windows — O(increment), append-only (duplicate hash-pairs across
-    * appends are harmless to the semi-join membership test; rewrite
-    * the index with [[writeCorpusSpanIndex]] over the full corpus on
-    * a compaction cadence if the duplication ever dominates). Append
-    * the increment's RAW text (pre-dedup) — batch parity needs the
-    * window set of what ARRIVED, and a later duplicate of a cut span
-    * must still be recognized.
+    * windows — O(increment), written as its own `hashes/epoch=<e>`
+    * delta (duplicate hash-pairs across epochs are harmless to the
+    * semi-join membership test; rewrite the index with
+    * [[writeCorpusSpanIndex]] over the full corpus on a compaction
+    * cadence if the duplication ever dominates). Append the
+    * increment's RAW text (pre-dedup) — batch parity needs the window
+    * set of what ARRIVED, and a later duplicate of a cut span must
+    * still be recognized. The explicit `epoch` is the
+    * replay-idempotence hook for the streaming form: a re-delivered
+    * batch OVERWRITES its own delta instead of stacking a copy; batch
+    * callers omit it and get max-existing + 1.
     */
   def appendCorpusSpanIndex(increment: DataFrame, id: Column,
-      text: Column, path: String): Unit = {
+      text: Column, path: String, epoch: Option[Long] = None): Unit = {
     val spark = increment.sparkSession
     val k = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val e = epoch.getOrElse {
+      val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).map(_.drop(6).toLong).max + 1L
+    }
     spanWindows(spanWords(increment, id, text), k)
       .select(col("h"), col("h2")).distinct()
-      .write.mode("append").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/epoch=$e")
   }
 
   /** INCREMENTAL [[removeRepeatedSpans]] (d33) — the daily-increment
@@ -1363,12 +1373,29 @@ object Dedup {
     * grow the archive state.
     */
   def removeRepeatedSpansIncremental(increment: DataFrame, id: Column,
-      text: Column, indexPath: String,
-      broadcastIndex: Boolean = false): DataFrame = {
+      text: Column, indexPath: String, broadcastIndex: Boolean = false,
+      beforeEpoch: Option[Long] = None): DataFrame = {
     val spark = increment.sparkSession
     val k = spark.read.parquet(s"$indexPath/meta").head.getInt(0)
-    val idx = spark.read.parquet(s"$indexPath/hashes")
-    val idxSide = if (broadcastIndex) broadcast(idx) else idx
+    val idx0 = spark.read.parquet(s"$indexPath/hashes")
+    // the streaming form's replay guard: a re-delivered batch must not
+    // see its OWN crashed-attempt delta as "archive" (it would cut its
+    // own first occurrences); epochs at or past the batch's slot are
+    // excluded
+    val idx = beforeEpoch.fold(idx0)(e => idx0.filter(col("epoch") < e))
+      .select(col("h"), col("h2"))
+    removeRepeatedSpansAgainst(increment, id, text, idx, k, broadcastIndex)
+  }
+
+  /** The frame-based core of [[removeRepeatedSpansIncremental]]:
+    * dedup `increment` against an explicit archive window set
+    * (h, h2) plus its own local duplicates. */
+  def removeRepeatedSpansAgainst(increment: DataFrame, id: Column,
+      text: Column, archiveWindows: DataFrame, k: Int,
+      broadcastIndex: Boolean = false): DataFrame = {
+    require(k >= 1, "removeRepeatedSpansAgainst: need k >= 1")
+    val idxSide =
+      if (broadcastIndex) broadcast(archiveWindows) else archiveWindows
     val words = spanWords(increment, id, text)
     val wins = Materialize(spanWindows(words, k))
     val archiveHit = wins.join(idxSide, Seq("h", "h2"), "left_semi")

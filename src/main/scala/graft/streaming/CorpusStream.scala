@@ -265,6 +265,49 @@ object CorpusStream {
     writer.start()
   }
 
+  /** Streaming incremental span self-dedup (s19) — the d33 artifact
+    * as CROSS-BATCH state: per micro-batch, clean the batch against
+    * the accumulated corpus-span index
+    * ([[graft.functions.Dedup.removeRepeatedSpansIncremental]]), write
+    * the survivors to an idempotent `batch=<id>` dir, then GROW the
+    * index with the batch's raw windows
+    * ([[graft.functions.Dedup.appendCorpusSpanIndex]] at epoch
+    * `batchId + 1` — the seeded archive occupies epoch 0). Clean
+    * FIRST, then append: appending first would make every window of
+    * the batch "archived" and cut its own first occurrences.
+    *
+    * Replay safety (the foreachBatch at-least-once contract): the
+    * clean step reads only index epochs BELOW the batch's own slot,
+    * so a crashed attempt's half-written delta can never poison its
+    * replay, and the re-run overwrites both its output dir and its
+    * delta — exactly-once content. Under in-order delivery the union
+    * of batch outputs is bit-equal to the one-shot batch
+    * [[graft.functions.Dedup.removeRepeatedSpans]] over
+    * archive ∪ stream restricted to the streamed ids (s19 shares
+    * d33's oracle).
+    */
+  def repeatedSpansIngest(docs: DataFrame, id: Column, text: Column,
+      indexPath: String, outPath: String,
+      broadcastIndex: Boolean = false,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      graft.functions.Dedup.removeRepeatedSpansIncremental(batch, id,
+          text, indexPath, broadcastIndex,
+          beforeEpoch = Some(batchId + 1L))
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      graft.functions.Dedup.appendCorpusSpanIndex(batch, id, text,
+        indexPath, epoch = Some(batchId + 1L))
+      ()
+    }
+    val writer = docs.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
   /** Streaming BPE tokenization (s18) — the t38 tokenizer artifact
     * under continuous ingest: each micro-batch is encoded against the
     * persisted [[graft.functions.TextFunctions.writeBpeModel]] tree,
