@@ -1058,6 +1058,44 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The TARGETED web recipe (p13): p10's five-stage crawl chain
+    // feeding the t39 DSIR selector — the full crawl → curate →
+    // select-what-looks-like-the-target pipeline as one composition.
+    // The raw model trains on the CURATED pool (the DSIR rule: the
+    // denominator is the distribution you're selecting FROM), the
+    // target on the en slice; ONE composed oracle replays the whole
+    // chain end to end.
+    "p13_web_recipe_targeted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") >= 20)
+      val pid = when(col("doc_id") % 10 < 2,
+        col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
+      val crawl = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<div class=\"x\">"), col("text"),
+            lit("</div> <script>var a = 1 < 2;</script>")))
+          .otherwise(col("text")).as("raw"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
+            lit(".COM:80/a/"), pid.cast("string"),
+            lit("/?utm_source=x&b=2&a=1#f")))
+          .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
+            lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
+          .as("url"))
+      val curated = Curation.curateWeb(crawl, col("doc_id"), col("url"),
+        col("raw"), bench, col("doc_id"), col("text"),
+        quality = Some(TextFunctions.gopherRules(col("text"),
+          minWords = 10).getField("pass")))
+      TextFunctions.importanceResample(curated,
+          docs.filter(col("lang") === "en"), col("doc_id"), col("text"),
+          col("text"), scale = 0.5)
+        .select(col("doc_id"), col("n_ngrams"), col("n_known_target"),
+          col("importance"))
+        .orderBy(col("doc_id"))
+    }),
+
     // p10 with the SURGICAL final stage (p11): same crawl, same
     // stages 1-4, but benchmark overlap is cut span-by-span
     // (decontaminateSpans, k=5 so organic cross-split overlaps fire)
@@ -2188,6 +2226,39 @@ object ExtensionQueries {
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming DSIR selection (s20): t40's scoring with the corpus
+    // arriving as a stream — both model artifacts re-read per batch
+    // (the s14 stale-frames rule), selection per-doc independent, so
+    // the batch-dir union is the one-shot selection exactly: shares
+    // t39/t40's oracle.
+    "s20_stream_importance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tPath = Scratch.path(dir, "s20_target")
+      val rPath = Scratch.path(dir, "s20_raw")
+      val in = Scratch.path(dir, "s20_in")
+      val out = Scratch.path(dir, "s20_out")
+      val ckpt = Scratch.path(dir, "s20_ckpt")
+      Seq(tPath, rPath, in, out, ckpt).foreach(Scratch.reset)
+      TextFunctions.writeLmModel(docs.filter(col("lang") === "en"),
+        col("text"), tPath, order = 2)
+      TextFunctions.writeLmModel(docs, col("text"), rPath, order = 2)
+      (0 until 2).foreach(r => docs.filter(col("doc_id") % 2 === r)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream
+        .schema(docs.select(col("doc_id"), col("text")).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.importanceResampleIngest(stream,
+        col("doc_id"), col("text"), tPath, rPath, scale = 0.5, out,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
+        .select(col("doc_id"), col("n_ngrams"), col("n_known_target"),
+          col("importance"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3365,49 +3436,67 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  // mirrors t39: two bigram models (target = en slice, raw = all),
-  // one scoring pass with both left joins, the three-division
-  // importance ratio, and the t26 hash-threshold keep
-  private lazy val ImportanceOracle =
-    """WITH tb AS (SELECT unnest(list_transform(range(1, len(w)),
-           i -> w[i] || ' ' || w[i+1])) AS s
-         FROM (SELECT string_split(text, ' ') AS w FROM documents
-               WHERE lang = 'en')),
-       tbig AS (SELECT s, count(*) AS c2 FROM tb GROUP BY 1),
-       tctx AS (SELECT string_split(s, ' ')[1] AS w1,
-           CAST(sum(c2) AS BIGINT) AS c1 FROM tbig GROUP BY 1),
-       tmodel AS (SELECT s, c2 AS c2t, c1 AS c1t FROM tbig
-         JOIN tctx ON string_split(tbig.s, ' ')[1] = tctx.w1),
-       rb AS (SELECT unnest(list_transform(range(1, len(w)),
-           i -> w[i] || ' ' || w[i+1])) AS s
-         FROM (SELECT string_split(text, ' ') AS w FROM documents)),
-       rbig AS (SELECT s, count(*) AS c2 FROM rb GROUP BY 1),
-       rctx AS (SELECT string_split(s, ' ')[1] AS w1,
-           CAST(sum(c2) AS BIGINT) AS c1 FROM rbig GROUP BY 1),
-       rmodel AS (SELECT s, c2 AS c2r, c1 AS c1r FROM rbig
-         JOIN rctx ON string_split(rbig.s, ' ')[1] = rctx.w1),
-       db AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-           i -> w[i] || ' ' || w[i+1])) AS s
-         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-       agg AS (SELECT doc_id, count(*) AS nb, count(c2t) AS nkt,
-           CAST(sum(c2t) AS BIGINT) AS sc2t,
-           CAST(sum(c1t) AS BIGINT) AS sc1t,
-           CAST(sum(c2r) AS BIGINT) AS sc2r,
-           CAST(sum(c1r) AS BIGINT) AS sc1r
-         FROM db LEFT JOIN tmodel USING (s) LEFT JOIN rmodel USING (s)
-         GROUP BY 1),
-       sc AS (SELECT doc_id, CAST(nb AS BIGINT) AS n_ngrams,
-           CAST(nkt AS BIGINT) AS n_known_target,
-           (CAST(sc2t AS DOUBLE) / sc1t) / (CAST(sc2r AS DOUBLE) / sc1r)
-             AS importance
-         FROM agg)
-       SELECT doc_id, n_ngrams, n_known_target, importance
+  // mirrors t39/t40/s20/p13: two bigram models (target = the en
+  // slice, raw = the scored corpus itself), one scoring pass with
+  // both left joins, the three-division importance ratio, and the t26
+  // hash-threshold keep. `corpusRel` parameterizes WHAT is scored —
+  // `documents` for the direct gates, the curated `web` survivors for
+  // the composed recipe.
+  private def importanceCtes(corpusRel: String): String =
+    s"""tb AS (SELECT unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS s
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+       |        WHERE lang = 'en')),
+       |tbig AS (SELECT s, count(*) AS c2 FROM tb GROUP BY 1),
+       |tctx AS (SELECT string_split(s, ' ')[1] AS w1,
+       |    CAST(sum(c2) AS BIGINT) AS c1 FROM tbig GROUP BY 1),
+       |tmodel AS (SELECT s, c2 AS c2t, c1 AS c1t FROM tbig
+       |  JOIN tctx ON string_split(tbig.s, ' ')[1] = tctx.w1),
+       |rb AS (SELECT unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS s
+       |  FROM (SELECT string_split(text, ' ') AS w FROM $corpusRel)),
+       |rbig AS (SELECT s, count(*) AS c2 FROM rb GROUP BY 1),
+       |rctx AS (SELECT string_split(s, ' ')[1] AS w1,
+       |    CAST(sum(c2) AS BIGINT) AS c1 FROM rbig GROUP BY 1),
+       |rmodel AS (SELECT s, c2 AS c2r, c1 AS c1r FROM rbig
+       |  JOIN rctx ON string_split(rbig.s, ' ')[1] = rctx.w1),
+       |db AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $corpusRel)),
+       |agg AS (SELECT doc_id, count(*) AS nb, count(c2t) AS nkt,
+       |    CAST(sum(c2t) AS BIGINT) AS sc2t,
+       |    CAST(sum(c1t) AS BIGINT) AS sc1t,
+       |    CAST(sum(c2r) AS BIGINT) AS sc2r,
+       |    CAST(sum(c1r) AS BIGINT) AS sc1r
+       |  FROM db LEFT JOIN tmodel USING (s) LEFT JOIN rmodel USING (s)
+       |  GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(nb AS BIGINT) AS n_ngrams,
+       |    CAST(nkt AS BIGINT) AS n_known_target,
+       |    (CAST(sc2t AS DOUBLE) / sc1t) / (CAST(sc2r AS DOUBLE) / sc1r)
+       |      AS importance
+       |  FROM agg)""".stripMargin
+
+  private val ImportanceSelect =
+    """SELECT doc_id, n_ngrams, n_known_target, importance
        FROM sc
        WHERE importance IS NOT NULL
          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
                AS BIGINT) % 10000
              < CAST(floor(least(1.0, importance * 0.5) * 10000) AS BIGINT)
        ORDER BY doc_id"""
+
+  private lazy val ImportanceOracle =
+    s"WITH ${importanceCtes("documents")}\n$ImportanceSelect"
+
+  // mirrors p13: the p10 survivor chain feeding the t39 selector —
+  // the raw model trains on the CURATED pool, the target on the en
+  // slice, exactly the composed Spark recipe
+  private lazy val WebTargetedOracle =
+    s"""WITH RECURSIVE $WebRecipeCtes,
+       |web AS (SELECT doc_id, text FROM surv
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |${importanceCtes("web")}
+       |$ImportanceSelect""".stripMargin
 
   // mirrors p12: the s10/s12 batch-pack cumsum over ALL rows (frozen
   // bins never re-flow), deleted ids filtered out at the end
@@ -3470,6 +3559,10 @@ object ExtensionQueries {
     // t40 is t39 scored through the two persisted LM artifacts — the
     // frozen-model contract says the round-trip changes nothing
     ("t40_importance_artifact" -> ImportanceOracle) +
+    // s20 is t40 with the corpus delivered as a stream — per-doc
+    // independent scoring, so the batch union changes nothing
+    ("s20_stream_importance" -> ImportanceOracle) +
+    ("p13_web_recipe_targeted" -> WebTargetedOracle) +
     ("p12_shard_delete" -> ShardDeleteOracle) +
     ("t36_bpe_train" -> BpeTrainOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
@@ -3559,6 +3652,92 @@ object ExtensionQueries {
            CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** The p10 crawl-recipe replay (canonical URLs derived by hand,
+    * keep-first, gopher gate, near-dup CC, benchmark overlap hits) —
+    * shared by p10 and the target-selected composition p13. Ends with
+    * the `surv` and `hits` CTEs; append a final SELECT.
+    */
+  private lazy val WebRecipeCtes: String =
+    """
+         base AS (SELECT doc_id, text,
+           CASE WHEN doc_id % 10 < 2 THEN doc_id - (doc_id % 10)
+                ELSE doc_id END AS pid
+           FROM documents WHERE doc_id >= 20),
+         canon AS (SELECT doc_id, text,
+           'http://web' || CAST(pid % 40 AS VARCHAR) || '.com/a/' ||
+             CAST(pid AS VARCHAR) || '?a=1&b=2' AS url
+           FROM base),
+         ukeep AS (SELECT url, min(doc_id) AS doc_id FROM canon GROUP BY 1),
+         u AS (SELECT c.doc_id, c.url, c.text FROM canon c
+               JOIN ukeep k ON k.url = c.url AND k.doc_id = c.doc_id),
+         feat AS (SELECT doc_id, url, text,
+           string_split_regex(
+             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+             '[ \t\n\x0b\f\r]+') AS wds,
+           string_split(text, chr(10)) AS lns FROM u),
+         m AS (SELECT doc_id, url, text,
+           CAST(len(wds) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
+           greatest(
+             ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
+               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
+               / CAST(len(wds) AS DOUBLE),
+             (length(text) - length(regexp_replace(text, '#', '', 'g')))
+               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
+           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
+             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
+             /len(lns) AS bullet_line_ratio,
+           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
+             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
+           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
+             /len(wds) AS alpha_word_ratio,
+           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
+           FROM feat),
+         qual AS (SELECT doc_id, url, text FROM m
+           WHERE n_words >= 10 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_ratio <= 0.9
+             AND ellipsis_line_ratio <= 0.3
+             AND alpha_word_ratio >= 0.8
+             AND n_stopwords >= 2),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM qual))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(common AS DOUBLE)/(ca.n + cb.n - common) AS jaccard
+           FROM prs
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b),
+         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         surv AS (
+           SELECT q.* FROM qual q
+           LEFT JOIN cc ON cc.id = q.doc_id
+           WHERE cc.id IS NULL OR cc.cluster_id = q.doc_id),
+         bsh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text,' ') AS w
+                 FROM documents WHERE doc_id < 20))),
+         hits AS (SELECT DISTINCT c.doc_id
+           FROM (SELECT sh.* FROM sh JOIN surv ON surv.doc_id = sh.doc_id) c
+           JOIN bsh b ON c.s = b.s
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 10)"""
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 
@@ -4920,85 +5099,7 @@ object ExtensionQueries {
     // exact-jaccard trigram near-dedup with recursive-CC keep-min →
     // trigram decontamination vs the doc_id<20 bench slice
     "p10_web_corpus_recipe" ->
-      """WITH RECURSIVE
-         base AS (SELECT doc_id, text,
-           CASE WHEN doc_id % 10 < 2 THEN doc_id - (doc_id % 10)
-                ELSE doc_id END AS pid
-           FROM documents WHERE doc_id >= 20),
-         canon AS (SELECT doc_id, text,
-           'http://web' || CAST(pid % 40 AS VARCHAR) || '.com/a/' ||
-             CAST(pid AS VARCHAR) || '?a=1&b=2' AS url
-           FROM base),
-         ukeep AS (SELECT url, min(doc_id) AS doc_id FROM canon GROUP BY 1),
-         u AS (SELECT c.doc_id, c.url, c.text FROM canon c
-               JOIN ukeep k ON k.url = c.url AND k.doc_id = c.doc_id),
-         feat AS (SELECT doc_id, url, text,
-           string_split_regex(
-             trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-             '[ \t\n\x0b\f\r]+') AS wds,
-           string_split(text, chr(10)) AS lns FROM u),
-         m AS (SELECT doc_id, url, text,
-           CAST(len(wds) AS BIGINT) AS n_words,
-           CAST(list_sum(list_transform(wds, x -> len(x))) AS DOUBLE)/len(wds) AS mean_word_len,
-           greatest(
-             ((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))/3
-               + (length(text) - length(regexp_replace(text, '…', '', 'g'))))
-               / CAST(len(wds) AS DOUBLE),
-             (length(text) - length(regexp_replace(text, '#', '', 'g')))
-               / CAST(len(wds) AS DOUBLE)) AS symbol_word_ratio,
-           CAST(len(list_filter(lns, l -> starts_with(ltrim(l),'•')
-             OR starts_with(ltrim(l),'-') OR starts_with(ltrim(l),'*'))) AS DOUBLE)
-             /len(lns) AS bullet_line_ratio,
-           CAST(len(list_filter(lns, l -> ends_with(rtrim(l),'...')
-             OR ends_with(rtrim(l),'…'))) AS DOUBLE)/len(lns) AS ellipsis_line_ratio,
-           CAST(len(list_filter(wds, x -> regexp_matches(x,'[A-Za-z]'))) AS DOUBLE)
-             /len(wds) AS alpha_word_ratio,
-           CAST(len(list_filter(wds, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords
-           FROM feat),
-         qual AS (SELECT doc_id, url, text FROM m
-           WHERE n_words >= 10 AND n_words <= 100000
-             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-             AND symbol_word_ratio <= 0.1
-             AND bullet_line_ratio <= 0.9
-             AND ellipsis_line_ratio <= 0.3
-             AND alpha_word_ratio >= 0.8
-             AND n_stopwords >= 2),
-         sh AS (SELECT DISTINCT doc_id, s FROM (
-           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
-           FROM (SELECT doc_id, string_split(text,' ') AS w FROM qual))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         prs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         jac AS (
-           SELECT id_a, id_b,
-             CAST(common AS DOUBLE)/(ca.n + cb.n - common) AS jaccard
-           FROM prs
-           JOIN cnt ca ON ca.doc_id = id_a
-           JOIN cnt cb ON cb.doc_id = id_b),
-         p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
-         edges AS (SELECT id_a AS a, id_b AS b FROM p
-                   UNION SELECT id_b, id_a FROM p),
-         reach AS (
-           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
-           UNION
-           SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
-         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         surv AS (
-           SELECT q.* FROM qual q
-           LEFT JOIN cc ON cc.id = q.doc_id
-           WHERE cc.id IS NULL OR cc.cluster_id = q.doc_id),
-         bsh AS (SELECT DISTINCT doc_id, s FROM (
-           SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-             i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
-           FROM (SELECT doc_id, string_split(text,' ') AS w
-                 FROM documents WHERE doc_id < 20))),
-         hits AS (SELECT DISTINCT c.doc_id
-           FROM (SELECT sh.* FROM sh JOIN surv ON surv.doc_id = sh.doc_id) c
-           JOIN bsh b ON c.s = b.s
-           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 10)
+      s"""WITH RECURSIVE $WebRecipeCtes
          SELECT doc_id, url FROM surv
          WHERE doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY doc_id""",

@@ -265,6 +265,36 @@ object CorpusStream {
     writer.start()
   }
 
+  /** Streaming DSIR selection (s20) — the t40 model artifacts under
+    * continuous ingest: each micro-batch is scored against the two
+    * persisted [[graft.functions.TextFunctions.writeLmModel]] trees
+    * (target + raw), RE-READ every batch (the s14 stale-frames rule —
+    * a raw-model refresh on its drift cadence takes effect at the
+    * next batch boundary), kept by the portable-hash Bernoulli, and
+    * written to idempotent `batch=<id>` dirs. A document's importance
+    * depends only on its own n-grams and the frozen models, so the
+    * per-batch union is bit-equal to the one-shot batch selection
+    * (s20 shares t39/t40's oracle).
+    */
+  def importanceResampleIngest(docs: DataFrame, id: Column, text: Column,
+      targetPath: String, rawPath: String, scale: Double,
+      outPath: String, broadcastModels: Boolean = true,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      graft.functions.TextFunctions.importanceResampleWithIndex(batch,
+          targetPath, rawPath, id, text, scale, broadcastModels)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      ()
+    }
+    val writer = docs.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
   /** Streaming incremental span self-dedup (s19) — the d33 artifact
     * as CROSS-BATCH state: per micro-batch, clean the batch against
     * the accumulated corpus-span index
