@@ -473,6 +473,7 @@ object Curation {
   def readShardManifest(spark: SparkSession, path: String): DataFrame = {
     recoverSwap(spark, path, s"$path-compacting")
     recoverBinSwaps(spark, path)
+    recoverCkptSwaps(spark, path)
     val committed = committedEpoch(spark, path).getOrElse(
       throw new IllegalStateException(
         s"readShardManifest: no committed epoch under $path"))
@@ -658,11 +659,31 @@ object Curation {
       orderName: String, tokensName: String,
       maxRecordsPerFile: Long = 0L): DataFrame = {
     recoverSwap(spark, path, s"$path-compacting")
-    recoverBinSwaps(spark, path)
+    // single-writer contract: a lease found here is a crashed
+    // predecessor's, so recovery must run regardless of its age
+    recoverBinSwaps(spark, path, ignoreLease = true)
+    recoverCkptSwaps(spark, path)
     val committed = committedEpoch(spark, path).getOrElse(
       throw new IllegalStateException(
         s"deleteFromShards: no committed epoch under $path " +
           "(appendShards trees only — re-run writeShards for plain trees)"))
+    // liveness lease: readers skip bin-swap recovery while this is
+    // fresh (see recoverBinSwaps); re-touched every minute from a
+    // daemon thread because the staged write below can outlast any
+    // one-shot TTL at corpus scale
+    val leasePath = s"$path/_delete_lease"
+    touchMarker(spark, leasePath)
+    val leaseRefresher = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(DeleteLeaseRefreshMs)
+          touchMarker(spark, leasePath)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-delete-lease")
+    leaseRefresher.setDaemon(true)
+    leaseRefresher.start()
+    try {
     val idSide = broadcast(
       ids.select(col(ids.columns.head).as("__del_id")).distinct())
     val manifest = readShardManifest(spark, path)
@@ -742,13 +763,20 @@ object Curation {
     val untouched = manifest.join(
       touchedDf.select(col("stratum"), col("bin")).distinct(),
       Seq("stratum", "bin"), "left_anti")
-    // MATERIALIZE before the write: when the pre-delete manifest came
-    // from an existing checkpoint at this same epoch (any second
-    // deletion on the tree), the overwrite below would delete the very
-    // files the lazy union still reads from
-    Materialize(untouched.unionByName(recomputed))
+    // STAGE the reset manifest, never overwrite a marked checkpoint in
+    // place (ADVICE r15): on any second takedown the checkpoint at
+    // this epoch already exists MARKED with its delta chain pruned, so
+    // an in-place overwrite that crashed mid-write would leave a
+    // marked-but-partial checkpoint with nothing to rebuild from. The
+    // staged write also reads the live checkpoint's files safely (the
+    // lazy union is fully consumed before the swap touches them), so
+    // the pre-r16 Materialize barrier is no longer needed.
+    untouched.unionByName(recomputed)
       .write.mode("overwrite")
-      .parquet(s"$path/_manifest_ckpt/epoch=$committed")
+      .parquet(s"$path/_manifest_ckpt_staged/epoch=$committed")
+    swapStaged(spark, s"$path/_manifest_ckpt_staged/epoch=$committed",
+      s"$path/_manifest_ckpt/epoch=$committed")
+    deleteMarker(spark, s"$path/_manifest_ckpt_staged")
     touchMarker(spark, s"$path/_ckpts/$committed")
     listEpochDirs(spark, s"$path/_manifest_delta").filter(_ <= committed)
       .foreach(e => deleteMarker(spark, s"$path/_manifest_delta/epoch=$e"))
@@ -758,8 +786,25 @@ object Curation {
     }
     deleteMarker(spark, s"$path/_delete_staged")
     deleteMarker(spark, s"$path/_delete_old")
+    } finally {
+      leaseRefresher.interrupt()
+      leaseRefresher.join(2000)
+    }
+    deleteMarker(spark, leasePath)
     readShardManifest(spark, path)
   }
+
+  /** How long a [[deleteFromShards]] liveness lease stays fresh. The
+    * writer re-touches its lease every [[DeleteLeaseRefreshMs]] from a
+    * daemon thread, so a live writer's lease is never older than ~1
+    * minute; only a crashed writer leaves one to go stale. */
+  private[functions] val DeleteLeaseTtlMs = 10L * 60 * 1000
+  private val DeleteLeaseRefreshMs = 60L * 1000
+
+  private def leaseFresh(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Boolean =
+    scala.util.Try(fs.getFileStatus(lease)).toOption.exists(st =>
+      System.currentTimeMillis() - st.getModificationTime < DeleteLeaseTtlMs)
 
   /** Finish (or roll back) per-bin swaps a [[deleteFromShards]] crash
     * interrupted. For each aside under `_delete_old`: live bin present
@@ -769,12 +814,30 @@ object Curation {
     * back. Remaining `_delete_staged` dirs are mid-staging debris.
     * Idempotent; a few metadata calls when the roots are absent, so
     * the read entry points run it up front.
+    *
+    * LIVENESS GATE (ADVICE r15): recovery must not race an ACTIVE
+    * writer — a reader that runs this mid-delete would see a
+    * fully-deleted bin's aside (live missing, no staged copy — the
+    * writer renames such bins aside with nothing to stage) and roll it
+    * back, silently resurrecting the deleted rows while the writer's
+    * later aside-delete no-ops. [[deleteFromShards]] therefore holds a
+    * `_delete_lease` marker, re-touched every minute for its whole
+    * run; while the lease is fresher than [[DeleteLeaseTtlMs]] a
+    * reader SKIPS recovery entirely (mid-swap it sees at worst a
+    * not-yet-deleted or already-absent bin — both inside the
+    * documented monotone-deletion window). Only a stale lease (crashed
+    * writer) lets recovery proceed, which then also clears the lease.
+    * The writer itself passes `ignoreLease = true`: under the
+    * single-writer contract any lease it finds is its own crashed
+    * predecessor's.
     */
   private[functions] def recoverBinSwaps(spark: SparkSession,
-      path: String): Unit = {
+      path: String, ignoreLease: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val oldRoot = new org.apache.hadoop.fs.Path(s"$path/_delete_old")
     val fs = oldRoot.getFileSystem(conf)
+    val lease = new org.apache.hadoop.fs.Path(s"$path/_delete_lease")
+    if (!ignoreLease && leaseFresh(fs, lease)) return
     if (fs.exists(oldRoot)) {
       fs.globStatus(new org.apache.hadoop.fs.Path(
         s"$path/_delete_old/*/*")).foreach { s =>
@@ -793,6 +856,56 @@ object Curation {
       fs.delete(oldRoot, true)
     }
     deleteMarker(spark, s"$path/_delete_staged")
+    deleteMarker(spark, s"$path/_delete_lease")
+  }
+
+  /** Finish (or roll back) a manifest-checkpoint swap a
+    * [[deleteFromShards]] crash interrupted (ADVICE r15: the takedown
+    * must never overwrite a MARKED checkpoint in place — after the
+    * first takedown the marker exists with no delta chain left, so a
+    * crash mid-overwrite would lose the manifest permanently). The
+    * reset manifest stages under `_manifest_ckpt_staged/epoch=N` and
+    * swaps in via [[swapStaged]]; this recovery applies the
+    * [[recoverSwap]] branches per staged epoch, rolls back any
+    * orphaned `epoch=N-old` aside, and clears remaining staging debris
+    * (a partial staged dir can only exist while the live checkpoint —
+    * or, on a first takedown, the delta chain — is still intact).
+    * Idempotent; two metadata probes when the roots are absent, so the
+    * same entry points that run [[recoverBinSwaps]] run this.
+    */
+  private[functions] def recoverCkptSwaps(spark: SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagedRoot = new org.apache.hadoop.fs.Path(
+      s"$path/_manifest_ckpt_staged")
+    val fs = stagedRoot.getFileSystem(conf)
+    if (fs.exists(stagedRoot)) {
+      fs.listStatus(stagedRoot)
+        .filter(_.getPath.getName.startsWith("epoch=")).foreach { st =>
+          val name = st.getPath.getName
+          // the swapStaged invariant holds here: a live-missing epoch
+          // dir means the aside rename ran, which is ordered after the
+          // staged write completed — so finishing the swap from the
+          // staged dir is safe, and a PARTIAL staged dir can only
+          // coexist with an intact live dir (or, first takedown, an
+          // absent-but-unmarked one, where the renamed debris stays
+          // invisible to the marker-driven readShardManifest)
+          recoverSwap(spark, s"$path/_manifest_ckpt/$name",
+            st.getPath.toString)
+        }
+      fs.delete(stagedRoot, true)
+    }
+    val ckptRoot = new org.apache.hadoop.fs.Path(s"$path/_manifest_ckpt")
+    if (fs.exists(ckptRoot)) {
+      fs.listStatus(ckptRoot)
+        .filter(_.getPath.getName.endsWith("-old")).foreach { o =>
+          val live = new org.apache.hadoop.fs.Path(ckptRoot,
+            o.getPath.getName.stripSuffix("-old"))
+          if (fs.exists(live)) fs.delete(o.getPath, true)
+          else fs.rename(o.getPath, live)
+          ()
+        }
+    }
   }
 
   /** Recursive copy of a directory tree (no-op if `src` is absent) —
@@ -894,6 +1007,7 @@ object Curation {
     require(binFrom <= binTo, "readShards: need binFrom <= binTo")
     recoverSwap(spark, path, s"$path-compacting")
     recoverBinSwaps(spark, path)
+    recoverCkptSwaps(spark, path)
     val rows = spark.read.parquet(path)
       .filter(col("stratum") === stratum &&
         col("bin") >= binFrom && col("bin") <= binTo)

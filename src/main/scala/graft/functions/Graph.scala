@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -196,6 +196,16 @@ object Graph {
     * multi-edges count once per occurrence (adjacency-matrix
     * semantics — `distinct` the input to collapse them).
     *
+    * Overflow guard: a raw sum is bounded by in-degree × 1M, so the
+    * naive `(raw * 1M) div max` multiply overflows Long past
+    * in-degree ~9.2×10⁶ — real for a web-scale crawl graph's hub
+    * pages. [[ppmDiv]] pre-scales BOTH sides of the division by a
+    * shared power of two whenever the max is wide enough that the
+    * multiply could overflow (`bin()`-length bit count, pure integer
+    * ops — deterministic), which keeps the quotient exact to within
+    * 1 part in ~4×10¹² and leaves every sub-2⁴³ sweep bit-identical
+    * to the unscaled arithmetic the g07 oracle unrolls.
+    *
     * Scale shape: per sweep, two O(|E|) hash-join+aggregate passes
     * (edges→hub on src grouped by dst, then edges→auth on dst grouped
     * by src) plus two single-row max aggregates broadcast back — no
@@ -207,6 +217,23 @@ object Graph {
     * Returns (doc_id, hub, auth) — ppm-scaled longs over the node
     * universe (every id appearing as src or dst).
     */
+  /** `(raw * 1M) div mx` with an overflow guard: when `mx` needs more
+    * than 43 bits (so `raw * 1M` with `raw <= mx` could exceed Long),
+    * both operands are shifted right by the shared excess first —
+    * `raw >> s <= mx >> s < 2^43`, so the multiply stays in range and
+    * the quotient keeps ~43 significant bits. `bin()` length is the
+    * bit count (pure integer/string ops, deterministic); `s = 0`
+    * below 2^43 leaves the arithmetic bit-identical to the unguarded
+    * form the gated oracles unroll. Both columns must be positive
+    * Longs (raw sums of ppm scores — always >= 1 for any node that
+    * reaches the renorm join).
+    */
+  private[functions] def ppmDiv(raw: String, mx: String): Column = {
+    val s = s"greatest(0, length(bin($mx)) - 43)"
+    expr(s"(shiftright($raw, $s) * $Unit1M) div " +
+      s"greatest(shiftright($mx, $s), 1)")
+  }
+
   def hits(edgeList: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, "hits: iters must be >= 1")
     val edges = Materialize(edgeList.select(
@@ -230,13 +257,13 @@ object Graph {
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("ar")))
       val amax = araw.agg(max(col("ar")).as("am"))
       val authK = araw.crossJoin(broadcast(amax))
-        .select(col("id"), expr(s"(ar * $Unit1M) div am").as("auth"))
+        .select(col("id"), ppmDiv("ar", "am").as("auth"))
       val hraw = Materialize(
         edges.join(authK, edges("dst") === authK("id"))
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hr")))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       val hubK = hraw.crossJoin(broadcast(hmax))
-        .select(col("id"), expr(s"(hr * $Unit1M) div hm").as("hub"))
+        .select(col("id"), ppmDiv("hr", "hm").as("hub"))
       hub = hubK
       auth = authK
       i += 1

@@ -315,6 +315,18 @@ object CorpusStream {
     * [[graft.functions.Dedup.removeRepeatedSpans]] over
     * archive ∪ stream restricted to the streamed ids (s19 shares
     * d33's oracle).
+    *
+    * LINEAGE GUARD (ADVICE r15): `epoch = batchId + 1` is only
+    * replay-safe within ONE checkpoint lineage — restarting with a
+    * FRESH checkpoint over an existing index resets batch ids to 0,
+    * so the new run's batch 0 would silently overwrite the old run's
+    * `epoch=1` delta (previously-indexed windows vanish and their
+    * later duplicates survive). Start-up therefore binds the index to
+    * the checkpoint via a `_stream_lineage` marker (a UUID persisted
+    * in BOTH the checkpoint dir and the index dir): a mismatch — or
+    * stream-written epochs with no recorded lineage, or no checkpoint
+    * at all over a stream-grown index — fails LOUDLY with the
+    * reset-together instruction instead of clobbering.
     */
   def repeatedSpansIngest(docs: DataFrame, id: Column, text: Column,
       indexPath: String, outPath: String,
@@ -322,6 +334,7 @@ object CorpusStream {
       checkpointPath: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    guardIndexLineage(docs.sparkSession, indexPath, checkpointPath)
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
       graft.functions.Dedup.removeRepeatedSpansIncremental(batch, id,
@@ -336,6 +349,82 @@ object CorpusStream {
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
     writer.start()
+  }
+
+  /** Binds a grow-in-place index to one checkpoint lineage (the
+    * [[repeatedSpansIngest]] replay contract). A UUID lives in
+    * `<checkpoint>/graft_lineage` — created on first start, inherited
+    * by every restart of the same checkpoint, gone when the checkpoint
+    * is reset — and is mirrored to `<index>/_stream_lineage` once the
+    * index is adopted. Throws when the index's recorded lineage is not
+    * this checkpoint's (batch ids restarted at 0 would clobber
+    * `epoch=1`), when stream epochs exist with no recorded lineage
+    * (an unknown writer grew it), or when no checkpoint is given over
+    * a stream-grown index (every run would restart at batch 0).
+    */
+  private[streaming] def guardIndexLineage(spark: SparkSession,
+      indexPath: String, checkpointPath: Option[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hashesP = new org.apache.hadoop.fs.Path(s"$indexPath/hashes")
+    val fs = hashesP.getFileSystem(conf)
+    val streamEpochs =
+      if (!fs.exists(hashesP)) Seq.empty[Long]
+      else fs.listStatus(hashesP).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("epoch="))
+        .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
+        .filter(_ >= 1L) // epoch 0 is the batch-seeded archive
+    def readFile(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          Some(s).filter(_.nonEmpty)
+        } finally in.close()
+      }
+    def writeFile(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val idxMarker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_stream_lineage")
+    checkpointPath match {
+      case None =>
+        if (streamEpochs.nonEmpty) throw new IllegalStateException(
+          s"repeatedSpansIngest: index $indexPath already holds stream " +
+            s"epochs (max ${streamEpochs.max}) and no checkpoint was " +
+            "given — batch ids would restart at 0 and overwrite epoch 1. " +
+            "Pass the original checkpointLocation, or reset the index's " +
+            "epoch>=1 deltas together with the output directory.")
+      case Some(ckpt) =>
+        val ckptMarker = new org.apache.hadoop.fs.Path(
+          s"$ckpt/graft_lineage")
+        val lineage = readFile(ckptMarker).getOrElse {
+          val u = java.util.UUID.randomUUID().toString
+          writeFile(ckptMarker, u)
+          u
+        }
+        readFile(idxMarker) match {
+          case Some(rec) if rec != lineage =>
+            throw new IllegalStateException(
+              s"repeatedSpansIngest: index $indexPath was grown by a " +
+                s"different checkpoint lineage ($rec; this checkpoint is " +
+                s"$lineage) — a fresh checkpoint restarts batch ids at 0 " +
+                "and would overwrite the earlier run's epoch deltas. " +
+                "Restart with the original checkpoint, or reset index, " +
+                "output, and checkpoint together.")
+          case Some(_) => () // same lineage: replay-safe by design
+          case None if streamEpochs.nonEmpty =>
+            throw new IllegalStateException(
+              s"repeatedSpansIngest: index $indexPath holds stream epochs " +
+                s"(max ${streamEpochs.max}) but records no lineage — an " +
+                "unknown writer grew it; refusing to overwrite its " +
+                "deltas. Reset the index's epoch>=1 deltas (or rebuild " +
+                "with writeCorpusSpanIndex) before streaming into it.")
+          case None => writeFile(idxMarker, lineage)
+        }
+    }
   }
 
   /** Streaming BPE tokenization (s18) — the t38 tokenizer artifact

@@ -300,4 +300,38 @@ class GraphSpec extends SparkSpec {
     assert(doubled(10L)._2 > doubled(11L)._2,
       "the double-cited authority must outrank")
   }
+
+  test("ppmDiv: exact below 2^43; no Long overflow at web-scale " +
+      "in-degrees; monotone and near-exact above") {
+    // raw sums up to in_degree * 1M: 2e13 models a 2e7-in-degree hub
+    // page — (raw * 1M) would overflow Long without the guard
+    val cases = Seq(
+      (1L, 1L), (999999L, 1000000L), (1L << 42, 1L << 42),
+      ((1L << 42) - 7L, (1L << 42) + 5L), // straddles the shift cutoff
+      (20000000000000L, 20000000000000L),
+      (7777777777777L, 20000000000000L),
+      (1L, 20000000000000L), (9223370000000000L, 9223372036854775L))
+    val got = cases.toDF("ar", "am")
+      .select(Graph.ppmDiv("ar", "am").as("ppm"))
+      .collect().map(_.getLong(0)).toSeq
+    got.foreach(v => assert(v >= 0L && v <= Graph.Unit1M,
+      s"ppm out of range: $v"))
+    cases.zip(got).foreach { case ((ar, am), v) =>
+      val exact = (BigInt(ar) * Graph.Unit1M / BigInt(am)).toLong
+      if (am < (1L << 43)) assert(v === exact,
+        s"sub-2^43 must be bit-exact: ($ar, $am) -> $v != $exact")
+      else assert(math.abs(v - exact) <= 1L,
+        s"guarded quotient drifted: ($ar, $am) -> $v vs $exact")
+    }
+    // the full operator survives ppm sums past the old overflow bound:
+    // hub seeds are 1M each, so a 9.3M-in-degree star's first auth sum
+    // is 9.3e12 * ... exercised cheaply via one wide-ish star plus a
+    // direct expression check above (a real 9.3M-edge frame is too
+    // slow for a unit suite)
+    val star = (1L to 2000L).map(i => (i, 0L)).toDF("src", "dst")
+    val h = Graph.hits(star, iters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(0L)._2 === Graph.Unit1M)
+    assert(h(1L)._1 === Graph.Unit1M)
+  }
 }

@@ -185,4 +185,81 @@ class ShardWriteSpec extends SparkSpec {
     assert(treeRows(path) === before)
     assert(!new java.io.File(s"$path/_delete_old").exists())
   }
+
+  test("recoverBinSwaps: a FRESH writer lease blocks read-path recovery " +
+      "(no resurrection race); a stale one lets it run") {
+    val path = Files.createTempDirectory("graft_del4").toString + "/t"
+    appendTree(path)
+    // simulate an ACTIVE deleteFromShards mid-swap on a fully-deleted
+    // bin: live renamed aside, no staged copy, lease fresh — exactly
+    // the window where the pre-r16 reader would roll the bin back and
+    // resurrect the deleted rows
+    val live = new java.io.File(s"$path/stratum=fr/bin=0")
+    val aside = new java.io.File(s"$path/_delete_old/stratum=fr/bin=0")
+    aside.getParentFile.mkdirs()
+    assert(live.renameTo(aside))
+    val lease = new java.io.File(s"$path/_delete_lease")
+    assert(lease.createNewFile())
+    val served = Curation.readShards(spark, path, "fr", 0L, 0L)
+      .select("doc_id").collect()
+    assert(served.isEmpty,
+      "reader must see the in-progress delete, not resurrect the bin")
+    assert(aside.exists(), "recovery ran under a fresh lease")
+    // writer crashed: lease goes stale -> the next read recovers
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - Curation.DeleteLeaseTtlMs - 1000))
+    val after = Curation.readShards(spark, path, "fr", 0L, 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after === Set(20L), "stale lease must not block recovery")
+    assert(!lease.exists(), "stale lease must be cleared by recovery")
+  }
+
+  test("manifest checkpoint swap: a crash between the aside and the " +
+      "swap-in recovers to the STAGED manifest on the next read") {
+    val path = Files.createTempDirectory("graft_del5").toString + "/t"
+    appendTree(path)
+    // first takedown writes the checkpoint at the committed epoch (1)
+    // and prunes every delta — the exact precondition ADVICE r15 warned
+    // about: before r16 a second takedown overwrote this marked
+    // checkpoint in place
+    Curation.deleteFromShards(spark, path, Seq(2L).toDF("doc_id"),
+      "doc_id", "n_toks").collect()
+    val ckptDir = new java.io.File(s"$path/_manifest_ckpt/epoch=1")
+    assert(ckptDir.exists(), "first takedown must checkpoint at committed")
+    assert(!new java.io.File(s"$path/_manifest_delta").exists() ||
+      new java.io.File(s"$path/_manifest_delta").listFiles()
+        .forall(!_.getName.startsWith("epoch=")),
+      "takedown must prune all covered deltas")
+    // simulate the second takedown's crash window: staged manifest
+    // fully written, live checkpoint renamed aside, swap-in not yet run
+    val expected = spark.read.parquet(ckptDir.getPath)
+      .collect().map(_.toString).sorted.toSeq
+    val staged = new java.io.File(s"$path/_manifest_ckpt_staged/epoch=1")
+    staged.getParentFile.mkdirs()
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(path).getFileSystem(conf)
+    FileUtil.copy(fs, new HPath(ckptDir.getPath), fs,
+      new HPath(staged.getPath), false, conf)
+    assert(ckptDir.renameTo(
+      new java.io.File(s"$path/_manifest_ckpt/epoch=1-old")))
+    // the next read must finish the swap and serve a complete manifest
+    val m = Curation.readShardManifest(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    assert(m === expected, "recovered manifest differs from the staged one")
+    assert(new java.io.File(s"$path/_manifest_ckpt/epoch=1").exists())
+    assert(!new java.io.File(s"$path/_manifest_ckpt/epoch=1-old").exists())
+    assert(!new java.io.File(s"$path/_manifest_ckpt_staged").exists())
+    // and a crash BEFORE the aside (partial staged debris, live intact)
+    // is swept without touching the live checkpoint
+    staged.getParentFile.mkdirs()
+    staged.mkdirs()
+    Files.write(Paths.get(staged.getPath, "part-partial.parquet"),
+      Array[Byte](1, 2, 3))
+    val m2 = Curation.readShardManifest(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    assert(m2 === expected)
+    assert(!new java.io.File(s"$path/_manifest_ckpt_staged").exists(),
+      "staging debris must be swept")
+  }
 }

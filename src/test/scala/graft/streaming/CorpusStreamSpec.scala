@@ -227,4 +227,52 @@ class CorpusStreamSpec extends SparkSpec {
     // batch 1's output is untouched (idempotent batch dirs)
     assert(got2((1L, 0)) === "lo" && got2((1L, 1)) === "w")
   }
+
+  test("span-index ingest binds the index to ONE checkpoint lineage: a " +
+      "fresh checkpoint over a stream-grown index fails loudly; the " +
+      "original checkpoint restarts fine") {
+    import graft.functions.Dedup
+    val root = Files.createTempDirectory("span-lineage").toString
+    val idx = s"$root/idx"
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    Dedup.writeCorpusSpanIndex(docs.limit(0), col("doc_id"), col("text"),
+      idx, k = 8)
+    docs.coalesce(1).write.mode("append").parquet(in)
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = CorpusStream.repeatedSpansIngest(stream, col("doc_id"),
+        col("text"), idx, out, checkpointPath = Some(s"$root/$ckpt"),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    run("ckptA")
+    assert(new java.io.File(s"$idx/hashes/epoch=1").exists(),
+      "first run must grow the index")
+    // same lineage restarting (nothing new to process) is fine
+    run("ckptA")
+    // a FRESH checkpoint over the grown index restarts batch ids at 0
+    // and would overwrite epoch=1 — must fail loudly instead (ADVICE
+    // r15), before any query starts
+    val e = intercept[IllegalStateException] { run("ckptB") }
+    assert(e.getMessage.contains("different checkpoint lineage"),
+      s"wrong error: ${e.getMessage}")
+    // no checkpoint at all over a grown index is the same hazard
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val e2 = intercept[IllegalStateException] {
+      CorpusStream.repeatedSpansIngest(stream, col("doc_id"),
+        col("text"), idx, out)
+    }
+    assert(e2.getMessage.contains("no checkpoint"),
+      s"wrong error: ${e2.getMessage}")
+    // a grown index with NO recorded lineage (older-writer state) is
+    // refused too
+    assert(new java.io.File(s"$idx/_stream_lineage").delete())
+    val e3 = intercept[IllegalStateException] { run("ckptA") }
+    assert(e3.getMessage.contains("records no lineage"),
+      s"wrong error: ${e3.getMessage}")
+  }
 }
