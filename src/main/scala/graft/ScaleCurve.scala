@@ -946,6 +946,130 @@ object ScaleCurve {
     println(s"[scalecurve] wrote $outFile")
   }
 
+  /** `bpemerges <srcDir> <out.json>` — the t41 claim, measured on the
+    * MERGES axis (the vocab axis VERDICT r15 #4 flagged): train the
+    * from-scratch trainer and the incremental trainer on the SAME
+    * corpus at 8/64/256 merges and record wall seconds plus
+    * seconds-per-merge. The claim is that the incremental trainer's
+    * per-merge cost FALLS as training proceeds (only words containing
+    * the chosen pair are touched, and that fraction is Zipf-thin past
+    * the first merges) where the from-scratch trainer's per-merge cost
+    * stays Θ(vocabulary) — the 32k-vocabulary extrapolation rides on
+    * the per-merge trend, not the small-corpus absolute.
+    */
+  def bpeMergesCurve(spark: SparkSession, srcDir: String,
+      outFile: String): Unit = {
+    // a 256-merge point is minutes of strictly serial driver loop —
+    // SPARK_GRAFT_MERGES / SPARK_GRAFT_TRAINERS let the harness split
+    // the grid across invocations and merge the JSON rows afterwards
+    val merges = sys.env.getOrElse("SPARK_GRAFT_MERGES", "8,64,256")
+      .split(',').map(_.trim.toInt).toSeq
+    val trainers = sys.env.getOrElse("SPARK_GRAFT_TRAINERS", "full,inc")
+      .split(',').map(_.trim).toSet
+    val d = vocabInflated(docs(spark, srcDir)).persist()
+    d.count()
+    def wall(f: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val rows = for (m <- merges) yield {
+      val full =
+        if (trainers("full"))
+          Some(wall(TextFunctions.bpeTrain(d, col("text"), numMerges = m)))
+        else None
+      val inc =
+        if (trainers("inc"))
+          Some(wall(
+            TextFunctions.bpeTrainIncremental(d, col("text"), numMerges = m)))
+        else None
+      for { (_, nf) <- full; (_, ni) <- inc }
+        require(nf == ni, s"trainers diverged at $m merges: $nf vs $ni")
+      def fmt(t: Option[(Double, Long)], name: String) = t.fold("") {
+        case (s, _) =>
+          println(f"[scalecurve] bpemerges m=$m $name=$s%.2fs " +
+            f"(${s / m}%.3f/merge)")
+          s""","${name}_s":$s,"${name}_per_merge_s":${s / m}"""
+      }
+      s"""{"merges":$m${fmt(full, "full")}${fmt(inc, "incremental")}}"""
+    }
+    d.unpersist()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      rows.mkString("[", ",", "]"))
+    println(s"[scalecurve] wrote $outFile")
+  }
+
+  /** The TESTDATA corpus is a 31-word synthetic vocabulary — every
+    * trainer round is fixed-overhead there and BPE pair supply runs
+    * dry near 90 merges. `SPARK_GRAFT_VOCAB_X = K` inflates the
+    * vocabulary ×K for the trainer curves by suffixing every word
+    * with its document's `doc_id % K` (word reuse across documents is
+    * preserved, so frequencies stay Zipf-shaped at 1/K mass) — the
+    * replica-corpus trick applied to the VOCABULARY axis.
+    */
+  private def vocabInflated(d0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val vx = sys.env.getOrElse("SPARK_GRAFT_VOCAB_X", "1").trim.toInt
+    if (vx <= 1) d0.select(col("text"))
+    else d0.select(array_join(
+      transform(split(col("text"), " "),
+        w => concat(w, lit("_"), (col("doc_id") % vx).cast("string"))),
+      " ").as("text"))
+  }
+
+  /** `bpework <srcDir> <out.json>` — the environment-proof side of the
+    * t41 claim: wall time on a shared box measures the box, so this
+    * counts the WORK instead. Train 256 merges once, then for each
+    * round k count the distinct words whose round-(k-1) tokenization
+    * contains merge k's pair — exactly the rows the incremental
+    * trainer re-tokenizes and re-counts that round, vs the full
+    * vocabulary the from-scratch trainer touches every round. The
+    * emitted ratio Σ touched / (rounds × vocab) is the incremental
+    * trainer's data-term saving, independent of job-scheduling
+    * overhead (which dominates wall time at toy vocabularies and
+    * vanishes at real ones).
+    */
+  def bpeWorkCurve(spark: SparkSession, srcDir: String,
+      outFile: String): Unit = {
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_MERGES", "256").trim.toInt
+    val d = vocabInflated(docs(spark, srcDir))
+    val base = d.select(explode(TextFunctions.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist()
+    val vocab = base.count()
+    val merges = TextFunctions.bpeTrain(d, col("text"), numMerges = rounds)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val touched = merges.zipWithIndex.map { case ((l, r), i) =>
+      val syms =
+        if (i == 0) regexp_extract_all(col("w"), lit("."), lit(0))
+        else TextFunctions.bpeEncode(col("w"), merges.take(i))
+      val pairs = zip_with(
+        slice(col("s"), lit(1), size(col("s")) - 1),
+        slice(col("s"), lit(2), size(col("s")) - 1),
+        (a, b) => a === lit(l) && b === lit(r))
+      base.select(syms.as("s"))
+        .filter(size(col("s")) >= 2 && exists(pairs, x => x))
+        .count()
+    }
+    base.unpersist()
+    val total = touched.sum
+    val full = vocab * merges.size
+    println(f"[scalecurve] bpework vocab=$vocab rounds=${merges.size} " +
+      f"touched_total=$total full_total=$full " +
+      f"ratio=${total.toDouble / full}%.4f " +
+      f"first10=${touched.take(10).mkString(",")} " +
+      f"last10=${touched.takeRight(10).mkString(",")}")
+    val per = touched.zipWithIndex
+      .map { case (t, i) => s"""{"round":${i + 1},"touched":$t}""" }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"""{"vocab":$vocab,"rounds":${merges.size},"touched_total":$total,""" +
+        s""""full_total":$full,"ratio":${total.toDouble / full},""" +
+        s""""per_round":${per.mkString("[", ",", "]")}}""")
+    println(s"[scalecurve] wrote $outFile")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions sized to the data, not the core count, is the
@@ -978,6 +1102,10 @@ object ScaleCurve {
         recallCurve(spark, src, out)
       case "delete" :: src :: out :: Nil =>
         deleteCurve(spark, src, out)
+      case "bpemerges" :: src :: out :: Nil =>
+        bpeMergesCurve(spark, src, out)
+      case "bpework" :: src :: out :: Nil =>
+        bpeWorkCurve(spark, src, out)
       case _ =>
         System.err.println(
           "usage: ScaleCurve gen <srcDir> <outDir> <replicas> | " +

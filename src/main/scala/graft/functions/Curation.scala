@@ -218,19 +218,51 @@ object Curation {
     * @param stratumName/orderName/tokensName column NAMES (the write
     *   path and manifest schema are name-keyed)
     */
+  /** The deterministic training-order shuffle key (t42): a 56-bit
+    * portable hash of `seed || order` — reproducible in any engine
+    * with md5 (the t05/t26 determinism contract, never `rand()`), so
+    * the same seed always yields the same global permutation and a
+    * re-run or a second engine replays it bit-for-bit. Order by
+    * `(shuffleKey, order)` — the id tiebreak makes the permutation
+    * total under hash collisions.
+    */
+  def shuffleKey(order: Column, seed: Long): Column =
+    TextFunctions.portableHash64(
+      concat(lit(s"shuffle:$seed:"),
+        order.cast(org.apache.spark.sql.types.StringType)))
+
   def writeShards(docs: DataFrame, stratumName: String, orderName: String,
       tokensName: String, budget: Long, path: String,
-      maxRecordsPerFile: Long = 0L): DataFrame = {
+      maxRecordsPerFile: Long = 0L,
+      shuffleSeed: Option[Long] = None): DataFrame = {
+    // shuffleSeed (t42): pack in deterministic-shuffle order instead
+    // of id order — the randomized training layout every loader wants,
+    // with the same reproducibility contract as the id pack (ORDER BY
+    // (hash, id) replays in any engine; one range shuffle, zero
+    // rand()). first_doc/last_doc stay min/max of the ORDER key, so on
+    // a shuffled tree a bin's id range is wide by design — targeted
+    // id-range reads and manifest-pruned deletes degrade to
+    // most-bins-touched (document the trade; compactShards without the
+    // seed restores id-clustered bins).
+    val packOrder = shuffleSeed.fold(col(orderName))(seed =>
+      struct(shuffleKey(col(orderName), seed), col(orderName)))
     val packed = TextFunctions.packSequences(docs, col(stratumName),
-      col(orderName), col(tokensName), budget)
+      packOrder, col(tokensName), budget)
       .withColumnRenamed(stratumName, "stratum")
     packed.repartition(col("stratum"), col("bin"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("stratum", "bin")
       .parquet(path)
-    shardManifest(docs, col(stratumName), col(orderName),
-      col(tokensName), budget)
+    // manifest over the SAME pack (one pack, not two — and required
+    // under shuffleSeed, where a re-pack by id would bin differently);
+    // identical arithmetic to shardManifest on the unshuffled path
+    packed.groupBy(col("stratum"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensName).cast(org.apache.spark.sql.types.LongType))
+          .as("n_tokens"),
+        min(col(orderName)).as("first_doc"),
+        max(col(orderName)).as("last_doc"))
   }
 
   /** EPOCH-FROZEN incremental shard maintenance — the O(increment)

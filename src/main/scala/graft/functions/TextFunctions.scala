@@ -873,6 +873,115 @@ object TextFunctions {
     } finally base.unpersist()
   }
 
+  /** [[bpeTrain]] with INCREMENTAL pair-count maintenance (VERDICT r15
+    * #4 — the vocab axis): bit-identical output (t41 shares t36's
+    * oracle; BpeSpec pins equality on the tie-break fixtures), but the
+    * per-merge cost no longer re-derives the whole vocabulary's
+    * tokenization and re-counts every pair. Two frames are maintained
+    * across iterations:
+    *
+    *   - `cur` (tokens array, word frequency) — the current
+    *     tokenization of the distinct-word table;
+    *   - `counts` (l, r, cnt) — the adjacent-pair counts over `cur`.
+    *
+    * Per merge: the argmax reads `counts` directly (no recount); only
+    * the words actually CONTAINING the chosen pair are re-tokenized
+    * (one single-pair left-to-right pass — an `aggregate` fold, not
+    * the full merge-list replay), and `counts` is adjusted by the
+    * exact ± pair delta of just those words. Since the fraction of
+    * words containing merge k's pair falls rapidly with k (pair
+    * frequencies are Zipfian), per-merge work SHRINKS as training
+    * proceeds, where [[bpeTrain]]'s stays Θ(vocabulary) — the
+    * difference between 32k sequential full passes and 32k
+    * touched-rows updates. The serial driver loop remains (BPE merges
+    * are inherently ordered), as does one `limit(1)` argmax collect
+    * per merge.
+    *
+    * State frames are [[Materialize]]d each round (env-selected local
+    * vs reliable checkpoint — the iterative-operator discipline from
+    * [[Graph.pageRank]]), so lineage stays flat at any `numMerges`.
+    */
+  def bpeTrainIncremental(df: DataFrame, text: Column, numMerges: Int,
+      minPairCount: Long = 1L, minWordCount: Long = 1L): DataFrame = {
+    require(numMerges >= 1 && numMerges <= (1 << 16),
+      s"bpeTrainIncremental: numMerges must be in [1, ${1 << 16}]," +
+        s" got $numMerges")
+    require(minPairCount >= 1L,
+      s"bpeTrainIncremental: minPairCount must be >= 1, got $minPairCount")
+    require(minWordCount >= 1L,
+      s"bpeTrainIncremental: minWordCount must be >= 1, got $minWordCount")
+    val spark = df.sparkSession
+    def pairsOf(s: Column): Column = zip_with(
+      slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+      (l, r) => struct(l.as("l"), r.as("r")))
+    // one single-pair left-to-right non-overlapping pass over a token
+    // array: fold left, merging whenever the accumulator's last token
+    // is `l` and the next is `r` — non-overlap is structural (the
+    // merged token l+r can never equal l, so it cannot re-fire)
+    def mergeOnce(s: Column, l: String, r: String): Column =
+      aggregate(s, array().cast("array<string>"), (acc, t) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+            t === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(t))))
+    var cur = Materialize(df.select(explode(words(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minWordCount)
+      .select(regexp_extract_all(col("w"), lit("."), lit(0)).as("s"),
+        col("f")))
+    var counts = Materialize(cur.filter(size(col("s")) >= 2)
+      .select(col("f"), explode(pairsOf(col("s"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("f")).as("cnt")))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String)]
+    var stop = false
+    while (learned.size < numMerges && !stop) {
+      val top = counts.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) stop = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        learned += ((learned.size + 1, l, r, l + r))
+        val hasPair = exists(pairsOf(col("s")),
+          p => p("l") === lit(l) && p("r") === lit(r))
+        val affected = cur.filter(size(col("s")) >= 2 && hasPair)
+        val merged = affected
+          .select(mergeOnce(col("s"), l, r).as("s"), col("f"))
+        // exact pair-count delta from just the touched words: their
+        // old pairs leave (-f), their new pairs enter (+f); everything
+        // else is untouched by construction, so counts stays equal to
+        // a from-scratch recount at every round
+        val delta = affected
+          .select(col("f"), explode(pairsOf(col("s"))).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"),
+            (-col("f")).as("d"))
+          .unionByName(merged.filter(size(col("s")) >= 2)
+            .select(col("f"), explode(pairsOf(col("s"))).as("p"))
+            .select(col("p.l").as("l"), col("p.r").as("r"),
+              col("f").as("d")))
+          .groupBy(col("l"), col("r")).agg(sum(col("d")).as("d"))
+        counts = Materialize(counts.join(delta, Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("d"), lit(0L))).as("cnt"))
+          .filter(col("cnt") > 0))
+        // the union doubles the partition count every round (untouched
+        // parts + merged parts) — coalesce back to the session's
+        // parallelism BEFORE materializing or round k runs 32·k tasks
+        // per job (measured: the 64-merge point went superlinear)
+        cur = Materialize(
+          cur.filter(!(size(col("s")) >= 2 && hasPair))
+            .unionByName(merged)
+            .coalesce(spark.sparkContext.defaultParallelism))
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left", "right", "merged")
+  }
+
   /** Persist a trained BPE merge list — the [[writeLmModel]] pattern
     * for the tokenizer: train once on the trusted corpus, encode every
     * increment against the artifact. The training knobs ride INSIDE

@@ -140,6 +140,35 @@ class BpeSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  private def trainIncSpark(ws: Seq[String], numMerges: Int,
+      minPairCount: Long = 1L, minWordCount: Long = 1L): Seq[(String, String)] =
+    TextFunctions.bpeTrainIncremental(ws.toDF("text"), col("text"),
+        numMerges, minPairCount, minWordCount)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  test("incremental trainer is bit-equal to the from-scratch trainer " +
+      "(Sennrich tie-breaks, random corpora, knob parity)") {
+    // the hand-derived fixture incl. its three tie-breaks
+    assert(trainIncSpark(Sennrich, 7) === trainSpark(Sennrich, 7))
+    // random corpora, enough merges that training exhausts some pairs
+    val rnd = new scala.util.Random(1234)
+    (1 to 3).foreach { trial =>
+      val alphabet = "abcd"
+      val ws = Seq.fill(50 + trial * 20)(
+        (0 until (1 + rnd.nextInt(7)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      assert(trainIncSpark(ws, 12) === refTrain(ws, 12),
+        s"trial $trial diverged from the reference")
+    }
+    // knob parity: early stop below minPairCount, hapax pruning
+    val ws = Seq("ab", "ab", "cd")
+    assert(trainIncSpark(ws, 5, minPairCount = 3L) === Seq.empty)
+    assert(trainIncSpark(ws, 1, minWordCount = 2L) === Seq(("a", "b")))
+    // pair exhaustion: more merges requested than pairs exist
+    assert(trainIncSpark(Seq("ab"), 10) === refTrain(Seq("ab"), 10))
+  }
+
   test("trainer knobs: minPairCount stops early, minWordCount prunes") {
     // best pair count is 2 ("ab" twice); threshold 3 stops before any merge
     val ws = Seq("ab", "ab", "cd")

@@ -48,6 +48,49 @@ class ShardWriteSpec extends SparkSpec {
     assert(m1.toSeq == m2.toSeq)
   }
 
+  test("writeShards shuffleSeed: same rows, bins follow the (hash, id) " +
+      "pack order, rerun-stable, manifest ranges stay id min/max") {
+    val path = Files.createTempDirectory("graft_shards_shuf").toString
+    val m1 = Curation.writeShards(corpus, "lang", "doc_id", "n_toks",
+        budget = 2000L, path = path, shuffleSeed = Some(7L))
+      .orderBy("stratum", "bin").collect()
+    val back = spark.read.parquet(path)
+    // row set is the corpus exactly (a shuffle permutes, never drops)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // bin assignment replays the per-stratum cumsum over the
+    // deterministic (hash, id) order — computed independently here
+    val expected = TextFunctions.packSequences(
+        corpus.withColumn("k", Curation.shuffleKey(col("doc_id"), 7L)),
+        col("lang"), struct(col("k"), col("doc_id")), col("n_toks"),
+        budget = 2000L)
+      .select(col("doc_id"), col("bin")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.select(col("doc_id"), col("bin").cast("long")).collect()
+      .foreach(r => assert(r.getLong(1) === expected(r.getLong(0)),
+        s"doc ${r.getLong(0)} in bin ${r.getLong(1)}"))
+    // the permutation differs from the id order (the seed actually
+    // shuffles — guards a silent fall-through to the id pack; the
+    // 7-row fixture's BINS can coincide, the hash ORDER cannot)
+    val perm = corpus
+      .select(col("doc_id"), Curation.shuffleKey(col("doc_id"), 7L).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(perm !== perm.sorted, "seeded order equals the id order")
+    // manifest ranges remain min/max of the ORDER key per bin
+    m1.foreach { r =>
+      val docs = back.filter(col("stratum") === r.getString(0) &&
+          col("bin") === r.getLong(1))
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(r.getLong(4) === docs.min && r.getLong(5) === docs.max)
+    }
+    // rerun with the same seed overwrites to the identical state
+    val m2 = Curation.writeShards(corpus, "lang", "doc_id", "n_toks",
+        budget = 2000L, path = path, shuffleSeed = Some(7L))
+      .orderBy("stratum", "bin").collect()
+    assert(m1.toSeq === m2.toSeq)
+  }
+
   test("shard-targeted read prunes partitions") {
     val path = Files.createTempDirectory("graft_shards_prune").toString
     Curation.writeShards(corpus, "lang", "doc_id", "n_toks",
