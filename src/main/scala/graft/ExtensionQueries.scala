@@ -1563,6 +1563,48 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Concat-and-chunk sample packing (t43): the GPT-style batch
+    // assembly step — per-language token streams cut into fixed
+    // 512-token training sequences with documents SPLITTING across
+    // sequence boundaries (t12 bins whole docs; this emits the
+    // per-sequence span table a loader assembles fixed-length batches
+    // + boundary attention masks from). Exact integer cumsum/div
+    // arithmetic; the oracle replays the stream grid span for span.
+    "t43_concat_chunks" -> ((s, dir) => {
+      TextFunctions.packChunks(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), col("n_chars"), seqLen = 512L)
+        .select(col("lang").as("stratum"), col("chunk_id"), col("doc_id"),
+          col("doc_offset"), col("chunk_offset"), col("n_span_tokens"))
+        .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
+    }),
+
+    // Incremental concat-and-chunk (t44): t43's grid grown in TWO
+    // increments through the per-stratum token carry — the first
+    // half packs from zero, the second from the first's per-language
+    // token sums, and the union must be bit-identical to the one-shot
+    // pack (shares t43's oracle; the boundary-straddling sequence
+    // legitimately receives spans from both increments). The
+    // O(increment) dual of the appendShards carry contract on the
+    // sequence grid.
+    "t44_concat_chunks_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      val first = d.filter(col("doc_id") <= maxId / 2)
+      val second = d.filter(col("doc_id") > maxId / 2)
+      val carry = first.groupBy(col("lang"))
+        .agg(sum(col("n_chars").cast(LongType)).as("cum_tokens"))
+      val c1 = TextFunctions.packChunks(first,
+        col("lang"), col("doc_id"), col("n_chars"), seqLen = 512L)
+      val c2 = TextFunctions.packChunksFrom(second,
+        col("lang"), col("doc_id"), col("n_chars"), seqLen = 512L,
+        carry = Some(carry))
+      c1.unionByName(c2)
+        .select(col("lang").as("stratum"), col("chunk_id"), col("doc_id"),
+          col("doc_offset"), col("chunk_offset"), col("n_span_tokens"))
+        .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
+    }),
+
     // Distribution-matching resample (data mixing): target language mix
     // en 40% / others 15% each, rates DERIVED from observed counts at
     // the largest total with no upsampling — the binding group (the one
@@ -3473,6 +3515,27 @@ object ExtensionQueries {
        |${bpeFlatSql("e8")}""".stripMargin
   }
 
+  // mirrors t43: the same per-stratum cumsum, the same integer
+  // chunk-grid intersection — every span's offsets and length replayed
+  private lazy val ConcatChunksOracle =
+    """WITH c AS (SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents),
+       s AS (SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum,
+           CAST(cum - n_chars AS BIGINT) AS st
+         FROM c WHERE n_chars > 0),
+       e AS (SELECT doc_id, lang, cum, st,
+           unnest(range(st // 512, (cum - 1) // 512 + 1)) AS chunk_id
+         FROM s)
+       SELECT lang AS stratum, CAST(chunk_id AS BIGINT) AS chunk_id,
+         doc_id,
+         CAST(greatest(0, chunk_id * 512 - st) AS BIGINT) AS doc_offset,
+         CAST(greatest(0, st - chunk_id * 512) AS BIGINT) AS chunk_offset,
+         CAST(least((chunk_id + 1) * 512, cum)
+           - greatest(chunk_id * 512, st) AS BIGINT) AS n_span_tokens
+       FROM e ORDER BY stratum, chunk_id, doc_id"""
+
   // mirrors t42: the identical md5-based 56-bit shuffle key, the
   // (key, id) total order, and the per-stratum cumsum pack OVER that
   // order — the whole shuffled shard layout replayed
@@ -3706,6 +3769,10 @@ object ExtensionQueries {
     // equality at every rank is the whole contract, so one oracle
     ("t41_bpe_train_incremental" -> BpeTrainOracle) +
     ("t42_corpus_shuffle" -> CorpusShuffleOracle) +
+    ("t43_concat_chunks" -> ConcatChunksOracle) +
+    // t44 is t43 grown in two increments through the token carry —
+    // in-order growth must reproduce the one-shot grid bit for bit
+    ("t44_concat_chunks_incremental" -> ConcatChunksOracle) +
     ("p14_tokenize_pack_shard" -> TokenizePackShardOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +

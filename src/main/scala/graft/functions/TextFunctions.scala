@@ -1413,6 +1413,83 @@ object TextFunctions {
       .drop("__cum")
   }
 
+  /** Concat-and-chunk sample packing (t43) — the GPT-style batch
+    * assembly step [[packSequences]] deliberately is not: documents
+    * concatenate in `order` within each stratum into one token
+    * stream, the stream is cut into fixed `seqLen`-token training
+    * sequences, and documents SPLIT across sequence boundaries
+    * (packSequences assigns whole documents to budget bins; this
+    * produces the per-sequence span table a training loader uses to
+    * assemble fixed-length batches with document-boundary attention
+    * masks). Output: one row per (document × sequence) overlap —
+    * (stratum, chunk_id, doc_id, doc_offset, chunk_offset,
+    * n_span_tokens): tokens `[doc_offset, doc_offset+n_span_tokens)`
+    * of the document land at `[chunk_offset, …)` of sequence
+    * `chunk_id`. Every sequence except each stratum's last is exactly
+    * `seqLen` tokens of coverage; every document's spans partition its
+    * tokens (spec-pinned invariants). Zero-token documents contribute
+    * nothing.
+    *
+    * All arithmetic is exact integer (window cumsum, `div`, min/max),
+    * so the layout is rerun-stable and engine-replayable (the t12
+    * determinism contract). One shuffle, on `stratum` — packing is
+    * per-shard like every real loader; `order` must be unique per
+    * stratum. Row multiplication is bounded by
+    * `ceil(tokens/seqLen) + 1` spans per document.
+    */
+  def packChunks(df: DataFrame, stratum: Column, order: Column,
+      tokens: Column, seqLen: Long): DataFrame =
+    packChunksFrom(df, stratum, order, tokens, seqLen, carry = None)
+
+  /** [[packChunks]] continued from a PER-STRATUM token carry — the
+    * O(increment) growth form (the [[graft.functions.Curation]]
+    * appendShards carry contract applied to the sequence grid): the
+    * increment's streams start at `carry.cum_tokens` instead of 0, so
+    * under the in-order contract (increment order keys follow
+    * everything already packed) the union of per-increment span
+    * tables is BIT-IDENTICAL to the one-shot [[packChunks]] over all
+    * rows (t44 shares t43's oracle). The carry to pass next time is
+    * this increment's per-stratum token sum added to the current
+    * carry. A boundary-straddling sequence legitimately receives
+    * spans from both increments — the grid is global, the work is
+    * per-increment.
+    *
+    * `carry` columns: (stratum, cum_tokens); strata absent from it
+    * start at 0. It is broadcast (strata-bound, tiny by contract).
+    */
+  def packChunksFrom(df: DataFrame, stratum: Column, order: Column,
+      tokens: Column, seqLen: Long, carry: Option[DataFrame]): DataFrame = {
+    require(seqLen > 0, "packChunks: seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val L = lit(seqLen)
+    val based = carry.fold(df.withColumn("__base", lit(0L))) { c =>
+      df.join(broadcast(c.select(stratum.as("__cstr"),
+          col("cum_tokens").cast(LongType).as("__base"))),
+          stratum === col("__cstr"), "left")
+        .withColumn("__base", coalesce(col("__base"), lit(0L)))
+        .drop("__cstr")
+    }
+    based
+      .withColumn("__cum",
+        col("__base") + sum(tokens.cast(LongType)).over(w))
+      .withColumn("__start", col("__cum") - tokens.cast(LongType))
+      .filter(tokens.cast(LongType) > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"__start div $seqLen"),
+        expr(s"(__cum - 1) div $seqLen"))))
+      .withColumn("doc_offset",
+        greatest(lit(0L), col("chunk_id") * L - col("__start")))
+      .withColumn("chunk_offset",
+        greatest(lit(0L), col("__start") - col("chunk_id") * L))
+      .withColumn("n_span_tokens",
+        least((col("chunk_id") + 1) * L, col("__cum")) -
+          greatest(col("chunk_id") * L, col("__start")))
+      .drop("__cum", "__start", "__base")
+  }
+
   /** Corpus-level vocabulary table: the `topN` terms by corpus term
     * frequency with document frequency, frequency rank, and CUMULATIVE
     * coverage (fraction of all corpus tokens a vocabulary truncated at
