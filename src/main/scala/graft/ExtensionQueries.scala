@@ -2436,6 +2436,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming concat-and-chunk (s21): the t43 sequence grid under
+    // continuous ingest — two in-order file drops through chunkIngest,
+    // each micro-batch packed against the persisted per-stratum token
+    // carry and written to an idempotent batch= dir. In-order delivery
+    // makes the batch-dir union bit-equal to the one-shot grid: shares
+    // t43's oracle.
+    "s21_stream_chunks" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val in = Scratch.path(dir, "s21_in")
+      val out = Scratch.path(dir, "s21_out")
+      val ckpt = Scratch.path(dir, "s21_ckpt")
+      Seq(in, out, ckpt).foreach(Scratch.reset)
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      Seq(base.filter(col("doc_id") <= maxId / 2),
+          base.filter(col("doc_id") > maxId / 2))
+        .foreach(d => d.orderBy(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(in))
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.chunkIngest(stream,
+        stratumName = "lang", orderName = "doc_id",
+        tokensName = "n_chars", seqLen = 512L, outPath = out,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
+        .select(col("stratum"), col("chunk_id"), col("doc_id"),
+          col("doc_offset"), col("chunk_offset"), col("n_span_tokens"))
+        .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
+    }),
+
     // Streaming BPE tokenization (s18): t38's train→artifact→encode
     // with the PROBES arriving as a stream — two micro-batches
     // (even/odd ids), the merge list re-read each batch (the s14
@@ -3773,6 +3805,9 @@ object ExtensionQueries {
     // t44 is t43 grown in two increments through the token carry —
     // in-order growth must reproduce the one-shot grid bit for bit
     ("t44_concat_chunks_incremental" -> ConcatChunksOracle) +
+    // s21 is t44 with the increments delivered as a stream and the
+    // carry persisted per epoch — same one-shot-grid equality
+    ("s21_stream_chunks" -> ConcatChunksOracle) +
     ("p14_tokenize_pack_shard" -> TokenizePackShardOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +

@@ -1315,11 +1315,29 @@ object Dedup {
   def writeCorpusSpanIndex(archive: DataFrame, id: Column, text: Column,
       path: String, k: Int = 8): Unit = {
     require(k >= 1, "writeCorpusSpanIndex: need k >= 1 (window width)")
+    // a REBUILD replaces the whole window set: previously appended
+    // epoch>=1 deltas must not survive it — the rebuild is the
+    // documented compaction cadence, and stale deltas would re-admit
+    // windows of documents the new archive no longer contains. Stage
+    // the new epoch-0 write first, then swap the hashes root (the
+    // epoch-0 overwrite alone used to leave old deltas in place).
+    val spark = archive.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     spanWindows(spanWords(archive, id, text), k)
       .select(col("h"), col("h2")).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes/epoch=0")
+      .write.mode("overwrite").parquet(s"$path/hashes_staged/epoch=0")
+    val live = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/hashes_staged"), live)
     archive.sparkSession.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    // the rebuild also severs any previous stream binding — a stale
+    // lineage marker (CorpusStream.guardStateLineage) would refuse a
+    // legitimately fresh stream over the rebuilt index
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_stream_lineage"),
+      false)
+    ()
   }
 
   /** Grow a [[writeCorpusSpanIndex]] artifact by one increment's

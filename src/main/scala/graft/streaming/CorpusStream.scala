@@ -117,6 +117,9 @@ object CorpusStream {
       checkpointPath: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    guardStateLineage(docs.sparkSession, stagingPath,
+      hasBatchDirs(docs.sparkSession, stagingPath),
+      checkpointPath, "curatedShards")
     val curated = curatedIngest(docs, content, id, watermark, quality)
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
@@ -166,6 +169,14 @@ object CorpusStream {
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       ckptEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the commit log makes a fresh-checkpoint restart SILENT here:
+    // batch 0 = epoch 0 <= committed is treated as an idempotent
+    // replay and dropped — the guard turns that data loss into a
+    // loud error (marker loss from a compactShards swap is tolerated
+    // for established checkpoints — the adoption rule)
+    guardStateLineage(docs.sparkSession, shardsPath,
+      hasCommitLog(docs.sparkSession, shardsPath),
+      checkpointPath, "curatedShardsIncremental")
     val curated = curatedIngest(docs, content, id, watermark, quality)
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
@@ -334,7 +345,9 @@ object CorpusStream {
       checkpointPath: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    guardIndexLineage(docs.sparkSession, indexPath, checkpointPath)
+    guardStateLineage(docs.sparkSession, indexPath,
+      hasEpochDirs(docs.sparkSession, s"$indexPath/hashes", min = 1L),
+      checkpointPath, "repeatedSpansIngest")
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
       graft.functions.Dedup.removeRepeatedSpansIncremental(batch, id,
@@ -351,28 +364,40 @@ object CorpusStream {
     writer.start()
   }
 
-  /** Binds a grow-in-place index to one checkpoint lineage (the
-    * [[repeatedSpansIngest]] replay contract). A UUID lives in
-    * `<checkpoint>/graft_lineage` — created on first start, inherited
-    * by every restart of the same checkpoint, gone when the checkpoint
-    * is reset — and is mirrored to `<index>/_stream_lineage` once the
-    * index is adopted. Throws when the index's recorded lineage is not
-    * this checkpoint's (batch ids restarted at 0 would clobber
-    * `epoch=1`), when stream epochs exist with no recorded lineage
-    * (an unknown writer grew it), or when no checkpoint is given over
-    * a stream-grown index (every run would restart at batch 0).
+  /** Binds a stream's grow-in-place STATE (a span index, a shard
+    * tree, a carry-keyed chunk grid, a staging tree) to one checkpoint
+    * lineage — every foreachBatch ingest that keys its writes by
+    * `batchId` is replay-safe only WITHIN a checkpoint lineage:
+    * restarting with a FRESH checkpoint resets batch ids to 0, and
+    * batch 0 then either clobbers the earlier run's epoch-keyed state
+    * (span index, chunk carry, staging dirs) or is silently dropped as
+    * a "replay" by the commit log (the appendShards tree). A UUID
+    * lives in `<checkpoint>/graft_lineage` — created on first start,
+    * inherited by every restart of the same checkpoint, gone when the
+    * checkpoint is reset — and is mirrored to
+    * `<statePath>/_stream_lineage` once the state is adopted.
+    *
+    * Rules (given `hasStreamState` = stream-written state exists):
+    *   - no checkpoint over existing stream state → throw (every run
+    *     would restart at batch 0);
+    *   - state marker present and ≠ this checkpoint's lineage →
+    *     throw (the fresh-checkpoint clobber);
+    *   - state marker absent, stream state present, and this
+    *     checkpoint is ESTABLISHED (its lineage file predates this
+    *     start) → ADOPT: the state's marker was lost to a maintenance
+    *     swap (compactShards replaces the tree root wholesale) — an
+    *     established checkpoint's batch ids continue monotonically,
+    *     so re-binding is safe;
+    *   - state marker absent, stream state present, checkpoint FRESH
+    *     → throw (an unknown writer's state; batch 0 would clobber).
     */
-  private[streaming] def guardIndexLineage(spark: SparkSession,
-      indexPath: String, checkpointPath: Option[String]): Unit = {
+  private[streaming] def guardStateLineage(spark: SparkSession,
+      statePath: String, hasStreamState: => Boolean,
+      checkpointPath: Option[String], what: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val hashesP = new org.apache.hadoop.fs.Path(s"$indexPath/hashes")
-    val fs = hashesP.getFileSystem(conf)
-    val streamEpochs =
-      if (!fs.exists(hashesP)) Seq.empty[Long]
-      else fs.listStatus(hashesP).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("epoch="))
-        .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
-        .filter(_ >= 1L) // epoch 0 is the batch-seeded archive
+    val stateMarker = new org.apache.hadoop.fs.Path(
+      s"$statePath/_stream_lineage")
+    val fs = stateMarker.getFileSystem(conf)
     def readFile(p: org.apache.hadoop.fs.Path): Option[String] =
       if (!fs.exists(p)) None
       else {
@@ -387,44 +412,140 @@ object CorpusStream {
       val out = fs.create(p, true)
       try out.write(s.getBytes("UTF-8")) finally out.close()
     }
-    val idxMarker = new org.apache.hadoop.fs.Path(
-      s"$indexPath/_stream_lineage")
     checkpointPath match {
       case None =>
-        if (streamEpochs.nonEmpty) throw new IllegalStateException(
-          s"repeatedSpansIngest: index $indexPath already holds stream " +
-            s"epochs (max ${streamEpochs.max}) and no checkpoint was " +
-            "given — batch ids would restart at 0 and overwrite epoch 1. " +
-            "Pass the original checkpointLocation, or reset the index's " +
-            "epoch>=1 deltas together with the output directory.")
+        if (hasStreamState) throw new IllegalStateException(
+          s"$what: $statePath already holds stream-written state and " +
+            "no checkpoint was given — batch ids would restart at 0 and " +
+            "overwrite (or silently drop) the earlier run's epochs. " +
+            "Pass the original checkpointLocation, or reset the state " +
+            "together with the output directory.")
       case Some(ckpt) =>
         val ckptMarker = new org.apache.hadoop.fs.Path(
           s"$ckpt/graft_lineage")
-        val lineage = readFile(ckptMarker).getOrElse {
-          val u = java.util.UUID.randomUUID().toString
-          writeFile(ckptMarker, u)
-          u
-        }
-        readFile(idxMarker) match {
+        val established = readFile(ckptMarker)
+        // a fresh checkpoint's lineage id is only PERSISTED once the
+        // checks pass — writing it before a throw would make the
+        // user's retry of the same failed start look established and
+        // adopt the very state the first attempt refused to clobber
+        val lineage = established.getOrElse(
+          java.util.UUID.randomUUID().toString)
+        readFile(stateMarker) match {
           case Some(rec) if rec != lineage =>
             throw new IllegalStateException(
-              s"repeatedSpansIngest: index $indexPath was grown by a " +
-                s"different checkpoint lineage ($rec; this checkpoint is " +
-                s"$lineage) — a fresh checkpoint restarts batch ids at 0 " +
-                "and would overwrite the earlier run's epoch deltas. " +
-                "Restart with the original checkpoint, or reset index, " +
-                "output, and checkpoint together.")
+              s"$what: $statePath was grown by a different checkpoint " +
+                s"lineage ($rec; this checkpoint is $lineage) — a fresh " +
+                "checkpoint restarts batch ids at 0 and would clobber " +
+                "the earlier run's epoch-keyed state. Restart with the " +
+                "original checkpoint, or reset state, output, and " +
+                "checkpoint together.")
           case Some(_) => () // same lineage: replay-safe by design
-          case None if streamEpochs.nonEmpty =>
+          case None if hasStreamState && established.isEmpty =>
             throw new IllegalStateException(
-              s"repeatedSpansIngest: index $indexPath holds stream epochs " +
-                s"(max ${streamEpochs.max}) but records no lineage — an " +
-                "unknown writer grew it; refusing to overwrite its " +
-                "deltas. Reset the index's epoch>=1 deltas (or rebuild " +
-                "with writeCorpusSpanIndex) before streaming into it.")
-          case None => writeFile(idxMarker, lineage)
+              s"$what: $statePath holds stream-written state but records " +
+                "no lineage, and this checkpoint is fresh — an unknown " +
+                "writer grew it; refusing to clobber its epochs. Reset " +
+                "the state together with the output, or restart with " +
+                "the original checkpoint.")
+          case None =>
+            if (established.isEmpty) writeFile(ckptMarker, lineage)
+            writeFile(stateMarker, lineage)
         }
     }
+  }
+
+  /** True when `dir` holds an `epoch=N` child with `N >= min`. */
+  private def hasEpochDirs(spark: SparkSession, dir: String,
+      min: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.getPath.getName.startsWith("epoch=") &&
+        scala.util.Try(s.getPath.getName.drop(6).toLong).toOption
+          .exists(_ >= min))
+  }
+
+  /** True when `dir` holds any `batch=N` child. */
+  private def hasBatchDirs(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+  }
+
+  /** True when an [[graft.functions.Curation.appendShards]] tree at
+    * `path` has any committed epoch (`_commits/` markers). */
+  private def hasCommitLog(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Streaming concat-and-chunk (s21) — the t43/t44 sequence grid
+    * under continuous ingest: each micro-batch is packed with
+    * [[graft.functions.TextFunctions.packChunksFrom]] against the
+    * PERSISTED per-stratum token carry (`_carry/epoch=<batchId>`, the
+    * carry as of this batch's slot), its span table written to an
+    * idempotent `batch=<id>` dir, and the advanced carry written to
+    * `_carry/epoch=<batchId+1>`. Under in-order delivery the union of
+    * batch outputs is BIT-IDENTICAL to the one-shot batch
+    * [[graft.functions.TextFunctions.packChunks]] over all rows (s21
+    * shares t43's oracle) — the grid is global, the work per batch is
+    * O(batch).
+    *
+    * Replay safety (the foreachBatch at-least-once contract): a
+    * re-delivered batch re-reads the carry AT ITS OWN SLOT (epoch =
+    * batchId — written by its predecessor, never by itself) and
+    * overwrites both its span dir and its carry-advance dir
+    * (epoch = batchId+1), so every crash position re-converges to
+    * exactly-once content — the s19 epoch-keyed idempotence pattern.
+    * Reset output and checkpoint TOGETHER when restarting a logical
+    * run (batch ids restart at 0 and would re-pack from the old
+    * epoch-0 carry otherwise).
+    */
+  def chunkIngest(docs: DataFrame, stratumName: String, orderName: String,
+      tokensName: String, seqLen: Long, outPath: String,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    guardStateLineage(docs.sparkSession, outPath,
+      hasEpochDirs(docs.sparkSession, s"$outPath/_carry", min = 1L),
+      checkpointPath, "chunkIngest")
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      val spark = batch.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val carryP = new org.apache.hadoop.fs.Path(
+        s"$outPath/_carry/epoch=$batchId")
+      val fs = carryP.getFileSystem(conf)
+      val carry =
+        if (fs.exists(carryP)) Some(spark.read.parquet(carryP.toString))
+        else None
+      graft.functions.TextFunctions.packChunksFrom(batch,
+          col(stratumName), col(orderName), col(tokensName), seqLen,
+          // the persisted carry is (stratum, cum_tokens); the packer
+          // resolves its stratum expression against the carry frame,
+          // so surface the column under the caller's stratum name
+          carry.map(_.select(col("stratum").as(stratumName),
+            col("cum_tokens"))))
+        .select(col(stratumName).as("stratum"), col("chunk_id"),
+          col(orderName), col("doc_offset"), col("chunk_offset"),
+          col("n_span_tokens"))
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      val sums = batch.groupBy(col(stratumName).as("stratum"))
+        .agg(sum(col(tokensName).cast(LongType)).as("cum_tokens"))
+      carry.fold(sums)(c =>
+          c.select(col("stratum"), col("cum_tokens")).unionByName(sums)
+            .groupBy(col("stratum"))
+            .agg(sum(col("cum_tokens")).as("cum_tokens")))
+        .write.mode("overwrite")
+        .parquet(s"$outPath/_carry/epoch=${batchId + 1}")
+      ()
+    }
+    val writer = docs.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
   }
 
   /** Streaming BPE tokenization (s18) — the t38 tokenizer artifact

@@ -228,6 +228,55 @@ class CorpusStreamSpec extends SparkSpec {
     assert(got2((1L, 0)) === "lo" && got2((1L, 1)) === "w")
   }
 
+  test("chunk ingest: streamed grid == one-shot batch grid; carry " +
+      "persisted per epoch; restart with nothing new changes nothing") {
+    import graft.functions.TextFunctions
+    val root = Files.createTempDirectory("chunk-stream").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val docs = Seq(
+      ("en", 1L, 300L), ("en", 2L, 600L), ("en", 3L, 124L),
+      ("en", 4L, 200L), ("de", 10L, 1100L)
+    ).toDF("lang", "doc_id", "n_toks")
+    // two in-order drops -> two micro-batches
+    docs.filter(col("doc_id") <= 2L).orderBy(col("doc_id")).coalesce(1)
+      .write.mode("append").parquet(in)
+    docs.filter(col("doc_id") > 2L).orderBy(col("doc_id")).coalesce(1)
+      .write.mode("append").parquet(in)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = CorpusStream.chunkIngest(stream, stratumName = "lang",
+        orderName = "doc_id", tokensName = "n_toks", seqLen = 512L,
+        outPath = out, checkpointPath = Some(s"$root/ckpt"),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    run()
+    def spans = spark.read.parquet(out).drop("batch")
+      .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
+      .collect().map(_.toString).toSeq
+    val oneShot = TextFunctions.packChunks(docs, col("lang"),
+        col("doc_id"), col("n_toks"), seqLen = 512L)
+      .select(col("lang").as("stratum"), col("chunk_id"), col("doc_id"),
+        col("doc_offset"), col("chunk_offset"), col("n_span_tokens"))
+      .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
+      .collect().map(_.toString).toSeq
+    val streamed = spans
+    assert(streamed === oneShot, "streamed grid diverged from one-shot")
+    // the carry advanced once per batch: epochs 1 and 2 on disk, en at
+    // 900 tokens after batch 0 (docs 1+2), 1224 after batch 1
+    val c1 = spark.read.parquet(s"$out/_carry/epoch=1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 === Map("en" -> 900L))
+    val c2 = spark.read.parquet(s"$out/_carry/epoch=2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2 === Map("en" -> 1224L, "de" -> 1100L))
+    // restart over the same checkpoint with nothing new: no-op
+    run()
+    assert(spans === oneShot)
+  }
+
   test("span-index ingest binds the index to ONE checkpoint lineage: a " +
       "fresh checkpoint over a stream-grown index fails loudly; the " +
       "original checkpoint restarts fine") {
@@ -268,11 +317,22 @@ class CorpusStreamSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no checkpoint"),
       s"wrong error: ${e2.getMessage}")
-    // a grown index with NO recorded lineage (older-writer state) is
-    // refused too
+    // marker lost (a maintenance swap can eat it): an ESTABLISHED
+    // checkpoint re-adopts — its batch ids continue monotonically, so
+    // re-binding is safe — and the marker is restored
     assert(new java.io.File(s"$idx/_stream_lineage").delete())
-    val e3 = intercept[IllegalStateException] { run("ckptA") }
+    run("ckptA")
+    assert(new java.io.File(s"$idx/_stream_lineage").exists(),
+      "adoption must restore the marker")
+    // ... but a FRESH checkpoint over marker-less stream state is
+    // refused (an unknown writer's epochs), and the refusal must not
+    // establish the fresh checkpoint — the retry fails the same way
+    assert(new java.io.File(s"$idx/_stream_lineage").delete())
+    val e3 = intercept[IllegalStateException] { run("ckptC") }
     assert(e3.getMessage.contains("records no lineage"),
       s"wrong error: ${e3.getMessage}")
+    val e4 = intercept[IllegalStateException] { run("ckptC") }
+    assert(e4.getMessage.contains("records no lineage"),
+      s"retry after refusal must not adopt: ${e4.getMessage}")
   }
 }
