@@ -94,6 +94,7 @@ object Bench {
     "t43_concat_chunks" -> 1.8,
     "t44_concat_chunks_incremental" -> 2.0,
     "s21_stream_chunks" -> 7.8,
+    "t45_curriculum_pack" -> 3.7,
     "p14_tokenize_pack_shard" -> 6.1,
     "p12_shard_delete" -> 6.1, // budget 20000 fixture (was 28 s at 2000)
     "s13_stream_shards_ooo_repair" -> 9.8, // two drops (was 24 s at three)

@@ -1578,6 +1578,30 @@ object ExtensionQueries {
         .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
     }),
 
+    // Curriculum-ordered packing (t45): the easy-to-hard training
+    // schedule — t20's word-rank quality tiers rank the curriculum
+    // (head = most-fluent first), the t42 deterministic shuffle
+    // randomizes WITHIN each tier, and the t12 token-budget pack bins
+    // each language's stream in that order. One composed oracle:
+    // t20's rank/percentile CTEs feeding the md5 shuffle key feeding
+    // the cumsum pack over (tier, key, id). Empty documents carry no
+    // words and are outside the tier table — excluded both sides.
+    "t45_curriculum_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tiers = TextFunctions.qualityTiers(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("tier"))
+      val ranked = d.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(tiers, Seq("doc_id"))
+        .withColumn("trank", when(col("tier") === "head", lit(0))
+          .when(col("tier") === "middle", lit(1)).otherwise(lit(2)))
+      TextFunctions.packSequences(ranked, col("lang"),
+          Curation.curriculumKey(col("trank"), col("doc_id"), seed = 7L),
+          col("n_chars"), budget = 20000L)
+        .select(col("doc_id"), col("lang").as("stratum"), col("tier"),
+          col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental concat-and-chunk (t44): t43's grid grown in TWO
     // increments through the per-stratum token carry — the first
     // half packs from zero, the second from the first's per-language
@@ -3568,6 +3592,40 @@ object ExtensionQueries {
            - greatest(chunk_id * 512, st) AS BIGINT) AS n_span_tokens
        FROM e ORDER BY stratum, chunk_id, doc_id"""
 
+  // mirrors t45: t20's rank/percentile tiering, the t42 md5 shuffle
+  // key, and the cumsum pack over the (tier, key, id) curriculum order
+  private lazy val CurriculumPackOracle =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       ranked AS (SELECT w, CAST(dense_rank() OVER
+           (ORDER BY count(*) DESC, w) AS BIGINT) AS rank
+         FROM w GROUP BY w),
+       scored AS (
+         SELECT doc_id, CAST(sum(rank) AS DOUBLE) / count(*) AS mean_rank
+         FROM w JOIN ranked USING (w)
+         GROUP BY doc_id),
+       bnd AS (SELECT quantile_cont(mean_rank, 1.0/3) AS c1,
+               quantile_cont(mean_rank, 2.0/3) AS c2 FROM scored),
+       t AS (SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN s.mean_rank <= bnd.c1 THEN 0
+                WHEN s.mean_rank <= bnd.c2 THEN 1 ELSE 2 END AS trank,
+           CASE WHEN s.mean_rank <= bnd.c1 THEN 'head'
+                WHEN s.mean_rank <= bnd.c2 THEN 'middle'
+                ELSE 'tail' END AS tier,
+           CAST(('0x' || substr(md5('shuffle:7:' ||
+             CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS skey
+         FROM documents d JOIN scored s ON s.doc_id = d.doc_id, bnd),
+       p AS (SELECT doc_id, lang, tier,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT)
+             AS bin
+         FROM (SELECT doc_id, lang, tier, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang
+               ORDER BY trank, skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t))
+       SELECT doc_id, lang AS stratum, tier, bin FROM p
+       ORDER BY doc_id"""
+
   // mirrors t42: the identical md5-based 56-bit shuffle key, the
   // (key, id) total order, and the per-stratum cumsum pack OVER that
   // order — the whole shuffled shard layout replayed
@@ -3802,6 +3860,7 @@ object ExtensionQueries {
     ("t41_bpe_train_incremental" -> BpeTrainOracle) +
     ("t42_corpus_shuffle" -> CorpusShuffleOracle) +
     ("t43_concat_chunks" -> ConcatChunksOracle) +
+    ("t45_curriculum_pack" -> CurriculumPackOracle) +
     // t44 is t43 grown in two increments through the token carry —
     // in-order growth must reproduce the one-shot grid bit for bit
     ("t44_concat_chunks_incremental" -> ConcatChunksOracle) +

@@ -231,6 +231,19 @@ object Curation {
       concat(lit(s"shuffle:$seed:"),
         order.cast(org.apache.spark.sql.types.StringType)))
 
+  /** Curriculum training order (t45): documents sort by (curriculum
+    * tier, deterministic shuffle key, id) — the easy-to-hard schedule
+    * curriculum-learning training runs want, with the t42 determinism
+    * contract inside each tier (same seed → same permutation, any
+    * engine). Pass the result as the pack/write order (e.g. to
+    * [[TextFunctions.packSequences]] or as a [[writeShards]] order
+    * expression): each stratum's stream then emits tier 0's documents
+    * shuffled, then tier 1's, … `tierRank` is any integer column
+    * (lower = earlier in training).
+    */
+  def curriculumKey(tierRank: Column, order: Column, seed: Long): Column =
+    struct(tierRank, shuffleKey(order, seed), order)
+
   def writeShards(docs: DataFrame, stratumName: String, orderName: String,
       tokensName: String, budget: Long, path: String,
       maxRecordsPerFile: Long = 0L,
