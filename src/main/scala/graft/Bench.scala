@@ -414,7 +414,15 @@ object Bench {
         val slowJson = ordered.take(10)
           .map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }
           .mkString("{", ",", "}")
-        println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","n_queries":${medians.size},"queries":$qs,"errors":$errJson,"skipped":$skipped,"contention":$contention,"budget_expired":$expired,"elapsed":${r3(elapsedS)},"slowest":$slowJson}""")
+        // budget_expired means COVERAGE was lost (queries never got
+        // their first sample) — a budget that ran out during the
+        // refine phase, with every query already measured, is the
+        // designed spend-what's-left behavior and is reported
+        // separately as refine_truncated (a 215-query sweep + full
+        // refine legitimately fills the whole window)
+        val coverageLost = expired && pending.nonEmpty
+        val refineCut = expired && pending.isEmpty
+        println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","n_queries":${medians.size},"queries":$qs,"errors":$errJson,"skipped":$skipped,"contention":$contention,"budget_expired":$coverageLost,"refine_truncated":$refineCut,"elapsed":${r3(elapsedS)},"slowest":$slowJson}""")
         System.out.flush()
         // feed the next run's ordering with this run's measured costs
         // (VERDICT r5 #3) — but ONLY from a quiet run: a contended
