@@ -414,14 +414,18 @@ object Bench {
         val slowJson = ordered.take(10)
           .map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }
           .mkString("{", ",", "}")
-        // budget_expired means COVERAGE was lost (queries never got
-        // their first sample) — a budget that ran out during the
-        // refine phase, with every query already measured, is the
-        // designed spend-what's-left behavior and is reported
-        // separately as refine_truncated (a 215-query sweep + full
-        // refine legitimately fills the whole window)
-        val coverageLost = expired && pending.nonEmpty
-        val refineCut = expired && pending.isEmpty
+        // budget_expired means COVERAGE was lost (queries never got a
+        // measured sample — skipped outright, OR attempted and failed
+        // with no retry slot left: a watchdog-capped sweep query is
+        // removed from pending but is still unmeasured). A budget
+        // that ran out during the refine phase with every query
+        // measured is the designed spend-what's-left behavior,
+        // reported separately as refine_truncated.
+        val unmeasuredErr = errors.keys.exists(k =>
+          !k.startsWith("__probe") && !k.endsWith("@refine") &&
+            !samples.get(k).exists(_.nonEmpty))
+        val coverageLost = expired && (pending.nonEmpty || unmeasuredErr)
+        val refineCut = expired && !coverageLost
         println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","n_queries":${medians.size},"queries":$qs,"errors":$errJson,"skipped":$skipped,"contention":$contention,"budget_expired":$coverageLost,"refine_truncated":$refineCut,"elapsed":${r3(elapsedS)},"slowest":$slowJson}""")
         System.out.flush()
         // feed the next run's ordering with this run's measured costs

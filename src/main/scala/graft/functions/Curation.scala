@@ -517,8 +517,7 @@ object Curation {
     */
   def readShardManifest(spark: SparkSession, path: String): DataFrame = {
     recoverSwap(spark, path, s"$path-compacting")
-    recoverBinSwaps(spark, path)
-    recoverCkptSwaps(spark, path)
+    recoverTakedown(spark, path)
     val committed = committedEpoch(spark, path).getOrElse(
       throw new IllegalStateException(
         s"readShardManifest: no committed epoch under $path"))
@@ -704,20 +703,23 @@ object Curation {
       orderName: String, tokensName: String,
       maxRecordsPerFile: Long = 0L): DataFrame = {
     recoverSwap(spark, path, s"$path-compacting")
-    // single-writer contract: a lease found here is a crashed
-    // predecessor's, so recovery must run regardless of its age
-    recoverBinSwaps(spark, path, ignoreLease = true)
-    recoverCkptSwaps(spark, path)
     val committed = committedEpoch(spark, path).getOrElse(
       throw new IllegalStateException(
         s"deleteFromShards: no committed epoch under $path " +
           "(appendShards trees only — re-run writeShards for plain trees)"))
-    // liveness lease: readers skip bin-swap recovery while this is
-    // fresh (see recoverBinSwaps); re-touched every minute from a
-    // daemon thread because the staged write below can outlast any
-    // one-shot TTL at corpus scale
+    // takedown lease: a LOCK, acquired create-exclusive BEFORE any
+    // recovery or mutation — a fresh one belongs to a live concurrent
+    // takedown (single-writer contract, violated loudly); a stale one
+    // is a crashed predecessor's and is taken over. Readers skip
+    // recovery while it is fresh, and must win this same lock to
+    // recover stale debris, so writer and reader recovery can never
+    // interleave. Re-touched every minute from a daemon thread because
+    // the staged write below can outlast any one-shot TTL at corpus
+    // scale.
     val leasePath = s"$path/_delete_lease"
-    touchMarker(spark, leasePath)
+    val leaseP = new org.apache.hadoop.fs.Path(leasePath)
+    val leaseFs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireDeleteLease(leaseFs, leaseP, failIfHeld = true)
     val leaseRefresher = new Thread(() => {
       try {
         while (true) {
@@ -729,6 +731,8 @@ object Curation {
     leaseRefresher.setDaemon(true)
     leaseRefresher.start()
     try {
+    // crashed-predecessor debris, recovered under OUR lease
+    recoverTakedown(spark, path, holdingLease = true)
     val idSide = broadcast(
       ids.select(col(ids.columns.head).as("__del_id")).distinct())
     val manifest = readShardManifest(spark, path)
@@ -851,6 +855,47 @@ object Curation {
     scala.util.Try(fs.getFileStatus(lease)).toOption.exists(st =>
       System.currentTimeMillis() - st.getModificationTime < DeleteLeaseTtlMs)
 
+  /** Atomically acquire the takedown lease via CREATE-EXCLUSIVE (the
+    * one atomic primitive every Hadoop filesystem offers) — the lease
+    * is a lock, not just a freshness beacon, so a reader's
+    * stale-debris recovery and a starting writer can never interleave
+    * their renames (the check-then-act TOCTOU a bare freshness test
+    * leaves open). A FRESH existing lease means a live owner:
+    * `failIfHeld = true` (the writer) throws — two concurrent
+    * takedowns violate the documented single-writer contract and now
+    * fail loudly instead of corrupting; `failIfHeld = false` (a
+    * reader wanting to recover crash debris) just returns false and
+    * skips — the owner will leave the tree consistent. A STALE lease
+    * is a crashed owner's: deleted and re-acquired (create-exclusive
+    * arbitrates racing takeovers — exactly one wins).
+    */
+  private def acquireDeleteLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, failIfHeld: Boolean): Boolean = {
+    var tries = 0
+    while (tries < 3) {
+      if (leaseFresh(fs, lease)) {
+        if (failIfHeld) throw new IllegalStateException(
+          s"deleteFromShards: a fresh takedown lease exists at $lease — " +
+            "another deleteFromShards appears to be running (the call " +
+            "is SINGLE-WRITER); wait for it, or delete the lease if " +
+            "its owner is known dead.")
+        return false
+      }
+      fs.delete(lease, false) // stale or absent
+      try {
+        fs.mkdirs(lease.getParent)
+        val out = fs.create(lease, false) // atomic create-exclusive
+        out.close()
+        return true
+      } catch {
+        case _: java.io.IOException => tries += 1 // lost the race; re-check
+      }
+    }
+    if (failIfHeld) throw new IllegalStateException(
+      s"deleteFromShards: could not acquire the takedown lease at $lease")
+    false
+  }
+
   /** Finish (or roll back) per-bin swaps a [[deleteFromShards]] crash
     * interrupted. For each aside under `_delete_old`: live bin present
     * → the swap completed, the aside is debris; live bin missing with
@@ -860,29 +905,14 @@ object Curation {
     * Idempotent; a few metadata calls when the roots are absent, so
     * the read entry points run it up front.
     *
-    * LIVENESS GATE (ADVICE r15): recovery must not race an ACTIVE
-    * writer — a reader that runs this mid-delete would see a
-    * fully-deleted bin's aside (live missing, no staged copy — the
-    * writer renames such bins aside with nothing to stage) and roll it
-    * back, silently resurrecting the deleted rows while the writer's
-    * later aside-delete no-ops. [[deleteFromShards]] therefore holds a
-    * `_delete_lease` marker, re-touched every minute for its whole
-    * run; while the lease is fresher than [[DeleteLeaseTtlMs]] a
-    * reader SKIPS recovery entirely (mid-swap it sees at worst a
-    * not-yet-deleted or already-absent bin — both inside the
-    * documented monotone-deletion window). Only a stale lease (crashed
-    * writer) lets recovery proceed, which then also clears the lease.
-    * The writer itself passes `ignoreLease = true`: under the
-    * single-writer contract any lease it finds is its own crashed
-    * predecessor's.
+    * Call through [[recoverTakedown]] — this body assumes the caller
+    * holds (or has lawfully bypassed) the takedown lease.
     */
-  private[functions] def recoverBinSwaps(spark: SparkSession,
-      path: String, ignoreLease: Boolean = false): Unit = {
+  private def recoverBinSwaps(spark: SparkSession,
+      path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val oldRoot = new org.apache.hadoop.fs.Path(s"$path/_delete_old")
     val fs = oldRoot.getFileSystem(conf)
-    val lease = new org.apache.hadoop.fs.Path(s"$path/_delete_lease")
-    if (!ignoreLease && leaseFresh(fs, lease)) return
     if (fs.exists(oldRoot)) {
       fs.globStatus(new org.apache.hadoop.fs.Path(
         s"$path/_delete_old/*/*")).foreach { s =>
@@ -901,7 +931,56 @@ object Curation {
       fs.delete(oldRoot, true)
     }
     deleteMarker(spark, s"$path/_delete_staged")
-    deleteMarker(spark, s"$path/_delete_lease")
+  }
+
+  /** LIVENESS + MUTUAL EXCLUSION for takedown recovery (ADVICE r15,
+    * hardened round 16): recovery must not race an ACTIVE
+    * [[deleteFromShards]] — a reader that rolled back mid-delete would
+    * see a fully-deleted bin's aside (live missing, no staged copy)
+    * and resurrect the deleted rows; and a reader's recovery of a
+    * CRASHED delete's debris must not interleave with a new writer
+    * starting up (the one-shot freshness check left that TOCTOU
+    * window). So the lease is a LOCK: while it is fresh, readers skip
+    * recovery entirely (mid-swap they see at worst a not-yet-deleted
+    * or already-absent bin — both inside the documented
+    * monotone-deletion window); to recover stale debris a reader must
+    * WIN the create-exclusive takeover ([[acquireDeleteLease]]) first,
+    * which is the same lock a starting writer takes — exactly one of
+    * them runs. Healthy trees pay a few `exists` probes.
+    *
+    * `holdingLease = true` is the writer's path: it already owns the
+    * lock, so the recovery bodies run directly.
+    */
+  private[functions] def recoverTakedown(spark: SparkSession,
+      path: String, holdingLease: Boolean = false): Unit = {
+    if (holdingLease) {
+      recoverBinSwaps(spark, path)
+      recoverCkptSwaps(spark, path)
+      return
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lease = new org.apache.hadoop.fs.Path(s"$path/_delete_lease")
+    val fs = lease.getFileSystem(conf)
+    if (leaseFresh(fs, lease)) return // a live writer owns the tree
+    def ex(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    val ckptRoot = new org.apache.hadoop.fs.Path(s"$path/_manifest_ckpt")
+    val debris = ex(s"$path/_delete_old") || ex(s"$path/_delete_staged") ||
+      ex(s"$path/_manifest_ckpt_staged") ||
+      (fs.exists(ckptRoot) && fs.listStatus(ckptRoot)
+        .exists(_.getPath.getName.endsWith("-old")))
+    if (!debris) {
+      fs.delete(lease, false) // a stale beacon with nothing to recover
+      return
+    }
+    if (!acquireDeleteLease(fs, lease, failIfHeld = false)) return
+    try {
+      recoverBinSwaps(spark, path)
+      recoverCkptSwaps(spark, path)
+    } finally {
+      fs.delete(lease, false)
+      ()
+    }
   }
 
   /** Finish (or roll back) a manifest-checkpoint swap a
@@ -983,8 +1062,18 @@ object Curation {
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldP = new org.apache.hadoop.fs.Path(s"$dest-old")
     fs.delete(oldP, true) // debris from an earlier COMPLETED swap
-    if (fs.exists(destP)) fs.rename(destP, oldP)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), destP)
+    // rename results are CHECKED and the destination parent is created
+    // first: HDFS-like filesystems return false (no exception) when
+    // the parent is absent — an ignored false here would delete the
+    // staged tree below while the marker still points at nothing (the
+    // first-takedown manifest-checkpoint swap targets a _manifest_ckpt
+    // dir that may not exist yet). A loud failure leaves a state
+    // recoverSwap can finish or roll back.
+    fs.mkdirs(destP.getParent)
+    if (fs.exists(destP)) require(fs.rename(destP, oldP),
+      s"swapStaged: could not rename $dest aside to $dest-old")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), destP),
+      s"swapStaged: could not rename $staged into $dest")
     fs.delete(oldP, true)
     ()
   }
@@ -1051,8 +1140,7 @@ object Curation {
       binFrom: Long, binTo: Long): DataFrame = {
     require(binFrom <= binTo, "readShards: need binFrom <= binTo")
     recoverSwap(spark, path, s"$path-compacting")
-    recoverBinSwaps(spark, path)
-    recoverCkptSwaps(spark, path)
+    recoverTakedown(spark, path)
     val rows = spark.read.parquet(path)
       .filter(col("stratum") === stratum &&
         col("bin") >= binFrom && col("bin") <= binTo)

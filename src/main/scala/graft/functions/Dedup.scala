@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1319,26 +1319,43 @@ object Dedup {
     // epoch>=1 deltas must not survive it — the rebuild is the
     // documented compaction cadence, and stale deltas would re-admit
     // windows of documents the new archive no longer contains. Stage
-    // the new epoch-0 write first, then swap the hashes root (the
-    // epoch-0 overwrite alone used to leave old deltas in place).
+    // the new epoch-0 write, then swap the hashes root through the
+    // shard-tree swap discipline (Curation.swapStaged: aside rename →
+    // checked staged rename → aside delete), so a crash at any point
+    // leaves a state recoverSpanIndexSwap on every entry point can
+    // finish or roll back — a bare delete-then-rename left a window
+    // with NO hashes root and no recovery.
     val spark = archive.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSpanIndexSwap(spark, path)
     spanWindows(spanWords(archive, id, text), k)
       .select(col("h"), col("h2")).distinct()
       .write.mode("overwrite").parquet(s"$path/hashes_staged/epoch=0")
-    val live = new org.apache.hadoop.fs.Path(s"$path/hashes")
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/hashes_staged"), live)
+    Curation.swapStaged(spark, s"$path/hashes_staged", s"$path/hashes")
     archive.sparkSession.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$path/meta")
     // the rebuild also severs any previous stream binding — a stale
     // lineage marker (CorpusStream.guardStateLineage) would refuse a
-    // legitimately fresh stream over the rebuilt index
+    // legitimately fresh stream over the rebuilt index. Deleted LAST:
+    // a crash before the swap completed keeps the marker, so the old
+    // lineage's surviving epochs stay guarded.
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_stream_lineage"),
       false)
     ()
   }
+
+  /** Finish (or roll back) a [[writeCorpusSpanIndex]] rebuild swap a
+    * crash interrupted — [[Curation.recoverSwap]] on the
+    * `hashes_staged` → `hashes` pair, run by every span-index entry
+    * point (two metadata probes when healthy). A leftover PARTIAL
+    * staged dir (crash during staging, live root intact) is inert:
+    * `hashes_staged` is a sibling no read path ever lists, and the
+    * next rebuild overwrites it.
+    */
+  private def recoverSpanIndexSwap(spark: SparkSession,
+      path: String): Unit =
+    Curation.recoverSwap(spark, s"$path/hashes", s"$path/hashes_staged")
 
   /** Grow a [[writeCorpusSpanIndex]] artifact by one increment's
     * windows — O(increment), written as its own `hashes/epoch=<e>`
@@ -1356,6 +1373,7 @@ object Dedup {
   def appendCorpusSpanIndex(increment: DataFrame, id: Column,
       text: Column, path: String, epoch: Option[Long] = None): Unit = {
     val spark = increment.sparkSession
+    recoverSpanIndexSwap(spark, path)
     val k = spark.read.parquet(s"$path/meta").head.getInt(0)
     val e = epoch.getOrElse {
       val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
@@ -1394,6 +1412,7 @@ object Dedup {
       text: Column, indexPath: String, broadcastIndex: Boolean = false,
       beforeEpoch: Option[Long] = None): DataFrame = {
     val spark = increment.sparkSession
+    recoverSpanIndexSwap(spark, indexPath)
     val k = spark.read.parquet(s"$indexPath/meta").head.getInt(0)
     val idx0 = spark.read.parquet(s"$indexPath/hashes")
     // the streaming form's replay guard: a re-delivered batch must not

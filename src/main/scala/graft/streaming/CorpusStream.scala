@@ -431,7 +431,12 @@ object CorpusStream {
         val lineage = established.getOrElse(
           java.util.UUID.randomUUID().toString)
         readFile(stateMarker) match {
-          case Some(rec) if rec != lineage =>
+          // a lineage mismatch only matters while stream-written state
+          // EXISTS: a marker that outlived its state (the index was
+          // rebuilt, the tree was reset) records a dead lineage over
+          // nothing clobberable — re-bind instead of blocking every
+          // fresh checkpoint forever
+          case Some(rec) if rec != lineage && hasStreamState =>
             throw new IllegalStateException(
               s"$what: $statePath was grown by a different checkpoint " +
                 s"lineage ($rec; this checkpoint is $lineage) — a fresh " +
@@ -439,6 +444,9 @@ object CorpusStream {
                 "the earlier run's epoch-keyed state. Restart with the " +
                 "original checkpoint, or reset state, output, and " +
                 "checkpoint together.")
+          case Some(rec) if rec != lineage =>
+            if (established.isEmpty) writeFile(ckptMarker, lineage)
+            writeFile(stateMarker, lineage)
           case Some(_) => () // same lineage: replay-safe by design
           case None if hasStreamState && established.isEmpty =>
             throw new IllegalStateException(

@@ -257,6 +257,30 @@ class ShardWriteSpec extends SparkSpec {
     assert(!lease.exists(), "stale lease must be cleared by recovery")
   }
 
+  test("deleteFromShards: a fresh lease from a live takedown makes a " +
+      "second one fail loudly; a stale one is taken over") {
+    val path = Files.createTempDirectory("graft_del6").toString + "/t"
+    appendTree(path)
+    val lease = new java.io.File(s"$path/_delete_lease")
+    assert(lease.createNewFile())
+    val e = intercept[IllegalStateException] {
+      Curation.deleteFromShards(spark, path, Seq(2L).toDF("doc_id"),
+        "doc_id", "n_toks")
+    }
+    assert(e.getMessage.contains("SINGLE-WRITER"),
+      s"wrong error: ${e.getMessage}")
+    assert(treeRows(path).exists(_._3 == 2L),
+      "refused takedown must not delete anything")
+    // crashed predecessor: stale lease is taken over and the delete
+    // runs to completion, clearing the lease
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - Curation.DeleteLeaseTtlMs - 1000))
+    Curation.deleteFromShards(spark, path, Seq(2L).toDF("doc_id"),
+      "doc_id", "n_toks").collect()
+    assert(!treeRows(path).exists(_._3 == 2L))
+    assert(!lease.exists(), "completed takedown must clear its lease")
+  }
+
   test("manifest checkpoint swap: a crash between the aside and the " +
       "swap-in recovers to the STAGED manifest on the next read") {
     val path = Files.createTempDirectory("graft_del5").toString + "/t"

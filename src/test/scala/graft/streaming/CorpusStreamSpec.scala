@@ -334,5 +334,24 @@ class CorpusStreamSpec extends SparkSpec {
     val e4 = intercept[IllegalStateException] { run("ckptC") }
     assert(e4.getMessage.contains("records no lineage"),
       s"retry after refusal must not adopt: ${e4.getMessage}")
+    // a marker that OUTLIVED its stream state (index rebuilt, deltas
+    // gone) records a dead lineage over nothing clobberable — a fresh
+    // checkpoint re-binds instead of being blocked forever
+    Dedup.writeCorpusSpanIndex(docs.limit(0), col("doc_id"), col("text"),
+      idx, k = 8)
+    assert(!new java.io.File(s"$idx/_stream_lineage").exists(),
+      "rebuild must sever the old binding")
+    // write through the Hadoop FS: the local FS keeps checksum
+    // sidecars, and a bare java.nio write would poison the .crc
+    locally {
+      val hp = new org.apache.hadoop.fs.Path(s"$idx/_stream_lineage")
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val o = hfs.create(hp, true)
+      try o.write("dead-lineage".getBytes("UTF-8")) finally o.close()
+    }
+    run("ckptD") // no epoch>=1 deltas: adopt, don't block
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$idx/_stream_lineage")) != "dead-lineage",
+      "clean-state mismatch must re-bind the marker")
   }
 }
