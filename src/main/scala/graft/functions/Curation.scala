@@ -720,16 +720,50 @@ object Curation {
     val leaseP = new org.apache.hadoop.fs.Path(leasePath)
     val leaseFs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     acquireDeleteLease(leaseFs, leaseP, failIfHeld = true)
+    // a transient IOException from touchMarker must not silently kill
+    // the refresher (ADVICE r16): the lease would go stale after the
+    // TTL while the takedown is still mutating — exactly the long-run
+    // case the refresher exists for — and a reader or second writer
+    // would then take over mid-write. Failures retry on a short
+    // cadence; if the lease cannot be kept fresh well inside the TTL,
+    // the takedown is aborted LOUDLY (interrupt + post-body check)
+    // instead of continuing unprotected.
+    val leaseFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val takedownThread = Thread.currentThread()
     val leaseRefresher = new Thread(() => {
-      try {
-        while (true) {
-          Thread.sleep(DeleteLeaseRefreshMs)
+      var failures = 0
+      var live = true
+      while (live) {
+        try {
+          Thread.sleep(
+            if (failures == 0) DeleteLeaseRefreshMs else DeleteLeaseRetryMs)
           touchMarker(spark, leasePath)
+          failures = 0
+        } catch {
+          case _: InterruptedException => live = false
+          case scala.util.control.NonFatal(e) =>
+            failures += 1
+            if (failures >= DeleteLeaseMaxRefreshFailures) {
+              leaseFailure.set(e)
+              takedownThread.interrupt()
+              live = false
+            }
         }
-      } catch { case _: InterruptedException => () }
+      }
     }, "graft-delete-lease")
     leaseRefresher.setDaemon(true)
     leaseRefresher.start()
+    def leaseLost(suppressed: Option[Throwable]): Nothing = {
+      Thread.interrupted() // clear the flag the refresher set
+      val ex = new IllegalStateException(
+        "deleteFromShards: the takedown lease could not be kept fresh " +
+          s"($DeleteLeaseMaxRefreshFailures consecutive refresh " +
+          "failures) — aborting rather than mutating past the TTL " +
+          "unprotected", leaseFailure.get())
+      suppressed.foreach(ex.addSuppressed)
+      throw ex
+    }
     try {
     // crashed-predecessor debris, recovered under OUR lease
     recoverTakedown(spark, path, holdingLease = true)
@@ -797,10 +831,12 @@ object Curation {
         val aside = new org.apache.hadoop.fs.Path(
           s"$path/_delete_old/stratum=$st/bin=$bin")
         fs.mkdirs(aside.getParent)
-        fs.rename(binDir, aside)
+        require(fs.rename(binDir, aside),
+          s"deleteFromShards: could not rename $binDir aside to $aside")
         // a fully-deleted bin has no staged dir: the bin simply ends
         // (partition discovery skips the absent directory)
-        if (fs.exists(staged)) fs.rename(staged, binDir)
+        if (fs.exists(staged)) require(fs.rename(staged, binDir),
+          s"deleteFromShards: could not swap $staged into $binDir")
         fs.delete(aside, true)
         ()
       }
@@ -835,10 +871,17 @@ object Curation {
     }
     deleteMarker(spark, s"$path/_delete_staged")
     deleteMarker(spark, s"$path/_delete_old")
+    } catch {
+      case e: Throwable if leaseFailure.get() != null =>
+        leaseLost(Some(e))
     } finally {
       leaseRefresher.interrupt()
       leaseRefresher.join(2000)
     }
+    // the abort interrupt may have landed between interruptible waits
+    // and never surfaced as an exception — never report success when
+    // the lease was lost
+    if (leaseFailure.get() != null) leaseLost(None)
     deleteMarker(spark, leasePath)
     readShardManifest(spark, path)
   }
@@ -849,6 +892,12 @@ object Curation {
     * minute; only a crashed writer leaves one to go stale. */
   private[functions] val DeleteLeaseTtlMs = 10L * 60 * 1000
   private val DeleteLeaseRefreshMs = 60L * 1000
+  // failed refreshes retry on this short cadence; after
+  // [[DeleteLeaseMaxRefreshFailures]] consecutive failures (~2 minutes
+  // since the last successful touch, well inside the 10-minute TTL)
+  // the takedown aborts loudly
+  private val DeleteLeaseRetryMs = 10L * 1000
+  private[functions] val DeleteLeaseMaxRefreshFailures = 6
 
   private def leaseFresh(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path): Boolean =
@@ -866,10 +915,13 @@ object Curation {
     * fail loudly instead of corrupting; `failIfHeld = false` (a
     * reader wanting to recover crash debris) just returns false and
     * skips — the owner will leave the tree consistent. A STALE lease
-    * is a crashed owner's: deleted and re-acquired (create-exclusive
-    * arbitrates racing takeovers — exactly one wins).
+    * is a crashed owner's: atomically CLAIMED via rename
+    * ([[claimStaleLease]] — never blind-deleted) and re-acquired
+    * (create-exclusive arbitrates racing takeovers — exactly one
+    * wins).
     */
-  private def acquireDeleteLease(fs: org.apache.hadoop.fs.FileSystem,
+  private[functions] def acquireDeleteLease(
+      fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path, failIfHeld: Boolean): Boolean = {
     var tries = 0
     while (tries < 3) {
@@ -881,19 +933,66 @@ object Curation {
             "its owner is known dead.")
         return false
       }
-      fs.delete(lease, false) // stale or absent
-      try {
-        fs.mkdirs(lease.getParent)
-        val out = fs.create(lease, false) // atomic create-exclusive
-        out.close()
-        return true
-      } catch {
-        case _: java.io.IOException => tries += 1 // lost the race; re-check
-      }
+      // stale or absent; a PRESENT stale lease must be atomically
+      // claimed before the slot is free (ADVICE r16: a blind delete
+      // after a separate freshness check could destroy a racing
+      // winner's FRESH lease created in that window, leaving BOTH
+      // claimants holding the "lock")
+      val present = scala.util.Try(fs.getFileStatus(lease)).isSuccess
+      if (!present || claimStaleLease(fs, lease)) {
+        try {
+          fs.mkdirs(lease.getParent)
+          val out = fs.create(lease, false) // atomic create-exclusive
+          out.close()
+          return true
+        } catch {
+          case _: java.io.IOException => tries += 1 // lost the race; re-check
+        }
+      } else tries += 1 // claim lost (or stole-and-restored a fresh lease)
     }
     if (failIfHeld) throw new IllegalStateException(
       s"deleteFromShards: could not acquire the takedown lease at $lease")
     false
+  }
+
+  /** Atomically CLAIM (remove) a stale lease file: rename it to a
+    * unique per-claimant name — rename arbitrates, exactly one racing
+    * claimant wins — then RE-VERIFY the claimed file really was stale.
+    * If the rename in fact stole a FRESH lease (a racing winner
+    * created one between our freshness check and the rename), it is
+    * renamed straight back; the owner also re-touches every minute
+    * and [[touchMarker]] recreates, so even a failed restore
+    * self-heals well inside the TTL. The claim name is dot-prefixed
+    * (invisible to partition discovery); a claim leaked by a crash is
+    * swept by [[recoverTakedown]] once it ages past the TTL.
+    * Returns true when the stale lease was claimed (the path is now
+    * free for create-exclusive), false when there was nothing to
+    * claim or the claim lost.
+    */
+  private[functions] def claimStaleLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Boolean = {
+    val claim = new org.apache.hadoop.fs.Path(lease.getParent,
+      s".${lease.getName}-claim-${java.util.UUID.randomUUID()}")
+    val won =
+      try fs.rename(lease, claim)
+      catch { case _: java.io.IOException => false }
+    if (!won) return false
+    val stoleFresh = scala.util.Try(fs.getFileStatus(claim)).toOption
+      .exists(st => System.currentTimeMillis() -
+        st.getModificationTime < DeleteLeaseTtlMs)
+    if (stoleFresh) {
+      // put the live owner's lease back; if the owner (or another
+      // claimant) already recreated it, drop our copy — theirs stands
+      val restored =
+        try fs.rename(claim, lease)
+        catch { case _: java.io.IOException => false }
+      if (!restored) fs.delete(claim, false)
+      false
+    } else {
+      fs.delete(claim, false)
+      true
+    }
   }
 
   /** Finish (or roll back) per-bin swaps a [[deleteFromShards]] crash
@@ -921,11 +1020,20 @@ object Curation {
         val live = new org.apache.hadoop.fs.Path(s"$path/$stratum/$bin")
         val staged = new org.apache.hadoop.fs.Path(
           s"$path/_delete_staged/$stratum/$bin")
+        // rename results CHECKED (the swapStaged discipline): the
+        // live parent may be absent when a whole stratum was renamed
+        // away, and HDFS-likes return false, not an exception
         if (fs.exists(live)) fs.delete(s.getPath, true)
         else if (fs.exists(staged)) {
-          fs.rename(staged, live)
+          fs.mkdirs(live.getParent)
+          require(fs.rename(staged, live),
+            s"recoverBinSwaps: could not finish the swap $staged -> $live")
           fs.delete(s.getPath, true)
-        } else fs.rename(s.getPath, live)
+        } else {
+          fs.mkdirs(live.getParent)
+          require(fs.rename(s.getPath, live),
+            s"recoverBinSwaps: could not roll back ${s.getPath} to $live")
+        }
         ()
       }
       fs.delete(oldRoot, true)
@@ -970,15 +1078,30 @@ object Curation {
       (fs.exists(ckptRoot) && fs.listStatus(ckptRoot)
         .exists(_.getPath.getName.endsWith("-old")))
     if (!debris) {
-      fs.delete(lease, false) // a stale beacon with nothing to recover
+      // a stale beacon with nothing to recover — claimed atomically,
+      // never blind-deleted (ADVICE r16: a writer's fresh lease
+      // created between our freshness check and a bare delete must
+      // survive; claimStaleLease re-verifies staleness after the
+      // arbitrating rename and restores a stolen fresh lease)
+      if (scala.util.Try(fs.getFileStatus(lease)).isSuccess)
+        claimStaleLease(fs, lease)
       return
     }
     if (!acquireDeleteLease(fs, lease, failIfHeld = false)) return
     try {
+      // claims leaked by crashed takeovers (dot-prefixed — invisible
+      // to partition discovery) are swept once they age past the TTL;
+      // younger ones may belong to a live claimant mid-verify
+      val now = System.currentTimeMillis()
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/.${lease.getName}-claim-*")))
+        .getOrElse(Array.empty)
+        .filter(st => now - st.getModificationTime >= DeleteLeaseTtlMs)
+        .foreach(st => fs.delete(st.getPath, false))
       recoverBinSwaps(spark, path)
       recoverCkptSwaps(spark, path)
     } finally {
-      fs.delete(lease, false)
+      fs.delete(lease, false) // ours — acquired above
       ()
     }
   }
@@ -1026,7 +1149,12 @@ object Curation {
           val live = new org.apache.hadoop.fs.Path(ckptRoot,
             o.getPath.getName.stripSuffix("-old"))
           if (fs.exists(live)) fs.delete(o.getPath, true)
-          else fs.rename(o.getPath, live)
+          else require(fs.rename(o.getPath, live),
+            // the ignored-false HDFS hazard swapStaged checks for
+            // (ADVICE r16): a silent false would leave the live
+            // checkpoint missing with only the -old aside, and the
+            // "recovered" read would proceed against a missing epoch
+            s"recoverCkptSwaps: could not roll back ${o.getPath} to $live")
           ()
         }
     }

@@ -1305,8 +1305,9 @@ object Dedup {
     * ARCHIVE — the state the incremental form of
     * [[removeRepeatedSpans]] dedups daily increments against (the
     * [[writeSpanIndex]] pattern turned on the corpus itself). The
-    * width `k` rides inside the artifact (`path/meta` — a mismatched
-    * k would match nothing and silently skip the dedup). Ownership
+    * width `k` rides inside the artifact (`path/hashes/_meta_k`,
+    * committed by the same swap as the hashes — a mismatched k would
+    * match nothing and silently skip the dedup). Ownership
     * detail is deliberately NOT stored: under the in-order-ingest
     * contract (increment ids above everything archived — what a
     * monotone ingest id gives for free), an archived occurrence is
@@ -1332,9 +1333,19 @@ object Dedup {
     spanWindows(spanWords(archive, id, text), k)
       .select(col("h"), col("h2")).distinct()
       .write.mode("overwrite").parquet(s"$path/hashes_staged/epoch=0")
+    // the window width k is staged INSIDE the hashes root (a
+    // dot-prefix-free underscore file — invisible to partition
+    // discovery) so ONE swap commits hashes and meta atomically
+    // (ADVICE r16: a meta write AFTER the swap left a crash window
+    // where new hashes paired with the old k, and span probes then
+    // computed wrong-width k-grams and silently matched nothing)
+    writeSpanIndexKFile(fs, s"$path/hashes_staged", k)
     Curation.swapStaged(spark, s"$path/hashes_staged", s"$path/hashes")
-    archive.sparkSession.range(1).select(lit(k).as("k"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // the pre-r17 sibling meta (now shadowed by hashes/_meta_k) must
+    // not survive to be read back by the legacy fallback after a
+    // LATER layout change; deleted after the swap — a crash here
+    // leaves the in-root copy authoritative
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
     // the rebuild also severs any previous stream binding — a stale
     // lineage marker (CorpusStream.guardStateLineage) would refuse a
     // legitimately fresh stream over the rebuilt index. Deleted LAST:
@@ -1357,6 +1368,38 @@ object Dedup {
       path: String): Unit =
     Curation.recoverSwap(spark, s"$path/hashes", s"$path/hashes_staged")
 
+  /** Write the span-index window width as a plain `_meta_k` file
+    * inside a hashes root — underscore-prefixed, so partition
+    * discovery over the root never sees it; plain text, so reading it
+    * back is two metadata calls, not a Spark job. */
+  private def writeSpanIndexKFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, k: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_meta_k")
+    val out = fs.create(p, true)
+    try out.write(
+      k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a corpus span index's window width: the in-root `_meta_k`
+    * file when present (the r17 layout — committed atomically with
+    * the hashes by one swap), else the legacy sibling `meta` parquet
+    * (pre-r17 artifacts). */
+  private[functions] def readCorpusSpanIndexK(spark: SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/hashes/_meta_k")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      } finally in.close()
+    } else spark.read.parquet(s"$path/meta").head.getInt(0)
+  }
+
   /** Grow a [[writeCorpusSpanIndex]] artifact by one increment's
     * windows — O(increment), written as its own `hashes/epoch=<e>`
     * delta (duplicate hash-pairs across epochs are harmless to the
@@ -1374,7 +1417,7 @@ object Dedup {
       text: Column, path: String, epoch: Option[Long] = None): Unit = {
     val spark = increment.sparkSession
     recoverSpanIndexSwap(spark, path)
-    val k = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val k = readCorpusSpanIndexK(spark, path)
     val e = epoch.getOrElse {
       val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1413,7 +1456,7 @@ object Dedup {
       beforeEpoch: Option[Long] = None): DataFrame = {
     val spark = increment.sparkSession
     recoverSpanIndexSwap(spark, indexPath)
-    val k = spark.read.parquet(s"$indexPath/meta").head.getInt(0)
+    val k = readCorpusSpanIndexK(spark, indexPath)
     val idx0 = spark.read.parquet(s"$indexPath/hashes")
     // the streaming form's replay guard: a re-delivered batch must not
     // see its OWN crashed-attempt delta as "archive" (it would cut its

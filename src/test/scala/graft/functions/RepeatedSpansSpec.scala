@@ -160,4 +160,38 @@ class RepeatedSpansSpec extends SparkSpec {
     val got = incRun(Seq((10L, "start aa bb cc dd ee finish")), path)
     assert(got(10L) === "start finish")
   }
+
+  test("k commits atomically with the hashes (ADVICE r16): _meta_k " +
+      "lives inside the swapped root; legacy sibling-meta artifacts " +
+      "still read") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-spanmeta").toString + "/idx"
+    Dedup.writeCorpusSpanIndex(
+      Seq((1L, "aa bb cc dd ee tail words")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, k = 5)
+    assert(new java.io.File(s"$path/hashes/_meta_k").exists(),
+      "k must ride inside the hashes root the swap commits")
+    assert(!new java.io.File(s"$path/meta").exists(),
+      "no sibling meta outside the atomic swap")
+    assert(Dedup.readCorpusSpanIndexK(spark, path) === 5)
+    // a REBUILD at a new k swaps hashes and k together: no window
+    // where new hashes pair with the old width
+    Dedup.writeCorpusSpanIndex(
+      Seq((1L, "aa bb cc dd ee ff tail words")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, k = 6)
+    assert(Dedup.readCorpusSpanIndexK(spark, path) === 6)
+    val got = incRun(Seq((10L, "start aa bb cc dd ee ff finish")), path)
+    assert(got(10L) === "start finish")
+    // legacy pre-r17 artifact (sibling meta parquet, no _meta_k):
+    // the fallback still reads it
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft-spanlegacy").toString + "/idx"
+    Dedup.writeCorpusSpanIndex(
+      Seq((1L, "aa bb cc dd ee tail words")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), legacy, k = 5)
+    assert(new java.io.File(s"$legacy/hashes/_meta_k").delete())
+    spark.range(1).select(lit(5).as("k"))
+      .write.mode("overwrite").parquet(s"$legacy/meta")
+    assert(Dedup.readCorpusSpanIndexK(spark, legacy) === 5)
+  }
 }

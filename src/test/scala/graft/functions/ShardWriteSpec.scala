@@ -281,6 +281,52 @@ class ShardWriteSpec extends SparkSpec {
     assert(!lease.exists(), "completed takedown must clear its lease")
   }
 
+  test("claimStaleLease: atomic takeover — a FRESH lease is never " +
+      "removed (the r16 check-then-delete TOCTOU), a stale one is " +
+      "claimed exactly once") {
+    val dir = Files.createTempDirectory("graft_lease").toString
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_delete_lease")
+    val fs = lease.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // fresh lease: the claim must re-verify after the arbitrating
+    // rename and put it BACK — the racing-winner's lock survives
+    fs.create(lease, false).close()
+    assert(!Curation.claimStaleLease(fs, lease),
+      "a fresh lease must not be claimable")
+    assert(fs.exists(lease), "a stolen fresh lease must be restored")
+    assert(!Curation.acquireDeleteLease(fs, lease, failIfHeld = false),
+      "acquire must yield to a fresh lease")
+    assert(fs.exists(lease))
+    // stale lease: claimed (removed) and re-acquirable
+    val f = new java.io.File(s"$dir/_delete_lease")
+    assert(f.setLastModified(
+      System.currentTimeMillis() - Curation.DeleteLeaseTtlMs - 1000))
+    assert(Curation.claimStaleLease(fs, lease),
+      "a stale lease must be claimable")
+    assert(!fs.exists(lease), "a claimed stale lease is removed")
+    // absent: claim is a no-op loss, acquire creates exclusively
+    assert(!Curation.claimStaleLease(fs, lease))
+    assert(Curation.acquireDeleteLease(fs, lease, failIfHeld = false))
+    assert(fs.exists(lease))
+    // no claim debris left behind
+    assert(new java.io.File(dir).listFiles()
+      .forall(!_.getName.contains("-claim-")), "claim files must be swept")
+  }
+
+  test("recoverTakedown: a stale beacon with no debris is claimed " +
+      "atomically (a concurrently re-created fresh lease survives)") {
+    val path = Files.createTempDirectory("graft_del7").toString + "/t"
+    appendTree(path)
+    val lease = new java.io.File(s"$path/_delete_lease")
+    assert(lease.createNewFile())
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - Curation.DeleteLeaseTtlMs - 1000))
+    // no _delete_old/_delete_staged/_manifest_ckpt_staged debris: the
+    // read path's recovery should just clear the stale beacon
+    Curation.readShards(spark, path, "fr", 0L, 0L).collect()
+    assert(!lease.exists(), "stale no-debris beacon must be cleared")
+  }
+
   test("manifest checkpoint swap: a crash between the aside and the " +
       "swap-in recovers to the STAGED manifest on the next read") {
     val path = Files.createTempDirectory("graft_del5").toString + "/t"
