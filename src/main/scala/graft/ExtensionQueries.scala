@@ -820,11 +820,11 @@ object ExtensionQueries {
     // its entity id (singletons keep themselves). The oracle replays
     // blocking, DuckDB's identical levenshtein DP, and the d08
     // recursive-CTE closure — all three stages hash-gated.
+    // Fixture-shared (Fixtures.linkageEntities): d24 and d25 share one
+    // materialized blocking + Levenshtein + transitive-closure run;
+    // d25's VERB is the canonical-record arg-max on top.
     "d24_record_linkage" -> ((s, dir) => {
-      Dedup.linkRecords(t(s, dir, "customer"),
-          col("c_custkey"), col("c_name"),
-          struct(col("c_nationkey"), col("c_mktsegment")),
-          maxDist = 1)
+      Fixtures.linkageEntities(s, dir)
         .orderBy(col("rec_id"))
     }),
 
@@ -834,10 +834,9 @@ object ExtensionQueries {
     // oracle mirrors the (score desc, id) representative choice over
     // the same transitive closure.
     "d25_linkage_canonical" -> ((s, dir) => {
-      Dedup.linkRecordsCanonical(t(s, dir, "customer"),
-          col("c_custkey"), col("c_name"),
-          struct(col("c_nationkey"), col("c_mktsegment")),
-          maxDist = 1, keepBy = col("c_acctbal"))
+      Dedup.canonicalFromEntities(Fixtures.linkageEntities(s, dir),
+          t(s, dir, "customer"), col("c_custkey"),
+          keepBy = col("c_acctbal"))
         .orderBy(col("rec_id"))
     }),
 
@@ -1091,29 +1090,17 @@ object ExtensionQueries {
     // canonical URLs by hand and replays quality/dedup/decontam over
     // the same survivor chain — the seam-order contract p01/p02
     // proved catches what per-stage gates cannot.
+    // Fixture-shared (Fixtures.webSurvivors): p10/p11/p13 run the SAME
+    // crawl synthesis and stage-1–4 chain and differ only in the final
+    // stage — the survivor frame is materialized once per JVM and each
+    // gate's VERB is its own final-stage policy. The composed oracle
+    // still replays the whole chain end to end.
     "p10_web_corpus_recipe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") < 20)
         .select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") >= 20)
-      val pid = when(col("doc_id") % 10 < 2,
-        col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
-      val crawl = base.select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit("<div class=\"x\">"), col("text"),
-            lit("</div> <script>var a = 1 < 2;</script>")))
-          .otherwise(col("text")).as("raw"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
-            lit(".COM:80/a/"), pid.cast("string"),
-            lit("/?utm_source=x&b=2&a=1#f")))
-          .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
-            lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
-          .as("url"))
-      Curation.curateWeb(crawl, col("doc_id"), col("url"), col("raw"),
-          bench, col("doc_id"), col("text"),
-          quality = Some(TextFunctions.gopherRules(col("text"),
-            minWords = 10).getField("pass")))
+      Dedup.decontaminate(Fixtures.webSurvivors(s, dir), bench,
+          col("doc_id"), col("text"), minCommon = 10L, n = 3)
         .select(col("doc_id"), col("url"))
         .orderBy(col("doc_id"))
     }),
@@ -1125,29 +1112,15 @@ object ExtensionQueries {
     // denominator is the distribution you're selecting FROM), the
     // target on the en slice; ONE composed oracle replays the whole
     // chain end to end.
+    // Fixture-shared with p10 (see above): stage 5 (drop-decontaminate)
+    // plus the DSIR selector are this gate's VERB.
     "p13_web_recipe_targeted" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") < 20)
         .select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") >= 20)
-      val pid = when(col("doc_id") % 10 < 2,
-        col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
-      val crawl = base.select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit("<div class=\"x\">"), col("text"),
-            lit("</div> <script>var a = 1 < 2;</script>")))
-          .otherwise(col("text")).as("raw"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
-            lit(".COM:80/a/"), pid.cast("string"),
-            lit("/?utm_source=x&b=2&a=1#f")))
-          .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
-            lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
-          .as("url"))
-      val curated = Curation.curateWeb(crawl, col("doc_id"), col("url"),
-        col("raw"), bench, col("doc_id"), col("text"),
-        quality = Some(TextFunctions.gopherRules(col("text"),
-          minWords = 10).getField("pass")))
+      val curated = Dedup.decontaminate(Fixtures.webSurvivors(s, dir),
+          bench, col("doc_id"), col("text"), minCommon = 10L, n = 3)
+        .select(col("doc_id"), col("url"), col("text"))
       TextFunctions.importanceResample(curated,
           docs.filter(col("lang") === "en"), col("doc_id"), col("text"),
           col("text"), scale = 0.5)
@@ -1162,29 +1135,17 @@ object ExtensionQueries {
     // instead of dropping the document — the policy seam isolated to
     // the last stage. Output keeps every survivor with its cut text;
     // a fully-contaminated doc comes back as '' (cut, not dropped).
+    // Fixture-shared with p10: the SURGICAL final stage (span cut +
+    // url rejoin) is this gate's VERB.
     "p11_web_recipe_spans" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") < 20)
         .select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") >= 20)
-      val pid = when(col("doc_id") % 10 < 2,
-        col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
-      val crawl = base.select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit("<div class=\"x\">"), col("text"),
-            lit("</div> <script>var a = 1 < 2;</script>")))
-          .otherwise(col("text")).as("raw"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
-            lit(".COM:80/a/"), pid.cast("string"),
-            lit("/?utm_source=x&b=2&a=1#f")))
-          .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
-            lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
-          .as("url"))
-      Curation.curateWebSpans(crawl, col("doc_id"), col("url"),
-          col("raw"), bench, col("text"), k = 5,
-          quality = Some(TextFunctions.gopherRules(col("text"),
-            minWords = 10).getField("pass")))
+      val surv = Fixtures.webSurvivors(s, dir)
+      Dedup.decontaminateSpans(surv, bench, col("doc_id"), col("text"),
+          col("text"), k = 5)
+        .join(surv.select(col("doc_id"), col("url")), Seq("doc_id"))
+        .select(col("doc_id"), col("url"), col("text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2255,8 +2216,7 @@ object ExtensionQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.ivfTrain(corpus, k = 8)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val (cents, cb) = Fixtures.ivfPqModel(s, dir)
       val in = Scratch.path(dir, "s11_in")
       val idx = Scratch.path(dir, "s11_idx")
       val ckpt = Scratch.path(dir, "s11_ckpt")
@@ -2289,11 +2249,12 @@ object ExtensionQueries {
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding"))
       val in = Scratch.path(dir, "s14_in")
-      val idx = Scratch.path(dir, "s14_idx")
       val out = Scratch.path(dir, "s14_out")
       val ckpt = Scratch.path(dir, "s14_ckpt")
-      Seq(in, idx, out, ckpt).foreach(Scratch.reset)
-      Similarity.retrainIvfPqIndex(s, idx, corpus)
+      Seq(in, out, ckpt).foreach(Scratch.reset)
+      // Fixture-shared: searchIngest only READS the tree, so the
+      // canonical retrained fixture is used in place (no copy)
+      val idx = Fixtures.ivfPqTreeRetrained(s, dir)
       (0 until 2).foreach(r => queries.filter(col("vec_id") % 2 === r)
         .coalesce(1).write.mode("append").parquet(in))
       val stream = s.readStream.schema(queries.schema)
@@ -3008,17 +2969,17 @@ object ExtensionQueries {
     // UNCHANGED full-corpus model. Deletion is a row operation, never
     // a retrain: the oracle is e11's replay with the deleted ids
     // excluded from the candidate set only.
+    // Fixture-shared: the full e11 tree is the canonical
+    // copy-on-mutate fixture; the VERB is the (idempotent) takedown +
+    // survivor search.
     "e19_knn_ivfpq_delete" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.ivfTrain(corpus, k = 8)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
-      val path = Scratch.path(dir, "e19")
-      Scratch.reset(path)
-      Similarity.writeIvfPqIndex(
-        Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64), path)
+      val (cents, cb) = Fixtures.ivfPqModel(s, dir)
+      val path = Fixtures.copyTree(s,
+        Fixtures.ivfPqTreeFull(s, dir), dir, "e19")
       val takedown = corpus.filter(col("vec_id") % 7 === 0)
         .select(col("vec_id"))
       Similarity.deleteFromIvfPqIndex(s, path, takedown)
@@ -3246,7 +3207,7 @@ object ExtensionQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val cb = Fixtures.ivfPqModel(s, dir)._2
       val codes = Similarity.pqEncode(corpus, cb, m = 4, dims = 64)
       Similarity.knnPqAdc(codes, cb, queries, corpus, k = 5, rerank = 50)
         .orderBy(col("query_id"), col("rank"))
@@ -3263,8 +3224,7 @@ object ExtensionQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.ivfTrain(corpus, k = 8)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val (cents, cb) = Fixtures.ivfPqModel(s, dir)
       val index = Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64)
       Similarity.knnIvfPq(index, cents, cb, queries, corpus, k = 5,
           nprobe = 8, rerank = 50)
@@ -3283,8 +3243,7 @@ object ExtensionQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.ivfTrain(corpus, k = 8)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
+      val (cents, cb) = Fixtures.ivfPqModel(s, dir)
       val index = Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64)
       Similarity.knnIvfPq(index, cents, cb, queries, corpus, k = 5,
           nprobe = 2, rerank = 50)
@@ -3298,15 +3257,14 @@ object ExtensionQueries {
     // oracle as e11 — the artifact round-trip must change nothing.
     // This is the build-once/search-many shape of a real 100 TB ANN
     // index: a probe touches nprobe of k_coarse directories on disk.
+    // Fixture-shared: the persisted full tree is read-only here — the
+    // VERB is exactly the build-once/search-many probe path.
     "e12_knn_ivfpq_disk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.ivfTrain(corpus, k = 8)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
-      val path = Scratch.path(dir, "e12")
-      Similarity.writeIvfPqIndex(
-        Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64), path)
+      val (cents, cb) = Fixtures.ivfPqModel(s, dir)
+      val path = Fixtures.ivfPqTreeFull(s, dir)
       Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries, corpus,
           k = 5, nprobe = 2, rerank = 50)
         .orderBy(col("query_id"), col("rank"))
@@ -3320,17 +3278,17 @@ object ExtensionQueries {
     // one-shot build, so incremental == rebuild is hash-gated. Append
     // is not idempotent → the tree resets up front (the bench samples
     // a gate several times per JVM).
+    // Fixture-shared (Fixtures.scala): the half tree is the canonical
+    // copy-on-mutate fixture; the VERB here is encode-the-increment +
+    // append + search. Append is not idempotent → each sample copies
+    // the fixture fresh.
     "e13_knn_ivfpq_append" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.ivfTrain(corpus, k = 8)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
-      val path = Scratch.path(dir, "e13")
-      Scratch.reset(path)
-      Similarity.writeIvfPqIndex(
-        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 0),
-          cents, cb, m = 4, dims = 64), path)
+      val (cents, cb) = Fixtures.ivfPqModel(s, dir)
+      val path = Fixtures.copyTree(s,
+        Fixtures.ivfPqTreeHalfEven(s, dir), dir, "e13")
       Similarity.appendIvfPqIndex(
         Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 1),
           cents, cb, m = 4, dims = 64), path)
@@ -3345,20 +3303,15 @@ object ExtensionQueries {
     // frozen-model contract says compaction must change nothing, so
     // this shares e11's oracle with e12/e13/s11; PqSpec pins the
     // files-per-cell drop and row-set identity.
+    // Fixture-shared: the five-epoch fragmented tree is the canonical
+    // copy-on-mutate fixture; the VERB is compact + search.
     "e14_knn_ivfpq_compact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.ivfTrain(corpus, k = 8)
-      val cb = Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64)
-      val path = Scratch.path(dir, "e14")
-      Scratch.reset(path)
-      Similarity.writeIvfPqIndex(
-        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 5 === 0),
-          cents, cb, m = 4, dims = 64), path)
-      (1 until 5).foreach(r => Similarity.appendIvfPqIndex(
-        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 5 === r),
-          cents, cb, m = 4, dims = 64), path))
+      val (cents, cb) = Fixtures.ivfPqModel(s, dir)
+      val path = Fixtures.copyTree(s,
+        Fixtures.ivfPqTree5Epoch(s, dir), dir, "e14")
       Similarity.compactIvfPqIndex(s, path)
       Similarity.knnIvfPqOnDisk(s, path, cents, cb, queries, corpus,
           k = 5, nprobe = 2, rerank = 50)
@@ -3375,20 +3328,17 @@ object ExtensionQueries {
     // BACK from the tree, the self-contained contract) shares e11's
     // oracle. Completes the index lifecycle: build / append / compact /
     // retrain, each hash-gated.
+    // Fixture-shared: the stale-model tree is the canonical
+    // copy-on-mutate fixture; the VERB — retrain on the full corpus,
+    // re-encode, swap, search through the model read BACK from the
+    // tree — stays O(corpus) by definition and is exactly what the
+    // gate times.
     "e15_knn_ivfpq_retrain" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
-      val stale = corpus.filter(col("vec_id") % 2 === 0)
-      val cents0 = Similarity.ivfTrain(stale, k = 8)
-      val cb0 = Similarity.pqTrain(stale, m = 4, k = 8, dims = 64)
-      val path = Scratch.path(dir, "e15")
-      Scratch.reset(path)
-      Similarity.writeIvfPqIndex(
-        Similarity.ivfPqIndex(stale, cents0, cb0, m = 4, dims = 64), path)
-      Similarity.appendIvfPqIndex(
-        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 1),
-          cents0, cb0, m = 4, dims = 64), path)
+      val path = Fixtures.copyTree(s,
+        Fixtures.ivfPqTreeStale(s, dir), dir, "e15")
       Similarity.retrainIvfPqIndex(s, path, corpus,
         kCoarse = 8, m = 4, k = 8, dims = 64)
       val (cents, cb) = Similarity.readIvfPqModel(s, path)

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Curation, Dedup, Similarity, TextFunctions}
+
+/** Per-JVM SHARED gate fixtures (VERDICT r16 #1: the 215-query suite's
+  * idle floor no longer fits the driver's bench window when every gate
+  * rebuilds its own expensive fixture). Each fixture is deterministic
+  * and built ONCE per JVM per scale-factor dir, then reused by every
+  * gate that starts from it; gates whose VERB mutates an on-disk
+  * fixture tree operate on a fresh [[copyTree]] so samples stay
+  * independent. Correctness is untouched — every consuming gate is
+  * still hash-gated against its composed DuckDB oracle, and the
+  * fixture build itself runs the exact library calls the gates ran
+  * inline before. What moves is the ACCOUNTING: a fixture's cost is
+  * paid once per run (inside whichever gate samples first), not once
+  * per gate per sample.
+  *
+  * On-disk fixtures live under [[Scratch]] paths: pid-suffixed (two
+  * JVMs never collide) and deleted at JVM exit.
+  */
+object Fixtures {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Build-once per key; the builder must be deterministic. Gates run
+    * sequentially in both Verify and Bench, so a blocking
+    * computeIfAbsent is enough. */
+  private def of[T <: AnyRef](key: String)(build: => T): T =
+    memo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** DataFrame fixtures are session-bound (local relations resolve
+    * against the session that made them); path fixtures are keyed by
+    * dir alone (the bytes are session-independent). */
+  private def skey(s: SparkSession, dir: String, name: String): String =
+    s"${System.identityHashCode(s)}#$dir#$name"
+
+  /** Copy a canonical fixture tree to a fresh per-gate scratch path —
+    * the copy-on-mutate rule for gates whose verb (append / compact /
+    * retrain / delete) changes the tree. Resets the destination first:
+    * the bench samples a gate several times per JVM. */
+  def copyTree(s: SparkSession, src: String, dir: String,
+      destTag: String): String = {
+    val dest = Scratch.path(dir, destTag)
+    Scratch.reset(dest)
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val fs = srcP.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, srcP, fs, new org.apache.hadoop.fs.Path(dest), false, conf)
+    dest
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ family: the e11-shaped corpus split (queries = vec_id < 10)
+  // with the k=8 coarse / m=4×k=8 PQ model over dims=64.
+  // ------------------------------------------------------------------
+
+  private def embSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.df(s, dir, "embeddings")
+    (emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10))
+  }
+
+  /** The full-corpus (centroids, codebooks) model — identical
+    * training in e10–e14, e16, e19, s11 before sharing (8 × ~16
+    * driver-scheduled Lloyd jobs). */
+  def ivfPqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    of(skey(s, dir, "ivfpq_model")) {
+      val (corpus, _) = embSplit(s, dir)
+      (Similarity.ivfTrain(corpus, k = 8),
+        Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64))
+    }
+
+  /** Canonical e11 tree (full corpus, one-shot build) — READ-ONLY:
+    * e12 searches it in place; e19 copies it before deleting. */
+  def ivfPqTreeFull(s: SparkSession, dir: String): String =
+    of(s"$dir#tree_full") {
+      val (corpus, _) = embSplit(s, dir)
+      val (cents, cb) = ivfPqModel(s, dir)
+      val p = Scratch.path(dir, "fx_ivfpq_full")
+      Scratch.reset(p)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus, cents, cb, m = 4, dims = 64), p)
+      p
+    }
+
+  /** Canonical HALF tree (even vec_ids under the full-corpus model) —
+    * e13's append starting point. */
+  def ivfPqTreeHalfEven(s: SparkSession, dir: String): String =
+    of(s"$dir#tree_half_even") {
+      val (corpus, _) = embSplit(s, dir)
+      val (cents, cb) = ivfPqModel(s, dir)
+      val p = Scratch.path(dir, "fx_ivfpq_half")
+      Scratch.reset(p)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 0),
+          cents, cb, m = 4, dims = 64), p)
+      p
+    }
+
+  /** Canonical FIVE-epoch fragmented tree (one file per cell per
+    * epoch — the continuous-ingest debris) — e14's compaction
+    * starting point. */
+  def ivfPqTree5Epoch(s: SparkSession, dir: String): String =
+    of(s"$dir#tree_5epoch") {
+      val (corpus, _) = embSplit(s, dir)
+      val (cents, cb) = ivfPqModel(s, dir)
+      val p = Scratch.path(dir, "fx_ivfpq_5ep")
+      Scratch.reset(p)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 5 === 0),
+          cents, cb, m = 4, dims = 64), p)
+      (1 until 5).foreach(r => Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 5 === r),
+          cents, cb, m = 4, dims = 64), p))
+      p
+    }
+
+  /** Canonical STALE-model tree (model trained on the even half only,
+    * full corpus encoded under it) — e15's retrain starting point. */
+  def ivfPqTreeStale(s: SparkSession, dir: String): String =
+    of(s"$dir#tree_stale") {
+      val (corpus, _) = embSplit(s, dir)
+      val stale = corpus.filter(col("vec_id") % 2 === 0)
+      val cents0 = Similarity.ivfTrain(stale, k = 8)
+      val cb0 = Similarity.pqTrain(stale, m = 4, k = 8, dims = 64)
+      val p = Scratch.path(dir, "fx_ivfpq_stale")
+      Scratch.reset(p)
+      Similarity.writeIvfPqIndex(
+        Similarity.ivfPqIndex(stale, cents0, cb0, m = 4, dims = 64), p)
+      Similarity.appendIvfPqIndex(
+        Similarity.ivfPqIndex(corpus.filter(col("vec_id") % 2 === 1),
+          cents0, cb0, m = 4, dims = 64), p)
+      p
+    }
+
+  /** Canonical SELF-CONTAINED (retrained) tree — READ-ONLY: s14's
+    * stream search reads it in place. */
+  def ivfPqTreeRetrained(s: SparkSession, dir: String): String =
+    of(s"$dir#tree_retrained") {
+      val (corpus, _) = embSplit(s, dir)
+      val p = Scratch.path(dir, "fx_ivfpq_retrained")
+      Scratch.reset(p)
+      Similarity.retrainIvfPqIndex(s, p, corpus)
+      p
+    }
+
+  // ------------------------------------------------------------------
+  // Web-recipe family: p10/p11/p13 share the synthesized crawl and the
+  // whole stage-1–4 survivor frame; only the FINAL stage differs
+  // (drop-decontaminate vs span-cut vs DSIR select).
+  // ------------------------------------------------------------------
+
+  /** The synthesized crawl over `documents` (doc_id >= 20): markup
+    * wrapped on every 4th doc, mixed-case/tracking-params URL variants,
+    * near-dup url groups via the pid fold. Lazy projection — cheap —
+    * shared so the three recipes stay literally the same corpus. */
+  def crawlFrame(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("doc_id") >= 20)
+    val pid = when(col("doc_id") % 10 < 2,
+      col("doc_id") - (col("doc_id") % 10)).otherwise(col("doc_id"))
+    base.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<div class=\"x\">"), col("text"),
+          lit("</div> <script>var a = 1 < 2;</script>")))
+        .otherwise(col("text")).as("raw"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("HTTP://WWW.web"), (pid % 40).cast("string"),
+          lit(".COM:80/a/"), pid.cast("string"),
+          lit("/?utm_source=x&b=2&a=1#f")))
+        .otherwise(concat(lit("http://web"), (pid % 40).cast("string"),
+          lit(".com/a/"), pid.cast("string"), lit("?a=1&b=2")))
+        .as("url"))
+  }
+
+  /** Stage-1–4 survivors of the shared crawl (markup strip →
+    * canonical-URL keep-first → gopher gate at minWords=10 →
+    * near-dedup), materialized ONCE to parquet; p10/p11/p13 each
+    * apply only their final stage on top. */
+  def webSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val p = of(s"$dir#web_survivors") {
+      val docs = Tables.df(s, dir, "documents")
+      val path = Scratch.path(dir, "fx_web_surv")
+      Scratch.reset(path)
+      Curation.webSurvivors(crawlFrame(docs), col("doc_id"), col("url"),
+          col("raw"),
+          quality = Some(TextFunctions.gopherRules(col("text"),
+            minWords = 10).getField("pass")))
+        .write.parquet(path)
+      path
+    }
+    s.read.parquet(p)
+  }
+
+  // ------------------------------------------------------------------
+  // Record-linkage family: d25 is d24's full blocking + Levenshtein +
+  // transitive closure plus ONE extra arg-max — share the closure.
+  // ------------------------------------------------------------------
+
+  /** Build every shared fixture up front — called from the bench
+    * warmup (alongside the JVM/codegen warmup) so gate samples measure
+    * their VERB, not the one-time fixture build; the build time still
+    * lands inside the bench's budget window as warmup, and Verify
+    * builds lazily on first touch. */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    ivfPqModel(s, dir)
+    ivfPqTreeFull(s, dir)
+    ivfPqTreeHalfEven(s, dir)
+    ivfPqTree5Epoch(s, dir)
+    ivfPqTreeStale(s, dir)
+    ivfPqTreeRetrained(s, dir)
+    webSurvivors(s, dir)
+    linkageEntities(s, dir)
+    ()
+  }
+
+  /** The (rec_id, entity_id) assignment over `customer` (d24's exact
+    * call), materialized ONCE to parquet. */
+  def linkageEntities(s: SparkSession, dir: String): DataFrame = {
+    val p = of(s"$dir#linkage_entities") {
+      val path = Scratch.path(dir, "fx_linkage")
+      Scratch.reset(path)
+      Dedup.linkRecords(Tables.df(s, dir, "customer"),
+          col("c_custkey"), col("c_name"),
+          struct(col("c_nationkey"), col("c_mktsegment")),
+          maxDist = 1)
+        .write.parquet(path)
+      path
+    }
+    s.read.parquet(p)
+  }
+}

@@ -164,12 +164,16 @@ object Curation {
 
   /** [[curateWeb]]'s stages 1–4 (markup strip → canonical-URL
     * keep-first → quality gate → near-dedup), shared by both
-    * decontamination policies. Returns (doc_id, url, text) survivors.
+    * decontamination policies — public so a caller (or the shared
+    * gate-fixture layer) can materialize the survivor frame once and
+    * fan several final-stage policies out from it. Returns
+    * (doc_id, url, text) survivors.
     */
-  private def webSurvivors(docs: DataFrame, id: Column, url: Column,
-      text: Column, jaccardThreshold: Double,
-      pairStrategy: Dedup.PairStrategy, keepBy: Option[Column],
-      quality: Option[Column], ngram: Int): DataFrame = {
+  def webSurvivors(docs: DataFrame, id: Column, url: Column,
+      text: Column, jaccardThreshold: Double = 0.8,
+      pairStrategy: Dedup.PairStrategy = Dedup.Auto(),
+      keepBy: Option[Column] = None,
+      quality: Option[Column] = None, ngram: Int = 3): DataFrame = {
     val cleaned = docs.select(id.as("doc_id"),
       TextFunctions.canonicalizeUrl(url).as("url"),
       TextFunctions.stripMarkup(text).as("text"))

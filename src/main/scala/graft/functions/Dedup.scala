@@ -1926,15 +1926,28 @@ object Dedup {
     */
   def linkRecordsCanonical(df: DataFrame, id: Column, name: Column,
       blockKey: Column, maxDist: Int, keepBy: Column,
-      maxBlockSize: Int = 10000): DataFrame = {
-    val assigned = linkRecords(df, id, name, blockKey, maxDist, maxBlockSize)
+      maxBlockSize: Int = 10000): DataFrame =
+    canonicalFromEntities(
+      linkRecords(df, id, name, blockKey, maxDist, maxBlockSize),
+      df, id, keepBy)
+
+  /** The canonical-record selection of [[linkRecordsCanonical]] over
+    * an ALREADY-COMPUTED (rec_id, entity_id) assignment — lets a
+    * caller (or the shared gate-fixture layer) materialize one
+    * [[linkRecords]] closure and fan several keep policies out from
+    * it without re-deriving the blocking + Levenshtein + closure
+    * chain. Same plan shape: one partial-aggregatable arg-max per
+    * entity, no window. */
+  def canonicalFromEntities(assigned: DataFrame, df: DataFrame,
+      id: Column, keepBy: Column): DataFrame = {
+    val scored = assigned
       .join(df.select(id.as("rec_id"), keepBy.as("__score")), Seq("rec_id"))
-    val canon = assigned
+    val canon = scored
       .groupBy(col("entity_id"))
       .agg(max(struct(col("__score").as("s"), (-col("rec_id")).as("nid")))
         .as("__best"))
       .select(col("entity_id"), (-col("__best.nid")).as("canonical_id"))
-    assigned.join(canon, Seq("entity_id"))
+    scored.join(canon, Seq("entity_id"))
       .select(col("rec_id"), col("entity_id"), col("canonical_id"))
   }
 }
