@@ -1655,6 +1655,26 @@ object ExtensionQueries {
         .orderBy(col("merge_rank"))
     }),
 
+    // BATCHED BPE training (t46): t36's corpus and knobs through the
+    // batched trainer at batch=4 — per driver round the top-32
+    // candidate window is collected once, up to 4 pairwise
+    // symbol-disjoint pairs are greedily selected in Sennrich order,
+    // and ONE touched-words pass applies the whole batch. The oracle
+    // replays the batched rule itself (windowed ranking, greedy
+    // disjoint selection, per-selection folds, truncation to 8);
+    // BpeSpec pins bit-equality with bpeTrain at batch=1.
+    "t46_bpe_train_batched" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("text"))
+        .unionByName(BpePlanted.toDF("text"))
+      TextFunctions.bpeTrainBatched(src, col("text"), numMerges = 8,
+          batch = 4)
+        .select(col("rank").as("merge_rank"), col("left").as("lhs"),
+          col("right").as("rhs"), col("merged"))
+        .orderBy(col("merge_rank"))
+    }),
+
     // BPE ENCODE (t37): apply a fixed well-formed merge list — chained
     // ranks (t,h)->(th,e), (i,n)->(in,g), a same-char pair (a,a), and
     // an overlap-bait (a,n) behind it — to planted fixtures pinning
@@ -3482,6 +3502,72 @@ object ExtensionQueries {
          .mkString("\n  UNION ALL\n")}
        |) ORDER BY merge_rank""".stripMargin
 
+  // mirrors t46: the BATCHED training replay — per round, pair counts
+  // over the current tokenization, the top-(8*batch) candidate window
+  // by (cnt desc, l, r), then `batch` sequential greedy selections
+  // (each the window argmax among pairs symbol-disjoint from the
+  // round's earlier selections) and one fold per selection (a LEFT
+  // JOIN: an empty selection degrades the fold to identity). Rounds
+  // unroll to numMerges (the worst case of one selection per round);
+  // the emitted list is row_numbered over (round, slot) and truncated
+  // to numMerges, exactly the Scala rule.
+  private def bpeTrainBatchedCtes(srcSql: String, numMerges: Int,
+      batch: Int): String = {
+    val window = 8 * batch
+    val head =
+      s"""src AS ($srcSql),
+         |wf AS (SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM src)
+         |  WHERE w <> '' GROUP BY w),
+         |b0 AS MATERIALIZED (SELECT f,
+         |  array_to_string(regexp_extract_all(w, '.'), ' ') AS ts FROM wf)""".stripMargin
+    val rounds = (1 to numMerges).map { k =>
+      val counts =
+        s"""bp$k AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS l,
+           |    string_split(pair, ' ')[2] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (SELECT f, unnest(list_transform(range(1, len(s)),
+           |      i -> s[i] || ' ' || s[i+1])) AS pair
+           |    FROM (SELECT f, string_split(ts, ' ') AS s FROM b${k - 1}))
+           |  GROUP BY 1, 2),
+           |bw$k AS MATERIALIZED (SELECT l, r, cnt FROM bp$k
+           |  ORDER BY cnt DESC, l, r LIMIT $window)""".stripMargin
+      val sels = (1 to batch).map { j =>
+        val prevSyms = (1 until j).map(i =>
+          s"SELECT l AS sym FROM bs${k}_$i UNION ALL SELECT r FROM bs${k}_$i")
+        val disjoint =
+          if (prevSyms.isEmpty) ""
+          else {
+            val u = prevSyms.mkString(" UNION ALL ")
+            s"\n  WHERE l NOT IN ($u) AND r NOT IN ($u)"
+          }
+        s"""bs${k}_$j AS MATERIALIZED (SELECT l, r, cnt FROM bw$k$disjoint
+           |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      }
+      val folds = (1 to batch).map { j =>
+        val prev = if (j == 1) s"b${k - 1}" else s"be${k}_${j - 1}"
+        s"""be${k}_$j AS (SELECT f,
+           |  ${bpeFold("ts", s"bs${k}_$j.l", s"bs${k}_$j.r")} AS ts
+           |  FROM $prev LEFT JOIN bs${k}_$j ON TRUE)""".stripMargin
+      }
+      val carry = s"b$k AS MATERIALIZED (SELECT f, ts FROM be${k}_$batch)"
+      (Seq(counts) ++ sels ++ folds :+ carry).mkString(",\n")
+    }
+    val emitted = (1 to numMerges).flatMap(k => (1 to batch).map(j =>
+      s"SELECT $k AS rnd, $j AS slot, l, r FROM bs${k}_$j"))
+      .mkString("\n    UNION ALL ")
+    val tail =
+      s"""ball AS (\n    $emitted),
+         |bm AS (SELECT CAST(row_number() OVER (ORDER BY rnd, slot)
+         |    AS INT) AS merge_rank, l, r
+         |  FROM ball)""".stripMargin
+    (Seq(head) ++ rounds :+ tail).mkString(",\n")
+  }
+
+  private lazy val BpeTrainBatchedOracle =
+    s"""WITH ${bpeTrainBatchedCtes(BpeTrainSrcSql, 8, 4)}
+       |SELECT merge_rank, l AS lhs, r AS rhs, l || r AS merged
+       |FROM bm WHERE merge_rank <= 8 ORDER BY merge_rank""".stripMargin
+
   // mirrors t37: the fixed merge list folded per word in rank order
   private lazy val BpeEncodeOracle = {
     val src =
@@ -3808,6 +3894,9 @@ object ExtensionQueries {
     // t41 is t36 through the incremental pair-count trainer — bit
     // equality at every rank is the whole contract, so one oracle
     ("t41_bpe_train_incremental" -> BpeTrainOracle) +
+    // t46 replays the BATCHED rule itself (windowed candidate ranking,
+    // greedy disjoint selection, per-selection folds, truncation)
+    ("t46_bpe_train_batched" -> BpeTrainBatchedOracle) +
     ("t42_corpus_shuffle" -> CorpusShuffleOracle) +
     ("t43_concat_chunks" -> ConcatChunksOracle) +
     ("t45_curriculum_pack" -> CurriculumPackOracle) +

