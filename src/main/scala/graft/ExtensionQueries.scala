@@ -944,6 +944,86 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk-tree compaction (p17): s21's two-batch ingest leaves one
+    // span dir per micro-batch (the continuous-ingest file debris —
+    // the p07 story on the chunk table); compactChunkBatches folds
+    // them into the single highest batch dir with _carry and the
+    // lineage binding preserved and _compacted markers guarding
+    // replays. Pure file consolidation: the grid through the compacted
+    // tree must equal the one-shot pack — shares t43's oracle.
+    // CorpusStreamSpec pins the dir collapse, the crash recovery, and
+    // the folded-batch replay skip.
+    "p17_chunk_compact" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val in = Scratch.path(dir, "p17_in")
+      val out = Scratch.path(dir, "p17_out")
+      val ckpt = Scratch.path(dir, "p17_ckpt")
+      Seq(in, out, ckpt).foreach(Scratch.reset)
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      Seq(base.filter(col("doc_id") <= maxId / 2),
+          base.filter(col("doc_id") > maxId / 2))
+        .foreach(d => d.orderBy(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(in))
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.chunkIngest(stream,
+        stratumName = "lang", orderName = "doc_id",
+        tokensName = "n_chars", seqLen = 512L, outPath = out,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      Curation.compactChunkBatches(s, out).drop("batch")
+        .select(col("stratum"), col("chunk_id"), col("doc_id"),
+          col("doc_offset"), col("chunk_offset"), col("n_span_tokens"))
+        .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
+    }),
+
+    // Curriculum-ordered SHARD TREE (p16): t45 stopped at bin
+    // assignment; the trainable artifact is the tree itself —
+    // curriculumKey (tier rank → in-tier deterministic shuffle →
+    // order) plugged into writeShards' packBy hook, so the easy-to-
+    // hard schedule is what lands on disk. The emitted manifest is
+    // hash-gated by one composed oracle chaining t45's order CTEs
+    // into p04's manifest aggregation; the tree/manifest round-trip
+    // itself is the spec-pinned writeShards contract.
+    "p16_curriculum_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tiers = TextFunctions.qualityTiers(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("tier"))
+      val ranked = d.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(tiers, Seq("doc_id"))
+        .withColumn("trank", when(col("tier") === "head", lit(0))
+          .when(col("tier") === "middle", lit(1)).otherwise(lit(2)))
+      val path = Scratch.path(dir, "p16_shards")
+      Scratch.reset(path)
+      Curation.writeShards(ranked, "lang", "doc_id", "n_chars",
+          budget = 20000L, path = path,
+          packBy = Some(Curation.curriculumKey(col("trank"),
+            col("doc_id"), seed = 7L)))
+        .orderBy(col("stratum"), col("bin"))
+    }),
+
+    // Chunk-grid targeted read (p15): the training-loader side of the
+    // concat-and-chunk layout — t43's span table persisted as a
+    // (stratum, bin = chunk_id div chunksPerBin) tree, then one
+    // stratum's chunk RANGE served back (readChunks: the stratum and
+    // bin predicates prune at the listing, the chunk_id bounds prune
+    // row groups). chunksPerBin = 8 keeps several bins per stratum at
+    // verify scale so the pruning is real. Oracle: t43's grid replay
+    // restricted to the served (stratum, range).
+    "p15_chunk_read" -> ((s, dir) => {
+      val path = Scratch.path(dir, "p15_chunks")
+      Scratch.reset(path)
+      Curation.writeChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "doc_id", "n_chars", seqLen = 512L, path,
+        chunksPerBin = 8L)
+      Curation.readChunks(s, path, "en", chunkFrom = 3L, chunkTo = 19L)
+        .orderBy(col("chunk_id"), col("doc_id"))
+    }),
+
     // p06's targeted read THROUGH a grown-then-epoch-compacted tree
     // (p07): the same stratum + bin range, but the tree was built by
     // two in-order appendShards epochs (per-epoch file debris inside
@@ -3608,9 +3688,12 @@ object ExtensionQueries {
   }
 
   // mirrors t43: the same per-stratum cumsum, the same integer
-  // chunk-grid intersection — every span's offsets and length replayed
-  private lazy val ConcatChunksOracle =
-    """WITH c AS (SELECT doc_id, lang, n_chars,
+  // chunk-grid intersection — every span's offsets and length
+  // replayed. `where` restricts the grid for the targeted-read gate
+  // (p15: the served stratum + chunk range).
+  private def concatChunksOracleSql(where: String,
+      orderBy: String): String =
+    s"""WITH c AS (SELECT doc_id, lang, n_chars,
          sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          FROM documents),
@@ -3626,7 +3709,15 @@ object ExtensionQueries {
          CAST(greatest(0, st - chunk_id * 512) AS BIGINT) AS chunk_offset,
          CAST(least((chunk_id + 1) * 512, cum)
            - greatest(chunk_id * 512, st) AS BIGINT) AS n_span_tokens
-       FROM e ORDER BY stratum, chunk_id, doc_id"""
+       FROM e $where ORDER BY $orderBy"""
+
+  private lazy val ConcatChunksOracle =
+    concatChunksOracleSql("", "stratum, chunk_id, doc_id")
+
+  // mirrors p15: the t43 grid restricted to the served range
+  private lazy val ChunkReadOracle = concatChunksOracleSql(
+    "WHERE lang = 'en' AND chunk_id BETWEEN 3 AND 19",
+    "chunk_id, doc_id")
 
   // mirrors t45: t20's rank/percentile tiering, the t42 md5 shuffle
   // key, and the cumsum pack over the (tier, key, id) curriculum order
@@ -3661,6 +3752,39 @@ object ExtensionQueries {
            FROM t))
        SELECT doc_id, lang AS stratum, tier, bin FROM p
        ORDER BY doc_id"""
+
+  // mirrors p16: t45's curriculum-order CTE chain feeding p04's
+  // manifest aggregation — the composed write-the-tree contract
+  private lazy val CurriculumShardsOracle =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       ranked AS (SELECT w, CAST(dense_rank() OVER
+           (ORDER BY count(*) DESC, w) AS BIGINT) AS rank
+         FROM w GROUP BY w),
+       scored AS (
+         SELECT doc_id, CAST(sum(rank) AS DOUBLE) / count(*) AS mean_rank
+         FROM w JOIN ranked USING (w)
+         GROUP BY doc_id),
+       bnd AS (SELECT quantile_cont(mean_rank, 1.0/3) AS c1,
+               quantile_cont(mean_rank, 2.0/3) AS c2 FROM scored),
+       t AS (SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN s.mean_rank <= bnd.c1 THEN 0
+                WHEN s.mean_rank <= bnd.c2 THEN 1 ELSE 2 END AS trank,
+           CAST(('0x' || substr(md5('shuffle:7:' ||
+             CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS skey
+         FROM documents d JOIN scored s ON s.doc_id = d.doc_id, bnd),
+       p AS (SELECT doc_id, lang, n_chars,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 20000) AS BIGINT)
+             AS bin
+         FROM (SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang
+               ORDER BY trank, skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t))
+       SELECT lang AS stratum, bin, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // mirrors t42: the identical md5-based 56-bit shuffle key, the
   // (key, id) total order, and the per-stratum cumsum pack OVER that
@@ -3900,12 +4024,21 @@ object ExtensionQueries {
     ("t42_corpus_shuffle" -> CorpusShuffleOracle) +
     ("t43_concat_chunks" -> ConcatChunksOracle) +
     ("t45_curriculum_pack" -> CurriculumPackOracle) +
+    // p16 chains t45's curriculum order into p04's manifest rule —
+    // the tree-writing composition, manifest hash-gated
+    ("p16_curriculum_shards" -> CurriculumShardsOracle) +
     // t44 is t43 grown in two increments through the token carry —
     // in-order growth must reproduce the one-shot grid bit for bit
     ("t44_concat_chunks_incremental" -> ConcatChunksOracle) +
     // s21 is t44 with the increments delivered as a stream and the
     // carry persisted per epoch — same one-shot-grid equality
     ("s21_stream_chunks" -> ConcatChunksOracle) +
+    // p17 is the s21 ingest folded through compactChunkBatches — pure
+    // file consolidation, same grid, same oracle
+    ("p17_chunk_compact" -> ConcatChunksOracle) +
+    // p15 is the t43 grid served back by (stratum, chunk range) from
+    // the persisted (stratum, bin) tree — the restricted replay
+    ("p15_chunk_read" -> ChunkReadOracle) +
     ("p14_tokenize_pack_shard" -> TokenizePackShardOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +

@@ -248,10 +248,21 @@ object Curation {
   def curriculumKey(tierRank: Column, order: Column, seed: Long): Column =
     struct(tierRank, shuffleKey(order, seed), order)
 
+  /** `packBy` (p16): pack in an arbitrary caller-supplied total order
+    * — the composition hook [[curriculumKey]] plugs into, writing the
+    * shard TREE in curriculum order (tier rank → in-tier shuffle →
+    * cumsum pack) so the trainable artifact, not just the bin
+    * assignment, carries the schedule. Mutually exclusive with
+    * `shuffleSeed` (which is the `packBy = (shuffleKey, order)`
+    * special case kept for the t42 surface). */
   def writeShards(docs: DataFrame, stratumName: String, orderName: String,
       tokensName: String, budget: Long, path: String,
       maxRecordsPerFile: Long = 0L,
-      shuffleSeed: Option[Long] = None): DataFrame = {
+      shuffleSeed: Option[Long] = None,
+      packBy: Option[Column] = None): DataFrame = {
+    require(shuffleSeed.isEmpty || packBy.isEmpty,
+      "writeShards: shuffleSeed and packBy are mutually exclusive — " +
+        "packBy IS the general order (use curriculumKey/shuffleKey)")
     // shuffleSeed (t42): pack in deterministic-shuffle order instead
     // of id order — the randomized training layout every loader wants,
     // with the same reproducibility contract as the id pack (ORDER BY
@@ -261,8 +272,8 @@ object Curation {
     // id-range reads and manifest-pruned deletes degrade to
     // most-bins-touched (document the trade; compactShards without the
     // seed restores id-clustered bins).
-    val packOrder = shuffleSeed.fold(col(orderName))(seed =>
-      struct(shuffleKey(col(orderName), seed), col(orderName)))
+    val packOrder = packBy.getOrElse(shuffleSeed.fold(col(orderName))(
+      seed => struct(shuffleKey(col(orderName), seed), col(orderName))))
     val packed = TextFunctions.packSequences(docs, col(stratumName),
       packOrder, col(tokensName), budget)
       .withColumnRenamed(stratumName, "stratum")
@@ -656,6 +667,65 @@ object Curation {
     touchMarker(spark, s"$staged/_commits/$committed")
     swapStaged(spark, staged, path)
     readShardManifest(spark, path)
+  }
+
+  /** File-debris compaction for a
+    * [[graft.streaming.CorpusStream.chunkIngest]] tree — the p07
+    * contract on the chunk table: every micro-batch leaves its own
+    * `batch=<id>` span dir, so a long-lived ingest accumulates one
+    * directory (and file set) per batch and the loader's listing cost
+    * grows without bound. This folds ALL existing batch dirs into the
+    * single highest `batch=<maxId>` dir — pure file consolidation, the
+    * span GRID is untouched (same rows, asserted by the gate sharing
+    * t43's oracle through a compacted tree).
+    *
+    * Crash-safe via the [[swapStaged]] discipline (staged sibling →
+    * aside rename → swap; [[recoverSwap]] runs here and in the ingest
+    * entry point), with `_carry` epochs and the `_stream_lineage`
+    * binding carried into the staged tree verbatim so the stream
+    * resumes seamlessly. SINGLE-WRITER contract (the
+    * [[Similarity.compactIvfPqIndex]] rule): run with the ingest
+    * stopped after clean termination. The one crash-replay hazard a
+    * stopped-stream contract can't exclude — a restart replaying the
+    * final batch whose checkpoint commit didn't land — is closed by
+    * `_compacted/<id>` markers for every folded batch: the ingest step
+    * SKIPS a batch whose marker exists (its rows are already in the
+    * consolidated dir; overwriting `batch=<maxId>` with one batch's
+    * rows would destroy the folded history).
+    */
+  def compactChunkBatches(spark: SparkSession, path: String,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    recoverSwap(spark, path, s"$path-compacting")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(root).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    require(batches.nonEmpty,
+      s"compactChunkBatches: no batch= dirs under $path — not a " +
+        "chunkIngest tree (or nothing ingested yet)")
+    val maxB = batches.max
+    val staged = s"$path-compacting"
+    deleteMarker(spark, staged)
+    // same flat file layout inside the batch dir as the stream writes
+    // (a partitioned interior would make discovery depths inconsistent
+    // with later stream batches)
+    spark.read.parquet(path)
+      .drop("batch")
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(s"$staged/batch=$maxB")
+    copyTree(spark, s"$path/_carry", s"$staged/_carry")
+    copyTree(spark, s"$path/_stream_lineage", s"$staged/_stream_lineage")
+    // markers from an EARLIER compaction still guard their batches
+    // (copied FIRST — copyTree nests when the destination exists);
+    // then this fold's markers, all BEFORE the swap so a crash after
+    // it already carries the fold record
+    copyTree(spark, s"$path/_compacted", s"$staged/_compacted")
+    batches.foreach(b => touchMarker(spark, s"$staged/_compacted/$b"))
+    swapStaged(spark, staged, path)
+    spark.read.parquet(path)
   }
 
   /** TAKEDOWN for an [[appendShards]] tree — the deletion verb the
@@ -1220,7 +1290,7 @@ object Curation {
     * cheap (2–3 metadata calls), so every shard-tree entry point runs
     * it up front.
     */
-  private[functions] def recoverSwap(spark: SparkSession, dest: String,
+  private[graft] def recoverSwap(spark: SparkSession, dest: String,
       staged: String): Unit = {
     val destP = new org.apache.hadoop.fs.Path(dest)
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1281,6 +1351,88 @@ object Curation {
         rows.filter(col("epoch") <= c).drop("epoch")
       case _ => rows.drop("epoch")
     }
+  }
+
+  /** Persist a [[TextFunctions.packChunks]] span table as a
+    * range-readable tree — the concat-and-chunk layout's loader half
+    * (VERDICT r16 #5: t43/s21 write the span table, nothing read
+    * fixed-length batches back by range the way p06 reads shards).
+    * Chunk ids are dense integers (one per seqLen tokens), far too
+    * many for one Hive directory each, so the tree partitions on
+    * (stratum, bin) with `bin = chunk_id div chunksPerBin` — a bin is
+    * the loader's scheduling unit, a directory of `chunksPerBin`
+    * consecutive sequences. `chunksPerBin` rides INSIDE the artifact
+    * (`_meta_chunks_per_bin`, written into the tree the same way the
+    * span index carries k) so a reader can never bin-math with the
+    * wrong width. Returns the span table as written.
+    */
+  def writeChunks(docs: DataFrame, stratumName: String, orderName: String,
+      tokensName: String, seqLen: Long, path: String,
+      chunksPerBin: Long = 1024L,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    require(chunksPerBin >= 1L,
+      s"writeChunks: chunksPerBin must be >= 1, got $chunksPerBin")
+    val spark = docs.sparkSession
+    val spans = TextFunctions.packChunks(docs, col(stratumName),
+        col(orderName), col(tokensName), seqLen)
+      .withColumnRenamed(stratumName, "stratum")
+      // the loader projection (the chunkIngest schema): the span table
+      // carries addresses into the corpus, never the document payload
+      .select(col("stratum"), col("chunk_id"), col(orderName),
+        col("doc_offset"), col("chunk_offset"), col("n_span_tokens"))
+      .withColumn("bin", expr(s"chunk_id div $chunksPerBin"))
+    spans.repartition(col("stratum"), col("bin"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("stratum", "bin")
+      .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_meta_chunks_per_bin"), true)
+    try out.write(chunksPerBin.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    spans
+  }
+
+  /** The `chunksPerBin` a [[writeChunks]] tree was laid out with. */
+  private def chunksPerBinOf(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta_chunks_per_bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"readChunks: no _meta_chunks_per_bin under $path — not a " +
+        "writeChunks tree")
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    } finally in.close()
+  }
+
+  /** Serve one stratum's chunk-id RANGE from a [[writeChunks]] tree —
+    * the training loader's "give rank R sequences [from, to]" call.
+    * The stratum equality and the derived bin range are STATIC
+    * partition filters (only the covering `stratum=…/bin=…`
+    * directories are listed or read — the [[readShards]] discipline,
+    * spec-asserted); the exact chunk_id bounds then prune row groups
+    * via the parquet min/max pushdown within those bins. I/O is
+    * proportional to the requested range, never the corpus.
+    *
+    * @param chunkFrom/chunkTo inclusive chunk_id range
+    */
+  def readChunks(spark: SparkSession, path: String, stratum: String,
+      chunkFrom: Long, chunkTo: Long): DataFrame = {
+    require(chunkFrom <= chunkTo, "readChunks: need chunkFrom <= chunkTo")
+    val cpb = chunksPerBinOf(spark, path)
+    spark.read.parquet(path)
+      .filter(col("stratum") === stratum &&
+        col("bin") >= Math.floorDiv(chunkFrom, cpb) &&
+        col("bin") <= Math.floorDiv(chunkTo, cpb) &&
+        col("chunk_id") >= chunkFrom && col("chunk_id") <= chunkTo)
+      .drop("bin")
   }
 
   /** Last committed [[appendShards]] epoch: max name in `_commits/`. */

@@ -519,41 +519,65 @@ object CorpusStream {
     guardStateLineage(docs.sparkSession, outPath,
       hasEpochDirs(docs.sparkSession, s"$outPath/_carry", min = 1L),
       checkpointPath, "chunkIngest")
+    graft.functions.Curation.recoverSwap(docs.sparkSession, outPath,
+      s"$outPath-compacting")
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        Long) => Unit = (batch, batchId) => {
-      val spark = batch.sparkSession
-      val conf = spark.sparkContext.hadoopConfiguration
-      val carryP = new org.apache.hadoop.fs.Path(
-        s"$outPath/_carry/epoch=$batchId")
-      val fs = carryP.getFileSystem(conf)
-      val carry =
-        if (fs.exists(carryP)) Some(spark.read.parquet(carryP.toString))
-        else None
-      graft.functions.TextFunctions.packChunksFrom(batch,
-          col(stratumName), col(orderName), col(tokensName), seqLen,
-          // the persisted carry is (stratum, cum_tokens); the packer
-          // resolves its stratum expression against the carry frame,
-          // so surface the column under the caller's stratum name
-          carry.map(_.select(col("stratum").as(stratumName),
-            col("cum_tokens"))))
-        .select(col(stratumName).as("stratum"), col("chunk_id"),
-          col(orderName), col("doc_offset"), col("chunk_offset"),
-          col("n_span_tokens"))
-        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-      val sums = batch.groupBy(col(stratumName).as("stratum"))
-        .agg(sum(col(tokensName).cast(LongType)).as("cum_tokens"))
-      carry.fold(sums)(c =>
-          c.select(col("stratum"), col("cum_tokens")).unionByName(sums)
-            .groupBy(col("stratum"))
-            .agg(sum(col("cum_tokens")).as("cum_tokens")))
-        .write.mode("overwrite")
-        .parquet(s"$outPath/_carry/epoch=${batchId + 1}")
-      ()
-    }
+        Long) => Unit = (batch, batchId) =>
+      chunkIngestStep(batch.toDF(), batchId, stratumName, orderName,
+        tokensName, seqLen, outPath)
     val writer = docs.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
     writer.start()
+  }
+
+  /** One [[chunkIngest]] micro-batch: pack the batch from the
+    * persisted per-stratum carry, write its `batch=<id>` span dir
+    * (overwrite — replay-idempotent within a checkpoint lineage), and
+    * advance the carry. Package-private so the compaction-replay spec
+    * can drive a replayed batch directly.
+    *
+    * A batch whose `_compacted/<id>` marker exists was folded into a
+    * consolidated dir by [[graft.functions.Curation
+    * .compactChunkBatches]]: its rows are already in the tree, and an
+    * overwrite of the shared `batch=<maxId>` dir would destroy the
+    * folded history — the step SKIPS it entirely (the carry for
+    * `<id>+1` was preserved by the compaction, so the next batch packs
+    * from the right base).
+    */
+  private[graft] def chunkIngestStep(batch: DataFrame, batchId: Long,
+      stratumName: String, orderName: String, tokensName: String,
+      seqLen: Long, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val carryP = new org.apache.hadoop.fs.Path(
+      s"$outPath/_carry/epoch=$batchId")
+    val fs = carryP.getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outPath/_compacted/$batchId"))) return
+    val carry =
+      if (fs.exists(carryP)) Some(spark.read.parquet(carryP.toString))
+      else None
+    graft.functions.TextFunctions.packChunksFrom(batch,
+        col(stratumName), col(orderName), col(tokensName), seqLen,
+        // the persisted carry is (stratum, cum_tokens); the packer
+        // resolves its stratum expression against the carry frame,
+        // so surface the column under the caller's stratum name
+        carry.map(_.select(col("stratum").as(stratumName),
+          col("cum_tokens"))))
+      .select(col(stratumName).as("stratum"), col("chunk_id"),
+        col(orderName), col("doc_offset"), col("chunk_offset"),
+        col("n_span_tokens"))
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    val sums = batch.groupBy(col(stratumName).as("stratum"))
+      .agg(sum(col(tokensName).cast(LongType)).as("cum_tokens"))
+    carry.fold(sums)(c =>
+        c.select(col("stratum"), col("cum_tokens")).unionByName(sums)
+          .groupBy(col("stratum"))
+          .agg(sum(col("cum_tokens")).as("cum_tokens")))
+      .write.mode("overwrite")
+      .parquet(s"$outPath/_carry/epoch=${batchId + 1}")
+    ()
   }
 
   /** Streaming BPE tokenization (s18) — the t38 tokenizer artifact

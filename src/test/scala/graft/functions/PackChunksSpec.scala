@@ -113,4 +113,46 @@ class PackChunksSpec extends SparkSpec {
         col("n_toks"), seqLen = 0L)
     }
   }
+
+  test("writeChunks/readChunks: range read serves the exact spans and " +
+      "reads ONLY the covering bin directories (p15)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_chunks").toString + "/t"
+    // chunksPerBin=1 → one Hive dir per chunk: en has chunks 0..2,
+    // de 0..2, fr 0 — pruning is observable per chunk
+    Curation.writeChunks(corpus, "lang", "doc_id", "n_toks",
+      seqLen = 512L, path = path, chunksPerBin = 1L)
+    assert(new java.io.File(s"$path/stratum=en/bin=0").isDirectory)
+    assert(new java.io.File(s"$path/_meta_chunks_per_bin").isFile)
+    val out = Curation.readChunks(spark, path, "en", 1L, 2L)
+    val rows = out.collect()
+    // the served spans equal the in-memory grid restricted to range
+    val want = packed.filter(col("lang") === "en" &&
+        col("chunk_id").between(1L, 2L))
+      .select(col("doc_id"), col("chunk_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("chunk_id"))).toSet === want)
+    assert(!out.columns.contains("bin"))
+    // metric-level pruning (the readShards discipline): partitions
+    // read == exactly the en bin-1/bin-2 dirs, never other strata/bins
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val scan = allScans(out.queryExecution.executedPlan).head
+    val total = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("stratum=")).flatMap(_.listFiles()).length
+    assert(scan.metrics("numPartitions").value == 2L,
+      s"read ${scan.metrics("numPartitions").value} partitions, wanted 2")
+    assert(total > 2, "pruning demonstrated nothing")
+    // a mis-binned read is impossible: the width rides in the artifact
+    val e = intercept[IllegalArgumentException] {
+      Curation.readChunks(spark, s"$path-missing", "en", 0L, 1L)
+    }
+    assert(e.getMessage.contains("_meta_chunks_per_bin"))
+  }
 }

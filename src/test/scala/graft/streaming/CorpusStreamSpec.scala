@@ -275,6 +275,69 @@ class CorpusStreamSpec extends SparkSpec {
     // restart over the same checkpoint with nothing new: no-op
     run()
     assert(spans === oneShot)
+
+    // ---- compaction (p17): fold the per-batch dirs into one --------
+    import graft.functions.Curation
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("batch=")) === 2)
+    Curation.compactChunkBatches(spark, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(dirs === Seq("batch=1"), s"expected one folded dir, got $dirs")
+    assert(spans === oneShot, "compaction changed the grid")
+    // carry and lineage survive the swap; fold markers exist
+    assert(new java.io.File(s"$out/_carry/epoch=2").isDirectory)
+    assert(new java.io.File(s"$out/_stream_lineage").exists)
+    assert(new java.io.File(s"$out/_compacted/0").exists &&
+      new java.io.File(s"$out/_compacted/1").exists)
+    // a REPLAY of a folded batch must be skipped — an overwrite of the
+    // consolidated batch=1 dir would destroy batch 0's folded rows
+    CorpusStream.chunkIngestStep(docs.filter(col("doc_id") > 2L), 1L,
+      "lang", "doc_id", "n_toks", 512L, out)
+    assert(spans === oneShot, "folded-batch replay clobbered the tree")
+    // the stream itself continues past the compaction: a restart over
+    // the same checkpoint with nothing new stays a no-op on the
+    // compacted tree
+    run()
+    assert(spans === oneShot)
+  }
+
+  test("chunk compaction recovery: a swap interrupted between the " +
+      "aside rename and the swap-in is finished by the next ingest") {
+    import graft.functions.Curation
+    val root = Files.createTempDirectory("chunk-recover").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val docs = Seq(("en", 1L, 300L), ("en", 2L, 600L))
+      .toDF("lang", "doc_id", "n_toks")
+    docs.orderBy(col("doc_id")).coalesce(1)
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = CorpusStream.chunkIngest(stream, stratumName = "lang",
+      orderName = "doc_id", tokensName = "n_toks", seqLen = 512L,
+      outPath = out, checkpointPath = Some(s"$root/ckpt"),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    val before = spark.read.parquet(out).drop("batch")
+      .orderBy(col("chunk_id"), col("doc_id"))
+      .collect().map(_.toString).toSeq
+    // simulate the compaction crash window: staged tree fully written,
+    // live renamed aside, swap-in never ran
+    Curation.compactChunkBatches(spark, out)
+    val live = new java.io.File(out)
+    val staged = new java.io.File(s"$out-compacting")
+    val aside = new java.io.File(s"$out-old")
+    assert(live.renameTo(staged))
+    assert(staged.isDirectory && !live.exists)
+    // next verb entry runs recoverSwap: the staged tree is complete
+    // (the aside rename is ordered after staging), so it swaps in
+    Curation.compactChunkBatches(spark, out)
+    assert(live.isDirectory && !aside.exists)
+    val after = spark.read.parquet(out).drop("batch")
+      .orderBy(col("chunk_id"), col("doc_id"))
+      .collect().map(_.toString).toSeq
+    assert(after === before, "recovered tree diverged")
   }
 
   test("span-index ingest binds the index to ONE checkpoint lineage: a " +
