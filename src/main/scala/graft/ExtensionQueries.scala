@@ -1009,17 +1009,19 @@ object ExtensionQueries {
     // (stratum, bin = chunk_id div chunksPerBin) tree, then one
     // stratum's chunk RANGE served back (readChunks: the stratum and
     // bin predicates prune at the listing, the chunk_id bounds prune
-    // row groups). chunksPerBin = 8 keeps several bins per stratum at
-    // verify scale so the pruning is real. Oracle: t43's grid replay
-    // restricted to the served (stratum, range).
+    // row groups). The default chunksPerBin keeps the tree a few dirs
+    // per stratum at either verify scale (hundreds of tiny bin dirs
+    // would measure the filesystem, not the read — the p06 budget
+    // note); PackChunksSpec pins the per-bin pruning metric on a
+    // chunksPerBin=1 tree. Oracle: t43's grid replay restricted to
+    // the served (stratum, range).
     "p15_chunk_read" -> ((s, dir) => {
       val path = Scratch.path(dir, "p15_chunks")
       Scratch.reset(path)
       Curation.writeChunks(
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           col("n_chars")),
-        "lang", "doc_id", "n_chars", seqLen = 512L, path,
-        chunksPerBin = 8L)
+        "lang", "doc_id", "n_chars", seqLen = 512L, path)
       Curation.readChunks(s, path, "en", chunkFrom = 3L, chunkTo = 19L)
         .orderBy(col("chunk_id"), col("doc_id"))
     }),
