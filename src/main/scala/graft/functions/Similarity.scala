@@ -349,6 +349,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SEMANTIC deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
+    * k-means cluster the embedding space, then find near-duplicate
+    * pairs ONLY within each cluster — the published recipe for
+    * semantic dedup at web scale, and the clustering is exactly what
+    * makes it tractable: candidate work is Σ|cluster|² instead of n².
+    * Composed entirely from verified pieces: [[ivfTrain]]'s
+    * deterministic integer Lloyd (oracle-replayable — no rand()),
+    * [[ivfAssign]]'s argmin projection, the exact quantized cosine
+    * [[cosineQ]], and [[Dedup.connectedComponentsStar]]'s O(log n)
+    * closure; the keep rule is the house min-id representative.
+    *
+    * Returns (vec_id, rep_id) for EVERY input row — singletons map to
+    * themselves; a caller keeps `vec_id === rep_id` rows (or joins the
+    * labels back for accounting). Plan shape at 100 TB: one Lloyd
+    * train (k·iters bounded driver state), one zero-shuffle assign
+    * projection, ONE shuffle of the corpus by centroid_id for the
+    * within-cluster self-join, the star-CC rounds on the (tiny) pair
+    * set. `maxClusterSize` is the skew guard ([[graft.functions.Dedup
+    * .linkRecordPairs]]'s maxBlockSize contract, verbatim): clusters
+    * past the cap are EXCLUDED from pairing (their members label as
+    * singletons) rather than detonating a quadratic join — raise k
+    * (more, smaller clusters) to cover them; SemDedupSpec pins the
+    * exclusion.
+    */
+  def semDedup(emb: DataFrame, k: Int, threshold: Double,
+      iters: Int = 3, maxClusterSize: Int = 100000): DataFrame = {
+    require(k >= 1, s"semDedup: k must be >= 1, got $k")
+    require(maxClusterSize > 1,
+      s"semDedup: maxClusterSize must be > 1, got $maxClusterSize")
+    val cents = ivfTrain(emb, k, iters)
+    val assigned = ivfAssign(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val hot = broadcast(
+      assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxClusterSize)
+        .select(col("centroid_id")))
+    val guarded = assigned.join(hot, Seq("centroid_id"), "left_anti")
+    val a = guarded.select(col("centroid_id"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = guarded.select(col("centroid_id"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineQ(col("ea"), col("eb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.functions.Dedup.connectedComponentsStar(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
+    emb.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+  }
+
   /** The at-scale `planes` setting for [[cosineNearDupPairs]]/[[knnLsh]].
     *
     * A hyperplane-LSH self-join does Θ(n²/B) candidate work with

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic deduplication (`Similarity.semDedup`, d34 — SemDeDup,
+  * Abbas et al. arXiv:2303.09540). The d34 gate hash-pins the full
+  * chain against the DuckDB replay; here we pin the CONTRACTS the
+  * composition adds over its verified pieces: the within-cluster
+  * restriction (a cross-cluster near-pair is deliberately not a
+  * duplicate), transitive grouping with the min-id representative,
+  * singleton self-labels, and the hot-cluster exclusion guard.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 4
+
+  /** A unit-ish vector along axis `ax` with a small `wobble` on the
+    * next axis — same-axis vectors are near-dups (cos ≈ 1), different
+    * axes are orthogonal (cos ≈ 0), so k=2 clustering splits them. */
+  private def v(ax: Int, wobble: Double): Seq[Float] =
+    (0 until dims).map(d =>
+      if (d == ax) 1.0f
+      else if (d == (ax + 1) % dims) wobble.toFloat else 0.0f)
+
+  test("same-cluster near-dups group under the min id; singletons and " +
+      "cross-cluster vectors label as themselves") {
+    val emb = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)), (3L, v(0, 0.02)), // one group
+      (10L, v(2, 0.00)), (11L, v(2, 0.01)),                 // another
+      (20L, v(1, 0.00))                                     // singleton
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, k = 3, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("transitivity: a chain a~b, b~c groups all three even when " +
+      "a and c alone fall under the threshold") {
+    // wobbles 0.00 / 0.22 / 0.44: adjacent cos > 0.95, ends ~0.905
+    val emb = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.22)), (3L, v(0, 0.44))
+    ).toDF("vec_id", "embedding")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(v(0, 0.00), v(0, 0.22)) > 0.95)
+    assert(cos(v(0, 0.00), v(0, 0.44)) < 0.95, "fixture lost its point")
+    val got = Similarity.semDedup(emb, k = 1, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("the within-cluster restriction is real: near-dups split across " +
+      "clusters do NOT pair (the documented SemDeDup trade)") {
+    // two tight bundles on orthogonal axes; k=2 separates them. The
+    // pair (2, 10) is planted INSIDE bundle B but numbered into A's id
+    // range — ids play no role in clustering, so this is just naming.
+    val emb = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)),
+      (10L, v(2, 0.00)), (11L, v(2, 0.01))
+    ).toDF("vec_id", "embedding")
+    val labels = Similarity.semDedup(emb, k = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // groups form within each axis bundle only
+    assert(labels(2L) === labels(1L))
+    assert(labels(11L) === labels(10L))
+    assert(labels(1L) !== labels(10L),
+      "orthogonal bundles must never merge")
+  }
+
+  test("hot-cluster guard: a cluster past maxClusterSize is excluded " +
+      "from pairing (members label as singletons), small clusters " +
+      "still dedup") {
+    val big = (0 until 8).map(i => (100L + i, v(0, 0.001 * i)))
+    val small = Seq((1L, v(2, 0.00)), (2L, v(2, 0.01)))
+    val emb = (big ++ small).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, k = 2, threshold = 0.95,
+        maxClusterSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    big.foreach { case (id, _) =>
+      assert(got(id) === id, s"hot-cluster member $id must self-label")
+    }
+    assert(got(2L) === got(1L), "small cluster must still dedup")
+  }
+
+  test("degenerate knobs are rejected loudly") {
+    val emb = Seq((1L, v(0, 0.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, k = 0, threshold = 0.9)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, k = 1, threshold = 0.9, maxClusterSize = 1)
+    }
+  }
+}
