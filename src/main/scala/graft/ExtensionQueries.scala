@@ -966,6 +966,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk-layout data card (t47): the per-stratum packing-efficiency
+    // report a launcher reads — sequences, spans, docs, boundary-split
+    // docs (attention-mask segment boundaries), and pad tokens (only
+    // each stratum's FINAL partial sequence pads — concat-and-chunk's
+    // selling point, now a gated number). One partial-aggregatable
+    // pass over t43's span table; the oracle rolls the same grid up.
+    "t47_chunk_stats" -> ((s, dir) => {
+      TextFunctions.chunkStats(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), col("n_chars"), seqLen = 512L)
+        .withColumnRenamed("lang", "stratum")
+        .orderBy(col("stratum"))
+    }),
+
+    // Shard-layout utilization (p18): the same report for the
+    // whole-document budget pack — bins, doc/token mass, the fullest
+    // bin (bins legitimately overshoot: a straddling doc stays whole
+    // where it started), utilization = tokens/(bins*budget) as one
+    // IEEE division over exact integer sums. Rolls up p04's manifest.
+    "p18_shard_utilization" -> ((s, dir) => {
+      Curation.shardUtilization(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), col("n_chars"), budget = 2000L)
+        .orderBy(col("stratum"))
+    }),
+
     // Chunk-tree compaction (p17): s21's two-batch ingest leaves one
     // span dir per micro-batch (the continuous-ingest file debris —
     // the p07 story on the chunk table); compactChunkBatches folds
@@ -3738,6 +3762,54 @@ object ExtensionQueries {
   private lazy val ConcatChunksOracle =
     concatChunksOracleSql("", "stratum, chunk_id, doc_id")
 
+  // mirrors t47: the t43 grid rolled up per stratum — sequences,
+  // spans, docs, boundary-split docs (every span of a split doc is
+  // strictly shorter than the doc), final-sequence padding
+  private lazy val ChunkStatsOracle =
+    """WITH c AS (SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents),
+       s AS (SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum,
+           CAST(cum - n_chars AS BIGINT) AS st
+         FROM c WHERE n_chars > 0),
+       e AS (SELECT doc_id, lang, cum, st,
+           unnest(range(st // 512, (cum - 1) // 512 + 1)) AS chunk_id
+         FROM s),
+       sp AS (SELECT lang, chunk_id, doc_id, cum - st AS doc_toks,
+           least((chunk_id + 1) * 512, cum)
+             - greatest(chunk_id * 512, st) AS span_toks
+         FROM e)
+       SELECT lang AS stratum,
+         CAST(max(chunk_id) + 1 AS BIGINT) AS n_chunks,
+         count(*) AS n_spans,
+         count(DISTINCT doc_id) AS n_docs,
+         count(DISTINCT CASE WHEN span_toks < doc_toks
+           THEN doc_id END) AS n_split_docs,
+         CAST((max(chunk_id) + 1) * 512 - sum(span_toks) AS BIGINT)
+           AS pad_tokens
+       FROM sp GROUP BY 1 ORDER BY 1"""
+
+  // mirrors p18: p04's manifest arithmetic rolled up per stratum with
+  // the one-IEEE-division utilization convention
+  private lazy val ShardUtilizationOracle =
+    """WITH b AS (
+         SELECT doc_id, lang, n_chars,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin
+         FROM (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM documents)),
+       m AS (SELECT lang AS stratum, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1, 2)
+       SELECT stratum, count(*) AS n_bins,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_bin_tokens,
+         CAST(sum(n_tokens) AS DOUBLE) / (count(*) * 2000) AS utilization
+       FROM m GROUP BY 1 ORDER BY 1"""
+
   // mirrors p15: the t43 grid restricted to the served range
   private lazy val ChunkReadOracle = concatChunksOracleSql(
     "WHERE lang = 'en' AND chunk_id BETWEEN 3 AND 19",
@@ -4060,6 +4132,9 @@ object ExtensionQueries {
     // p17 is the s21 ingest folded through compactChunkBatches — pure
     // file consolidation, same grid, same oracle
     ("p17_chunk_compact" -> ConcatChunksOracle) +
+    // t47/p18 roll the two packing layouts up into launcher data cards
+    ("t47_chunk_stats" -> ChunkStatsOracle) +
+    ("p18_shard_utilization" -> ShardUtilizationOracle) +
     // p15 is the t43 grid served back by (stratum, chunk range) from
     // the persisted (stratum, bin) tree — the restricted replay
     ("p15_chunk_read" -> ChunkReadOracle) +

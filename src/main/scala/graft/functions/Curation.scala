@@ -202,6 +202,26 @@ object Curation {
         sum(tokens.cast(org.apache.spark.sql.types.LongType)).as("n_tokens"),
         min(order).as("first_doc"), max(order).as("last_doc"))
 
+  /** Packing-utilization report over a [[shardManifest]] layout
+    * (p18) — the launcher-side data card for the whole-document bin
+    * pack: per stratum, how many bins the budget produced, the doc
+    * and token mass, the fullest bin (bins legitimately OVERSHOOT the
+    * budget — a straddling document stays whole in the bin where it
+    * started), and utilization = tokens / (bins · budget), one IEEE
+    * division over exact integer sums (the t09 convention). Rolls up
+    * the manifest — one extra partial-aggregatable pass, no window.
+    */
+  def shardUtilization(docs: DataFrame, stratum: Column, order: Column,
+      tokens: Column, budget: Long): DataFrame =
+    shardManifest(docs, stratum, order, tokens, budget)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("n_tokens")).as("max_bin_tokens"),
+        (sum(col("n_tokens")).cast(org.apache.spark.sql.types.DoubleType)
+          / (count(lit(1)) * budget)).as("utilization"))
+
   /** The curation pipeline's OUTPUT stage: write the packed corpus as
     * deterministic training shards — one directory per
     * `stratum=…/bin=…` (Hive layout, so a shard-targeted read prunes

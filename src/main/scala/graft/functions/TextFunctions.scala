@@ -1533,6 +1533,37 @@ object TextFunctions {
       .drop("__cum")
   }
 
+  /** Packing-efficiency report for a [[packChunks]] layout (t47) —
+    * the per-stratum data card a training launcher reads before
+    * committing a corpus to a run: sequence count, span count,
+    * document count, how many documents SPLIT across sequence
+    * boundaries (each split is an attention-mask segment boundary the
+    * loader must emit), and the padding the layout costs —
+    * concat-and-chunk's selling point is that ONLY each stratum's
+    * final partial sequence pads, so `pad_tokens` is
+    * `n_chunks·seqLen − total_tokens` per stratum (< seqLen by
+    * construction; the whole-document [[packSequences]] layout pads
+    * every bin's tail instead). One partial-aggregatable pass over
+    * the span table — map-side combined, no window.
+    */
+  def chunkStats(df: DataFrame, stratum: Column, order: Column,
+      tokens: Column, seqLen: Long): DataFrame = {
+    val spans = packChunks(df, stratum, order, tokens, seqLen)
+    spans.groupBy(stratum)
+      .agg(
+        (max(col("chunk_id")) + 1L).as("n_chunks"),
+        count(lit(1)).as("n_spans"),
+        countDistinct(order).as("n_docs"),
+        // a split document's every span is partial (strictly shorter
+        // than the document), so distinct-ids-with-a-partial-span
+        // counts exactly the boundary-straddling documents
+        countDistinct(when(
+          col("n_span_tokens") < tokens.cast(LongType), order))
+          .as("n_split_docs"),
+        ((max(col("chunk_id")) + 1L) * seqLen -
+          sum(col("n_span_tokens"))).as("pad_tokens"))
+  }
+
   /** Concat-and-chunk sample packing (t43) — the GPT-style batch
     * assembly step [[packSequences]] deliberately is not: documents
     * concatenate in `order` within each stratum into one token

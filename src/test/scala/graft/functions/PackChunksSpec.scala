@@ -114,6 +114,21 @@ class PackChunksSpec extends SparkSpec {
     }
   }
 
+  test("chunkStats: the hand-derived per-stratum data card (t47)") {
+    val got = TextFunctions.chunkStats(corpus, col("lang"),
+        col("doc_id"), col("n_toks"), seqLen = 512L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // en: 1224 tokens -> 3 sequences; doc 2 straddles 0/1 (the only
+    // split); pad = 3*512 - 1224
+    assert(got("en") === ((3L, 5L, 4L, 1L, 312L)))
+    // de: one 1100-token doc spans 3 sequences, split; pad 436
+    assert(got("de") === ((3L, 3L, 1L, 1L, 436L)))
+    // fr: exactly one full sequence — concat-and-chunk's zero-pad case
+    assert(got("fr") === ((1L, 1L, 1L, 0L, 0L)))
+  }
+
   test("writeChunks/readChunks: range read serves the exact spans and " +
       "reads ONLY the covering bin directories (p15)") {
     val path = java.nio.file.Files

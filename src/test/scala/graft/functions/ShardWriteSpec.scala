@@ -281,6 +281,21 @@ class ShardWriteSpec extends SparkSpec {
     assert(!lease.exists(), "completed takedown must clear its lease")
   }
 
+  test("shardUtilization: the hand-derived per-stratum card (p18) — " +
+      "overshooting bins are visible, utilization is one IEEE division") {
+    val got = Curation.shardUtilization(corpus, col("lang"),
+        col("doc_id"), col("n_toks"), budget = 2000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // en: bins {0: 3 docs/2400 toks, 1: 1 doc/600} -> util 0.75
+    assert(got("en") === ((2L, 4L, 3000L, 2400L, 0.75)))
+    // de: ONE bin holding 2400 tokens against a 2000 budget — the
+    // documented straddle overshoot, utilization past 1
+    assert(got("de") === ((1L, 2L, 2400L, 2400L, 1.2)))
+    assert(got("fr") === ((1L, 1L, 100L, 100L, 0.05)))
+  }
+
   test("claimStaleLease: atomic takeover — a FRESH lease is never " +
       "removed (the r16 check-then-delete TOCTOU), a stale one is " +
       "claimed exactly once") {
