@@ -379,6 +379,28 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // d34 plus quality-aware representative selection (d35): each
+    // semantic group keeps its highest-score member (ties → lowest
+    // vec_id) — dedupNear's keepBy / d25's canonical-record rule on
+    // the embedding groups. The deterministic synthetic score
+    // exercises the arg-max (incl. ties) and is mirrored in the
+    // oracle verbatim.
+    "d35_semdedup_canonical" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val checked = emb.filter(
+        assert_true(col("vec_id") < 100000,
+          lit("d35: vec_id >= 100000 collides with planted duplicates — " +
+            "raise the plant offset")).isNull)
+      val planted = checked.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val all = checked.unionByName(planted)
+      val quality = all.select(col("vec_id"),
+        ((col("vec_id") * 37) % 101).as("score"))
+      Similarity.semDedupCanonical(all, quality, k = 8,
+          threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
     "d06_embedding_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // planted ids live at vec_id+100000; assert (in-plan, zero extra
@@ -3630,6 +3652,61 @@ object ExtensionQueries {
          .mkString("\n  UNION ALL\n")}
        |) ORDER BY merge_rank""".stripMargin
 
+  /** The shared d34/d35 replay chain (everything up to the `lab`
+    * group-label CTE): the planted corpus, quantization, e03's three
+    * unrolled integer-Lloyd sweeps, argmin assignment, within-cluster
+    * quantized-cosine pairs at 0.95, d24's recursive min-reachable
+    * closure. Callers prepend WITH RECURSIVE and append their SELECT
+    * (d34: the label projection; d35: the canonical arg-max on top).
+    */
+  private lazy val semDedupOracleCtes: String = {
+    val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
+    def sqd(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    def sweep(n: Int, prev: String) = s"""
+        a$n AS (SELECT vec_id, q, centroid_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+          FROM qc CROSS JOIN $prev),
+        u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
+            SELECT centroid_id, pos,
+              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
+            FROM (SELECT centroid_id, unnest(q) AS val,
+                    unnest(range(1, len(q)+1)) AS pos
+                  FROM a$n WHERE rn = 1)
+            GROUP BY centroid_id, pos) GROUP BY centroid_id),
+        c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
+          FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         qc AS (SELECT vec_id, embedding, $qv AS q FROM e),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
+             FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
+         ${sweep(1, "c0")}, ${sweep(2, "c1")}, ${sweep(3, "c2")},
+         assigned AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
+               / (sqrt(CAST(${dotQ("a.embedding", "a.embedding")} AS DOUBLE))
+                  * sqrt(CAST(${dotQ("b.embedding", "b.embedding")} AS DOUBLE)))
+             >= 0.95),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT e2.a AS id, r.r FROM edges e2 JOIN reach r ON r.id = e2.b),
+         lab AS (SELECT id, min(r) AS ent FROM reach GROUP BY id)"""
+  }
+
   // mirrors t46: the BATCHED training replay — per round, pair counts
   // over the current tokenization, the top-(8*batch) candidate window
   // by (cnt desc, l, r), then `batch` sequential greedy selections
@@ -4432,56 +4509,30 @@ object ExtensionQueries {
     // planted corpus, the argmin assignment, within-CLUSTER quantized
     // cosine pairs at 0.95, d24's recursive min-reachable closure,
     // singletons labeling as themselves
-    "d34_semdedup" -> {
-      val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
-      def sqd(a: String, b: String) =
-        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
-      def sweep(n: Int, prev: String) = s"""
-        a$n AS (SELECT vec_id, q, centroid_id,
-            row_number() OVER (PARTITION BY vec_id
-              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
-          FROM qc CROSS JOIN $prev),
-        u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
-            SELECT centroid_id, pos,
-              CAST(floor(CAST(sum(val) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS comp
-            FROM (SELECT centroid_id, unnest(q) AS val,
-                    unnest(range(1, len(q)+1)) AS pos
-                  FROM a$n WHERE rn = 1)
-            GROUP BY centroid_id, pos) GROUP BY centroid_id),
-        c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
-          FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
-      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings
-           UNION ALL
-           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
-         qc AS (SELECT vec_id, embedding, $qv AS q FROM e),
-         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
-             FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
-         ${sweep(1, "c0")}, ${sweep(2, "c1")}, ${sweep(3, "c2")},
-         assigned AS (
-           SELECT vec_id, embedding, centroid_id FROM (
-             SELECT v.vec_id, v.embedding, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
-             FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
-         p AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM assigned a JOIN assigned b
-             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-           WHERE CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
-               / (sqrt(CAST(${dotQ("a.embedding", "a.embedding")} AS DOUBLE))
-                  * sqrt(CAST(${dotQ("b.embedding", "b.embedding")} AS DOUBLE)))
-             >= 0.95),
-         edges AS (SELECT id_a AS a, id_b AS b FROM p
-                   UNION SELECT id_b, id_a FROM p),
-         reach AS (
-           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
-           UNION
-           SELECT e2.a AS id, r.r FROM edges e2 JOIN reach r ON r.id = e2.b),
-         lab AS (SELECT id, min(r) AS ent FROM reach GROUP BY id)
+    "d34_semdedup" ->
+      s"""WITH RECURSIVE $semDedupOracleCtes
          SELECT e.vec_id, coalesce(l.ent, e.vec_id) AS rep_id
          FROM e LEFT JOIN lab l ON l.id = e.vec_id
-         ORDER BY vec_id"""
-    },
+         ORDER BY vec_id""",
+
+    // d34's chain plus the (score DESC, vec_id) representative choice
+    // per semantic group — d25's canonical-record rule on the
+    // embedding groups; the synthetic score is mirrored verbatim
+    "d35_semdedup_canonical" ->
+      s"""WITH RECURSIVE $semDedupOracleCtes,
+         asg AS (SELECT e.vec_id AS rec_id,
+             coalesce(l.ent, e.vec_id) AS entity_id,
+             (e.vec_id * 37) % 101 AS score
+           FROM e LEFT JOIN lab l ON l.id = e.vec_id),
+         can AS (SELECT entity_id, rec_id AS canonical_id FROM (
+             SELECT entity_id, rec_id,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY score DESC, rec_id) AS rn
+             FROM asg) WHERE rn = 1)
+         SELECT asg.rec_id AS vec_id, asg.entity_id AS rep_id,
+           can.canonical_id
+         FROM asg JOIN can USING (entity_id)
+         ORDER BY vec_id""",
 
     "d07_simhash_pairs" -> {
       val votes = (0 until 16).map(j =>

@@ -402,6 +402,30 @@ object Similarity {
         coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
   }
 
+  /** [[semDedup]] with quality-aware representative selection — the
+    * SemDeDup keep policy real curation ends with (the paper keeps the
+    * member FARTHEST from the centroid; production pipelines keep the
+    * highest-quality member — [[graft.functions.Dedup.dedupNear]]'s
+    * `keepBy` and [[graft.functions.Curation.curate]]'s survivor rule
+    * applied to the semantic groups). `quality` maps vec_id → score
+    * (columns: the id under `emb`'s vec_id name joinable — passed as
+    * (vec_id, score) frame); each group's representative is its
+    * highest-score member, ties → lowest vec_id. One
+    * partial-aggregatable arg-max per group (the
+    * [[graft.functions.Dedup.canonicalFromEntities]] discipline) on
+    * top of [[semDedup]]'s labels. Returns
+    * (vec_id, rep_id, canonical_id).
+    */
+  def semDedupCanonical(emb: DataFrame, quality: DataFrame, k: Int,
+      threshold: Double, iters: Int = 3,
+      maxClusterSize: Int = 100000): DataFrame =
+    graft.functions.Dedup.canonicalFromEntities(
+      semDedup(emb, k, threshold, iters, maxClusterSize)
+        .select(col("vec_id").as("rec_id"), col("rep_id").as("entity_id")),
+      quality, col("vec_id"), col("score"))
+      .select(col("rec_id").as("vec_id"), col("entity_id").as("rep_id"),
+        col("canonical_id"))
+
   /** The at-scale `planes` setting for [[cosineNearDupPairs]]/[[knnLsh]].
     *
     * A hyperplane-LSH self-join does Θ(n²/B) candidate work with

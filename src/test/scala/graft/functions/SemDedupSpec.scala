@@ -89,6 +89,26 @@ class SemDedupSpec extends SparkSpec {
     assert(got(2L) === got(1L), "small cluster must still dedup")
   }
 
+  test("semDedupCanonical keeps each group's highest-score member, " +
+      "ties to the lowest vec_id") {
+    val emb = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)), (3L, v(0, 0.02)),
+      (20L, v(1, 0.00))
+    ).toDF("vec_id", "embedding")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (20L, 1L))
+      .toDF("vec_id", "score")
+    val got = Similarity.semDedupCanonical(emb, quality, k = 2,
+        threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // group {1,2,3}: top score 9 shared by 2 and 3 -> 2 wins the tie
+    assert(got(1L) === ((1L, 2L)))
+    assert(got(2L) === ((1L, 2L)))
+    assert(got(3L) === ((1L, 2L)))
+    // singleton is its own canonical
+    assert(got(20L) === ((20L, 20L)))
+  }
+
   test("degenerate knobs are rejected loudly") {
     val emb = Seq((1L, v(0, 0.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
