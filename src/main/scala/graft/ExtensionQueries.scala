@@ -366,16 +366,10 @@ object ExtensionQueries {
     // within-cluster restriction can't drop them); the oracle replays
     // the whole chain: Lloyd sweeps, assignment, clustered pairs,
     // recursive closure, singleton self-labels.
+    // Fixture-shared (Fixtures.semDedupLabels): d34 and d35 share one
+    // materialized train+pair+closure run — the d24/d25 sharing shape.
     "d34_semdedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val checked = emb.filter(
-        assert_true(col("vec_id") < 100000,
-          lit("d34: vec_id >= 100000 collides with planted duplicates — " +
-            "raise the plant offset")).isNull)
-      val planted = checked.filter(col("vec_id") % 50 === 0)
-        .withColumn("vec_id", col("vec_id") + 100000)
-      Similarity.semDedup(checked.unionByName(planted), k = 8,
-          threshold = 0.95)
+      Fixtures.semDedupLabels(s, dir)
         .orderBy(col("vec_id"))
     }),
 
@@ -386,18 +380,15 @@ object ExtensionQueries {
     // exercises the arg-max (incl. ties) and is mirrored in the
     // oracle verbatim.
     "d35_semdedup_canonical" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val checked = emb.filter(
-        assert_true(col("vec_id") < 100000,
-          lit("d35: vec_id >= 100000 collides with planted duplicates — " +
-            "raise the plant offset")).isNull)
-      val planted = checked.filter(col("vec_id") % 50 === 0)
-        .withColumn("vec_id", col("vec_id") + 100000)
-      val all = checked.unionByName(planted)
-      val quality = all.select(col("vec_id"),
+      val labels = Fixtures.semDedupLabels(s, dir)
+      val quality = labels.select(col("vec_id"),
         ((col("vec_id") * 37) % 101).as("score"))
-      Similarity.semDedupCanonical(all, quality, k = 8,
-          threshold = 0.95)
+      Dedup.canonicalFromEntities(
+          labels.select(col("vec_id").as("rec_id"),
+            col("rep_id").as("entity_id")),
+          quality, col("vec_id"), col("score"))
+        .select(col("rec_id").as("vec_id"),
+          col("entity_id").as("rep_id"), col("canonical_id"))
         .orderBy(col("vec_id"))
     }),
 

@@ -215,7 +215,31 @@ object Fixtures {
     ivfPqTreeRetrained(s, dir)
     webSurvivors(s, dir)
     linkageEntities(s, dir)
+    semDedupLabels(s, dir)
     ()
+  }
+
+  /** The d34 semantic-dedup labels over the planted embedding corpus
+    * (d34's exact call — Lloyd train + within-cluster pairs + star-CC),
+    * materialized ONCE to parquet; d35's canonical arg-max reads them
+    * (the d24/d25 sharing shape on the embedding groups). */
+  def semDedupLabels(s: SparkSession, dir: String): DataFrame = {
+    val p = of(s"$dir#semdedup_labels") {
+      val emb = Tables.df(s, dir, "embeddings")
+      val checked = emb.filter(
+        assert_true(col("vec_id") < 100000,
+          lit("semDedup fixture: vec_id >= 100000 collides with " +
+            "planted duplicates — raise the plant offset")).isNull)
+      val planted = checked.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val path = Scratch.path(dir, "fx_semdedup")
+      Scratch.reset(path)
+      Similarity.semDedup(checked.unionByName(planted), k = 8,
+          threshold = 0.95)
+        .write.parquet(path)
+      path
+    }
+    s.read.parquet(p)
   }
 
   /** The (rec_id, entity_id) assignment over `customer` (d24's exact
