@@ -1042,6 +1042,47 @@ object ScaleCurve {
     * overhead (which dominates wall time at toy vocabularies and
     * vanishes at real ones).
     */
+  /** `semdedupk <srcDir> <out.json>` — the d34 tractability claim,
+    * measured on the CLUSTER-COUNT axis: SemDeDup's within-cluster
+    * restriction turns the n² all-pairs candidate set into
+    * Σ|cluster|·(|cluster|−1)/2, which falls ~1/k for balanced
+    * clusters. For each k on the grid the candidate count is computed
+    * exactly from the assignment histogram (environment-proof — wall
+    * on a shared box measures the box) alongside the end-to-end wall;
+    * the all-pairs n·(n−1)/2 baseline anchors the ratio. Same planted
+    * corpus as the d34 gate.
+    */
+  def semDedupKCurve(spark: SparkSession, srcDir: String,
+      outFile: String): Unit = {
+    val emb = Tables.df(spark, srcDir, "embeddings")
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = emb.unionByName(planted).persist()
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    val ks = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_KS", "4,8,16,32")
+      .split(',').map(_.trim.toInt).toSeq
+    val rows = for (k <- ks) yield {
+      val t0 = System.nanoTime()
+      val groups = Similarity.semDedup(corpus, k, threshold = 0.95)
+        .filter(col("vec_id") =!= col("rep_id")).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cand = Similarity
+        .ivfAssign(corpus, Similarity.ivfTrain(corpus, k))
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) / 2")).cast("long")).head.getLong(0)
+      println(f"[scalecurve] semdedupk k=$k wall=$wall%.2fs " +
+        f"candidates=$cand (${cand.toDouble / allPairs}%.4f of all-pairs) " +
+        s"dupRows=$groups")
+      s"""{"k":$k,"wall_s":$wall,"candidates":$cand,""" +
+        s""""all_pairs":$allPairs,"dup_rows":$groups}"""
+    }
+    corpus.unpersist()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      rows.mkString("[", ",", "]"))
+    println(s"[scalecurve] wrote $outFile")
+  }
+
   def bpeWorkCurve(spark: SparkSession, srcDir: String,
       outFile: String): Unit = {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_MERGES", "256").trim.toInt
@@ -1119,6 +1160,8 @@ object ScaleCurve {
         bpeMergesCurve(spark, src, out)
       case "bpework" :: src :: out :: Nil =>
         bpeWorkCurve(spark, src, out)
+      case "semdedupk" :: src :: out :: Nil =>
+        semDedupKCurve(spark, src, out)
       case _ =>
         System.err.println(
           "usage: ScaleCurve gen <srcDir> <outDir> <replicas> | " +
