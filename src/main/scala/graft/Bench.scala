@@ -301,15 +301,31 @@ object Bench {
     */
   private val hintRiseCap = 1.5
 
+  /** Geometric decay applied to a budget-SKIPPED query's hint at
+    * persist time — the deadlock breaker (VERDICT r17 #2): a skipped
+    * gate gets no measurement, so under plain keep-verbatim a
+    * stale-high hint (e.g. one rise-capped up during an old contention
+    * burst) makes every subsequent window skip it too — permanently.
+    * Decaying 0.8×/run walks a 1.5×-overstated hint under the skip
+    * threshold in ~2 runs; if the gate really is that expensive, its
+    * first re-measurement restores the true cost immediately.
+    */
+  private val hintSkipDecay = 0.8
+
   private[graft] def mergeCostHints(
       existing: Map[String, Double],
-      measured: Map[String, Double]): Map[String, Double] =
-    existing ++ measured.map { case (n, c) =>
+      measured: Map[String, Double],
+      skipped: Set[String] = Set.empty): Map[String, Double] = {
+    val merged = existing ++ measured.map { case (n, c) =>
       existing.get(n) match {
         case Some(h) if h > 0 && c > h => n -> math.min(c, h * hintRiseCap)
         case _                         => n -> c
       }
     }
+    merged ++ skipped.iterator.filterNot(measured.contains)
+      .flatMap(n => merged.get(n).map(h =>
+        n -> math.max(1.0, h * hintSkipDecay)))
+  }
 
   /** Best-effort write of this run's measured costs (sorted cheapest
     * first for human diffing); failure is non-fatal — the hints are an
@@ -424,7 +440,13 @@ object Bench {
         val unmeasuredErr = errors.keys.exists(k =>
           !k.startsWith("__probe") && !k.endsWith("@refine") &&
             !samples.get(k).exists(_.nonEmpty))
-        val coverageLost = expired && (pending.nonEmpty || unmeasuredErr)
+        // pending can only be non-empty at emit via a budget-skip or
+        // expiry, so a skip with the clock still ticking is STILL lost
+        // coverage (ADVICE r17: cheapest-first means one skip usually
+        // skips the whole expensive tail without elapsed ever hitting
+        // the budget — budget_expired=false would misreport a partial
+        // artifact as complete)
+        val coverageLost = pending.nonEmpty || (expired && unmeasuredErr)
         val refineCut = expired && !coverageLost
         println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","n_queries":${medians.size},"queries":$qs,"errors":$errJson,"skipped":$skipped,"contention":$contention,"budget_expired":$coverageLost,"refine_truncated":$refineCut,"elapsed":${r3(elapsedS)},"slowest":$slowJson}""")
         System.out.flush()
@@ -435,7 +457,8 @@ object Bench {
         // rise-capped merge, because a burst between quiet probes can
         // inflate individual medians without moving the ratio
         if (medians.nonEmpty && shouldPersistHints(ratio) && only.isEmpty)
-          saveCostHints(hintsPath, mergeCostHints(loadCostHints(hintsPath), medians.toMap))
+          saveCostHints(hintsPath, mergeCostHints(loadCostHints(hintsPath),
+            medians.toMap, skipped = pending.toSet))
       }
     }
     // Backstop for external SIGTERM (driver `timeout`): partial data beats

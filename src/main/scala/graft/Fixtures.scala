@@ -23,14 +23,42 @@ import graft.functions.{Curation, Dedup, Similarity, TextFunctions}
   */
 object Fixtures {
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** One memoized fixture slot. The builder runs inside the cell's
+    * `lazy val` (synchronized on the cell, built at most once), NOT
+    * inside a `ConcurrentHashMap` bin update — so a builder that
+    * needs ANOTHER fixture (every `ivfPqTree*` calls [[ivfPqModel]])
+    * re-enters [[of]] through plain `get`/`putIfAbsent` calls that
+    * never hold a bin, instead of a nested `computeIfAbsent` that
+    * throws `IllegalStateException("Recursive update")` whenever the
+    * inner key hashes into the bin the thread is already updating
+    * (VERDICT r17 #1: order-dependent — invisible after
+    * [[prewarm]], fatal when a tree is built before the model). */
+  private final class Cell(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
 
-  /** Build-once per key; the builder must be deterministic. Gates run
-    * sequentially in both Verify and Bench, so a blocking
-    * computeIfAbsent is enough. */
-  private def of[T <: AnyRef](key: String)(build: => T): T =
-    memo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+
+  /** Build-once per key; the builder must be deterministic and
+    * acyclic (fixtures may depend on other fixtures, never on
+    * themselves). Two-phase get-then-putIfAbsent: the map update
+    * only ever inserts an unevaluated cell. */
+  private def of[T <: AnyRef](key: String)(build: => T): T = {
+    val cell = memo.get(key) match {
+      case existing: Cell => existing
+      case null =>
+        val fresh = new Cell(() => build)
+        val prior = memo.putIfAbsent(key, fresh)
+        if (prior == null) fresh else prior
+    }
+    cell.value.asInstanceOf[T]
+  }
+
+  /** Test-only: drop every memoized fixture so a spec can exercise
+    * cold-map build orders (builders reset their scratch dirs, so a
+    * rebuild is safe — just paid again by the next caller). */
+  private[graft] def resetForTest(): Unit = memo.clear()
 
   /** DataFrame fixtures are session-bound (local relations resolve
     * against the session that made them); path fixtures are keyed by

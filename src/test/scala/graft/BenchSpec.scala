@@ -104,6 +104,26 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  // VERDICT r17 #2 hint-staleness deadlock: a budget-skipped gate kept
+  // its (stale-high) hint verbatim, so every later window skipped it
+  // too — skipped gates could never re-measure. The decay breaks that.
+  test("mergeCostHints decays a budget-skipped gate's hint so it can " +
+      "re-measure, never below 1 s, and never a measured gate's") {
+    val onFile = Map("s12_stream_shards_incremental" -> 16.47,
+      "s13_stream_shards_ooo_repair" -> 14.81, "q01" -> 0.3, "tiny" -> 1.1)
+    val merged = Bench.mergeCostHints(onFile, Map("q01" -> 0.28),
+      skipped = Set("s12_stream_shards_incremental",
+        "s13_stream_shards_ooo_repair", "tiny", "q01", "never_seen"))
+    assert(merged("s12_stream_shards_incremental") === 16.47 * 0.8)
+    assert(merged("s13_stream_shards_ooo_repair") === 14.81 * 0.8)
+    assert(merged("tiny") === 1.0) // floored, not decayed to nothing
+    assert(merged("q01") === 0.28) // measured this run: skip-set ignored
+    assert(!merged.contains("never_seen")) // no hint to decay
+    // repeated skipping converges under any stale hint: ~2 runs undo a
+    // rise-cap (1.5×) overstatement
+    assert(16.47 * 0.8 * 0.8 < 11.0)
+  }
+
   test("mergeCostHints ignores non-positive existing hints") {
     // a zero/negative entry on file (hand-edited or truncated write)
     // must not clamp a genuine measurement

@@ -12,6 +12,30 @@ class FixturesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("cold-map tree-before-model order builds cleanly (VERDICT r17 " +
+      "#1: nested fixture lookups must not re-enter the memo update)") {
+    // The detonating order: a tree fixture (whose builder itself
+    // calls ivfPqModel — a nested Fixtures.of) is the FIRST touch on
+    // an empty memo. Under the old computeIfAbsent memo this threw
+    // IllegalStateException("Recursive update") whenever the nested
+    // key landed in the bin under update; the lazy-cell memo runs
+    // builders outside any map bin, so nesting is always safe.
+    Fixtures.resetForTest()
+    val tree = Fixtures.ivfPqTreeFull(spark, dir)
+    assert(new java.io.File(tree).isDirectory)
+    // and the model the tree built en passant is now memoized
+    val (c1, _) = Fixtures.ivfPqModel(spark, dir)
+    val (c2, _) = Fixtures.ivfPqModel(spark, dir)
+    assert(c1 eq c2)
+    // every other tree flavor nests the same way — all must build
+    assert(new java.io.File(
+      Fixtures.ivfPqTreeHalfEven(spark, dir)).isDirectory)
+    assert(new java.io.File(
+      Fixtures.ivfPqTree5Epoch(spark, dir)).isDirectory)
+    assert(new java.io.File(
+      Fixtures.ivfPqTreeStale(spark, dir)).isDirectory)
+  }
+
   test("fixtures memoize: the same canonical path/frames come back " +
       "on every call, and the tree exists on disk") {
     val p1 = Fixtures.ivfPqTreeFull(spark, dir)
