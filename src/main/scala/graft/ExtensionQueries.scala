@@ -20,6 +20,29 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.df(s, dir, name)
 
+  /** The d36/s22 planted INCREMENT over the embeddings archive: exact
+    * copies of every 50th vector under +100000 and +200000 (attach to
+    * the archive), and NEGATED copies of every 100th vector under
+    * +300000/+400000 (an increment-only pair: cos −1 to the original,
+    * so it can never attach). All offsets are even, so a vector's
+    * whole plant family shares its parity — the s22 per-batch split
+    * on `vec_id % 2` never separates a family. */
+  private def semDedupIncrementFrame(emb: DataFrame): DataFrame = {
+    val checked = emb.filter(
+      assert_true(col("vec_id") < 100000,
+        lit("semDedup increment: vec_id >= 100000 collides with " +
+          "planted ids — raise the plant offset")).isNull)
+    val base = checked.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val negBase = checked.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    base.withColumn("vec_id", col("vec_id") + 100000)
+      .unionByName(base.withColumn("vec_id", col("vec_id") + 200000))
+      .unionByName(negBase.withColumn("vec_id", col("vec_id") + 300000))
+      .unionByName(negBase.withColumn("vec_id", col("vec_id") + 400000))
+  }
+
   /** t36/t38's planted BPE training fixture — the Sennrich corpus
     * (arXiv:1508.07909 fig. 1 shape) whose first seven merges,
     * including three tie-breaks, are hand-derived in BpeSpec.
@@ -389,6 +412,25 @@ object ExtensionQueries {
           quality, col("vec_id"), col("score"))
         .select(col("rec_id").as("vec_id"),
           col("entity_id").as("rep_id"), col("canonical_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup INCREMENT against the frozen artifact (d36): the
+    // fixture artifact is trained on the PLAIN embeddings archive
+    // (Lloyd centroids + centroid_id-partitioned index + archived
+    // labels + threshold in-meta), then a planted increment labels
+    // against it at O(increment): exact copies of every 50th archive
+    // vector under +100000 AND +200000 (each copy pair must attach to
+    // its archive original's frozen rep), plus NEGATED copies of
+    // every 100th vector under +300000/+400000 (cos −1 to their
+    // original — an increment-only group under its min id). The
+    // oracle replays the archive Lloyd train + labels, the frozen
+    // assignment of the increment, increment-self and
+    // increment-archive pairs, and the closure onto archived reps.
+    "d36_semdedup_increment" -> ((s, dir) => {
+      val path = Fixtures.semDedupModelPath(s, dir)
+      Similarity.semDedupIncrement(s, path,
+          semDedupIncrementFrame(t(s, dir, "embeddings")))
         .orderBy(col("vec_id"))
     }),
 
@@ -2614,6 +2656,33 @@ object ExtensionQueries {
         .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
     }),
 
+    // Streaming semantic-dedup labeling (s22): d36's increment
+    // arriving as a stream — two micro-batches split on vec_id
+    // parity (plant families share parity, so no family straddles a
+    // batch), each labeled independently against the frozen fixture
+    // artifact (re-read per batch — the s14 stale-frames rule) and
+    // written to idempotent batch= dirs. The oracle replays EACH
+    // batch's chain separately (batch independence is the documented
+    // contract, not an equality assumption about the data) and unions.
+    "s22_stream_semdedup" -> ((s, dir) => {
+      val path = Fixtures.semDedupModelPath(s, dir)
+      val inc = semDedupIncrementFrame(t(s, dir, "embeddings"))
+      val in = Scratch.path(dir, "s22_in")
+      val out = Scratch.path(dir, "s22_out")
+      val ckpt = Scratch.path(dir, "s22_ckpt")
+      Seq(in, out, ckpt).foreach(Scratch.reset)
+      (0 until 2).foreach(r => inc.filter(col("vec_id") % 2 === r)
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.semDedupIngest(stream, path, out,
+        checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
+        .orderBy(col("vec_id"))
+    }),
+
     // Streaming BPE tokenization (s18): t38's train→artifact→encode
     // with the PROBES arriving as a stream — two micro-batches
     // (even/odd ids), the merge list re-read each batch (the s14
@@ -3643,21 +3712,31 @@ object ExtensionQueries {
          .mkString("\n  UNION ALL\n")}
        |) ORDER BY merge_rank""".stripMargin
 
-  /** The shared d34/d35 replay chain (everything up to the `lab`
-    * group-label CTE): the planted corpus, quantization, e03's three
-    * unrolled integer-Lloyd sweeps, argmin assignment, within-cluster
-    * quantized-cosine pairs at 0.95, d24's recursive min-reachable
-    * closure. Callers prepend WITH RECURSIVE and append their SELECT
-    * (d34: the label projection; d35: the canonical arg-max on top).
+  private val semDedupQv =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
+  private def semDedupSqd(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+  private def semDedupCos(a: String, b: String) =
+    s"""CAST(${dotQ(a, b)} AS DOUBLE)
+               / (sqrt(CAST(${dotQ(a, a)} AS DOUBLE))
+                  * sqrt(CAST(${dotQ(b, b)} AS DOUBLE)))"""
+
+  /** The shared d34/d35/d36/s22 ARCHIVE replay chain (everything up
+    * to the `lab` group-label CTE): `corpusSql` as the corpus,
+    * quantization, e03's three unrolled integer-Lloyd sweeps, argmin
+    * assignment, within-cluster quantized-cosine pairs at 0.95, d24's
+    * recursive min-reachable closure. Callers prepend WITH RECURSIVE
+    * and append their SELECT (d34: the label projection; d35: the
+    * canonical arg-max; d36/s22: the increment chain on top).
+    * `assigned` and `lab` are MATERIALIZED — the increment oracles
+    * reference each twice more, and DuckDB's CTE inlining would
+    * re-run the Lloyd cross-joins per reference.
     */
-  private lazy val semDedupOracleCtes: String = {
-    val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT))"
-    def sqd(a: String, b: String) =
-      s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+  private def semDedupOracleCtes(corpusSql: String): String = {
     def sweep(n: Int, prev: String) = s"""
         a$n AS (SELECT vec_id, q, centroid_id,
             row_number() OVER (PARTITION BY vec_id
-              ORDER BY ${sqd("q", "c")}, centroid_id) AS rn
+              ORDER BY ${semDedupSqd("q", "c")}, centroid_id) AS rn
           FROM qc CROSS JOIN $prev),
         u$n AS (SELECT centroid_id, list(comp ORDER BY pos) AS c FROM (
             SELECT centroid_id, pos,
@@ -3668,26 +3747,22 @@ object ExtensionQueries {
             GROUP BY centroid_id, pos) GROUP BY centroid_id),
         c$n AS (SELECT p.centroid_id, coalesce(u.c, p.c) AS c
           FROM $prev p LEFT JOIN u$n u ON p.centroid_id = u.centroid_id)"""
-    s"""e AS (SELECT vec_id, embedding FROM embeddings
-           UNION ALL
-           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
-         qc AS (SELECT vec_id, embedding, $qv AS q FROM e),
+    s"""e AS ($corpusSql),
+         qc AS MATERIALIZED (SELECT vec_id, embedding, $semDedupQv AS q FROM e),
          c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, q AS c
              FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
          ${sweep(1, "c0")}, ${sweep(2, "c1")}, ${sweep(3, "c2")},
-         assigned AS (
+         assigned AS MATERIALIZED (
            SELECT vec_id, embedding, centroid_id FROM (
              SELECT v.vec_id, v.embedding, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${sqd("v.q", "c.c")}, c.centroid_id) AS rn
+                 ORDER BY ${semDedupSqd("v.q", "c.c")}, c.centroid_id) AS rn
              FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
          p AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM assigned a JOIN assigned b
              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-           WHERE CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
-               / (sqrt(CAST(${dotQ("a.embedding", "a.embedding")} AS DOUBLE))
-                  * sqrt(CAST(${dotQ("b.embedding", "b.embedding")} AS DOUBLE)))
+           WHERE ${semDedupCos("a.embedding", "b.embedding")}
              >= 0.95),
          edges AS (SELECT id_a AS a, id_b AS b FROM p
                    UNION SELECT id_b, id_a FROM p),
@@ -3695,8 +3770,74 @@ object ExtensionQueries {
            SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
            UNION
            SELECT e2.a AS id, r.r FROM edges e2 JOIN reach r ON r.id = e2.b),
-         lab AS (SELECT id, min(r) AS ent FROM reach GROUP BY id)"""
+         lab AS MATERIALIZED (SELECT id, min(r) AS ent FROM reach GROUP BY id)"""
   }
+
+  /** d34/d35's corpus: the archive plus the exact-copy plants. */
+  private lazy val semDedupD34CorpusSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0"""
+
+  /** d36/s22's increment replay on top of [[semDedupOracleCtes]] over
+    * the PLAIN archive: the planted increment (optionally restricted
+    * by `pred` — s22 replays each micro-batch's chain separately),
+    * frozen-centroid assignment, increment-self and increment-archive
+    * pairs (archive matches mapped to their FROZEN `lab` reps),
+    * recursive closure, min-reachable labels, singletons to
+    * themselves. Mirrors `Similarity.semDedupIncrement` verbatim.
+    */
+  private def semDedupIncOracleCtes(p: String, pred: String): String =
+    s"""${p}inc AS (SELECT * FROM incall WHERE $pred),
+         ${p}qi AS MATERIALIZED (SELECT vec_id, embedding, $semDedupQv AS q
+           FROM ${p}inc),
+         ${p}ia AS MATERIALIZED (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${semDedupSqd("v.q", "c.c")}, c.centroid_id) AS rn
+             FROM ${p}qi v CROSS JOIN c3 c) WHERE rn = 1),
+         ${p}ip AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM ${p}ia a JOIN ${p}ia b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE ${semDedupCos("a.embedding", "b.embedding")}
+             >= 0.95),
+         ${p}ap AS (
+           SELECT a.vec_id AS id_a, coalesce(l.ent, b.vec_id) AS id_b
+           FROM ${p}ia a JOIN assigned b
+             ON a.centroid_id = b.centroid_id
+           LEFT JOIN lab l ON l.id = b.vec_id
+           WHERE ${semDedupCos("a.embedding", "b.embedding")}
+             >= 0.95),
+         ${p}pe AS (SELECT id_a, id_b FROM ${p}ip
+                    UNION SELECT id_a, id_b FROM ${p}ap),
+         ${p}edges AS (SELECT id_a AS a, id_b AS b FROM ${p}pe
+                       UNION SELECT id_b, id_a FROM ${p}pe),
+         ${p}reach AS (
+           SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM ${p}edges)
+           UNION
+           SELECT e2.a AS id, r.r FROM ${p}edges e2
+           JOIN ${p}reach r ON r.id = e2.b),
+         ${p}lab AS (SELECT id, min(r) AS ent FROM ${p}reach GROUP BY id),
+         ${p}out AS (SELECT i.vec_id, coalesce(il.ent, i.vec_id) AS rep_id
+           FROM ${p}inc i LEFT JOIN ${p}lab il ON il.id = i.vec_id)"""
+
+  /** The planted increment relation shared by the d36/s22 oracles —
+    * mirrors `semDedupIncrementFrame`. */
+  private lazy val semDedupIncAllSql: String =
+    """incall AS (
+           SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+             WHERE vec_id % 50 = 0
+           UNION ALL
+           SELECT vec_id + 200000, embedding FROM embeddings
+             WHERE vec_id % 50 = 0
+           UNION ALL
+           SELECT vec_id + 300000, list_transform(embedding, x -> -x)
+             FROM embeddings WHERE vec_id % 100 = 0
+           UNION ALL
+           SELECT vec_id + 400000, list_transform(embedding, x -> -x)
+             FROM embeddings WHERE vec_id % 100 = 0)"""
 
   // mirrors t46: the BATCHED training replay — per round, pair counts
   // over the current tokenization, the top-(8*batch) candidate window
@@ -4501,16 +4642,38 @@ object ExtensionQueries {
     // cosine pairs at 0.95, d24's recursive min-reachable closure,
     // singletons labeling as themselves
     "d34_semdedup" ->
-      s"""WITH RECURSIVE $semDedupOracleCtes
+      s"""WITH RECURSIVE ${semDedupOracleCtes(semDedupD34CorpusSql)}
          SELECT e.vec_id, coalesce(l.ent, e.vec_id) AS rep_id
          FROM e LEFT JOIN lab l ON l.id = e.vec_id
+         ORDER BY vec_id""",
+
+    // mirrors d36: the archive chain trained on the PLAIN embeddings
+    // (no plants), then the increment replay — frozen assignment,
+    // inc-self + inc-archive pairs onto frozen reps, closure
+    "d36_semdedup_increment" ->
+      s"""WITH RECURSIVE ${semDedupOracleCtes(
+            "SELECT vec_id, embedding FROM embeddings")},
+         $semDedupIncAllSql,
+         ${semDedupIncOracleCtes("z", "TRUE")}
+         SELECT vec_id, rep_id FROM zout ORDER BY vec_id""",
+
+    // mirrors s22: EACH micro-batch's chain replayed separately
+    // (batch independence is the contract), outputs unioned
+    "s22_stream_semdedup" ->
+      s"""WITH RECURSIVE ${semDedupOracleCtes(
+            "SELECT vec_id, embedding FROM embeddings")},
+         $semDedupIncAllSql,
+         ${semDedupIncOracleCtes("b0", "vec_id % 2 = 0")},
+         ${semDedupIncOracleCtes("b1", "vec_id % 2 = 1")}
+         SELECT vec_id, rep_id FROM b0out
+         UNION ALL SELECT vec_id, rep_id FROM b1out
          ORDER BY vec_id""",
 
     // d34's chain plus the (score DESC, vec_id) representative choice
     // per semantic group — d25's canonical-record rule on the
     // embedding groups; the synthetic score is mirrored verbatim
     "d35_semdedup_canonical" ->
-      s"""WITH RECURSIVE $semDedupOracleCtes,
+      s"""WITH RECURSIVE ${semDedupOracleCtes(semDedupD34CorpusSql)},
          asg AS (SELECT e.vec_id AS rec_id,
              coalesce(l.ent, e.vec_id) AS entity_id,
              (e.vec_id * 37) % 101 AS score

@@ -244,6 +244,7 @@ object Fixtures {
     webSurvivors(s, dir)
     linkageEntities(s, dir)
     semDedupLabels(s, dir)
+    semDedupModelPath(s, dir)
     ()
   }
 
@@ -269,6 +270,24 @@ object Fixtures {
     }
     s.read.parquet(p)
   }
+
+  /** The d36/s22 SemDeDup model artifact over the PLAIN embeddings
+    * archive (no plants — the plants arrive as the increment), built
+    * ONCE per JVM per dir; both gates only READ it
+    * (semDedupIncrement / the streaming ingest never mutate the
+    * tree), so no copy-on-mutate is needed. */
+  def semDedupModelPath(s: SparkSession, dir: String): String =
+    of(s"$dir#semdedup_model") {
+      val emb = Tables.df(s, dir, "embeddings")
+      val checked = emb.filter(
+        assert_true(col("vec_id") < 100000,
+          lit("semDedup model fixture: vec_id >= 100000 collides with " +
+            "planted increment ids — raise the plant offset")).isNull)
+      val p = Scratch.path(dir, "fx_semdedup_model")
+      Scratch.reset(p)
+      Similarity.writeSemDedupModel(checked, p, k = 8, threshold = 0.95)
+      p
+    }
 
   /** The (rec_id, entity_id) assignment over `customer` (d24's exact
     * call), materialized ONCE to parquet. */

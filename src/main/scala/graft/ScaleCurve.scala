@@ -994,9 +994,19 @@ object ScaleCurve {
         else None
       for { (_, nf) <- full; (_, ni) <- inc }
         require(nf == ni, s"trainers diverged at $m merges: $nf vs $ni")
+      // the batched trainer's SELECTION ORDER legitimately differs
+      // from sequential Sennrich, so near corpus exhaustion (or under
+      // minPairCount pruning) it can run dry at a different length —
+      // a measurement harness must not hard-fail on that (ADVICE r17);
+      // only an in-supply divergence (both reached the requested m) is
+      // a real contract break, and the full-vs-incremental equality
+      // above stays hard (that one IS bit-contracted)
       for { (_, nf) <- full.orElse(inc); (_, nb) <- bat }
-        require(nf == nb,
-          s"batched trainer length diverged at $m merges: $nf vs $nb")
+        if (nf == m.toLong && nb == m.toLong) ()
+        else if (nf != nb)
+          println(s"[scalecurve] WARN batched trainer length differs " +
+            s"at requested $m merges: sequential=$nf batched=$nb " +
+            "(corpus exhaustion — selection orders legitimately differ)")
       def fmt(t: Option[(Double, Long)], name: String) = t.fold("") {
         case (s, _) =>
           println(f"[scalecurve] bpemerges m=$m $name=$s%.2fs " +

@@ -379,27 +379,17 @@ object Similarity {
     require(maxClusterSize > 1,
       s"semDedup: maxClusterSize must be > 1, got $maxClusterSize")
     val cents = ivfTrain(emb, k, iters)
-    val assigned = ivfAssign(emb, cents)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
-    val hot = broadcast(
-      assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxClusterSize)
-        .select(col("centroid_id")))
-    val guarded = assigned.join(hot, Seq("centroid_id"), "left_anti")
-    val a = guarded.select(col("centroid_id"),
-      col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = guarded.select(col("centroid_id"),
-      col("vec_id").as("id_b"), col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b") &&
-        cosineQ(col("ea"), col("eb")) >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val labels = graft.functions.Dedup.connectedComponentsStar(pairs)
-      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
-    emb.select(col("vec_id"))
-      .join(labels, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+    // Materialize the assignment ONCE (ADVICE r17): it is read three
+    // times — the hot-cluster histogram plus BOTH sides of the
+    // within-cluster self-join (whose renamed projections defeat
+    // exchange reuse) — and its producer is a zero-shuffle argmin
+    // projection Spark has nothing to reuse for; un-materialized that
+    // is 2 extra full-corpus scan+assign passes at the 100 TB scale
+    // this operator advertises (the [[Materialize]] index discipline).
+    val assigned = Materialize(ivfAssign(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("centroid_id")))
+    semDedupFromAssigned(assigned, emb.select(col("vec_id")),
+      threshold, maxClusterSize)
   }
 
   /** [[semDedup]] with quality-aware representative selection — the
@@ -415,16 +405,249 @@ object Similarity {
     * [[graft.functions.Dedup.canonicalFromEntities]] discipline) on
     * top of [[semDedup]]'s labels. Returns
     * (vec_id, rep_id, canonical_id).
+    *
+    * `quality` need NOT cover every vec_id (ADVICE r17: the old inner
+    * join silently DROPPED unscored rows, breaking [[semDedup]]'s
+    * every-row-labels invariant): rows are left-joined to their
+    * scores and ranked by (scored, score) — an unscored member never
+    * beats a scored one, and a group that is entirely unscored falls
+    * back to the lowest-vec_id representative. Every input row comes
+    * back labeled regardless of coverage.
     */
   def semDedupCanonical(emb: DataFrame, quality: DataFrame, k: Int,
       threshold: Double, iters: Int = 3,
-      maxClusterSize: Int = 100000): DataFrame =
+      maxClusterSize: Int = 100000): DataFrame = {
+    val labels = semDedup(emb, k, threshold, iters, maxClusterSize)
+      .select(col("vec_id").as("rec_id"), col("rep_id").as("entity_id"))
+    val scoredAll = labels.select(col("rec_id"))
+      .join(quality.select(col("vec_id").as("rec_id"), col("score")),
+        Seq("rec_id"), "left")
     graft.functions.Dedup.canonicalFromEntities(
-      semDedup(emb, k, threshold, iters, maxClusterSize)
-        .select(col("vec_id").as("rec_id"), col("rep_id").as("entity_id")),
-      quality, col("vec_id"), col("score"))
+      labels, scoredAll, col("rec_id"),
+      struct(col("score").isNotNull.as("scored"), col("score").as("s")))
       .select(col("rec_id").as("vec_id"), col("entity_id").as("rep_id"),
         col("canonical_id"))
+  }
+
+  // ---- SemDeDup artifact lifecycle (train once / label increments /
+  // stream) — the train-once discipline every other model family here
+  // already has (span index d32, LM models t33, BPE t38, IVF-PQ e12):
+  // a 100 TB corpus trains its semantic-dedup clustering ONCE, then
+  // labels daily increments against the frozen centroids at
+  // O(increment) cost, never re-running Lloyd over the corpus.
+
+  /** Path of the plain meta file inside the artifact root (the d32
+    * k-in-meta rule: parameters ride INSIDE the one swapped root, so a
+    * reader can never pair the tree with the wrong threshold). */
+  private def semDedupMetaPath(path: String) = s"$path/_meta_semdedup"
+
+  /** Train and persist a SemDeDup model artifact: the frozen Lloyd
+    * centroids, the archive's (vec_id, embedding) rows laid out as a
+    * `centroid_id=`-partitioned index (so an increment's within-cluster
+    * pairing reads ONLY its touched cells — partition-pruned, the e12
+    * discipline), the archive's own (vec_id, rep_id) labels (one
+    * [[semDedup]] run), and the threshold/maxClusterSize meta inside
+    * the root. Staged into `path-staging` and swapped atomically
+    * ([[Curation.swapStaged]]): a crash leaves the old artifact or the
+    * new one, never a mix; readers first run recovery.
+    *
+    * Layout: `path/centroids` (centroid_id, centroid), `path/index`
+    * partitioned by centroid_id, `path/labels`, `path/_meta_semdedup`.
+    * Rebuild (model drift after enough increments) = call again; the
+    * swap keeps concurrent readers consistent. SINGLE-WRITER like
+    * every artifact maintenance call here.
+    */
+  def writeSemDedupModel(emb: DataFrame, path: String, k: Int,
+      threshold: Double, iters: Int = 3,
+      maxClusterSize: Int = 100000): Unit = {
+    require(k >= 1, s"writeSemDedupModel: k must be >= 1, got $k")
+    require(maxClusterSize > 1,
+      s"writeSemDedupModel: maxClusterSize must be > 1, got $maxClusterSize")
+    val spark = emb.sparkSession
+    val staged = s"$path-staging"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    val fs = stagedP.getFileSystem(conf)
+    fs.delete(stagedP, true)
+    val cents = ivfTrain(emb, k, iters)
+    // one materialized assignment feeds the index layout, the hot
+    // histogram, and both self-join sides (the semDedup discipline)
+    val assigned = Materialize(ivfAssign(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("centroid_id")))
+    cents.write.mode("overwrite").parquet(s"$staged/centroids")
+    assigned.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$staged/index")
+    semDedupFromAssigned(assigned, emb.select(col("vec_id")),
+        threshold, maxClusterSize)
+      .write.mode("overwrite").parquet(s"$staged/labels")
+    // meta through the hadoop FS (a java.nio write would poison the
+    // .crc sidecar on RawLocalFileSystem), inside the swapped root
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(semDedupMetaPath(staged)), true)
+    try out.write(
+      s"threshold=$threshold\nmaxClusterSize=$maxClusterSize\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    Curation.swapStaged(spark, staged, path)
+  }
+
+  /** The [[semDedup]] pair+closure chain over an ALREADY-materialized
+    * assignment — shared by [[semDedup]] (train-and-label) and
+    * [[writeSemDedupModel]] (which also persists the assignment). */
+  private def semDedupFromAssigned(assigned: DataFrame, ids: DataFrame,
+      threshold: Double, maxClusterSize: Int): DataFrame = {
+    val hot = broadcast(
+      assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxClusterSize)
+        .select(col("centroid_id")))
+    val guarded = assigned.join(hot, Seq("centroid_id"), "left_anti")
+    val a = guarded.select(col("centroid_id"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = guarded.select(col("centroid_id"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineQ(col("ea"), col("eb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.functions.Dedup.connectedComponentsStar(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
+    ids.join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+  }
+
+  /** Read a [[writeSemDedupModel]] artifact's archived labels back
+    * ((vec_id, rep_id) for every archive row). Finishes an
+    * interrupted swap first, so the artifact is always reachable. */
+  def readSemDedupLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    Curation.recoverSwap(spark, path, s"$path-staging")
+    spark.read.parquet(s"$path/labels")
+  }
+
+  /** Read the (threshold, maxClusterSize) meta from inside the root. */
+  private[graft] def readSemDedupMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Double, Int) = {
+    val p = new org.apache.hadoop.fs.Path(semDedupMetaPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"semDedup artifact at $path has no _meta_semdedup — not a " +
+        "writeSemDedupModel tree (or written by an incompatible version)")
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = body.linesIterator.filter(_.contains('='))
+      .map { l => val Array(a, v) = l.split("=", 2); a -> v }.toMap
+    (kv("threshold").toDouble, kv("maxClusterSize").toInt)
+  }
+
+  /** Label an INCREMENT against a frozen [[writeSemDedupModel]]
+    * artifact — the O(increment) verb: assign the new vectors to the
+    * frozen centroids (zero-shuffle argmin), find near-dup pairs
+    * within each touched cluster against the increment itself AND the
+    * archived members of that cluster (the archive side is a
+    * partition-pruned read of ONLY the touched `centroid_id=` cells,
+    * never the whole index), attach archive matches to their FROZEN
+    * archived rep_ids, and close transitively. Returns (vec_id,
+    * rep_id) for every increment row — the label is the minimum id
+    * reachable in the increment's component (an archived rep when any
+    * member matches the archive, the d34 min-id rule among the
+    * increment otherwise); singletons self-label.
+    *
+    * FROZEN-ARCHIVE contract (the d33/e13 incremental discipline):
+    * archived labels never change here — an increment vector that
+    * bridges two archive groups takes the smaller rep and the groups
+    * stay distinct until the next full [[writeSemDedupModel]] rebuild
+    * (exactly [[appendIvfPqIndex]]'s frozen-model trade: drift
+    * belongs to the rebuild cadence, not the ingest path). The hot
+    * guard applies to the COMBINED (archive + increment) cluster
+    * size, with the artifact's own maxClusterSize — clusters past the
+    * cap are excluded from pairing and their increment members
+    * self-label (the [[semDedup]] exclusion contract).
+    */
+  def semDedupIncrement(spark: org.apache.spark.sql.SparkSession,
+      path: String, inc: DataFrame): DataFrame = {
+    Curation.recoverSwap(spark, path, s"$path-staging")
+    val (threshold, maxClusterSize) = readSemDedupMeta(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val incAssigned = Materialize(ivfAssign(inc, cents)
+      .select(col("vec_id"), col("embedding"), col("centroid_id")))
+    // touched cells: bounded by k (the ivfTrain driver-state
+    // contract), so the collect is O(k) ints, never O(increment)
+    val touched = incAssigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val archive =
+      if (touched.isEmpty) incAssigned.limit(0)
+      else spark.read.parquet(s"$path/index")
+        .filter(col("centroid_id").isin(touched.map(Integer.valueOf): _*))
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").cast(IntegerType).as("centroid_id"))
+    // combined hot-cluster guard: |archive cell| + |increment cell|
+    val hot = broadcast(
+      incAssigned.select(col("centroid_id"))
+        .unionByName(archive.select(col("centroid_id")))
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxClusterSize)
+        .select(col("centroid_id")))
+    val gInc = incAssigned.join(hot, Seq("centroid_id"), "left_anti")
+    val gArch = archive.join(hot, Seq("centroid_id"), "left_anti")
+    val a = gInc.select(col("centroid_id"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val bInc = gInc.select(col("centroid_id"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val pairsInc = a.join(bInc, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineQ(col("ea"), col("eb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val bArch = gArch.select(col("centroid_id"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val archLabels = readSemDedupLabels(spark, path)
+      .select(col("vec_id").as("id_b"), col("rep_id"))
+    val pairsArch = a.join(bArch, Seq("centroid_id"))
+      .filter(cosineQ(col("ea"), col("eb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .join(archLabels, Seq("id_b"))
+      .select(col("id_a"), col("rep_id").as("id_b"))
+    val labels = graft.functions.Dedup.connectedComponentsStar(
+        pairsInc.unionByName(pairsArch))
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
+    inc.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+  }
+
+  /** Grow a [[writeSemDedupModel]] artifact by one labeled increment:
+    * label the increment against the frozen model
+    * ([[semDedupIncrement]]), then append its rows into their
+    * `centroid_id=` index cells and its labels into `labels/` —
+    * O(increment), the [[appendIvfPqIndex]] shape. After the append,
+    * later increments dedup against these rows too (sequential
+    * ingest = each batch labels against everything before it).
+    *
+    * NOT idempotent (a replayed append duplicates rows — same as
+    * every append verb here): drive from exactly-once orchestration
+    * or the checkpointed stream
+    * ([[graft.streaming.CorpusStream.semDedupIngest]] labels WITHOUT
+    * growing; growth under replay needs the epoch discipline, which
+    * batch orchestration owns). Returns the increment's labels so the
+    * caller doesn't recompute them.
+    */
+  def appendSemDedupModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, inc: DataFrame): DataFrame = {
+    val labels = semDedupIncrement(spark, path, inc)
+    val cents = spark.read.parquet(s"$path/centroids")
+    ivfAssign(inc, cents)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+    labels.write.mode("append").parquet(s"$path/labels")
+    labels
+  }
 
   /** The at-scale `planes` setting for [[cosineNearDupPairs]]/[[knnLsh]].
     *

@@ -257,6 +257,48 @@ object CorpusStream {
     * replay; reset output and checkpoint TOGETHER when restarting a
     * logical run.
     */
+  /** Streaming semantic-dedup labeling (s22) — the d36 increment verb
+    * under continuous ingest: each micro-batch of (vec_id, embedding)
+    * rows is labeled against the frozen
+    * [[graft.functions.Similarity.writeSemDedupModel]] artifact
+    * (assign to frozen centroids → within-cluster pairs vs the batch
+    * and the partition-pruned archive cells → closure onto archived
+    * rep_ids) and written to an idempotent `batch=<id>` dir.
+    *
+    * The artifact is RE-READ every batch (the s14 stale-frames rule):
+    * a [[graft.functions.Similarity.writeSemDedupModel]] rebuild on
+    * the model-drift cadence takes effect at the next batch boundary
+    * with no stream restart (SemDedupArtifactSpec pins the mid-stream
+    * retrain).
+    *
+    * BATCH-INDEPENDENT contract (the s16/s20 shape, NOT the s19
+    * grow-per-batch shape): every batch labels against the ARTIFACT
+    * only — two near-dup vectors split across different micro-batches
+    * both label against the archive but not against each other.
+    * That is the deliberate trade for replay-trivial idempotence (a
+    * redelivered batch overwrites its own dir; no cross-batch state
+    * to poison); growing the archive between batches belongs to
+    * exactly-once orchestration over
+    * [[graft.functions.Similarity.appendSemDedupModel]]. The s22 gate
+    * replays each batch's chain independently in the oracle.
+    */
+  def semDedupIngest(emb: DataFrame, modelPath: String, outPath: String,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      graft.functions.Similarity.semDedupIncrement(
+          batch.sparkSession, modelPath, batch)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      ()
+    }
+    val writer = emb.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
   def decontaminateSpansIngest(docs: DataFrame, id: Column, text: Column,
       indexPath: String, outPath: String,
       broadcastBench: Boolean = true,

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{Scratch, SparkSpec}
+
+/** The SemDeDup artifact lifecycle (`Similarity.writeSemDedupModel` /
+  * `semDedupIncrement` / `appendSemDedupModel`, d36) and its streaming
+  * dual (`CorpusStream.semDedupIngest`, s22). The d36/s22 gates
+  * hash-pin the full chain against the DuckDB replay; here we pin the
+  * lifecycle contracts: frozen-archive labeling, the transitive
+  * attach-through-the-batch rule, the bridge rule (archive groups stay
+  * distinct), the COMBINED hot-cluster guard, artifact growth, the
+  * mid-stream retrain (stale-frames rule), and loud failure on a
+  * meta-less tree.
+  */
+class SemDedupArtifactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 4
+
+  private def v(ax: Int, wobble: Double): Seq[Float] =
+    (0 until dims).map(d =>
+      if (d == ax) 1.0f
+      else if (d == (ax + 1) % dims) wobble.toFloat else 0.0f)
+
+  /** Archive: two tight bundles on orthogonal axes + a singleton. */
+  private def archiveDf = Seq(
+    (1L, v(0, 0.00)), (2L, v(0, 0.01)),   // group A, rep 1
+    (10L, v(2, 0.00)), (11L, v(2, 0.01)), // group B, rep 10
+    (20L, v(1, 0.00))                     // singleton
+  ).toDF("vec_id", "embedding")
+
+  private def freshModel(tag: String): String = {
+    val path = Scratch.path("/root/testdata/sf0.001", tag)
+    Scratch.reset(path)
+    Similarity.writeSemDedupModel(archiveDf, path, k = 3,
+      threshold = 0.95)
+    path
+  }
+
+  test("artifact roundtrip: archived labels persist and match the " +
+      "inline semDedup run; meta rides inside the root") {
+    val path = freshModel("sdart_rt")
+    val got = Similarity.readSemDedupLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L))
+    val (thr, cap) = Similarity.readSemDedupMeta(spark, path)
+    assert(thr === 0.95)
+    assert(cap === 100000)
+  }
+
+  test("semDedupIncrement: a match joins its archived rep; an inc-only " +
+      "pair groups under its min id; a clean vector self-labels; " +
+      "transitive attach through a batch member works") {
+    val path = freshModel("sdart_inc")
+    val inc = Seq(
+      (100L, v(0, 0.005)), // near group A -> rep 1
+      (101L, v(2, 0.02)),  // near group B -> rep 10
+      (200L, v(3, 0.00)), (201L, v(3, 0.001)), // inc-only pair -> 200
+      (300L, v(3, 0.60)),  // near nothing (cos to 200/201 ~0.86) -> itself
+      // the SemDedupSpec chain wobbles: 400 matches the archive
+      // singleton 20 (cos ~0.977) but 401 matches ONLY 400
+      // (cos(401,20) ~0.915 < 0.95, cos(401,400) ~0.980) — the
+      // transitive attach: 401 must inherit 20 THROUGH 400
+      (400L, v(1, 0.22)), (401L, v(1, 0.44))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupIncrement(spark, path, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(100L) === 1L)
+    assert(got(101L) === 10L)
+    assert(got(200L) === 200L)
+    assert(got(201L) === 200L)
+    assert(got(300L) === 300L)
+    assert(got(400L) === 20L)
+    assert(got(401L) === 20L)
+    // archived labels are untouched by an increment query
+    assert(Similarity.readSemDedupLabels(spark, path).count() === 5L)
+  }
+
+  test("bridge rule: an increment vector matching TWO archive groups " +
+      "takes the smaller rep; the archive groups stay distinct " +
+      "(frozen-archive contract)") {
+    // one bundle, split into two archive groups by clustering is hard
+    // to force; instead plant two groups in the SAME cluster by
+    // building the model with k=1 (everything co-clusters) over two
+    // bundles far apart... they wouldn't pair. So bridge via an inc
+    // vector equal to members of group A and group B is impossible for
+    // cos-separated groups. Instead: two archive vectors at cos ~0.94
+    // (below threshold -> distinct groups), inc vector between them at
+    // cos >= 0.95 to both.
+    val arch = Seq(
+      (1L, v(0, 0.00)),  // group {1}
+      (2L, v(0, 0.66))   // cos(1,2) ~ 0.835 < 0.95 -> group {2}
+    ).toDF("vec_id", "embedding")
+    val path = Scratch.path("/root/testdata/sf0.001", "sdart_bridge")
+    Scratch.reset(path)
+    Similarity.writeSemDedupModel(arch, path, k = 1, threshold = 0.95)
+    val archived = Similarity.readSemDedupLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(archived === Map(1L -> 1L, 2L -> 2L), "fixture lost its point")
+    val inc = Seq((100L, v(0, 0.30))).toDF("vec_id", "embedding")
+    // cos(inc, 1) ~ 0.958, cos(inc, 2) ~ 0.965 — bridges both
+    val got = Similarity.semDedupIncrement(spark, path, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(100L) === 1L, "bridge takes the smaller archived rep")
+    val after = Similarity.readSemDedupLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === archived, "archive labels must stay frozen")
+  }
+
+  test("combined hot-cluster guard: archive + increment past the cap " +
+      "excludes the cluster (increment members self-label), small " +
+      "clusters still dedup") {
+    val arch = (0 until 6).map(i => (100L + i, v(0, 0.001 * i))) ++
+      Seq((1L, v(2, 0.00)))
+    val path = Scratch.path("/root/testdata/sf0.001", "sdart_hot")
+    Scratch.reset(path)
+    // cap 8: archive alone (6 in the axis-0 cell) is under it
+    Similarity.writeSemDedupModel(arch.toDF("vec_id", "embedding"),
+      path, k = 2, threshold = 0.95, maxClusterSize = 8)
+    val inc = Seq(
+      (200L, v(0, 0.002)), (201L, v(0, 0.003)), (202L, v(0, 0.004)),
+      (300L, v(2, 0.01))
+    ).toDF("vec_id", "embedding")
+    // axis-0 cell: 6 archived + 3 increment = 9 > 8 -> excluded
+    val got = Similarity.semDedupIncrement(spark, path, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(200L) === 200L)
+    assert(got(201L) === 201L)
+    assert(got(202L) === 202L)
+    assert(got(300L) === 1L, "the small cluster must still dedup")
+  }
+
+  test("appendSemDedupModel grows the archive: a later increment " +
+      "dedups against appended rows; growth is O(increment)-shaped " +
+      "(labels row count grows by the batch)") {
+    val path = freshModel("sdart_grow")
+    val inc1 = Seq((200L, v(3, 0.00))).toDF("vec_id", "embedding")
+    val lab1 = Similarity.appendSemDedupModel(spark, path, inc1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab1 === Map(200L -> 200L))
+    assert(Similarity.readSemDedupLabels(spark, path).count() === 6L)
+    // the second increment matches ONLY the appended row
+    val inc2 = Seq((300L, v(3, 0.001))).toDF("vec_id", "embedding")
+    val lab2 = Similarity.semDedupIncrement(spark, path, inc2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab2 === Map(300L -> 200L),
+      "an appended row must be visible to later increments")
+  }
+
+  test("empty increment labels to an empty frame with the gate schema") {
+    val path = freshModel("sdart_empty")
+    val inc = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val got = Similarity.semDedupIncrement(spark, path, inc)
+    assert(got.columns.toSeq === Seq("vec_id", "rep_id"))
+    assert(got.count() === 0L)
+  }
+
+  test("a meta-less tree fails loudly, not with a wrong default") {
+    val path = Scratch.path("/root/testdata/sf0.001", "sdart_nometa")
+    Scratch.reset(path)
+    archiveDf.write.mode("overwrite").parquet(s"$path/labels")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupIncrement(spark, path,
+        Seq((1L, v(0, 0.0))).toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("_meta_semdedup"))
+  }
+
+  test("streaming semDedupIngest labels per batch against the frozen " +
+      "artifact and picks up a MID-STREAM retrain at the next batch " +
+      "(the s14 stale-frames rule)") {
+    val dir = "/root/testdata/sf0.001"
+    val path = freshModel("sdart_stream")
+    val in = Scratch.path(dir, "sdart_s_in")
+    val out = Scratch.path(dir, "sdart_s_out")
+    val ckpt = Scratch.path(dir, "sdart_s_ckpt")
+    Seq(in, out, ckpt).foreach(Scratch.reset)
+    val b1 = Seq((100L, v(0, 0.005))).toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    val stream1 = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q1 = graft.streaming.CorpusStream.semDedupIngest(stream1, path,
+      out, checkpointPath = Some(ckpt),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q1.awaitTermination()
+    val got1 = spark.read.parquet(out).drop("batch")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === Map(100L -> 1L))
+    // RETRAIN mid-stream: rebuild the artifact over a different
+    // archive (group A removed), then deliver a second batch — the
+    // rebuilt model must take effect without a stream restart
+    Similarity.writeSemDedupModel(
+      archiveDf.filter(col("vec_id") >= 10L), path, k = 2,
+      threshold = 0.95)
+    val b2 = Seq((101L, v(0, 0.005)), (102L, v(2, 0.02)))
+      .toDF("vec_id", "embedding")
+    b2.coalesce(1).write.mode("append").parquet(in)
+    val stream2 = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q2 = graft.streaming.CorpusStream.semDedupIngest(stream2, path,
+      out, checkpointPath = Some(ckpt),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q2.awaitTermination()
+    val got2 = spark.read.parquet(out).drop("batch")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 101 matched group A before the retrain — A is gone now, so it
+    // self-labels; 102 still matches group B in the rebuilt model
+    assert(got2 === Map(100L -> 1L, 101L -> 101L, 102L -> 10L))
+  }
+}

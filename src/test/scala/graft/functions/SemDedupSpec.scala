@@ -109,6 +109,31 @@ class SemDedupSpec extends SparkSpec {
     assert(got(20L) === ((20L, 20L)))
   }
 
+  test("semDedupCanonical with partial quality coverage labels EVERY " +
+      "row: unscored members never win, an all-unscored group falls " +
+      "back to its lowest vec_id (ADVICE r17: no silent drops)") {
+    val emb = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)), (3L, v(0, 0.02)), // group A
+      (10L, v(2, 0.00)), (11L, v(2, 0.01)),                 // group B
+      (20L, v(1, 0.00))                                     // singleton
+    ).toDF("vec_id", "embedding")
+    // group A: only 3 is scored; group B: entirely unscored; the
+    // singleton 20 is unscored too — the old inner join would have
+    // dropped 1, 2, 10, 11, and 20 from the output entirely
+    val quality = Seq((3L, 1L)).toDF("vec_id", "score")
+    val got = Similarity.semDedupCanonical(emb, quality, k = 3,
+        threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 20L),
+      "every input row must come back labeled")
+    // group A: the sole scored member wins even at the highest vec_id
+    Seq(1L, 2L, 3L).foreach(id => assert(got(id) === ((1L, 3L))))
+    // group B all-unscored: lowest-vec_id fallback
+    Seq(10L, 11L).foreach(id => assert(got(id) === ((10L, 10L))))
+    assert(got(20L) === ((20L, 20L)))
+  }
+
   test("degenerate knobs are rejected loudly") {
     val emb = Seq((1L, v(0, 0.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
