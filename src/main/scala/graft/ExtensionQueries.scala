@@ -393,7 +393,39 @@ object ExtensionQueries {
     // materialized train+pair+closure run — the d24/d25 sharing shape.
     "d34_semdedup" -> ((s, dir) => {
       Fixtures.semDedupLabels(s, dir)
+        .select(col("vec_id"), col("rep_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // d34 plus the PAPER's keep rule (d37, SemDeDup §3): each semantic
+    // group keeps the member FARTHEST from its assigned centroid
+    // (maximal marginality — the retained-diversity policy), ties →
+    // lowest vec_id. The distances are the fixture's own assignment
+    // distances (exact quantized integers), so the oracle extends
+    // d34's replay with one `dist DESC` arg-max per group.
+    "d37_semdedup_farthest" -> ((s, dir) => {
+      Similarity.farthestFromLabels(Fixtures.semDedupLabels(s, dir))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The semDedup k-sizing rule (d38, the e17 discipline): pure
+    // arithmetic over a (corpusSize, iters, maxOccupancy) grid —
+    // the Lloyd-vs-candidates balance point calibrated by the
+    // measured k-curve (bench/scale_r17/semdedup_k_curve.json), the
+    // average-occupancy floor, and the k <= n clamp, all replayed in
+    // exact integer/IEEE SQL. SemDedupAutoSpec runs the derived k end
+    // to end and measures planted-dup recall staying total.
+    "d38_semdedup_autok" -> ((s, dir) => {
+      import s.implicits._
+      val grid: Seq[(Long, Int, Int)] = Seq(
+        (1L, 3, 100000), (40L, 3, 100000), (2040L, 3, 100000),
+        (2040L, 1, 100000), (2040L, 10, 100000), (65536L, 3, 100000),
+        (1000000L, 3, 100000), (1000000L, 3, 1000), (123456L, 5, 64),
+        (1000000000L, 3, 100000), (1000000000L, 3, 4096), (7L, 3, 2))
+      grid.map { case (n, iters, occ) =>
+        (n, iters, occ, Similarity.autoSemDedupK(n, iters, occ))
+      }.toDF("n", "iters", "max_occupancy", "k")
+        .orderBy(col("n"), col("iters"), col("max_occupancy"))
     }),
 
     // d34 plus quality-aware representative selection (d35): each
@@ -3753,8 +3785,9 @@ object ExtensionQueries {
              FROM (SELECT vec_id, q FROM qc ORDER BY vec_id LIMIT 8)),
          ${sweep(1, "c0")}, ${sweep(2, "c1")}, ${sweep(3, "c2")},
          assigned AS MATERIALIZED (
-           SELECT vec_id, embedding, centroid_id FROM (
+           SELECT vec_id, embedding, centroid_id, dist FROM (
              SELECT v.vec_id, v.embedding, c.centroid_id,
+               ${semDedupSqd("v.q", "c.c")} AS dist,
                row_number() OVER (PARTITION BY v.vec_id
                  ORDER BY ${semDedupSqd("v.q", "c.c")}, c.centroid_id) AS rn
              FROM qc v CROSS JOIN c3 c) WHERE rn = 1),
@@ -4668,6 +4701,46 @@ object ExtensionQueries {
          SELECT vec_id, rep_id FROM b0out
          UNION ALL SELECT vec_id, rep_id FROM b1out
          ORDER BY vec_id""",
+
+    // d34's chain plus the (dist DESC, vec_id) representative choice
+    // per semantic group — the paper's farthest-from-centroid keep
+    // rule on the exact quantized assignment distances the chain
+    // already computes
+    "d37_semdedup_farthest" ->
+      s"""WITH RECURSIVE ${semDedupOracleCtes(semDedupD34CorpusSql)},
+         asg AS (SELECT e.vec_id AS rec_id,
+             coalesce(l.ent, e.vec_id) AS entity_id, a.dist
+           FROM e LEFT JOIN lab l ON l.id = e.vec_id
+           JOIN assigned a ON a.vec_id = e.vec_id),
+         can AS (SELECT entity_id, rec_id AS canonical_id FROM (
+             SELECT entity_id, rec_id,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY dist DESC, rec_id) AS rn
+             FROM asg) WHERE rn = 1)
+         SELECT asg.rec_id AS vec_id, asg.entity_id AS rep_id,
+           can.canonical_id
+         FROM asg JOIN can USING (entity_id)
+         ORDER BY vec_id""",
+
+    // mirrors d38: the autoSemDedupK arithmetic over the same grid —
+    // balance point floor(sqrt(3n/(32·iters)) + 0.5), the
+    // ceil(n/maxOccupancy) average-occupancy floor, the k <= n clamp
+    "d38_semdedup_autok" ->
+      """WITH grid(n, iters, max_occupancy) AS (VALUES
+           (1, 3, 100000), (40, 3, 100000), (2040, 3, 100000),
+           (2040, 1, 100000), (2040, 10, 100000), (65536, 3, 100000),
+           (1000000, 3, 100000), (1000000, 3, 1000), (123456, 5, 64),
+           (1000000000, 3, 100000), (1000000000, 3, 4096), (7, 3, 2)),
+         d AS (SELECT CAST(n AS BIGINT) AS n, iters, max_occupancy,
+             GREATEST(1, CAST(floor(
+               sqrt(3.0 * CAST(n AS DOUBLE) / (32.0 * iters)) + 0.5)
+               AS BIGINT)) AS balance,
+             (CAST(n AS BIGINT) + max_occupancy - 1) // max_occupancy
+               AS floor_k
+           FROM grid)
+         SELECT n, iters, max_occupancy,
+           CAST(LEAST(GREATEST(balance, floor_k), n) AS INT) AS k
+         FROM d ORDER BY n, iters, max_occupancy""",
 
     // d34's chain plus the (score DESC, vec_id) representative choice
     // per semantic group — d25's canonical-record rule on the

@@ -249,9 +249,13 @@ object Fixtures {
   }
 
   /** The d34 semantic-dedup labels over the planted embedding corpus
-    * (d34's exact call — Lloyd train + within-cluster pairs + star-CC),
-    * materialized ONCE to parquet; d35's canonical arg-max reads them
-    * (the d24/d25 sharing shape on the embedding groups). */
+    * (d34's exact chain — Lloyd train + within-cluster pairs +
+    * star-CC — via `semDedupWithDist`, which adds each row's exact
+    * assignment distance off the same materialized pass),
+    * materialized ONCE to parquet. d34 projects (vec_id, rep_id),
+    * d35's quality arg-max and d37's farthest-from-centroid arg-max
+    * both read it (the d24/d25 sharing shape on the embedding
+    * groups). */
   def semDedupLabels(s: SparkSession, dir: String): DataFrame = {
     val p = of(s"$dir#semdedup_labels") {
       val emb = Tables.df(s, dir, "embeddings")
@@ -263,7 +267,7 @@ object Fixtures {
         .withColumn("vec_id", col("vec_id") + 100000)
       val path = Scratch.path(dir, "fx_semdedup")
       Scratch.reset(path)
-      Similarity.semDedup(checked.unionByName(planted), k = 8,
+      Similarity.semDedupWithDist(checked.unionByName(planted), k = 8,
           threshold = 0.95)
         .write.parquet(path)
       path

@@ -429,6 +429,103 @@ object Similarity {
         col("canonical_id"))
   }
 
+  /** [[semDedup]] returning each row's exact quantized squared
+    * distance to its assigned centroid alongside the label —
+    * (vec_id, rep_id, dist). One extra column off the SAME
+    * materialized assignment pass (no second train, no second corpus
+    * scan); the distance is what the paper-faithful keep rule
+    * ([[semDedupFarthest]]) arg-maxes, and callers doing their own
+    * keep policy (or diagnostics on cluster tightness) read it here. */
+  def semDedupWithDist(emb: DataFrame, k: Int, threshold: Double,
+      iters: Int = 3, maxClusterSize: Int = 100000): DataFrame = {
+    require(k >= 1, s"semDedupWithDist: k must be >= 1, got $k")
+    require(maxClusterSize > 1,
+      s"semDedupWithDist: maxClusterSize must be > 1, got $maxClusterSize")
+    val cents = ivfTrain(emb, k, iters)
+    val assigned = Materialize(ivfAssign(emb, cents, keepDist = true)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("dist")))
+    semDedupFromAssigned(
+        assigned.select(col("vec_id"), col("embedding"),
+          col("centroid_id")),
+        emb.select(col("vec_id")), threshold, maxClusterSize)
+      .join(assigned.select(col("vec_id"), col("dist")), Seq("vec_id"))
+  }
+
+  /** The SemDeDup PAPER's keep rule (Abbas et al. arXiv:2303.09540
+    * §3: keep the member FARTHEST from its cluster centroid — the
+    * most "marginal" example, maximizing retained diversity) as the
+    * alternative to [[semDedupCanonical]]'s quality arg-max. Each
+    * group's representative is its max-distance member, ties → lowest
+    * vec_id; singletons are their own canonical. One
+    * partial-aggregatable `max(struct(dist, -vec_id))` per group on
+    * the assignment distances [[semDedupWithDist]] already computed —
+    * map-side combine, no window (the
+    * [[graft.functions.Dedup.canonicalFromEntities]] discipline).
+    * Returns (vec_id, rep_id, canonical_id). */
+  def semDedupFarthest(emb: DataFrame, k: Int, threshold: Double,
+      iters: Int = 3, maxClusterSize: Int = 100000): DataFrame =
+    farthestFromLabels(
+      semDedupWithDist(emb, k, threshold, iters, maxClusterSize))
+
+  /** The farthest-from-centroid arg-max of [[semDedupFarthest]] over
+    * ALREADY-COMPUTED (vec_id, rep_id, dist) labels — lets a caller
+    * (or the shared gate-fixture layer) materialize one
+    * [[semDedupWithDist]] run and fan keep policies out from it. */
+  def farthestFromLabels(labels: DataFrame): DataFrame = {
+    val canon = labels.groupBy(col("rep_id"))
+      .agg(max(struct(col("dist").as("d"), (-col("vec_id")).as("nid")))
+        .as("__best"))
+      .select(col("rep_id"), (-col("__best.nid")).as("canonical_id"))
+    labels.join(canon, Seq("rep_id"))
+      .select(col("vec_id"), col("rep_id"), col("canonical_id"))
+  }
+
+  /** The at-scale `k` setting for [[semDedup]] — the [[autoPlanes]] /
+    * [[autoIvfPqConfig]] sizing discipline applied to the cluster
+    * count. SemDeDup's two cost terms pull k in opposite directions:
+    * Lloyd training is Θ(iters · n · k) distance evaluations while
+    * within-cluster candidate work is Θ(n²/k) cosine evaluations
+    * (measured falling 1/k in `bench/scale_r17/semdedup_k_curve.json`),
+    * so total work minimizes at k* = sqrt(c · n / iters) for a
+    * machine-dependent cost ratio c. The curve's wall-clock minimum
+    * (k = 8 at n = 2040, iters = 3 — 4.65 s vs 8.25 s at k = 4 and
+    * 8.59 s at k = 32) calibrates c ≈ 3/32, giving
+    * k = floor(sqrt(3n / (32·iters)) + 0.5). Two clamps: k never
+    * drops below ceil(n / maxOccupancy) — the AVERAGE cell must stay
+    * under [[semDedup]]'s hot-cluster cap, or the guard would start
+    * excluding typical (not just skewed) clusters — and never exceeds
+    * n (more centroids than points trains empty cells for nothing).
+    * Exact integer/IEEE arithmetic throughout, so any engine derives
+    * the same k (the e17 replay contract).
+    */
+  def autoSemDedupK(corpusSize: Long, iters: Int = 3,
+      maxOccupancy: Int = 100000): Int = {
+    require(corpusSize > 0, "autoSemDedupK: corpusSize must be positive")
+    require(iters >= 1, "autoSemDedupK: iters must be >= 1")
+    require(maxOccupancy > 1, "autoSemDedupK: maxOccupancy must be > 1")
+    val balance = math.max(1L, math.floor(
+      math.sqrt(3.0 * corpusSize / (32.0 * iters)) + 0.5).toLong)
+    val floorK = (corpusSize + maxOccupancy - 1) / maxOccupancy
+    math.min(math.max(balance, floorK), corpusSize)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** [[semDedup]] with `k` sized to the corpus by [[autoSemDedupK]] —
+    * the at-scale default, so the sizing rule is applied, not just
+    * documented (the [[cosineNearDupPairsAuto]] shape). Pass
+    * `corpusSize` when the count is already known; otherwise one
+    * metadata-cheap count job runs first. `maxClusterSize` doubles as
+    * the sizing rule's `maxOccupancy`, keeping the derived k and the
+    * hot guard consistent by construction. */
+  def semDedupAuto(emb: DataFrame, threshold: Double,
+      corpusSize: Long = 0L, iters: Int = 3,
+      maxClusterSize: Int = 100000): DataFrame = {
+    val n = if (corpusSize > 0) corpusSize else emb.count()
+    semDedup(emb, autoSemDedupK(n, iters, maxClusterSize), threshold,
+      iters, maxClusterSize)
+  }
+
   // ---- SemDeDup artifact lifecycle (train once / label increments /
   // stream) — the train-once discipline every other model family here
   // already has (span index d32, LM models t33, BPE t38, IVF-PQ e12):

@@ -79,7 +79,7 @@ class FixturesSpec extends SparkSpec {
     assert(ents.columns.toSet === Set("rec_id", "entity_id"))
     assert(ents.count() > 0)
     val labels = Fixtures.semDedupLabels(spark, dir)
-    assert(labels.columns.toSet === Set("vec_id", "rep_id"))
+    assert(labels.columns.toSet === Set("vec_id", "rep_id", "dist"))
     assert(labels.count() > 0)
   }
 }

@@ -134,6 +134,71 @@ class SemDedupSpec extends SparkSpec {
     assert(got(20L) === ((20L, 20L)))
   }
 
+  test("semDedupFarthest keeps each group's farthest-from-centroid " +
+      "member (the paper's keep rule), ties to the lowest vec_id; " +
+      "singletons are their own canonical") {
+    // one tight bundle: k=1 puts the centroid at the integer mean, so
+    // the largest-wobble member is farthest; plus a singleton axis
+    val emb = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)), (3L, v(0, 0.04)),
+      (20L, v(1, 0.00))
+    ).toDF("vec_id", "embedding")
+    val labels = Similarity.semDedupWithDist(emb, k = 2, threshold = 0.95)
+    val got = Similarity.farthestFromLabels(labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // group {1,2,3}: centroid ~ the mean of the bundle, 3 is farthest
+    assert(got(1L) === ((1L, 3L)))
+    assert(got(2L) === ((1L, 3L)))
+    assert(got(3L) === ((1L, 3L)))
+    assert(got(20L) === ((20L, 20L)))
+    // the end-to-end form agrees with the two-step composition
+    val e2e = Similarity.semDedupFarthest(emb, k = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(e2e === got)
+  }
+
+  test("autoSemDedupK: calibrated balance point, occupancy floor, and " +
+      "n clamp") {
+    // the measured wall minimum: k = 8 at the k-curve's n = 2040
+    assert(Similarity.autoSemDedupK(2040L) === 8)
+    // balance scales as sqrt(n/iters)
+    assert(Similarity.autoSemDedupK(2040L, iters = 10) === 4)
+    assert(Similarity.autoSemDedupK(1000000L) === 177)
+    // occupancy floor: the average cell must stay under the hot cap
+    assert(Similarity.autoSemDedupK(1000000L, maxOccupancy = 1000)
+      === 1000)
+    // n clamp: never more centroids than points
+    assert(Similarity.autoSemDedupK(7L, maxOccupancy = 2) === 4)
+    assert(Similarity.autoSemDedupK(1L) === 1)
+    intercept[IllegalArgumentException] {
+      Similarity.autoSemDedupK(0L)
+    }
+  }
+
+  test("recall at the derived k stays TOTAL: every planted duplicate " +
+      "pair still groups under semDedupAuto (clustering can only " +
+      "split groups, and exact copies always co-cluster)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.df(spark, dir, "embeddings")
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = emb.unionByName(planted)
+    val n = corpus.count()
+    val k = Similarity.autoSemDedupK(n)
+    val labels = Similarity.semDedupAuto(corpus, threshold = 0.95,
+        corpusSize = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plantIds = planted.select(col("vec_id"))
+      .collect().map(_.getLong(0))
+    assert(plantIds.nonEmpty, "fixture lost its plants")
+    plantIds.foreach { pid =>
+      assert(labels(pid) === labels(pid - 100000),
+        s"planted dup $pid must group with its original at derived k=$k")
+    }
+  }
+
   test("degenerate knobs are rejected loudly") {
     val emb = Seq((1L, v(0, 0.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
