@@ -1159,6 +1159,32 @@ object ExtensionQueries {
         .orderBy(col("chunk_id"), col("doc_id"))
     }),
 
+    // Chunk-grid takedown (p19): delete every 7th document's spans
+    // from the t43/p15 sequence grid — the artifact training loaders
+    // ACTUALLY read, so a right-to-be-forgotten sweep must reach it.
+    // FROZEN HOLES (the p12 frozen-bin rule on sequences): surviving
+    // spans keep chunk_id/offsets verbatim — the oracle is the t43
+    // grid over ALL rows with the deleted docs' spans filtered at the
+    // END (a re-pack would re-flow every later chunk — the one thing
+    // takedown must not do). Candidate bins come from the chunk
+    // manifest's [first_doc, last_doc] ranges; the delete runs TWICE
+    // (idempotence rides inside the gate, the e19 rule).
+    "p19_chunk_delete" -> ((s, dir) => {
+      val path = Scratch.path(dir, "p19_chunks")
+      Scratch.reset(path)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Curation.writeChunks(docs, "lang", "doc_id", "n_chars",
+        seqLen = 512L, path)
+      val ids = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+      Curation.deleteFromChunks(s, path, ids, orderName = "doc_id")
+      Curation.deleteFromChunks(s, path, ids, orderName = "doc_id")
+      s.read.parquet(path)
+        .select(col("stratum"), col("chunk_id"), col("doc_id"),
+          col("doc_offset"), col("chunk_offset"), col("n_span_tokens"))
+        .orderBy(col("stratum"), col("chunk_id"), col("doc_id"))
+    }),
+
     // p06's targeted read THROUGH a grown-then-epoch-compacted tree
     // (p07): the same stratum + bin range, but the tree was built by
     // two in-order appendShards epochs (per-epoch file debris inside
@@ -4380,6 +4406,11 @@ object ExtensionQueries {
     // p15 is the t43 grid served back by (stratum, chunk range) from
     // the persisted (stratum, bin) tree — the restricted replay
     ("p15_chunk_read" -> ChunkReadOracle) +
+    // p19: the t43 grid with the deleted docs' spans filtered at the
+    // END — the frozen-holes contract (offsets/chunk ids of survivors
+    // verbatim; a pack over the filtered corpus would re-flow chunks)
+    ("p19_chunk_delete" -> concatChunksOracleSql(
+      "WHERE doc_id % 7 <> 3", "stratum, chunk_id, doc_id")) +
     ("p14_tokenize_pack_shard" -> TokenizePackShardOracle) +
     ("t37_bpe_encode" -> BpeEncodeOracle) +
     ("t38_bpe_artifact" -> BpeArtifactOracle) +

@@ -801,64 +801,7 @@ object Curation {
       throw new IllegalStateException(
         s"deleteFromShards: no committed epoch under $path " +
           "(appendShards trees only — re-run writeShards for plain trees)"))
-    // takedown lease: a LOCK, acquired create-exclusive BEFORE any
-    // recovery or mutation — a fresh one belongs to a live concurrent
-    // takedown (single-writer contract, violated loudly); a stale one
-    // is a crashed predecessor's and is taken over. Readers skip
-    // recovery while it is fresh, and must win this same lock to
-    // recover stale debris, so writer and reader recovery can never
-    // interleave. Re-touched every minute from a daemon thread because
-    // the staged write below can outlast any one-shot TTL at corpus
-    // scale.
-    val leasePath = s"$path/_delete_lease"
-    val leaseP = new org.apache.hadoop.fs.Path(leasePath)
-    val leaseFs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    acquireDeleteLease(leaseFs, leaseP, failIfHeld = true)
-    // a transient IOException from touchMarker must not silently kill
-    // the refresher (ADVICE r16): the lease would go stale after the
-    // TTL while the takedown is still mutating — exactly the long-run
-    // case the refresher exists for — and a reader or second writer
-    // would then take over mid-write. Failures retry on a short
-    // cadence; if the lease cannot be kept fresh well inside the TTL,
-    // the takedown is aborted LOUDLY (interrupt + post-body check)
-    // instead of continuing unprotected.
-    val leaseFailure =
-      new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val takedownThread = Thread.currentThread()
-    val leaseRefresher = new Thread(() => {
-      var failures = 0
-      var live = true
-      while (live) {
-        try {
-          Thread.sleep(
-            if (failures == 0) DeleteLeaseRefreshMs else DeleteLeaseRetryMs)
-          touchMarker(spark, leasePath)
-          failures = 0
-        } catch {
-          case _: InterruptedException => live = false
-          case scala.util.control.NonFatal(e) =>
-            failures += 1
-            if (failures >= DeleteLeaseMaxRefreshFailures) {
-              leaseFailure.set(e)
-              takedownThread.interrupt()
-              live = false
-            }
-        }
-      }
-    }, "graft-delete-lease")
-    leaseRefresher.setDaemon(true)
-    leaseRefresher.start()
-    def leaseLost(suppressed: Option[Throwable]): Nothing = {
-      Thread.interrupted() // clear the flag the refresher set
-      val ex = new IllegalStateException(
-        "deleteFromShards: the takedown lease could not be kept fresh " +
-          s"($DeleteLeaseMaxRefreshFailures consecutive refresh " +
-          "failures) — aborting rather than mutating past the TTL " +
-          "unprotected", leaseFailure.get())
-      suppressed.foreach(ex.addSuppressed)
-      throw ex
-    }
-    try {
+    withTakedownLease(spark, path, "deleteFromShards") {
     // crashed-predecessor debris, recovered under OUR lease
     recoverTakedown(spark, path, holdingLease = true)
     val idSide = broadcast(
@@ -913,27 +856,7 @@ object Curation {
             max(col(orderName)).as("last_doc"))
           .collect().foreach(keptRows += _)
       } finally kept.unpersist()
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.foreach { r =>
-        val st = r.get(0)
-        val bin = r.get(1)
-        val binDir = new org.apache.hadoop.fs.Path(
-          s"$path/stratum=$st/bin=$bin")
-        val staged = new org.apache.hadoop.fs.Path(
-          s"$path/_delete_staged/stratum=$st/bin=$bin")
-        val aside = new org.apache.hadoop.fs.Path(
-          s"$path/_delete_old/stratum=$st/bin=$bin")
-        fs.mkdirs(aside.getParent)
-        require(fs.rename(binDir, aside),
-          s"deleteFromShards: could not rename $binDir aside to $aside")
-        // a fully-deleted bin has no staged dir: the bin simply ends
-        // (partition discovery skips the absent directory)
-        if (fs.exists(staged)) require(fs.rename(staged, binDir),
-          s"deleteFromShards: could not swap $staged into $binDir")
-        fs.delete(aside, true)
-        ()
-      }
+      swapTouchedBins(spark, path, touched, "deleteFromShards")
     }
     val recomputed = spark.createDataFrame(
       new java.util.ArrayList(
@@ -965,19 +888,117 @@ object Curation {
     }
     deleteMarker(spark, s"$path/_delete_staged")
     deleteMarker(spark, s"$path/_delete_old")
-    } catch {
-      case e: Throwable if leaseFailure.get() != null =>
-        leaseLost(Some(e))
-    } finally {
-      leaseRefresher.interrupt()
-      leaseRefresher.join(2000)
     }
+    readShardManifest(spark, path)
+  }
+
+  /** The per-bin atomic swap sequence shared by [[deleteFromShards]]
+    * and [[deleteFromChunks]]: for each touched (stratum, bin), rename
+    * the live bin aside under `_delete_old`, rename the staged rewrite
+    * in from `_delete_staged` (a fully-deleted bin has no staged dir:
+    * the bin simply ends — partition discovery skips the absent
+    * directory), drop the aside. Per-bin atomicity; a crash at any
+    * point leaves each bin recoverable by [[recoverBinSwaps]]. Caller
+    * holds the takedown lease.
+    */
+  private def swapTouchedBins(spark: SparkSession, path: String,
+      touched: Array[org.apache.spark.sql.Row], verb: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { r =>
+      val st = r.get(0)
+      val bin = r.get(1)
+      val binDir = new org.apache.hadoop.fs.Path(
+        s"$path/stratum=$st/bin=$bin")
+      val staged = new org.apache.hadoop.fs.Path(
+        s"$path/_delete_staged/stratum=$st/bin=$bin")
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$path/_delete_old/stratum=$st/bin=$bin")
+      fs.mkdirs(aside.getParent)
+      require(fs.rename(binDir, aside),
+        s"$verb: could not rename $binDir aside to $aside")
+      if (fs.exists(staged)) require(fs.rename(staged, binDir),
+        s"$verb: could not swap $staged into $binDir")
+      fs.delete(aside, true)
+      ()
+    }
+  }
+
+  /** The takedown lease protocol shared by [[deleteFromShards]] and
+    * [[deleteFromChunks]]: acquire the create-exclusive lease LOCK
+    * (loudly failing if a live takedown holds it — the single-writer
+    * contract), keep it fresh from a daemon refresher thread for the
+    * body's whole run (a staged corpus-scale write can outlast any
+    * one-shot TTL), and release it only on success.
+    *
+    * A transient IOException from touchMarker must not silently kill
+    * the refresher (ADVICE r16): the lease would go stale after the
+    * TTL while the takedown is still mutating — exactly the long-run
+    * case the refresher exists for — and a reader or second writer
+    * would then take over mid-write. Failures retry on a short
+    * cadence; if the lease cannot be kept fresh well inside the TTL,
+    * the takedown is aborted LOUDLY (interrupt + post-body check)
+    * instead of continuing unprotected. On abort or body failure the
+    * lease file is deliberately LEFT: it goes stale after the TTL and
+    * the next writer (or a reader's recovery) takes over the debris.
+    */
+  private def withTakedownLease[T](spark: SparkSession, path: String,
+      verb: String)(body: => T): T = {
+    val leasePath = s"$path/_delete_lease"
+    val leaseP = new org.apache.hadoop.fs.Path(leasePath)
+    val leaseFs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireDeleteLease(leaseFs, leaseP, failIfHeld = true)
+    val leaseFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val takedownThread = Thread.currentThread()
+    val leaseRefresher = new Thread(() => {
+      var failures = 0
+      var live = true
+      while (live) {
+        try {
+          Thread.sleep(
+            if (failures == 0) DeleteLeaseRefreshMs else DeleteLeaseRetryMs)
+          touchMarker(spark, leasePath)
+          failures = 0
+        } catch {
+          case _: InterruptedException => live = false
+          case scala.util.control.NonFatal(e) =>
+            failures += 1
+            if (failures >= DeleteLeaseMaxRefreshFailures) {
+              leaseFailure.set(e)
+              takedownThread.interrupt()
+              live = false
+            }
+        }
+      }
+    }, "graft-delete-lease")
+    leaseRefresher.setDaemon(true)
+    leaseRefresher.start()
+    def leaseLost(suppressed: Option[Throwable]): Nothing = {
+      Thread.interrupted() // clear the flag the refresher set
+      val ex = new IllegalStateException(
+        s"$verb: the takedown lease could not be kept fresh " +
+          s"($DeleteLeaseMaxRefreshFailures consecutive refresh " +
+          "failures) — aborting rather than mutating past the TTL " +
+          "unprotected", leaseFailure.get())
+      suppressed.foreach(ex.addSuppressed)
+      throw ex
+    }
+    val result =
+      try body
+      catch {
+        case e: Throwable if leaseFailure.get() != null =>
+          leaseLost(Some(e))
+      } finally {
+        leaseRefresher.interrupt()
+        leaseRefresher.join(2000)
+      }
     // the abort interrupt may have landed between interruptible waits
     // and never surfaced as an exception — never report success when
     // the lease was lost
     if (leaseFailure.get() != null) leaseLost(None)
     deleteMarker(spark, leasePath)
-    readShardManifest(spark, path)
+    result
   }
 
   /** How long a [[deleteFromShards]] liveness lease stays fresh. The
@@ -1413,7 +1434,198 @@ object Curation {
     try out.write(chunksPerBin.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // the per-bin MANIFEST (the p04 discipline on the chunk grid):
+    // order-key and chunk ranges per (stratum, bin), computed from the
+    // just-written tree with the scan pruned to the manifest columns —
+    // [[deleteFromChunks]] locates takedown candidates against these
+    // ranges instead of scanning the corpus, and a loader scheduling
+    // ranks reads span/token totals here instead of aggregating bins
+    writeChunkManifest(spark,
+      chunkManifestRows(spark.read.parquet(path), orderName), path)
     spans
+  }
+
+  /** The manifest aggregation shared by [[writeChunks]] and the
+    * [[deleteFromChunks]] reset: one partial-aggregatable pass. */
+  private def chunkManifestRows(rows: DataFrame,
+      orderName: String): DataFrame =
+    rows.groupBy(col("stratum"), col("bin").cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_span_tokens").cast(LongType)).as("n_span_tokens"),
+        min(col("chunk_id")).as("first_chunk"),
+        max(col("chunk_id")).as("last_chunk"),
+        min(col(orderName)).as("first_doc"),
+        max(col(orderName)).as("last_doc"))
+
+  private def writeChunkManifest(spark: SparkSession, rows: DataFrame,
+      path: String): Unit =
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_chunk_manifest")
+
+  /** Read a [[writeChunks]] tree's per-bin manifest: (stratum, bin,
+    * n_spans, n_span_tokens, first_chunk, last_chunk, first_doc,
+    * last_doc). Recovers interrupted takedown swaps first (the
+    * [[readShardManifest]] discipline). Loud on pre-manifest trees —
+    * re-run [[writeChunks]] rather than range-guessing. */
+  def readChunkManifest(spark: SparkSession, path: String): DataFrame = {
+    recoverChunkTakedown(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_chunk_manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"readChunkManifest: no _chunk_manifest under $path — a " +
+        "pre-manifest writeChunks tree; rebuild with writeChunks to " +
+        "get the takedown/loader manifest")
+    spark.read.parquet(s"$path/_chunk_manifest")
+  }
+
+  /** TAKEDOWN for a [[writeChunks]] chunk grid — the deletion verb the
+    * concat-and-chunk lifecycle was missing ([[deleteFromShards]]'s
+    * rule applied to the span table a training loader ACTUALLY reads):
+    * remove every span whose ORDER key appears in `ids`
+    * (single-column frame), rewriting ONLY the `stratum=…/bin=…`
+    * partitions whose manifest [first_doc, last_doc] range can contain
+    * them — a broadcast range join against the tiny manifest, never a
+    * corpus scan; a range false positive rewrites a bin to identical
+    * content (wasted I/O, never wrong data).
+    *
+    * FROZEN-HOLES policy (the p12 frozen-bin rule on the sequence
+    * grid): deleted documents' spans vanish; every surviving span
+    * keeps its chunk_id, chunk_offset and doc_offset VERBATIM, so
+    * untouched bins are bit-identical, [[readChunks]]' bin arithmetic
+    * is unchanged, and a training loader sees the same sequence ids
+    * with holes where the deleted text was (it already pads the final
+    * sequence; a takedown hole is the same mask case). Re-packing
+    * would re-flow every later chunk in the stratum — exactly what a
+    * takedown must NOT do; rebuild with [[writeChunks]] when re-flow
+    * is wanted.
+    *
+    * Crash safety is [[deleteFromShards]]' verbatim: per-bin
+    * stage-and-swap under `_delete_staged`/`_delete_old`
+    * ([[recoverChunkTakedown]] runs up front here and in the read
+    * entry points), the manifest RESET staged and swapped (touched
+    * bins' rows recomputed from the kept rows; a fully-deleted bin
+    * leaves the manifest), all under the takedown lease LOCK
+    * ([[withTakedownLease]] — single-writer, loud on contention,
+    * stale-crash takeover). IDEMPOTENT: a re-run with the same ids
+    * converges (recomputed ranges no longer cover them, or a covering
+    * bin rewrites to identical content). Returns the fresh manifest.
+    */
+  def deleteFromChunks(spark: SparkSession, path: String, ids: DataFrame,
+      orderName: String, maxRecordsPerFile: Long = 0L): DataFrame = {
+    chunksPerBinOf(spark, path) // fail fast on non-writeChunks trees
+    withTakedownLease(spark, path, "deleteFromChunks") {
+      recoverChunkSwaps(spark, path)
+      require(new org.apache.hadoop.fs.Path(s"$path/_chunk_manifest")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$path/_chunk_manifest")),
+        s"deleteFromChunks: no _chunk_manifest under $path — a " +
+          "pre-manifest writeChunks tree; rebuild with writeChunks " +
+          "before running takedowns")
+      val idSide = broadcast(
+        ids.select(col(ids.columns.head).as("__del_id")).distinct())
+      val manifest = spark.read.parquet(s"$path/_chunk_manifest")
+      val touchedDf = manifest.join(idSide,
+        col("__del_id") >= col("first_doc") &&
+          col("__del_id") <= col("last_doc"), "left_semi")
+      val touched = touchedDf.select(col("stratum"), col("bin")).collect()
+      val keptRows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      if (touched.nonEmpty) {
+        // ONE partition-pruned read + ONE partitioned staged write for
+        // every touched bin (the deleteFromShards plan shape: a
+        // per-bin job loop pays fixed job overhead per bin); small
+        // touched sets prune statically via an OR-chain, larger ones
+        // via a broadcast semi join on the partition columns
+        val tree = spark.read.parquet(path)
+        val rows =
+          if (touched.length <= 64)
+            tree.filter(touched.map(r =>
+                col("stratum") === lit(r.get(0)) &&
+                  col("bin") === lit(r.get(1)))
+              .reduce(_ || _))
+          else
+            tree.join(
+              broadcast(touchedDf.select(col("stratum"), col("bin"))
+                .distinct()),
+              Seq("stratum", "bin"), "left_semi")
+        val kept = rows.join(idSide,
+          rows(orderName) === col("__del_id"), "left_anti").persist()
+        try {
+          kept.write.mode("overwrite")
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+            .partitionBy("stratum", "bin")
+            .parquet(s"$path/_delete_staged")
+          // fresh manifest rows for the touched bins, collected BEFORE
+          // the swaps (the lazy frame reads the pre-swap files)
+          chunkManifestRows(kept, orderName)
+            .collect().foreach(keptRows += _)
+        } finally kept.unpersist()
+        swapTouchedBins(spark, path, touched, "deleteFromChunks")
+      }
+      val manifestSchema =
+        spark.read.parquet(s"$path/_chunk_manifest").schema
+      val recomputed = spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(keptRows.toSeq)
+            .asJava),
+        manifestSchema)
+      val untouched = spark.read.parquet(s"$path/_chunk_manifest").join(
+        touchedDf.select(col("stratum"), col("bin")).distinct(),
+        Seq("stratum", "bin"), "left_anti")
+      // STAGE the reset manifest, never overwrite in place (the
+      // deleteFromShards checkpoint rule): the staged write fully
+      // consumes the live manifest's files before the swap moves them
+      untouched.unionByName(recomputed)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_chunk_manifest_staged")
+      swapStaged(spark, s"$path/_chunk_manifest_staged",
+        s"$path/_chunk_manifest")
+      deleteMarker(spark, s"$path/_delete_staged")
+      deleteMarker(spark, s"$path/_delete_old")
+    }
+    readChunkManifest(spark, path)
+  }
+
+  /** The chunk-grid recovery bodies (caller holds the lease): finish
+    * or roll back per-bin swaps, then an interrupted manifest swap. */
+  private def recoverChunkSwaps(spark: SparkSession, path: String): Unit = {
+    recoverBinSwaps(spark, path)
+    recoverSwap(spark, s"$path/_chunk_manifest",
+      s"$path/_chunk_manifest_staged")
+  }
+
+  /** Reader-side takedown recovery for [[writeChunks]] trees — the
+    * [[recoverTakedown]] lease-lock protocol on the chunk grid: while
+    * the takedown lease is FRESH a live writer owns the tree and
+    * readers skip recovery (mid-swap they see at worst a
+    * not-yet-deleted or already-absent bin — inside the documented
+    * monotone-deletion window); stale debris is recovered only after
+    * WINNING the same create-exclusive lease a starting writer takes,
+    * so reader recovery and a new writer can never interleave.
+    * Healthy trees pay a few `exists` probes.
+    */
+  private[functions] def recoverChunkTakedown(spark: SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lease = new org.apache.hadoop.fs.Path(s"$path/_delete_lease")
+    val fs = lease.getFileSystem(conf)
+    if (leaseFresh(fs, lease)) return // a live writer owns the tree
+    def ex(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    val debris = ex(s"$path/_delete_old") || ex(s"$path/_delete_staged") ||
+      ex(s"$path/_chunk_manifest_staged") ||
+      ex(s"$path/_chunk_manifest-old")
+    if (!debris) {
+      if (scala.util.Try(fs.getFileStatus(lease)).isSuccess)
+        claimStaleLease(fs, lease)
+      return
+    }
+    if (!acquireDeleteLease(fs, lease, failIfHeld = false)) return
+    try recoverChunkSwaps(spark, path)
+    finally {
+      fs.delete(lease, false) // ours — acquired above
+      ()
+    }
   }
 
   /** The `chunksPerBin` a [[writeChunks]] tree was laid out with. */
@@ -1446,6 +1658,7 @@ object Curation {
   def readChunks(spark: SparkSession, path: String, stratum: String,
       chunkFrom: Long, chunkTo: Long): DataFrame = {
     require(chunkFrom <= chunkTo, "readChunks: need chunkFrom <= chunkTo")
+    recoverChunkTakedown(spark, path)
     val cpb = chunksPerBinOf(spark, path)
     spark.read.parquet(path)
       .filter(col("stratum") === stratum &&
