@@ -466,6 +466,41 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup artifact takedown (d39): delete every 20th archive
+    // vector from a copy of the fixture artifact (TWICE — the e19
+    // idempotence rule), then read the archived labels back.
+    // Frozen-labels contract: survivors keep (vec_id, rep_id)
+    // VERBATIM — a rep_id is a group identifier that may outlive the
+    // row that donated it — so the oracle is d34's archive chain with
+    // the deleted ids filtered at the END.
+    "d39_semdedup_delete" -> ((s, dir) => {
+      val canonical = Fixtures.semDedupModelPath(s, dir)
+      val path = Fixtures.copyTree(s, canonical, dir, "d39_model")
+      val ids = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 20 === 0).select(col("vec_id"))
+      Similarity.deleteFromSemDedupModel(s, path, ids)
+      Similarity.deleteFromSemDedupModel(s, path, ids)
+      Similarity.readSemDedupLabels(s, path)
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup artifact compaction (d40): grow a copy of the fixture
+    // artifact by the even-parity increment (one extra file set per
+    // touched cell), compact, read the labels back — rows are
+    // frozen-model state with no cross-row coupling, so compaction
+    // must preserve the row set exactly (the e14 rule). Oracle:
+    // archive labels UNION the b0 increment chain's labels.
+    "d40_semdedup_compact" -> ((s, dir) => {
+      val canonical = Fixtures.semDedupModelPath(s, dir)
+      val path = Fixtures.copyTree(s, canonical, dir, "d40_model")
+      val inc = semDedupIncrementFrame(t(s, dir, "embeddings"))
+        .filter(col("vec_id") % 2 === 0)
+      Similarity.appendSemDedupModel(s, path, inc)
+      Similarity.compactSemDedupModel(s, path)
+      Similarity.readSemDedupLabels(s, path)
+        .orderBy(col("vec_id"))
+    }),
+
     "d06_embedding_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // planted ids live at vec_id+100000; assert (in-plan, zero extra
@@ -4720,6 +4755,28 @@ object ExtensionQueries {
          $semDedupIncAllSql,
          ${semDedupIncOracleCtes("z", "TRUE")}
          SELECT vec_id, rep_id FROM zout ORDER BY vec_id""",
+
+    // mirrors d39: the archive chain's labels minus the deleted ids —
+    // survivors verbatim (frozen labels; a rep_id may outlive its row)
+    "d39_semdedup_delete" ->
+      s"""WITH RECURSIVE ${semDedupOracleCtes(
+            "SELECT vec_id, embedding FROM embeddings")}
+         SELECT e.vec_id, coalesce(l.ent, e.vec_id) AS rep_id
+         FROM e LEFT JOIN lab l ON l.id = e.vec_id
+         WHERE e.vec_id % 20 <> 0
+         ORDER BY vec_id""",
+
+    // mirrors d40: archive labels UNION the even-parity increment
+    // chain's labels — compaction must preserve the grown row set
+    "d40_semdedup_compact" ->
+      s"""WITH RECURSIVE ${semDedupOracleCtes(
+            "SELECT vec_id, embedding FROM embeddings")},
+         $semDedupIncAllSql,
+         ${semDedupIncOracleCtes("b0", "vec_id % 2 = 0")}
+         SELECT e.vec_id, coalesce(l.ent, e.vec_id) AS rep_id
+         FROM e LEFT JOIN lab l ON l.id = e.vec_id
+         UNION ALL SELECT vec_id, rep_id FROM b0out
+         ORDER BY vec_id""",
 
     // mirrors s22: EACH micro-batch's chain replayed separately
     // (batch independence is the contract), outputs unioned

@@ -717,6 +717,89 @@ object Similarity {
         coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
   }
 
+  /** Shared staged-rebuild body for [[compactSemDedupModel]] and
+    * [[deleteFromSemDedupModel]]: re-emit the artifact (index
+    * repartitioned whole-cells-per-task, labels consolidated,
+    * centroids and meta verbatim) into `path-staging`, dropping
+    * `dropIds` rows from BOTH the index and the labels when given,
+    * then swap atomically. One pass over the ARTIFACT, never a
+    * retrain. */
+  private def rewriteSemDedupModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      dropIds: Option[DataFrame]): Unit = {
+    Curation.recoverSwap(spark, path, s"$path-staging")
+    val (threshold, maxClusterSize) = readSemDedupMeta(spark, path)
+    val staged = s"$path-staging"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    val fs = stagedP.getFileSystem(conf)
+    fs.delete(stagedP, true)
+    def minus(df: DataFrame): DataFrame = dropIds match {
+      case Some(ids) => df.join(
+        broadcast(ids.select(col(ids.columns.head).as("vec_id"))
+          .distinct()),
+        Seq("vec_id"), "left_anti")
+      case None => df
+    }
+    minus(spark.read.parquet(s"$path/index")
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").cast(IntegerType).as("centroid_id")))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$staged/index")
+    minus(spark.read.parquet(s"$path/labels"))
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$staged/labels")
+    spark.read.parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/centroids")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(semDedupMetaPath(staged)), true)
+    try out.write(
+      s"threshold=$threshold\nmaxClusterSize=$maxClusterSize\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    Curation.swapStaged(spark, staged, path)
+  }
+
+  /** Rewrite an append-grown [[writeSemDedupModel]] artifact as one
+    * clean file set — the small-file maintenance call every
+    * append-based artifact here has ([[compactIvfPqIndex]]'s rule):
+    * each [[appendSemDedupModel]] leaves one file set per touched
+    * cell per batch (and one more under `labels/`), so a long ingest
+    * history eventually makes the LISTING — not the data — the cost
+    * of an increment's partition-pruned cell read. Rows are
+    * frozen-model state with no cross-row coupling, so the rewrite
+    * reproduces the identical row set (gate d40 reads labels through
+    * a compacted artifact against the uncompacted oracle; the spec
+    * counts files per cell). Staged + swapped; SINGLE-WRITER — pause
+    * appends while compacting. */
+  def compactSemDedupModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    rewriteSemDedupModel(spark, path, None)
+
+  /** TAKEDOWN for a [[writeSemDedupModel]] artifact — the deletion
+    * verb of the lifecycle ([[deleteFromIvfPqIndex]]'s rule): a
+    * removed document's EMBEDDING is still content, and an artifact
+    * that keeps serving it as a dedup anchor has not forgotten it.
+    * Removes `ids` (single-column frame, broadcast) from BOTH the
+    * archive index and the archived labels in one staged rebuild.
+    *
+    * Surviving rows keep their (vec_id, rep_id) labels VERBATIM —
+    * the frozen-labels contract: a rep_id is a GROUP IDENTIFIER that
+    * may outlive the row that donated it (it carries no content —
+    * the deleted row's embedding and index entry are gone); group
+    * membership among survivors is unchanged, which is exactly what
+    * a takedown must and must only do. Re-canonicalizing reps is the
+    * rebuild's job ([[writeSemDedupModel]] on its drift cadence).
+    * Deletion is a row operation under the frozen model — never a
+    * retrain — so the surviving artifact equals a fresh layout of
+    * archive-minus-deleted under the SAME centroids (d39,
+    * hash-gated). Idempotent (absent ids are a no-op); staged +
+    * swapped; SINGLE-WRITER. */
+  def deleteFromSemDedupModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit =
+    rewriteSemDedupModel(spark, path, Some(ids))
+
   /** Grow a [[writeSemDedupModel]] artifact by one labeled increment:
     * label the increment against the frozen model
     * ([[semDedupIncrement]]), then append its rows into their

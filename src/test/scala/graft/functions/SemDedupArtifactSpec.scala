@@ -150,6 +150,62 @@ class SemDedupArtifactSpec extends SparkSpec {
       "an appended row must be visible to later increments")
   }
 
+  test("deleteFromSemDedupModel removes rows from index AND labels; " +
+      "survivors keep labels verbatim (a rep_id may outlive its row); " +
+      "idempotent; later increments no longer match deleted rows") {
+    val path = freshModel("sdart_del")
+    // delete the rep of group A (vec 1) and the singleton 20
+    val ids = Seq(1L, 20L).toDF("vec_id")
+    Similarity.deleteFromSemDedupModel(spark, path, ids)
+    Similarity.deleteFromSemDedupModel(spark, path, ids) // idempotent
+    val labels = Similarity.readSemDedupLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // survivor 2 keeps rep_id = 1 VERBATIM even though row 1 is gone
+    assert(labels === Map(2L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(spark.read.parquet(s"$path/index")
+      .filter(col("vec_id").isin(1L, 20L)).count() === 0L,
+      "deleted embeddings must leave the index")
+    // an increment near the DELETED singleton 20 now matches nothing
+    val inc = Seq((400L, v(1, 0.005))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupIncrement(spark, path, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(400L) === 400L,
+      "a deleted row must stop anchoring future increments")
+    // meta and centroids survive the rewrite
+    assert(Similarity.readSemDedupMeta(spark, path) === ((0.95, 100000)))
+  }
+
+  test("compactSemDedupModel folds append debris into one clean file " +
+      "set per cell without changing a row") {
+    val path = freshModel("sdart_compact")
+    (0 until 3).foreach { i =>
+      Similarity.appendSemDedupModel(spark, path,
+        Seq((200L + i, v(3, 0.001 * i))).toDF("vec_id", "embedding"))
+    }
+    val before = Similarity.readSemDedupLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def filesPerCell: Map[String, Int] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/index/centroid_id=*")).map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).count(s => s.isFile &&
+            !s.getPath.getName.startsWith("_"))
+      }.toMap
+    val grown = filesPerCell
+    assert(grown.values.exists(_ > 1),
+      "fixture lost its point: appends must leave per-batch files")
+    Similarity.compactSemDedupModel(spark, path)
+    val after = Similarity.readSemDedupLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before, "compaction must not change a row")
+    assert(filesPerCell.values.forall(_ <= grown.values.max),
+      "compaction must not grow file counts")
+    assert(filesPerCell.values.sum < grown.values.sum,
+      "compaction must merge the per-append files")
+  }
+
   test("empty increment labels to an empty frame with the gate schema") {
     val path = freshModel("sdart_empty")
     val inc = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
