@@ -466,6 +466,18 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Semantic-dedup data card (d41): the duplicate-group size
+    // histogram over d34's labels — the t47/p18 release-notes
+    // discipline on the label table (singleton count, duplicate mass,
+    // dedup ratio, and the largest near-identical pile all read off
+    // it). Two partial-aggregatable rollups; shares the d34 fixture.
+    "d41_semdedup_stats" -> ((s, dir) => {
+      Similarity.semDedupStats(
+          Fixtures.semDedupLabels(s, dir).select(col("vec_id"),
+            col("rep_id")))
+        .orderBy(col("group_size"))
+    }),
+
     // SemDeDup artifact takedown (d39): delete every 20th archive
     // vector from a copy of the fixture artifact (TWICE — the e19
     // idempotence rule), then read the archived labels back.
@@ -4755,6 +4767,18 @@ object ExtensionQueries {
          $semDedupIncAllSql,
          ${semDedupIncOracleCtes("z", "TRUE")}
          SELECT vec_id, rep_id FROM zout ORDER BY vec_id""",
+
+    // mirrors d41: the d34 label chain rolled up twice — per-group
+    // sizes, then the size histogram
+    "d41_semdedup_stats" ->
+      s"""WITH RECURSIVE ${semDedupOracleCtes(semDedupD34CorpusSql)},
+         l2 AS (SELECT e.vec_id, coalesce(l.ent, e.vec_id) AS rep_id
+           FROM e LEFT JOIN lab l ON l.id = e.vec_id),
+         g AS (SELECT rep_id, count(*) AS group_size FROM l2
+           GROUP BY rep_id)
+         SELECT group_size, count(*) AS n_groups,
+           CAST(group_size * count(*) AS BIGINT) AS n_vectors
+         FROM g GROUP BY group_size ORDER BY group_size""",
 
     // mirrors d39: the archive chain's labels minus the deleted ids —
     // survivors verbatim (frozen labels; a rep_id may outlive its row)

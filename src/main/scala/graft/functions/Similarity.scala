@@ -829,6 +829,27 @@ object Similarity {
     labels
   }
 
+  /** Semantic-dedup DATA CARD (the t47/p18 release-notes discipline
+    * on the label table): the duplicate-group SIZE HISTOGRAM —
+    * (group_size, n_groups, n_vectors) — from which every headline
+    * dedup number a corpus release publishes reads off directly:
+    * singletons = the group_size-1 row, duplicate mass =
+    * Σ n_vectors − Σ n_groups over group_size > 1, the dedup ratio =
+    * Σ n_groups / Σ n_vectors, and the largest near-identical pile
+    * (the hot-cluster / template-spam smell) = max group_size. TWO
+    * partial-aggregatable rollups (labels → per-group size → per-size
+    * counts), each map-side combined — no window, no collect, so a
+    * billion-group corpus ships one row per (task × distinct size).
+    * Works on any (vec_id, rep_id) frame: [[semDedup]] output,
+    * [[readSemDedupLabels]], or an increment's labels.
+    */
+  def semDedupStats(labels: DataFrame): DataFrame =
+    labels.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        (count(lit(1)) * col("group_size")).as("n_vectors"))
+
   /** The at-scale `planes` setting for [[cosineNearDupPairs]]/[[knnLsh]].
     *
     * A hyperplane-LSH self-join does Θ(n²/B) candidate work with

@@ -199,6 +199,24 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("semDedupStats: the hand-derived duplicate-group size " +
+      "histogram (the dedup data card)") {
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // one triple
+      (10L, 10L), (11L, 10L),      // one pair
+      (20L, 20L), (30L, 30L)       // two singletons
+    ).toDF("vec_id", "rep_id")
+    val got = Similarity.semDedupStats(labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 3L))))
+    // the release numbers read off it: 7 vectors, 4 groups kept,
+    // 3 duplicates dropped, largest pile 3
+    assert(got.map { case (s, (g, _)) => s * g }.sum === 7L)
+    assert(got.values.map(_._1).sum === 4L)
+  }
+
   test("degenerate knobs are rejected loudly") {
     val emb = Seq((1L, v(0, 0.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
