@@ -1093,6 +1093,81 @@ object ScaleCurve {
     println(s"[scalecurve] wrote $outFile")
   }
 
+  /** `semdedupinc <srcDir> <out.json>` — the evidence behind the d36
+    * O(increment) claim: label increments of growing size against a
+    * FROZEN [[graft.functions.Similarity.writeSemDedupModel]]
+    * artifact and compare each against the naive alternative (a full
+    * [[graft.functions.Similarity.writeSemDedupModel]] rebuild over
+    * archive ∪ increment — the O(corpus) path the increment verb
+    * exists to avoid). Alongside wall clocks the curve counts the
+    * work: touched cells (≤ k by construction — the partition-pruned
+    * archive read), the touched cells' archive occupancy (the only
+    * archive rows the increment ever scans), and the candidate-pair
+    * bound Σ_cell (m·(m−1)/2 + m·a). Increment wall should track the
+    * increment; the rebuild wall sits near the archive-sized
+    * constant regardless of m.
+    */
+  def semDedupIncCurve(spark: SparkSession, srcDir: String,
+      outFile: String): Unit = {
+    import graft.functions.Similarity
+    val emb = Tables.df(spark, srcDir, "embeddings").persist()
+    val n = emb.count()
+    val k = sys.env.get("SPARK_GRAFT_SEMDEDUP_K").map(_.trim.toInt)
+      .getOrElse(Similarity.autoSemDedupK(n))
+    val path = Scratch.path(srcDir, "curve_semdedup_model")
+    Scratch.reset(path)
+    val tb0 = System.nanoTime()
+    Similarity.writeSemDedupModel(emb, path, k, threshold = 0.95)
+    val buildWall = (System.nanoTime() - tb0) / 1e9
+    println(f"[scalecurve] semdedupinc archive n=$n k=$k " +
+      f"build=$buildWall%.2fs")
+    val ms = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_INCS", "64,256,1024")
+      .split(',').map(_.trim.toInt).toSeq
+    val rows = for (m <- ms) yield {
+      val inc = emb.orderBy(col("vec_id")).limit(m)
+        .withColumn("vec_id", col("vec_id") + 100000L).persist()
+      inc.count()
+      val t0 = System.nanoTime()
+      val dupRows = Similarity.semDedupIncrement(spark, path, inc)
+        .filter(col("vec_id") =!= col("rep_id")).count()
+      val incWall = (System.nanoTime() - t0) / 1e9
+      // work accounting: the increment's touched cells and the
+      // archive occupancy inside them — everything else in the
+      // archive is never read
+      val cents = spark.read.parquet(s"$path/centroids")
+      val incCells = Similarity.ivfAssign(inc, cents)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("mi"))
+      val archCells = spark.read.parquet(s"$path/index")
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("ai"))
+      val work = incCells.join(archCells, Seq("centroid_id"), "left")
+        .select(count(lit(1)).as("cells"),
+          sum(coalesce(col("ai"), lit(0L))).as("occ"),
+          sum(expr("mi * (mi - 1) / 2 + mi * coalesce(ai, 0)"))
+            .cast("long").as("cand"))
+        .head
+      val (cells, occ, cand) =
+        (work.getLong(0), work.getLong(1), work.getLong(2))
+      // the naive alternative: full rebuild over archive ∪ increment
+      val path2 = Scratch.path(srcDir, "curve_semdedup_rebuild")
+      Scratch.reset(path2)
+      val t1 = System.nanoTime()
+      Similarity.writeSemDedupModel(emb.unionByName(inc), path2, k,
+        threshold = 0.95)
+      val rebuildWall = (System.nanoTime() - t1) / 1e9
+      inc.unpersist()
+      println(f"[scalecurve] semdedupinc m=$m inc=$incWall%.2fs " +
+        f"rebuild=$rebuildWall%.2fs cells=$cells/$k occ=$occ/$n " +
+        s"cand=$cand dupRows=$dupRows")
+      s"""{"m":$m,"inc_wall_s":$incWall,"rebuild_wall_s":$rebuildWall,""" +
+        s""""touched_cells":$cells,"k":$k,"touched_occupancy":$occ,""" +
+        s""""archive_rows":$n,"candidates":$cand,"dup_rows":$dupRows}"""
+    }
+    emb.unpersist()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      rows.mkString("[", ",", "]"))
+    println(s"[scalecurve] wrote $outFile")
+  }
+
   def bpeWorkCurve(spark: SparkSession, srcDir: String,
       outFile: String): Unit = {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_MERGES", "256").trim.toInt
@@ -1172,6 +1247,8 @@ object ScaleCurve {
         bpeWorkCurve(spark, src, out)
       case "semdedupk" :: src :: out :: Nil =>
         semDedupKCurve(spark, src, out)
+      case "semdedupinc" :: src :: out :: Nil =>
+        semDedupIncCurve(spark, src, out)
       case _ =>
         System.err.println(
           "usage: ScaleCurve gen <srcDir> <outDir> <replicas> | " +
