@@ -1439,9 +1439,15 @@ object Curation {
     // just-written tree with the scan pruned to the manifest columns —
     // [[deleteFromChunks]] locates takedown candidates against these
     // ranges instead of scanning the corpus, and a loader scheduling
-    // ranks reads span/token totals here instead of aggregating bins
-    writeChunkManifest(spark,
-      chunkManifestRows(spark.read.parquet(path), orderName), path)
+    // ranks reads span/token totals here instead of aggregating bins.
+    // An EMPTY corpus writes no data files (schema inference on the
+    // bare tree would throw), so the aggregation falls back to the
+    // — equally empty — span frame and the manifest still lands with
+    // the right schema.
+    val treeRows = scala.util.Try(spark.read.parquet(path))
+      .getOrElse(spans)
+    writeChunkManifest(spark, chunkManifestRows(treeRows, orderName),
+      path)
     spans
   }
 

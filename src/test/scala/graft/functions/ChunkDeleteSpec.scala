@@ -188,6 +188,20 @@ class ChunkDeleteSpec extends SparkSpec {
       .collect().exists(_.getAs[Long]("doc_id") == 1L))
   }
 
+  test("an EMPTY corpus still writes a readable (empty) manifest and " +
+      "a deletable tree") {
+    val path = Scratch.path(dir, "cdel_empty")
+    Scratch.reset(path)
+    Curation.writeChunks(corpus.filter(col("doc_id") < 0L),
+      "lang", "doc_id", "n_toks", seqLen = 512L, path,
+      chunksPerBin = 1L)
+    assert(Curation.readChunkManifest(spark, path).count() === 0L)
+    // a takedown against the empty tree is a clean no-op
+    val m = Curation.deleteFromChunks(spark, path,
+      Seq(1L).toDF("doc_id"), orderName = "doc_id")
+    assert(m.count() === 0L)
+  }
+
   test("pre-manifest trees are rejected loudly, not range-guessed") {
     val path = freshTree("cdel_nomanifest")
     val conf = spark.sparkContext.hadoopConfiguration
