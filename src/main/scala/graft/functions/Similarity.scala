@@ -678,10 +678,7 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val archive =
       if (touched.isEmpty) incAssigned.limit(0)
-      else spark.read.parquet(s"$path/index")
-        .filter(col("centroid_id").isin(touched.map(Integer.valueOf): _*))
-        .select(col("vec_id"), col("embedding"),
-          col("centroid_id").cast(IntegerType).as("centroid_id"))
+      else semDedupArchiveCells(spark, path, touched.toSeq)
     // combined hot-cluster guard: |archive cell| + |increment cell|
     val hot = broadcast(
       incAssigned.select(col("centroid_id"))
@@ -799,6 +796,20 @@ object Similarity {
   def deleteFromSemDedupModel(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame): Unit =
     rewriteSemDedupModel(spark, path, Some(ids))
+
+  /** The increment's archive-side read: ONLY the touched
+    * `centroid_id=` cells — the equality predicate on the partition
+    * column is a static PartitionFilter, so untouched cells are never
+    * listed or read (SemDedupArtifactSpec asserts the scan's
+    * numPartitions metric — the e12 discipline). Package-private so
+    * the spec asserts the EXACT frame [[semDedupIncrement]] reads. */
+  private[graft] def semDedupArchiveCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      touched: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/index")
+      .filter(col("centroid_id").isin(touched.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").cast(IntegerType).as("centroid_id"))
 
   /** Grow a [[writeSemDedupModel]] artifact by one labeled increment:
     * label the increment against the frozen model

@@ -206,6 +206,30 @@ class SemDedupArtifactSpec extends SparkSpec {
       "compaction must merge the per-append files")
   }
 
+  test("the increment's archive read is PARTITION-PRUNED to the " +
+      "touched cells (metric-level, the e12 discipline): untouched " +
+      "centroid_id= dirs are never listed or read") {
+    val path = freshModel("sdart_prune")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val cells = new java.io.File(s"$path/index").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(cells.length >= 2, "fixture lost its point: need >= 2 cells")
+    // the EXACT frame semDedupIncrement reads, restricted to one cell
+    val oneCell = cells.head.stripPrefix("centroid_id=").toInt
+    val frame = Similarity.semDedupArchiveCells(spark, path, Seq(oneCell))
+    frame.collect()
+    val scan = allScans(frame.queryExecution.executedPlan).head
+    assert(scan.metrics("numPartitions").value === 1L,
+      s"read ${scan.metrics("numPartitions").value} cells, wanted 1 " +
+        s"of ${cells.length}")
+  }
+
   test("empty increment labels to an empty frame with the gate schema") {
     val path = freshModel("sdart_empty")
     val inc = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
