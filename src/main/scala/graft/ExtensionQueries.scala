@@ -3885,24 +3885,38 @@ object ExtensionQueries {
            UNION ALL
            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0"""
 
-  /** d36/s22's increment replay on top of [[semDedupOracleCtes]] over
-    * the PLAIN archive: the planted increment (optionally restricted
-    * by `pred` — s22 replays each micro-batch's chain separately),
-    * frozen-centroid assignment, increment-self and increment-archive
-    * pairs (archive matches mapped to their FROZEN `lab` reps),
-    * recursive closure, min-reachable labels, singletons to
-    * themselves. Mirrors `Similarity.semDedupIncrement` verbatim.
+  /** d36/d40/s22's increment replay on top of [[semDedupOracleCtes]]
+    * over the PLAIN archive: the planted increment (optionally
+    * restricted by `pred` — s22 replays each micro-batch's chain
+    * separately), frozen-centroid assignment, the COMBINED
+    * hot-cluster guard (|archive cell| + |increment cell| past the
+    * artifact's maxClusterSize — 100000, the fixture's
+    * writeSemDedupModel default — excludes the cell from pairing),
+    * increment-self and increment-archive pairs (archive matches
+    * mapped to their FROZEN `lab` reps), recursive closure, and
+    * REP-PRIORITY labels: a component that reaches the archive takes
+    * its smallest archived rep, an archive-free component its min
+    * increment id, singletons themselves. Mirrors
+    * `Similarity.semDedupIncrement` stage for stage.
     */
   private def semDedupIncOracleCtes(p: String, pred: String): String =
     s"""${p}inc AS (SELECT * FROM incall WHERE $pred),
          ${p}qi AS MATERIALIZED (SELECT vec_id, embedding, $semDedupQv AS q
            FROM ${p}inc),
-         ${p}ia AS MATERIALIZED (
+         ${p}ia0 AS MATERIALIZED (
            SELECT vec_id, embedding, centroid_id FROM (
              SELECT v.vec_id, v.embedding, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                  ORDER BY ${semDedupSqd("v.q", "c.c")}, c.centroid_id) AS rn
              FROM ${p}qi v CROSS JOIN c3 c) WHERE rn = 1),
+         ${p}hot AS (SELECT centroid_id FROM (
+             SELECT centroid_id, count(*) AS n FROM (
+               SELECT centroid_id FROM ${p}ia0
+               UNION ALL SELECT centroid_id FROM assigned)
+             GROUP BY centroid_id)
+           WHERE n > 100000),
+         ${p}ia AS MATERIALIZED (SELECT * FROM ${p}ia0
+           WHERE centroid_id NOT IN (SELECT centroid_id FROM ${p}hot)),
          ${p}ip AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM ${p}ia a JOIN ${p}ia b
@@ -3925,9 +3939,16 @@ object ExtensionQueries {
            UNION
            SELECT e2.a AS id, r.r FROM ${p}edges e2
            JOIN ${p}reach r ON r.id = e2.b),
-         ${p}lab AS (SELECT id, min(r) AS ent FROM ${p}reach GROUP BY id),
-         ${p}out AS (SELECT i.vec_id, coalesce(il.ent, i.vec_id) AS rep_id
-           FROM ${p}inc i LEFT JOIN ${p}lab il ON il.id = i.vec_id)"""
+         ${p}lab AS MATERIALIZED (
+           SELECT id, min(r) AS ent FROM ${p}reach GROUP BY id),
+         ${p}crep AS (SELECT l.ent AS ent, min(l.id) AS rep
+           FROM ${p}lab l
+           JOIN (SELECT DISTINCT id_b AS id FROM ${p}ap) r ON r.id = l.id
+           GROUP BY l.ent),
+         ${p}out AS (SELECT i.vec_id,
+             coalesce(cr.rep, il.ent, i.vec_id) AS rep_id
+           FROM ${p}inc i LEFT JOIN ${p}lab il ON il.id = i.vec_id
+           LEFT JOIN ${p}crep cr ON cr.ent = il.ent)"""
 
   /** The planted increment relation shared by the d36/s22 oracles —
     * mirrors `semDedupIncrementFrame`. */

@@ -1568,24 +1568,30 @@ object Curation {
         } finally kept.unpersist()
         swapTouchedBins(spark, path, touched, "deleteFromChunks")
       }
-      val manifestSchema =
-        spark.read.parquet(s"$path/_chunk_manifest").schema
-      val recomputed = spark.createDataFrame(
-        new java.util.ArrayList(
-          scala.jdk.CollectionConverters.SeqHasAsJava(keptRows.toSeq)
-            .asJava),
-        manifestSchema)
-      val untouched = spark.read.parquet(s"$path/_chunk_manifest").join(
-        touchedDf.select(col("stratum"), col("bin")).distinct(),
-        Seq("stratum", "bin"), "left_anti")
-      // STAGE the reset manifest, never overwrite in place (the
-      // deleteFromShards checkpoint rule): the staged write fully
-      // consumes the live manifest's files before the swap moves them
-      untouched.unionByName(recomputed)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_chunk_manifest_staged")
-      swapStaged(spark, s"$path/_chunk_manifest_staged",
-        s"$path/_chunk_manifest")
+      // no bins touched (the idempotent replay / no-match sweep) =
+      // nothing to reset: skip the staged manifest rewrite entirely
+      // instead of swapping in a byte-identical copy (wasted I/O and
+      // an unnecessary crash window on every replayed takedown)
+      if (touched.nonEmpty) {
+        val manifestSchema =
+          spark.read.parquet(s"$path/_chunk_manifest").schema
+        val recomputed = spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(keptRows.toSeq)
+              .asJava),
+          manifestSchema)
+        val untouched = spark.read.parquet(s"$path/_chunk_manifest").join(
+          touchedDf.select(col("stratum"), col("bin")).distinct(),
+          Seq("stratum", "bin"), "left_anti")
+        // STAGE the reset manifest, never overwrite in place (the
+        // deleteFromShards checkpoint rule): the staged write fully
+        // consumes the live manifest's files before the swap moves them
+        untouched.unionByName(recomputed)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/_chunk_manifest_staged")
+        swapStaged(spark, s"$path/_chunk_manifest_staged",
+          s"$path/_chunk_manifest")
+      }
       deleteMarker(spark, s"$path/_delete_staged")
       deleteMarker(spark, s"$path/_delete_old")
     }
@@ -1593,11 +1599,19 @@ object Curation {
   }
 
   /** The chunk-grid recovery bodies (caller holds the lease): finish
-    * or roll back per-bin swaps, then an interrupted manifest swap. */
+    * or roll back per-bin swaps, then an interrupted manifest swap.
+    * Mid-staging manifest debris (live manifest intact, a partial
+    * `_chunk_manifest_staged` from a crash DURING the staged write)
+    * is DELETED — recoverSwap deliberately leaves it, but here the
+    * next takedown rewrites it from scratch anyway, and leaving it
+    * would make every later read detect "debris", win the lease, and
+    * no-op forever (and a writer racing one of those transient reader
+    * leases would throw a spurious concurrent-takedown error). */
   private def recoverChunkSwaps(spark: SparkSession, path: String): Unit = {
     recoverBinSwaps(spark, path)
     recoverSwap(spark, s"$path/_chunk_manifest",
       s"$path/_chunk_manifest_staged")
+    deleteMarker(spark, s"$path/_chunk_manifest_staged")
   }
 
   /** Reader-side takedown recovery for [[writeChunks]] trees — the

@@ -578,15 +578,26 @@ object Similarity {
     semDedupFromAssigned(assigned, emb.select(col("vec_id")),
         threshold, maxClusterSize)
       .write.mode("overwrite").parquet(s"$staged/labels")
-    // meta through the hadoop FS (a java.nio write would poison the
-    // .crc sidecar on RawLocalFileSystem), inside the swapped root
+    writeSemDedupMeta(fs, staged, threshold, maxClusterSize)
+    Curation.swapStaged(spark, staged, path)
+  }
+
+  /** The ONE meta writer for every verb that emits an artifact root
+    * ([[writeSemDedupModel]] and the [[compactSemDedupModel]]/
+    * [[deleteFromSemDedupModel]] rewrite) — a format drift between
+    * two hand-rolled copies would make artifacts from one verb
+    * unreadable by [[readSemDedupMeta]] while the other's still work,
+    * the exact pairing hazard the in-root meta exists to prevent.
+    * Written through the hadoop FS (a java.nio write would poison the
+    * .crc sidecar on RawLocalFileSystem), inside the swapped root. */
+  private def writeSemDedupMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, threshold: Double, maxClusterSize: Int): Unit = {
     val out = fs.create(
-      new org.apache.hadoop.fs.Path(semDedupMetaPath(staged)), true)
+      new org.apache.hadoop.fs.Path(semDedupMetaPath(root)), true)
     try out.write(
       s"threshold=$threshold\nmaxClusterSize=$maxClusterSize\n"
         .getBytes("UTF-8"))
     finally out.close()
-    Curation.swapStaged(spark, staged, path)
   }
 
   /** The [[semDedup]] pair+closure chain over an ALREADY-materialized
@@ -649,10 +660,14 @@ object Similarity {
     * partition-pruned read of ONLY the touched `centroid_id=` cells,
     * never the whole index), attach archive matches to their FROZEN
     * archived rep_ids, and close transitively. Returns (vec_id,
-    * rep_id) for every increment row — the label is the minimum id
-    * reachable in the increment's component (an archived rep when any
-    * member matches the archive, the d34 min-id rule among the
-    * increment otherwise); singletons self-label.
+    * rep_id) for every increment row: a component that reaches the
+    * archive labels with the smallest ARCHIVED REP it reaches
+    * (REP PRIORITY — regardless of how the increment's own ids
+    * compare, so increment labels union consistently with
+    * [[readSemDedupLabels]]); an archive-free component labels with
+    * its minimum increment id (the d34 rule); singletons self-label.
+    * Ids must be distinct across archive and increment (the usual
+    * vec_id uniqueness contract).
     *
     * FROZEN-ARCHIVE contract (the d33/e13 incremental discipline):
     * archived labels never change here — an increment vector that
@@ -666,7 +681,16 @@ object Similarity {
     * self-label (the [[semDedup]] exclusion contract).
     */
   def semDedupIncrement(spark: org.apache.spark.sql.SparkSession,
-      path: String, inc: DataFrame): DataFrame = {
+      path: String, inc: DataFrame): DataFrame =
+    semDedupIncrementLabeled(spark, path, inc)._1
+
+  /** [[semDedupIncrement]] also returning the increment's materialized
+    * (vec_id, embedding, centroid_id) assignment, so
+    * [[appendSemDedupModel]] appends WITHOUT a second full
+    * scan-and-argmin pass over the increment. */
+  private def semDedupIncrementLabeled(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, inc: DataFrame): (DataFrame, DataFrame) = {
     Curation.recoverSwap(spark, path, s"$path-staging")
     val (threshold, maxClusterSize) = readSemDedupMeta(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
@@ -678,7 +702,10 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val archive =
       if (touched.isEmpty) incAssigned.limit(0)
-      else semDedupArchiveCells(spark, path, touched.toSeq)
+      else scala.util.Try(semDedupArchiveCells(spark, path, touched.toSeq))
+        // a fully-taken-down index has no data files to infer a
+        // schema from — an empty archive, not an error
+        .getOrElse(incAssigned.limit(0))
     // combined hot-cluster guard: |archive cell| + |increment cell|
     val hot = broadcast(
       incAssigned.select(col("centroid_id"))
@@ -705,13 +732,24 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .join(archLabels, Seq("id_b"))
       .select(col("id_a"), col("rep_id").as("id_b"))
-    val labels = graft.functions.Dedup.connectedComponentsStar(
-        pairsInc.unionByName(pairsArch))
-      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
-    inc.select(col("vec_id"))
+    val cc = graft.functions.Dedup.connectedComponentsStar(
+      pairsInc.unionByName(pairsArch))
+    // REP PRIORITY: a component that reaches the archive labels with
+    // its smallest ARCHIVED rep, not the component's global min id —
+    // otherwise an increment id smaller than the rep would silently
+    // split one semantic group across two labels. Both frames are
+    // bounded by the increment's non-singleton components.
+    val repNodes = pairsArch.select(col("id_b").as("doc_id")).distinct()
+    val clusterRep = cc.join(repNodes, Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("__rep"))
+    val labels = cc.join(clusterRep, Seq("cluster_id"), "left")
+      .select(col("doc_id").as("vec_id"),
+        coalesce(col("__rep"), col("cluster_id")).as("rep_id"))
+    val out = inc.select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+    (out, incAssigned)
   }
 
   /** Shared staged-rebuild body for [[compactSemDedupModel]] and
@@ -738,23 +776,23 @@ object Similarity {
         Seq("vec_id"), "left_anti")
       case None => df
     }
-    minus(spark.read.parquet(s"$path/index")
-        .select(col("vec_id"), col("embedding"),
-          col("centroid_id").cast(IntegerType).as("centroid_id")))
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$staged/index")
+    // an already-emptied index (a prior delete-all) has no data files
+    // to infer a schema from — re-emit nothing; every index reader
+    // treats the absent/empty dir as an empty archive
+    scala.util.Try(spark.read.parquet(s"$path/index")).toOption
+      .foreach { idx =>
+        minus(idx.select(col("vec_id"), col("embedding"),
+            col("centroid_id").cast(IntegerType).as("centroid_id")))
+          .repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$staged/index")
+      }
     minus(spark.read.parquet(s"$path/labels"))
       .coalesce(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$staged/labels")
     spark.read.parquet(s"$path/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$staged/centroids")
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(semDedupMetaPath(staged)), true)
-    try out.write(
-      s"threshold=$threshold\nmaxClusterSize=$maxClusterSize\n"
-        .getBytes("UTF-8"))
-    finally out.close()
+    writeSemDedupMeta(fs, staged, threshold, maxClusterSize)
     Curation.swapStaged(spark, staged, path)
   }
 
@@ -829,11 +867,11 @@ object Similarity {
     */
   def appendSemDedupModel(spark: org.apache.spark.sql.SparkSession,
       path: String, inc: DataFrame): DataFrame = {
-    val labels = semDedupIncrement(spark, path, inc)
-    val cents = spark.read.parquet(s"$path/centroids")
-    ivfAssign(inc, cents)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      .repartition(col("centroid_id"))
+    // one assignment pass: the labeling already materialized the
+    // increment's (vec_id, embedding, centroid_id) — the index append
+    // writes THAT frame instead of re-running scan+argmin
+    val (labels, assigned) = semDedupIncrementLabeled(spark, path, inc)
+    assigned.repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/index")
     labels.write.mode("append").parquet(s"$path/labels")

@@ -166,6 +166,35 @@ class ChunkDeleteSpec extends SparkSpec {
     assert(after === Set(1L), "completed staging must roll forward")
   }
 
+  test("mid-staging manifest debris (live manifest intact) is SWEPT " +
+      "by the next read — not detected as debris forever — and a new " +
+      "writer proceeds") {
+    val path = freshTree("cdel_mdebris")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val before = Curation.readChunkManifest(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    // crash DURING the staged manifest write: partial staged dir,
+    // live manifest untouched
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$path/_chunk_manifest_staged")
+    fs.mkdirs(staged)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_chunk_manifest_staged/part-partial.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val after = Curation.readChunkManifest(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "live manifest must be untouched")
+    assert(!fs.exists(staged),
+      "staging debris must be swept, or every later read re-detects " +
+        "it and a racing writer hits a spurious concurrent-takedown")
+    // a writer now proceeds normally
+    Curation.deleteFromChunks(spark, path,
+      Seq(2L).toDF("doc_id"), orderName = "doc_id")
+    assert(!spark.read.parquet(path)
+      .collect().exists(_.getAs[Long]("doc_id") == 2L))
+  }
+
   test("a FRESH takedown lease makes a second writer fail loudly " +
       "(single-writer contract); readers skip recovery while it is " +
       "fresh") {

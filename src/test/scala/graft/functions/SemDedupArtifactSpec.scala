@@ -79,6 +79,45 @@ class SemDedupArtifactSpec extends SparkSpec {
     assert(Similarity.readSemDedupLabels(spark, path).count() === 5L)
   }
 
+  test("REP PRIORITY: an increment id SMALLER than the archived rep " +
+      "it reaches still labels with the rep — increment labels union " +
+      "consistently with the archive's") {
+    // archive ids start at 5; the increment uses ids 1-3, all below
+    // the archived reps — under plain min-reachable the increment id
+    // would win and silently split the semantic group
+    val arch = Seq(
+      (5L, v(0, 0.00)), (7L, v(0, 0.01)), // group, rep 5
+      (9L, v(2, 0.00))                    // singleton
+    ).toDF("vec_id", "embedding")
+    val path = Scratch.path("/root/testdata/sf0.001", "sdart_reppri")
+    Scratch.reset(path)
+    Similarity.writeSemDedupModel(arch, path, k = 2, threshold = 0.95)
+    val inc = Seq(
+      (1L, v(0, 0.005)), // matches group {5,7} -> must take rep 5
+      (2L, v(2, 0.01)),  // matches singleton 9 -> must take rep 9
+      (3L, v(1, 0.00))   // matches nothing -> itself
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupIncrement(spark, path, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 5L, 2L -> 9L, 3L -> 3L))
+  }
+
+  test("a fully-taken-down artifact stays usable: delete-all empties " +
+      "the index, a second delete is a no-op, compaction works, and " +
+      "a fresh increment self-labels") {
+    val path = freshModel("sdart_delall")
+    val all = archiveDf.select(col("vec_id"))
+    Similarity.deleteFromSemDedupModel(spark, path, all)
+    assert(Similarity.readSemDedupLabels(spark, path).count() === 0L)
+    Similarity.deleteFromSemDedupModel(spark, path, all) // idempotent
+    Similarity.compactSemDedupModel(spark, path)
+    val got = Similarity.semDedupIncrement(spark, path,
+        Seq((100L, v(0, 0.005))).toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(100L -> 100L),
+      "an emptied archive must anchor nothing")
+  }
+
   test("bridge rule: an increment vector matching TWO archive groups " +
       "takes the smaller rep; the archive groups stay distinct " +
       "(frozen-archive contract)") {
