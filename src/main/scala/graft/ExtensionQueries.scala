@@ -2788,6 +2788,35 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // GROWING streaming semantic dedup (s23): the s19 discipline on
+    // the SemDeDup artifact — two in-order batches (vec_id parity)
+    // where batch 1 labels against the fixture archive PLUS batch 0's
+    // growth epoch (strictly-below epoch bound = the replay guard),
+    // each batch growing its own overwrite-idempotent epoch dirs. The
+    // oracle replays batch 0's chain against the archive, then batch
+    // 1's chain against archive ∪ batch 0 (assignment AND labels).
+    // Copy-on-mutate: the stream GROWS the tree, so it runs on a copy
+    // of the fixture artifact.
+    "s23_stream_semdedup_grow" -> ((s, dir) => {
+      val canonical = Fixtures.semDedupModelPath(s, dir)
+      val path = Fixtures.copyTree(s, canonical, dir, "s23_model")
+      val inc = semDedupIncrementFrame(t(s, dir, "embeddings"))
+      val in = Scratch.path(dir, "s23_in")
+      val out = Scratch.path(dir, "s23_out")
+      val ckpt = Scratch.path(dir, "s23_ckpt")
+      Seq(in, out, ckpt).foreach(Scratch.reset)
+      (0 until 2).foreach(r => inc.filter(col("vec_id") % 2 === r)
+        .coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.CorpusStream.semDedupGrowIngest(stream, path,
+        out, checkpointPath = Some(ckpt),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(out).drop("batch")
+        .orderBy(col("vec_id"))
+    }),
+
     // Streaming BPE tokenization (s18): t38's train→artifact→encode
     // with the PROBES arriving as a stream — two micro-batches
     // (even/odd ids), the merge list re-read each batch (the s14
@@ -3899,7 +3928,9 @@ object ExtensionQueries {
     * increment id, singletons themselves. Mirrors
     * `Similarity.semDedupIncrement` stage for stage.
     */
-  private def semDedupIncOracleCtes(p: String, pred: String): String =
+  private def semDedupIncOracleCtes(p: String, pred: String,
+      archAssigned: String = "assigned", archLab: String = "lab")
+      : String =
     s"""${p}inc AS (SELECT * FROM incall WHERE $pred),
          ${p}qi AS MATERIALIZED (SELECT vec_id, embedding, $semDedupQv AS q
            FROM ${p}inc),
@@ -3912,7 +3943,7 @@ object ExtensionQueries {
          ${p}hot AS (SELECT centroid_id FROM (
              SELECT centroid_id, count(*) AS n FROM (
                SELECT centroid_id FROM ${p}ia0
-               UNION ALL SELECT centroid_id FROM assigned)
+               UNION ALL SELECT centroid_id FROM $archAssigned)
              GROUP BY centroid_id)
            WHERE n > 100000),
          ${p}ia AS MATERIALIZED (SELECT * FROM ${p}ia0
@@ -3925,9 +3956,9 @@ object ExtensionQueries {
              >= 0.95),
          ${p}ap AS (
            SELECT a.vec_id AS id_a, coalesce(l.ent, b.vec_id) AS id_b
-           FROM ${p}ia a JOIN assigned b
+           FROM ${p}ia a JOIN $archAssigned b
              ON a.centroid_id = b.centroid_id
-           LEFT JOIN lab l ON l.id = b.vec_id
+           LEFT JOIN $archLab l ON l.id = b.vec_id
            WHERE ${semDedupCos("a.embedding", "b.embedding")}
              >= 0.95),
          ${p}pe AS (SELECT id_a, id_b FROM ${p}ip
@@ -4821,6 +4852,26 @@ object ExtensionQueries {
          SELECT e.vec_id, coalesce(l.ent, e.vec_id) AS rep_id
          FROM e LEFT JOIN lab l ON l.id = e.vec_id
          UNION ALL SELECT vec_id, rep_id FROM b0out
+         ORDER BY vec_id""",
+
+    // mirrors s23: batch 0's chain against the archive, then batch
+    // 1's chain against archive ∪ batch 0 — growth carries the FULL
+    // (unguarded) assignment and batch 0's labels, exactly what
+    // appendSemDedupGrowth persists
+    "s23_stream_semdedup_grow" ->
+      s"""WITH RECURSIVE ${semDedupOracleCtes(
+            "SELECT vec_id, embedding FROM embeddings")},
+         $semDedupIncAllSql,
+         ${semDedupIncOracleCtes("g0", "vec_id % 2 = 0")},
+         arch1 AS (SELECT vec_id, embedding, centroid_id FROM assigned
+           UNION ALL
+           SELECT vec_id, embedding, centroid_id FROM g0ia0),
+         lab1 AS (SELECT id, ent FROM lab
+           UNION ALL SELECT vec_id AS id, rep_id AS ent FROM g0out),
+         ${semDedupIncOracleCtes("g1", "vec_id % 2 = 1",
+            archAssigned = "arch1", archLab = "lab1")}
+         SELECT vec_id, rep_id FROM g0out
+         UNION ALL SELECT vec_id, rep_id FROM g1out
          ORDER BY vec_id""",
 
     // mirrors s22: EACH micro-batch's chain replayed separately

@@ -538,6 +538,17 @@ object Similarity {
     * reader can never pair the tree with the wrong threshold). */
   private def semDedupMetaPath(path: String) = s"$path/_meta_semdedup"
 
+  /** The stream-growth epoch areas ([[appendSemDedupGrowth]]):
+    * `growth/epoch=N/centroid_id=C` assignment rows and
+    * `growth_labels/epoch=N` labels — per-epoch OVERWRITE makes a
+    * replayed batch idempotent without touching the base artifact's
+    * layout; [[rewriteSemDedupModel]] absorbs them on its cadence. */
+  private[graft] def semDedupGrowthPath(path: String) = s"$path/growth"
+  private[graft] def semDedupGrowthLabelsPath(path: String) =
+    s"$path/growth_labels"
+  private[graft] def semDedupAbsorbedMarker(path: String, epoch: Long) =
+    s"$path/_growth_absorbed/$epoch"
+
   /** Train and persist a SemDeDup model artifact: the frozen Lloyd
     * centroids, the archive's (vec_id, embedding) rows laid out as a
     * `centroid_id=`-partitioned index (so an increment's within-cluster
@@ -682,15 +693,20 @@ object Similarity {
     */
   def semDedupIncrement(spark: org.apache.spark.sql.SparkSession,
       path: String, inc: DataFrame): DataFrame =
-    semDedupIncrementLabeled(spark, path, inc)._1
+    semDedupIncrementLabeled(spark, path, inc, growthBelow = None)._1
 
   /** [[semDedupIncrement]] also returning the increment's materialized
-    * (vec_id, embedding, centroid_id) assignment, so
-    * [[appendSemDedupModel]] appends WITHOUT a second full
-    * scan-and-argmin pass over the increment. */
+    * (vec_id, embedding, centroid_id) assignment, so the append verbs
+    * write WITHOUT a second full scan-and-argmin pass over the
+    * increment. `growthBelow = Some(n)` restricts the GROWTH epochs
+    * the archive side includes to those strictly below `n` (the s19
+    * replay guard: a streaming batch must never read its own — or a
+    * crashed attempt's — epoch); `None` includes every growth epoch
+    * (the batch-orchestration default). */
   private def semDedupIncrementLabeled(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, inc: DataFrame): (DataFrame, DataFrame) = {
+      path: String, inc: DataFrame,
+      growthBelow: Option[Long]): (DataFrame, DataFrame) = {
     Curation.recoverSwap(spark, path, s"$path-staging")
     val (threshold, maxClusterSize) = readSemDedupMeta(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
@@ -700,12 +716,26 @@ object Similarity {
     // contract), so the collect is O(k) ints, never O(increment)
     val touched = incAssigned.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val archive =
+    val baseArchive =
       if (touched.isEmpty) incAssigned.limit(0)
       else scala.util.Try(semDedupArchiveCells(spark, path, touched.toSeq))
         // a fully-taken-down index has no data files to infer a
         // schema from — an empty archive, not an error
         .getOrElse(incAssigned.limit(0))
+    // stream-grown rows (the [[appendSemDedupGrowth]] epoch area):
+    // (epoch, centroid_id) are BOTH partition columns, so the epoch
+    // bound and the touched cells prune at the listing
+    val growthArchive =
+      if (touched.isEmpty) None
+      else scala.util.Try(spark.read.parquet(semDedupGrowthPath(path)))
+        .toOption.map { g =>
+          growthBelow.fold(g)(n => g.filter(col("epoch") < n))
+            .filter(col("centroid_id")
+              .isin(touched.map(Integer.valueOf).toSeq: _*))
+            .select(col("vec_id"), col("embedding"),
+              col("centroid_id").cast(IntegerType).as("centroid_id"))
+        }
+    val archive = growthArchive.fold(baseArchive)(baseArchive.unionByName)
     // combined hot-cluster guard: |archive cell| + |increment cell|
     val hot = broadcast(
       incAssigned.select(col("centroid_id"))
@@ -725,8 +755,15 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val bArch = gArch.select(col("centroid_id"),
       col("vec_id").as("id_b"), col("embedding").as("eb"))
-    val archLabels = readSemDedupLabels(spark, path)
+    val baseLabels = readSemDedupLabels(spark, path)
       .select(col("vec_id").as("id_b"), col("rep_id"))
+    val archLabels = scala.util.Try(
+        spark.read.parquet(semDedupGrowthLabelsPath(path)))
+      .toOption.map { g =>
+        baseLabels.unionByName(
+          growthBelow.fold(g)(n => g.filter(col("epoch") < n))
+            .select(col("vec_id").as("id_b"), col("rep_id")))
+      }.getOrElse(baseLabels)
     val pairsArch = a.join(bArch, Seq("centroid_id"))
       .filter(cosineQ(col("ea"), col("eb")) >= threshold)
       .select(col("id_a"), col("id_b"))
@@ -776,23 +813,62 @@ object Similarity {
         Seq("vec_id"), "left_anti")
       case None => df
     }
+    // the stream-growth epoch area is ABSORBED into the base artifact
+    // (growth rows join the index, growth labels join the labels, the
+    // epoch dirs do not survive the swap); absorbed epoch numbers are
+    // recorded as markers INSIDE the staged root so a post-absorb
+    // stream replay of a folded batch is recognized and skipped
+    // instead of re-growing absorbed rows
+    val growthIdx = scala.util.Try(
+        spark.read.parquet(semDedupGrowthPath(path))).toOption
+      .map(_.select(col("vec_id"), col("embedding"),
+        col("centroid_id").cast(IntegerType).as("centroid_id")))
+    val growthLab = scala.util.Try(
+        spark.read.parquet(semDedupGrowthLabelsPath(path))).toOption
+      .map(_.select(col("vec_id"), col("rep_id")))
+    val absorbedEpochs: Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(semDedupGrowthPath(path))
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("epoch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("epoch=").toLong)
+          .toOption)
+    }
     // an already-emptied index (a prior delete-all) has no data files
     // to infer a schema from — re-emit nothing; every index reader
     // treats the absent/empty dir as an empty archive
-    scala.util.Try(spark.read.parquet(s"$path/index")).toOption
-      .foreach { idx =>
-        minus(idx.select(col("vec_id"), col("embedding"),
-            col("centroid_id").cast(IntegerType).as("centroid_id")))
-          .repartition(col("centroid_id"))
-          .write.mode("overwrite").partitionBy("centroid_id")
-          .parquet(s"$staged/index")
-      }
-    minus(spark.read.parquet(s"$path/labels"))
+    val baseIdx = scala.util.Try(spark.read.parquet(s"$path/index"))
+      .toOption
+      .map(_.select(col("vec_id"), col("embedding"),
+        col("centroid_id").cast(IntegerType).as("centroid_id")))
+    (baseIdx ++ growthIdx).reduceOption(_ unionByName _).foreach { idx =>
+      minus(idx)
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$staged/index")
+    }
+    val baseLab = spark.read.parquet(s"$path/labels")
+      .select(col("vec_id"), col("rep_id"))
+    minus(growthLab.fold(baseLab)(baseLab.unionByName))
       .coalesce(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$staged/labels")
     spark.read.parquet(s"$path/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$staged/centroids")
     writeSemDedupMeta(fs, staged, threshold, maxClusterSize)
+    // prior absorb markers carry over; this absorb's epochs add to them
+    val priorMarkers = new org.apache.hadoop.fs.Path(
+      s"$path/_growth_absorbed")
+    if (fs.exists(priorMarkers))
+      org.apache.hadoop.fs.FileUtil.copy(fs, priorMarkers, fs,
+        new org.apache.hadoop.fs.Path(s"$staged/_growth_absorbed"),
+        false, spark.sparkContext.hadoopConfiguration)
+    absorbedEpochs.foreach { e =>
+      val m = new org.apache.hadoop.fs.Path(
+        semDedupAbsorbedMarker(staged, e))
+      fs.mkdirs(m.getParent)
+      val out = fs.create(m, true)
+      out.close()
+    }
     Curation.swapStaged(spark, staged, path)
   }
 
@@ -870,11 +946,44 @@ object Similarity {
     // one assignment pass: the labeling already materialized the
     // increment's (vec_id, embedding, centroid_id) — the index append
     // writes THAT frame instead of re-running scan+argmin
-    val (labels, assigned) = semDedupIncrementLabeled(spark, path, inc)
+    val (labels, assigned) =
+      semDedupIncrementLabeled(spark, path, inc, growthBelow = None)
     assigned.repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/index")
     labels.write.mode("append").parquet(s"$path/labels")
+    labels
+  }
+
+  /** Grow the artifact by one EPOCH-KEYED increment — the
+    * replay-exact growth verb behind the streaming ingest
+    * ([[graft.streaming.CorpusStream.semDedupGrowIngest]], the s19
+    * discipline on the semantic archive): the batch labels against
+    * the base artifact PLUS growth epochs STRICTLY BELOW its own
+    * (so a crashed attempt's half-written epoch can never poison its
+    * replay, and the labeling's lazy reads stay correct even after
+    * this epoch's dirs land), then writes its assignment rows to
+    * `growth/epoch=N/centroid_id=C` and its labels to
+    * `growth_labels/epoch=N` — both `mode(overwrite)` on the OWN
+    * epoch dir only, so a redelivered batch overwrites instead of
+    * duplicating (unlike [[appendSemDedupModel]], which is the
+    * exactly-once-orchestration append). Later epochs dedup against
+    * these rows; [[compactSemDedupModel]] /
+    * [[deleteFromSemDedupModel]] ABSORB the growth area into the
+    * base artifact (leaving `_growth_absorbed/<epoch>` markers so a
+    * post-absorb replay is recognized and skipped by the ingest).
+    * Returns the increment's labels. */
+  def appendSemDedupGrowth(spark: org.apache.spark.sql.SparkSession,
+      path: String, inc: DataFrame, epoch: Long): DataFrame = {
+    require(epoch >= 0, s"appendSemDedupGrowth: epoch must be >= 0")
+    val (labels, assigned) =
+      semDedupIncrementLabeled(spark, path, inc,
+        growthBelow = Some(epoch))
+    assigned.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"${semDedupGrowthPath(path)}/epoch=$epoch")
+    labels.write.mode("overwrite")
+      .parquet(s"${semDedupGrowthLabelsPath(path)}/epoch=$epoch")
     labels
   }
 

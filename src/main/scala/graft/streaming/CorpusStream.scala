@@ -299,6 +299,72 @@ object CorpusStream {
     writer.start()
   }
 
+  /** GROWING streaming semantic dedup (s23) — the s19 discipline on
+    * the SemDeDup artifact, closing the trade [[semDedupIngest]]
+    * documents: each micro-batch labels against the base artifact
+    * PLUS every batch BEFORE it
+    * ([[graft.functions.Similarity.appendSemDedupGrowth]] at
+    * `epoch = batchId`, reading growth epochs strictly below its
+    * own — the replay guard), writes its labels to an idempotent
+    * `batch=<id>` dir, and grows the epoch-keyed growth area (its
+    * OWN epoch dirs, `mode(overwrite)` — a redelivered batch
+    * overwrites instead of duplicating). Under in-order delivery the
+    * batch-dir union equals sequential increment labeling of the
+    * whole stream (the s23 oracle replays batch 1's chain against
+    * archive ∪ batch 0).
+    *
+    * Maintenance: [[graft.functions.Similarity.compactSemDedupModel]]
+    * (stream stopped — single-writer) ABSORBS the growth epochs into
+    * the base artifact; a restart replaying the final batch whose
+    * checkpoint commit didn't land finds its `_growth_absorbed`
+    * marker, re-derives its output labels from the absorbed archive,
+    * and SKIPS re-growing (re-writing the epoch dir would duplicate
+    * the absorbed rows). LINEAGE GUARD like every grow-in-place
+    * ingest: the growth area is bound to one checkpoint lineage — a
+    * fresh checkpoint over grown state fails loudly instead of
+    * batch 0 clobbering `epoch=0`.
+    */
+  def semDedupGrowIngest(emb: DataFrame, modelPath: String,
+      outPath: String,
+      checkpointPath: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    guardStateLineage(emb.sparkSession, modelPath,
+      hasEpochDirs(emb.sparkSession,
+        graft.functions.Similarity.semDedupGrowthPath(modelPath),
+        min = 0L),
+      checkpointPath, "semDedupGrowIngest")
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, batchId) => {
+      val spark = batch.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(
+        graft.functions.Similarity.semDedupAbsorbedMarker(modelPath,
+          batchId))
+      val fs = marker.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val out =
+        if (fs.exists(marker)) {
+          // this batch was already grown AND absorbed into the base
+          // artifact by a maintenance pass — its labels live in
+          // labels/ now; re-derive them instead of re-growing
+          import org.apache.spark.sql.functions.{coalesce, col}
+          batch.select(col("vec_id"))
+            .join(graft.functions.Similarity
+                .readSemDedupLabels(spark, modelPath),
+              Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+        } else graft.functions.Similarity.appendSemDedupGrowth(spark,
+          modelPath, batch, epoch = batchId)
+      out.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      ()
+    }
+    val writer = emb.writeStream.outputMode("append").foreachBatch(step)
+    checkpointPath.foreach(p => writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
   def decontaminateSpansIngest(docs: DataFrame, id: Column, text: Column,
       indexPath: String, outPath: String,
       broadcastBench: Boolean = true,
