@@ -546,8 +546,16 @@ object Similarity {
   private[graft] def semDedupGrowthPath(path: String) = s"$path/growth"
   private[graft] def semDedupGrowthLabelsPath(path: String) =
     s"$path/growth_labels"
-  private[graft] def semDedupAbsorbedMarker(path: String, epoch: Long) =
-    s"$path/_growth_absorbed/$epoch"
+
+  /** Absorbed-epoch markers are LINEAGE-SCOPED: epoch numbers restart
+    * at 0 under a fresh checkpoint lineage, so an unscoped marker
+    * from a PRIOR lineage's absorb would make the new lineage's
+    * genuinely-new batch 0 look already-absorbed — silently skipped,
+    * its rows never grown, later batches blind to it. A marker only
+    * ever matches the lineage whose replay it guards. */
+  private[graft] def semDedupAbsorbedMarker(path: String,
+      lineage: String, epoch: Long) =
+    s"$path/_growth_absorbed/$lineage-$epoch"
 
   /** Train and persist a SemDeDup model artifact: the frozen Lloyd
     * centroids, the archive's (vec_id, embedding) rows laid out as a
@@ -855,19 +863,39 @@ object Similarity {
     spark.read.parquet(s"$path/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$staged/centroids")
     writeSemDedupMeta(fs, staged, threshold, maxClusterSize)
-    // prior absorb markers carry over; this absorb's epochs add to them
+    // prior absorb markers carry over; this absorb's epochs add to
+    // them, SCOPED to the stream lineage that grew them (read from
+    // the pre-swap root; orchestrated growth without a stream lineage
+    // writes no markers — exactly-once orchestration owns its replay)
     val priorMarkers = new org.apache.hadoop.fs.Path(
       s"$path/_growth_absorbed")
     if (fs.exists(priorMarkers))
       org.apache.hadoop.fs.FileUtil.copy(fs, priorMarkers, fs,
         new org.apache.hadoop.fs.Path(s"$staged/_growth_absorbed"),
         false, spark.sparkContext.hadoopConfiguration)
-    absorbedEpochs.foreach { e =>
-      val m = new org.apache.hadoop.fs.Path(
-        semDedupAbsorbedMarker(staged, e))
-      fs.mkdirs(m.getParent)
-      val out = fs.create(m, true)
-      out.close()
+    val lineageP = new org.apache.hadoop.fs.Path(
+      s"$path/_stream_lineage")
+    val lineage =
+      if (!fs.exists(lineageP)) None
+      else {
+        val in = fs.open(lineageP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim).filter(_.nonEmpty)
+        finally in.close()
+      }
+    lineage.foreach { lin =>
+      absorbedEpochs.foreach { e =>
+        val m = new org.apache.hadoop.fs.Path(
+          semDedupAbsorbedMarker(staged, lin, e))
+        fs.mkdirs(m.getParent)
+        val out = fs.create(m, true)
+        out.close()
+      }
+      // the lineage binding itself survives the swap, so the original
+      // checkpoint's replay window can still find its markers
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$staged/_stream_lineage"), true)
+      try out.write(lin.getBytes("UTF-8")) finally out.close()
     }
     Curation.swapStaged(spark, staged, path)
   }

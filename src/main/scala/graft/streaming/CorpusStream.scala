@@ -337,13 +337,27 @@ object CorpusStream {
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
       val spark = batch.sparkSession
-      val marker = new org.apache.hadoop.fs.Path(
+      // the absorbed-marker check is scoped to THIS checkpoint's
+      // lineage (epoch numbers restart under a fresh lineage, so
+      // another lineage's absorbed epoch 0 must not shadow ours)
+      val lineage = checkpointPath.flatMap { ckpt =>
+        val p = new org.apache.hadoop.fs.Path(s"$ckpt/graft_lineage")
+        val cfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!cfs.exists(p)) None
+        else {
+          val in = cfs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim).filter(_.nonEmpty)
+          finally in.close()
+        }
+      }
+      val marker = lineage.map(lin => new org.apache.hadoop.fs.Path(
         graft.functions.Similarity.semDedupAbsorbedMarker(modelPath,
-          batchId))
-      val fs = marker.getFileSystem(
+          lin, batchId)))
+      val fs = new org.apache.hadoop.fs.Path(modelPath).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       val out =
-        if (fs.exists(marker)) {
+        if (marker.exists(fs.exists)) {
           // this batch was already grown AND absorbed into the base
           // artifact by a maintenance pass — its labels live in
           // labels/ now; re-derive them instead of re-growing

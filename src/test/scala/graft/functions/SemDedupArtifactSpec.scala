@@ -324,14 +324,20 @@ class SemDedupArtifactSpec extends SparkSpec {
       Seq((200L, v(3, 0.00))).toDF("vec_id", "embedding"), epoch = 0L)
     Similarity.appendSemDedupGrowth(spark, path,
       Seq((300L, v(3, 0.001))).toDF("vec_id", "embedding"), epoch = 1L)
-    Similarity.compactSemDedupModel(spark, path)
+    // simulate the STREAM's lineage binding so the absorb has a
+    // lineage to scope its markers to (orchestrated growth without a
+    // stream writes none — orchestration owns its own replay)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val linOut = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_stream_lineage"), true)
+    linOut.write("test-lineage".getBytes("UTF-8")); linOut.close()
+    Similarity.compactSemDedupModel(spark, path)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       Similarity.semDedupGrowthPath(path))), "growth must be absorbed")
     (0L to 1L).foreach(e => assert(fs.exists(new org.apache.hadoop.fs.Path(
-      Similarity.semDedupAbsorbedMarker(path, e))),
-      s"absorbed marker for epoch $e must land"))
+      Similarity.semDedupAbsorbedMarker(path, "test-lineage", e))),
+      s"absorbed marker for epoch $e must land, lineage-scoped"))
     val labels = Similarity.readSemDedupLabels(spark, path)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels(200L) === 200L)
@@ -375,38 +381,56 @@ class SemDedupArtifactSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(200L -> 200L, 300L -> 200L),
       "batch 1 must dedup against batch 0")
-    // absorb, then simulate a replay of the final batch (its marker
-    // exists): the step must re-derive labels and NOT re-grow
+    // absorb: markers land SCOPED to this stream's lineage
     Similarity.compactSemDedupModel(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val lin = {
+      val p = new org.apache.hadoop.fs.Path(s"$ckpt/graft_lineage")
+      val in0 = fs.open(p)
+      try scala.io.Source.fromInputStream(in0, "UTF-8").mkString.trim
+      finally in0.close()
+    }
     assert(fs.exists(new org.apache.hadoop.fs.Path(
-      Similarity.semDedupAbsorbedMarker(path, 1L))))
-    // a FRESH checkpoint over the (marker-bound) state: loud refusal
-    // while stream-written growth exists is covered by the lineage
-    // guard on RE-GROWN state; after absorb the growth dirs are gone,
-    // so a fresh checkpoint may legitimately start a new lineage —
-    // drive one more batch through a fresh checkpoint and verify the
-    // absorbed-marker path emits the right labels without re-growing
-    val in2 = Scratch.path(dir, "sdart_g_in2")
-    val ckpt2 = Scratch.path(dir, "sdart_g_ckpt2")
-    val out2 = Scratch.path(dir, "sdart_g_out2")
-    Seq(in2, ckpt2, out2).foreach(Scratch.reset)
-    // batch id 0 in the fresh lineage was absorbed as epoch 0
-    b0.coalesce(1).write.mode("append").parquet(in2)
+      Similarity.semDedupAbsorbedMarker(path, lin, 1L))))
+    // SAME-LINEAGE post-absorb replay (the crash window): a new batch
+    // id under the ORIGINAL checkpoint whose marker exists must
+    // re-derive labels from the absorbed archive and NOT re-grow
+    val m2 = new org.apache.hadoop.fs.Path(
+      Similarity.semDedupAbsorbedMarker(path, lin, 2L))
+    fs.mkdirs(m2.getParent); fs.create(m2, true).close()
+    b0.coalesce(1).write.mode("append").parquet(in) // becomes batch 2
     val stream2 = spark.readStream.schema(b0.schema)
-      .option("maxFilesPerTrigger", "1").parquet(in2)
+      .option("maxFilesPerTrigger", "1").parquet(in)
     val q2 = graft.streaming.CorpusStream.semDedupGrowIngest(stream2,
-      path, out2, checkpointPath = Some(ckpt2),
+      path, out, checkpointPath = Some(ckpt),
       trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     q2.awaitTermination()
-    val replayed = spark.read.parquet(out2).drop("batch")
+    val replayed = spark.read.parquet(s"$out/batch=2")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(replayed === Map(200L -> 200L),
       "the absorbed-batch replay must re-derive labels from the base")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       Similarity.semDedupGrowthPath(path))),
       "the absorbed-batch replay must NOT re-grow")
+    // a FRESH checkpoint is a NEW lineage: the old lineage's markers
+    // must not shadow its genuinely-new batch 0 — it GROWS normally
+    val in3 = Scratch.path(dir, "sdart_g_in3")
+    val ckpt3 = Scratch.path(dir, "sdart_g_ckpt3")
+    val out3 = Scratch.path(dir, "sdart_g_out3")
+    Seq(in3, ckpt3, out3).foreach(Scratch.reset)
+    Seq((500L, v(1, 0.60))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in3)
+    val stream3 = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in3)
+    val q3 = graft.streaming.CorpusStream.semDedupGrowIngest(stream3,
+      path, out3, checkpointPath = Some(ckpt3),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q3.awaitTermination()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"${Similarity.semDedupGrowthPath(path)}/epoch=0")),
+      "a new lineage's batch 0 must grow despite the old lineage's " +
+        "absorbed epoch-0 marker")
   }
 
   test("streaming semDedupIngest labels per batch against the frozen " +
