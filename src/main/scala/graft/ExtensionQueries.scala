@@ -1153,7 +1153,10 @@ object ExtensionQueries {
       val out = Scratch.path(dir, "p17_out")
       val ckpt = Scratch.path(dir, "p17_ckpt")
       Seq(in, out, ckpt).foreach(Scratch.reset)
-      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      val aggRow = base.agg(max(col("doc_id")), count(lit(1))).head
+      val maxId = aggRow.getLong(0)
+      val mbp = streaming.CorpusStream.microBatchPartitions(s,
+        aggRow.getLong(1) / 2)
       Seq(base.filter(col("doc_id") <= maxId / 2),
           base.filter(col("doc_id") > maxId / 2))
         .foreach(d => d.orderBy(col("doc_id")).coalesce(1)
@@ -1164,7 +1167,8 @@ object ExtensionQueries {
         stratumName = "lang", orderName = "doc_id",
         tokensName = "n_chars", seqLen = 512L, outPath = out,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(mbp))
       q.awaitTermination()
       Curation.compactChunkBatches(s, out).drop("batch")
         .select(col("stratum"), col("chunk_id"), col("doc_id"),
@@ -2397,6 +2401,11 @@ object ExtensionQueries {
       val shards = Scratch.path(dir, "s10_shards")
       val ckpt = Scratch.path(dir, "s10_ckpt")
       Seq(in, staging, shards, ckpt).foreach(Scratch.reset)
+      // micro-batch-scaled shuffle/state partitions + in-heap state
+      // (optimization r18): batches are O(corpus) rows and dedup state
+      // is watermark-bounded fingerprints — far below executor memory
+      val nDocs = base.count()
+      val mbp = streaming.CorpusStream.microBatchPartitions(s, nDocs)
       def withTs(d: org.apache.spark.sql.DataFrame) =
         d.withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
       // two drops (base, then reposts), not three: the seam under test
@@ -2415,7 +2424,10 @@ object ExtensionQueries {
         stratumName = "lang", orderName = "doc_id", tokensName = "n_chars",
         budget = 20000L, watermark = "1 hour",
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(mbp),
+        stateStoreProvider = Some("org.apache.spark.sql.execution." +
+          "streaming.state.HDFSBackedStateStoreProvider"))
       q.awaitTermination()
       s.read.parquet(shards)
         .groupBy(col("stratum"), col("bin").cast(LongType).as("bin"))
@@ -2446,7 +2458,12 @@ object ExtensionQueries {
       // costs nothing and bounds the gate's growth with the fixture.
       val full = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      val maxAll = full.agg(max(col("doc_id"))).head.getLong(0)
+      // one agg job yields the split bound AND the corpus size the
+      // micro-batch partition sizing derives from (optimization r18)
+      val aggRow = full.agg(max(col("doc_id")), count(lit(1))).head
+      val maxAll = aggRow.getLong(0)
+      val mbp = streaming.CorpusStream.microBatchPartitions(s,
+        aggRow.getLong(1) / 2)
       val base = full.filter(col("doc_id") <= maxAll / 2)
       val reposts = base.filter(col("doc_id") % 4 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
@@ -2475,7 +2492,10 @@ object ExtensionQueries {
         budget = 20000L, watermark = "1 hour",
         checkpointPath = Some(ckpt),
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
-        ckptEvery = 2)
+        ckptEvery = 2,
+        shufflePartitions = Some(mbp),
+        stateStoreProvider = Some("org.apache.spark.sql.execution." +
+          "streaming.state.HDFSBackedStateStoreProvider"))
       q.awaitTermination()
       Curation.readShardManifest(s, shards)
         .select(col("stratum"), col("bin"), col("n_docs"),
@@ -2503,7 +2523,10 @@ object ExtensionQueries {
       // out-of-order-then-repair semantics gated here are untouched)
       val full = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      val maxAll = full.agg(max(col("doc_id"))).head.getLong(0)
+      val aggRow = full.agg(max(col("doc_id")), count(lit(1))).head
+      val maxAll = aggRow.getLong(0)
+      val mbp = streaming.CorpusStream.microBatchPartitions(s,
+        aggRow.getLong(1) / 2)
       val base = full.filter(col("doc_id") <= maxAll / 2)
       val reposts = base.filter(col("doc_id") % 4 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
@@ -2534,7 +2557,10 @@ object ExtensionQueries {
         stratumName = "lang", orderName = "doc_id", tokensName = "n_chars",
         budget = 20000L, watermark = "24 hours",
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(mbp),
+        stateStoreProvider = Some("org.apache.spark.sql.execution." +
+          "streaming.state.HDFSBackedStateStoreProvider"))
       q.awaitTermination()
       Curation.compactShards(s, shards, "doc_id", "n_chars", budget = 20000L)
         .select(col("stratum"), col("bin"), col("n_docs"),
@@ -2565,7 +2591,9 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(in)
       val q = streaming.AnnStream.indexIngest(stream, cents, cb, idx,
         m = 4, dims = 64, checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(
+          streaming.CorpusStream.microBatchPartitions(s, feed.count() / 3)))
       q.awaitTermination()
       Similarity.knnIvfPqOnDisk(s, idx, cents, cb, queries, corpus,
           k = 5, nprobe = 2, rerank = 50)
@@ -2599,7 +2627,10 @@ object ExtensionQueries {
       val q = streaming.AnnStream.searchIngest(stream, idx, corpus, out,
         k = 5, nprobe = 2, rerank = 50, m = 4, dims = 64,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        // batches are vec_id < 10 probes — ≤ 10 rows by construction
+        shufflePartitions = Some(
+          streaming.CorpusStream.microBatchPartitions(s, 10L)))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .orderBy(col("query_id"), col("rank"))
@@ -2675,7 +2706,9 @@ object ExtensionQueries {
       val q = streaming.CorpusStream.decontaminateSpansIngest(stream,
         col("doc_id"), col("text"), idx, out,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(
+          streaming.CorpusStream.microBatchPartitions(s, corpus.count() / 2)))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .orderBy(col("doc_id"))
@@ -2706,7 +2739,9 @@ object ExtensionQueries {
       val q = streaming.CorpusStream.importanceResampleIngest(stream,
         col("doc_id"), col("text"), tPath, rPath, scale = 0.5, out,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(
+          streaming.CorpusStream.microBatchPartitions(s, docs.count() / 2)))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .select(col("doc_id"), col("n_ngrams"), col("n_known_target"),
@@ -2728,7 +2763,10 @@ object ExtensionQueries {
         when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" " + SpanSlogan)))
           .otherwise(col("text")).as("text"))
-      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      val aggRow = d.agg(max(col("doc_id")), count(lit(1))).head
+      val maxId = aggRow.getLong(0)
+      val mbp = streaming.CorpusStream.microBatchPartitions(s,
+        aggRow.getLong(1) / 4 + 3)
       val archive = planted.filter(col("doc_id") <= maxId / 2)
       val incLow = planted.filter(col("doc_id") > maxId / 2 &&
         col("doc_id") <= maxId * 3 / 4)
@@ -2752,7 +2790,8 @@ object ExtensionQueries {
       val q = streaming.CorpusStream.repeatedSpansIngest(stream,
         col("doc_id"), col("text"), idx, out,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(mbp))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .orderBy(col("doc_id"))
@@ -2771,7 +2810,10 @@ object ExtensionQueries {
       val out = Scratch.path(dir, "s21_out")
       val ckpt = Scratch.path(dir, "s21_ckpt")
       Seq(in, out, ckpt).foreach(Scratch.reset)
-      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      val aggRow = base.agg(max(col("doc_id")), count(lit(1))).head
+      val maxId = aggRow.getLong(0)
+      val mbp = streaming.CorpusStream.microBatchPartitions(s,
+        aggRow.getLong(1) / 2)
       Seq(base.filter(col("doc_id") <= maxId / 2),
           base.filter(col("doc_id") > maxId / 2))
         .foreach(d => d.orderBy(col("doc_id")).coalesce(1)
@@ -2782,7 +2824,8 @@ object ExtensionQueries {
         stratumName = "lang", orderName = "doc_id",
         tokensName = "n_chars", seqLen = 512L, outPath = out,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(mbp))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .select(col("stratum"), col("chunk_id"), col("doc_id"),
@@ -2811,7 +2854,9 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(in)
       val q = streaming.CorpusStream.semDedupIngest(stream, path, out,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(
+          streaming.CorpusStream.microBatchPartitions(s, inc.count() / 2)))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .orderBy(col("vec_id"))
@@ -2840,7 +2885,9 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(in)
       val q = streaming.CorpusStream.semDedupGrowIngest(stream, path,
         out, checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        shufflePartitions = Some(
+          streaming.CorpusStream.microBatchPartitions(s, inc.count() / 2)))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .orderBy(col("vec_id"))
@@ -2875,7 +2922,10 @@ object ExtensionQueries {
       val q = streaming.CorpusStream.bpeEncodeIngest(stream,
         col("doc_id"), col("text"), model, out,
         checkpointPath = Some(ckpt),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        // probes are doc_id < 60 plus two literals — ≤ 62 rows/batch
+        shufflePartitions = Some(
+          streaming.CorpusStream.microBatchPartitions(s, 62L)))
       q.awaitTermination()
       s.read.parquet(out).drop("batch")
         .orderBy(col("doc_id"), col("idx"))

@@ -47,7 +47,8 @@ object AnnStream {
       codebooks: DataFrame, indexPath: String,
       m: Int = 4, dims: Int = 64,
       checkpointPath: Option[String] = None,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      shufflePartitions: Option[Int] = None): StreamingQuery = {
     val step: (Dataset[Row], Long) => Unit = (batch, _) => {
       Similarity.appendIvfPqIndex(
         Similarity.ivfPqIndex(batch, centroids, codebooks, m, dims),
@@ -57,7 +58,9 @@ object AnnStream {
     val writer = vectors.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    CorpusStream.startTuned(vectors.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 
   /** The QUERY side of the continuous-ANN story (s14) — a stream of
@@ -88,7 +91,8 @@ object AnnStream {
       k: Int, nprobe: Int = 2, rerank: Int = 50,
       m: Int = 4, dims: Int = 64,
       checkpointPath: Option[String] = None,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      shufflePartitions: Option[Int] = None): StreamingQuery = {
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       val spark = batch.sparkSession
       val (cents, cb) = Similarity.readIvfPqModel(spark, indexPath)
@@ -100,6 +104,8 @@ object AnnStream {
     val writer = queries.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    CorpusStream.startTuned(queries.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 }

@@ -31,6 +31,61 @@ import graft.functions.{Curation, TextFunctions}
   */
 object CorpusStream {
 
+  /** Shuffle/state partition count scaled to a stream's PER-BATCH row
+    * volume (optimization r18, guide §2.2/§2.5: partitioning should
+    * derive from data size, not from a cluster-wide analytics default).
+    * A micro-batch pipeline whose batches carry `approxBatchRows` rows
+    * gains nothing from `spark.sql.shuffle.partitions` sized for batch
+    * analytics: every stateful operator opens, commits and snapshots
+    * one state-store partition PER shuffle partition PER micro-batch,
+    * and every foreachBatch shuffle writes that many files — at small
+    * batch volume the fixed per-partition cost dominates end to end
+    * (measured: the s10/s12/s13 shard gates spend over half their wall
+    * on it at 32 partitions). Clamped to `defaultParallelism` above so
+    * large batches keep full parallelism: at production volume the
+    * derived count saturates the cluster and the setting is a no-op.
+    */
+  def microBatchPartitions(spark: SparkSession, approxBatchRows: Long,
+      rowsPerPartition: Long = 1024L): Int = {
+    require(rowsPerPartition > 0,
+      "microBatchPartitions: rowsPerPartition must be positive")
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (math.max(0L, approxBatchRows) + rowsPerPartition - 1)
+        / rowsPerPartition)).toInt
+  }
+
+  /** Start a streaming query under micro-batch-scaled settings: sets
+    * the overrides on the session, runs `start` (the stream's cloned
+    * session captures them — batch jobs inside foreachBatch included),
+    * and restores the caller's values before returning, so the tuning
+    * is scoped to the one query. `stateStoreProvider` picks the state
+    * backend per QUERY (e.g. the in-heap HDFS-backed store for a
+    * watermark-bounded dedup whose live key set is far below executor
+    * memory — RocksDB's per-partition native open/commit/snapshot is
+    * pure overhead there; the session-wide RocksDB default stays right
+    * for state that outgrows the heap).
+    */
+  private[graft] def startTuned(spark: SparkSession,
+      shufflePartitions: Option[Int], stateStoreProvider: Option[String])
+      (start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val overrides = Seq(
+      "spark.sql.shuffle.partitions" ->
+        shufflePartitions.map(_.toString),
+      "spark.sql.streaming.stateStore.providerClass" ->
+        stateStoreProvider)
+      .collect { case (k, Some(v)) => (k, spark.conf.getOption(k), v) }
+    overrides.foreach { case (k, _, v) => spark.conf.set(k, v) }
+    // the stream clones the session (conf included) synchronously
+    // inside start(), so restoring immediately after is safe — the
+    // running query and its foreachBatch jobs keep the tuned values
+    try start
+    finally overrides.foreach {
+      case (k, Some(prev), _) => spark.conf.set(k, prev)
+      case (k, None, _) => spark.conf.unset(k)
+    }
+  }
+
   /** Schema for a document-ingest file stream: the TESTDATA documents
     * shape plus the ingest event-time column the watermark needs
     * (streaming sources must declare schemas — no inference at runtime).
@@ -115,7 +170,9 @@ object CorpusStream {
       budget: Long, watermark: String = "10 minutes",
       quality: Option[Column] = None,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None,
+      stateStoreProvider: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     guardStateLineage(docs.sparkSession, stagingPath,
       hasBatchDirs(docs.sparkSession, stagingPath),
@@ -134,7 +191,9 @@ object CorpusStream {
     val writer = curated.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(docs.sparkSession, shufflePartitions, stateStoreProvider) {
+      writer.start()
+    }
   }
 
   /** INCREMENTAL streaming shard maintenance (s12) — the scale-correct
@@ -167,7 +226,9 @@ object CorpusStream {
       quality: Option[Column] = None,
       checkpointPath: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      ckptEvery: Int = 16)
+      ckptEvery: Int = 16,
+      shufflePartitions: Option[Int] = None,
+      stateStoreProvider: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // the commit log makes a fresh-checkpoint restart SILENT here:
     // batch 0 = epoch 0 <= committed is treated as an idempotent
@@ -187,7 +248,9 @@ object CorpusStream {
     val writer = curated.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(docs.sparkSession, shufflePartitions, stateStoreProvider) {
+      writer.start()
+    }
   }
 
   /** Streaming WEB ingest (s17) — [[graft.functions.Curation.curateWeb]]'s
@@ -284,7 +347,8 @@ object CorpusStream {
     */
   def semDedupIngest(emb: DataFrame, modelPath: String, outPath: String,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
@@ -296,7 +360,9 @@ object CorpusStream {
     val writer = emb.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(emb.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 
   /** GROWING streaming semantic dedup (s23) — the s19 discipline on
@@ -327,7 +393,8 @@ object CorpusStream {
   def semDedupGrowIngest(emb: DataFrame, modelPath: String,
       outPath: String,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     guardStateLineage(emb.sparkSession, modelPath,
       hasEpochDirs(emb.sparkSession,
@@ -376,14 +443,17 @@ object CorpusStream {
     val writer = emb.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(emb.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 
   def decontaminateSpansIngest(docs: DataFrame, id: Column, text: Column,
       indexPath: String, outPath: String,
       broadcastBench: Boolean = true,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
@@ -395,7 +465,9 @@ object CorpusStream {
     val writer = docs.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(docs.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 
   /** Streaming DSIR selection (s20) — the t40 model artifacts under
@@ -413,7 +485,8 @@ object CorpusStream {
       targetPath: String, rawPath: String, scale: Double,
       outPath: String, broadcastModels: Boolean = true,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
@@ -425,7 +498,9 @@ object CorpusStream {
     val writer = docs.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(docs.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 
   /** Streaming incremental span self-dedup (s19) — the d33 artifact
@@ -465,7 +540,8 @@ object CorpusStream {
       indexPath: String, outPath: String,
       broadcastIndex: Boolean = false,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     guardStateLineage(docs.sparkSession, indexPath,
       hasEpochDirs(docs.sparkSession, s"$indexPath/hashes", min = 1L),
@@ -483,7 +559,9 @@ object CorpusStream {
     val writer = docs.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(docs.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 
   /** Binds a stream's grow-in-place STATE (a span index, a shard
@@ -636,7 +714,8 @@ object CorpusStream {
   def chunkIngest(docs: DataFrame, stratumName: String, orderName: String,
       tokensName: String, seqLen: Long, outPath: String,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     guardStateLineage(docs.sparkSession, outPath,
       hasEpochDirs(docs.sparkSession, s"$outPath/_carry", min = 1L),
@@ -650,7 +729,9 @@ object CorpusStream {
     val writer = docs.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(docs.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 
   /** One [[chunkIngest]] micro-batch: pack the batch from the
@@ -716,7 +797,8 @@ object CorpusStream {
   def bpeEncodeIngest(docs: DataFrame, id: Column, text: Column,
       modelPath: String, outPath: String,
       checkpointPath: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      shufflePartitions: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = (batch, batchId) => {
@@ -730,6 +812,8 @@ object CorpusStream {
     val writer = docs.writeStream.outputMode("append").foreachBatch(step)
     checkpointPath.foreach(p => writer.option("checkpointLocation", p))
     trigger.foreach(t => writer.trigger(t))
-    writer.start()
+    startTuned(docs.sparkSession, shufflePartitions, None) {
+      writer.start()
+    }
   }
 }
