@@ -245,6 +245,10 @@ object Fixtures {
     linkageEntities(s, dir)
     semDedupLabels(s, dir)
     semDedupModelPath(s, dir)
+    // optimization-r18 gate fixtures (two-epoch shard tree, span
+    // indexes, LM/BPE model artifacts) — frames live next to their
+    // gates, so the builds are triggered from there
+    ExtensionQueries.prewarmFixtures(s, dir)
     ()
   }
 
@@ -308,4 +312,129 @@ object Fixtures {
     }
     s.read.parquet(p)
   }
+
+  // ------------------------------------------------------------------
+  // Optimization-round-18 fixtures (guide §1.2: the gates' VERBS are
+  // what the bench must time; deterministic inputs and read-only
+  // side artifacts they start from are one-time fixtures). Every
+  // consuming gate stays hash-gated against its unchanged oracle.
+  // ------------------------------------------------------------------
+
+  /** (max(doc_id), count) of the documents table — the split bounds
+    * and micro-batch sizing inputs a dozen gates re-aggregated per
+    * sample. One job, memoized per session+dir. */
+  def docStats(s: SparkSession, dir: String): (Long, Long) =
+    of(skey(s, dir, "doc_stats")) {
+      val r = Tables.df(s, dir, "documents")
+        .agg(max(col("doc_id")), count(lit(1))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+  /** Memoized count of a gate-specific deterministic frame (micro-
+    * batch partition sizing input — one count job per JVM, not per
+    * sample). Keyed per session+dir+name; the builder must be the
+    * same frame every call. */
+  def countOf(s: SparkSession, dir: String, name: String)
+      (df: => DataFrame): Long =
+    of(skey(s, dir, s"count_$name")) { java.lang.Long.valueOf(df.count()) }
+      .longValue()
+
+  /** A memoized STREAMING-INPUT directory: the ordered file drops a
+    * streaming gate feeds through `maxFilesPerTrigger=1`, written once
+    * per JVM (each drop one `coalesce(1)` append — preserving the
+    * drop order via strictly increasing mod-times, exactly as the
+    * gates wrote them inline before). The input is deterministic gate
+    * INPUT (not a result); every sample still runs the full streaming
+    * computation over it against a fresh checkpoint/output. */
+  def streamInput(s: SparkSession, dir: String, name: String)
+      (drops: => Seq[DataFrame]): String =
+    of(s"$dir#in_$name") {
+      val p = Scratch.path(dir, s"fx_in_$name")
+      Scratch.reset(p)
+      drops.foreach(_.coalesce(1).write.mode("append").parquet(p))
+      p
+    }
+
+  /** Two-epoch [[graft.functions.Curation.appendShards]] tree over
+    * `documents` (lower/upper doc_id halves, budget 20000) — the
+    * identical build p07 and p12 each ran per sample; both verbs
+    * MUTATE the tree (compactShardEpochs / deleteFromShards), so each
+    * sample operates on a [[copyTree]]. */
+  def shardTree2Epoch(s: SparkSession, dir: String): String =
+    of(s"$dir#shard_tree_2ep") {
+      val base = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val (maxId, _) = docStats(s, dir)
+      val p = Scratch.path(dir, "fx_shard_2ep")
+      Scratch.reset(p)
+      Curation.appendShards(base.filter(col("doc_id") <= maxId / 2),
+        "lang", "doc_id", "n_chars", budget = 20000L, p, epoch = 0L)
+      Curation.appendShards(base.filter(col("doc_id") > maxId / 2),
+        "lang", "doc_id", "n_chars", budget = 20000L, p, epoch = 1L)
+      p
+    }
+
+  /** The d33/s19 planted span corpus: slogan suffix on every 7th doc. */
+  def spanPlanted(docs: DataFrame, slogan: String): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + slogan)))
+        .otherwise(col("text")).as("text"))
+
+  /** The d33/s19 archive span index (planted lower-half corpus,
+    * k = 8), built once. d33 READS it in place
+    * (removeRepeatedSpansIncremental never writes); s19's stream GROWS
+    * it, so that gate runs on a [[copyTree]]. */
+  def spanArchiveIndex(s: SparkSession, dir: String,
+      slogan: String): String =
+    of(s"$dir#span_archive_idx") {
+      val (maxId, _) = docStats(s, dir)
+      val archive = spanPlanted(Tables.df(s, dir, "documents"), slogan)
+        .filter(col("doc_id") <= maxId / 2)
+      val p = Scratch.path(dir, "fx_spanidx_archive")
+      Scratch.reset(p)
+      Dedup.writeCorpusSpanIndex(archive, col("doc_id"), col("text"),
+        p, k = 8)
+      p
+    }
+
+  /** The d31/d32/s16 benchmark span index (doc_id < 20 plus the
+    * planted leak, k = 5) — READ-ONLY for s16's per-batch
+    * decontamination sweep. */
+  def benchSpanIndex(s: SparkSession, dir: String,
+      bench: => DataFrame): String =
+    of(s"$dir#span_bench_idx") {
+      val p = Scratch.path(dir, "fx_spanidx_bench")
+      Scratch.reset(p)
+      Dedup.writeSpanIndex(bench, col("text"), p, k = 5)
+      p
+    }
+
+  /** The t39/t40/s20 DSIR model pair (target = en docs, raw = all
+    * docs, order-2) — READ-ONLY artifacts the scoring re-reads per
+    * batch. Returns (targetPath, rawPath). */
+  def lmModelPair(s: SparkSession, dir: String): (String, String) =
+    of(skey(s, dir, "lm_model_pair")) {
+      val docs = Tables.df(s, dir, "documents")
+      val tPath = Scratch.path(dir, "fx_lm_target")
+      val rPath = Scratch.path(dir, "fx_lm_raw")
+      Seq(tPath, rPath).foreach(Scratch.reset)
+      TextFunctions.writeLmModel(docs.filter(col("lang") === "en"),
+        col("text"), tPath, order = 2)
+      TextFunctions.writeLmModel(docs, col("text"), rPath, order = 2)
+      (tPath, rPath)
+    }
+
+  /** The s18 BPE model artifact (8 merges over the t36 training
+    * corpus) — READ-ONLY for the per-batch encode (the artifact
+    * ROUND-TRIP gates t38/p14 keep building theirs inline: there the
+    * write is part of the verb). */
+  def bpeModel8(s: SparkSession, dir: String,
+      train: => DataFrame): String =
+    of(s"$dir#bpe_model8") {
+      val p = Scratch.path(dir, "fx_bpe_model8")
+      Scratch.reset(p)
+      TextFunctions.writeBpeModel(train, col("text"), p, numMerges = 8)
+      p
+    }
 }

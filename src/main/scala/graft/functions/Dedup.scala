@@ -1002,8 +1002,16 @@ object Dedup {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct())
-      val changed =
-        small.except(edges).count() + edges.except(small).count()
+      // symmetric-difference count in ONE job (optimization r18,
+      // guide §1.2: the old two-sided except() pair cost two full
+      // shuffle+dedup jobs per round — both sides are already
+      // distinct, so a signed union-groupBy computes |AΔB| exactly)
+      val changed = small.withColumn("__side", lit(1))
+        .unionByName(edges.withColumn("__side", lit(-1)))
+        .groupBy(col("u"), col("v"))
+        .agg(sum(col("__side")).as("__d"))
+        .filter(col("__d") =!= 0)
+        .count()
       edges = small
       converged = changed == 0
       it += 1

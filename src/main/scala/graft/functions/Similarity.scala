@@ -776,11 +776,15 @@ object Similarity {
           growthBelow.fold(g)(n => g.filter(col("epoch") < n))
             .select(col("vec_id").as("id_b"), col("rep_id")))
       }.getOrElse(baseLabels)
-    val pairsArch = a.join(bArch, Seq("centroid_id"))
+    // materialized (optimization r18): read twice — star-CC's edge
+    // set AND the rep-priority node set below — and its producer is
+    // the archive-cell join chain (partition-pruned reads + two
+    // joins), which Spark would otherwise evaluate twice
+    val pairsArch = Materialize(a.join(bArch, Seq("centroid_id"))
       .filter(cosineQ(col("ea"), col("eb")) >= threshold)
       .select(col("id_a"), col("id_b"))
       .join(archLabels, Seq("id_b"))
-      .select(col("id_a"), col("rep_id").as("id_b"))
+      .select(col("id_a"), col("rep_id").as("id_b")))
     val cc = graft.functions.Dedup.connectedComponentsStar(
       pairsInc.unionByName(pairsArch))
     // REP PRIORITY: a component that reaches the archive labels with
