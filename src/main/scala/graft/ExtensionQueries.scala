@@ -122,6 +122,7 @@ object ExtensionQueries {
   private[graft] def prewarmFixtures(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     Fixtures.docStats(s, dir)
+    Fixtures.neardupPairs(s, dir)
     Fixtures.shardTree2Epoch(s, dir)
     Fixtures.spanArchiveIndex(s, dir, SpanSlogan)
     Fixtures.benchSpanIndex(s, dir, spanBenchFrame(s, dir))
@@ -611,9 +612,7 @@ object ExtensionQueries {
     // near-dup pair graph, canonical id = min reachable doc id
     // (min-label propagation, O(diameter) shuffle rounds).
     "d08_dup_clusters" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
-      val pairs = Dedup.jaccardPairs(sh, 0.8)
-      Dedup.connectedComponents(pairs)
+      Dedup.connectedComponents(Fixtures.neardupPairs(s, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -622,9 +621,7 @@ object ExtensionQueries {
     // same output contract as d08, so the same transitive-closure
     // oracle gates both implementations against each other.
     "d10_dup_clusters_star" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
-      val pairs = Dedup.jaccardPairs(sh, 0.8)
-      Dedup.connectedComponentsStar(pairs)
+      Dedup.connectedComponentsStar(Fixtures.neardupPairs(s, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -739,8 +736,7 @@ object ExtensionQueries {
     // ppm-integer arithmetic so 5 power iterations hash-match the
     // oracle's unrolled CTEs (the e03 k-means precedent).
     "g01_pagerank" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
-      Graph.pageRank(Dedup.jaccardPairs(sh, 0.8), iters = 5)
+      Graph.pageRank(Fixtures.neardupPairs(s, dir), iters = 5)
         .orderBy(col("doc_id"))
     }),
 
@@ -751,8 +747,7 @@ object ExtensionQueries {
     // unrolled sweeps differ only in the CASE'd base/init terms.
     "g06_personalized_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"))
-      Graph.personalizedPageRank(Dedup.jaccardPairs(sh, 0.8),
+      Graph.personalizedPageRank(Fixtures.neardupPairs(s, dir),
           docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
           iters = 5)
         .orderBy(col("doc_id"))
@@ -764,9 +759,7 @@ object ExtensionQueries {
     // sweeps with per-sweep max renormalization. The oracle unrolls
     // the identical Σ + `x·1M // max` chain per side per sweep.
     "g07_hits" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(t(s, dir, "documents"),
-        col("doc_id"), col("text"))
-      Graph.hits(Dedup.jaccardPairs(sh, 0.8)
+      Graph.hits(Fixtures.neardupPairs(s, dir)
           .select(col("id_a").as("src"), col("id_b").as("dst")),
         iters = 5)
         .orderBy(col("doc_id"))
@@ -780,8 +773,7 @@ object ExtensionQueries {
     // join (orientation-free but quadratic in the hot node — fine at
     // oracle scale, the Spark side uses the bounded form).
     "g02_triangles" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
-      Graph.triangleCounts(Dedup.jaccardPairs(sh, 0.8))
+      Graph.triangleCounts(Fixtures.neardupPairs(s, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -793,8 +785,8 @@ object ExtensionQueries {
     // the fixpoint).
     "g04_kcore" -> ((s, dir) => {
       import s.implicits._
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
-      val organic = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+      val organic = Fixtures.neardupPairs(s, dir)
+        .select(col("id_a"), col("id_b"))
       val planted = Seq(
         (8000001L, 8000002L), (8000002L, 8000003L), (8000001L, 8000003L),
         (8000003L, 8000004L), (8000004L, 8000005L), (8000005L, 8000006L),
@@ -811,8 +803,8 @@ object ExtensionQueries {
     // oracle unrolls all 4 rounds (the g01/g04 convention).
     "g05_label_propagation" -> ((s, dir) => {
       import s.implicits._
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
-      val organic = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+      val organic = Fixtures.neardupPairs(s, dir)
+        .select(col("id_a"), col("id_b"))
       val planted = Seq(
         (9000001L, 9000002L), (9000002L, 9000003L), (9000001L, 9000003L),
         (9000003L, 9000004L),
@@ -826,8 +818,7 @@ object ExtensionQueries {
     // as ONE IEEE division of exact integers — the tight-community
     // signal (mirror clusters ≈ 1) next to g02's raw counts.
     "g03_clustering_coeff" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), col("doc_id"), col("text"))
-      Graph.clusteringCoefficients(Dedup.jaccardPairs(sh, 0.8))
+      Graph.clusteringCoefficients(Fixtures.neardupPairs(s, dir))
         .orderBy(col("doc_id"))
     }),
 

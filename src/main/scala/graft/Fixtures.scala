@@ -425,6 +425,24 @@ object Fixtures {
       (tPath, rPath)
     }
 
+  /** The organic near-dup pair graph — exact-Jaccard pairs at 0.8
+    * over word-3-gram shingles of `documents` — materialized ONCE to
+    * parquet. NINE gates consume this identical frame as their INPUT
+    * graph (d08/d10 connected components, g01–g07 graph analytics);
+    * the pair GENERATION itself stays d03's timed verb. */
+  def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = of(s"$dir#neardup_pairs") {
+      val path = Scratch.path(dir, "fx_neardup_pairs")
+      Scratch.reset(path)
+      Dedup.jaccardPairs(
+          Dedup.shingleRows(Tables.df(s, dir, "documents"),
+            col("doc_id"), col("text")), 0.8)
+        .write.parquet(path)
+      path
+    }
+    s.read.parquet(p)
+  }
+
   /** The s18 BPE model artifact (8 merges over the t36 training
     * corpus) — READ-ONLY for the per-batch encode (the artifact
     * ROUND-TRIP gates t38/p14 keep building theirs inline: there the

@@ -443,11 +443,19 @@ object Curation {
     delta.write.mode("overwrite")
       .parquet(s"$path/_manifest_delta/epoch=$epoch")
     // next-epoch carry: previous carry advanced by this epoch's totals
-    // (strata untouched this epoch carry forward unchanged)
-    val epochTotals = packed
-      .groupBy(col("stratum"))
-      .agg(max(col("__carry")).as("__carry"),
-        sum(col(tokensName).cast(LongType)).as("__add"))
+    // (strata untouched this epoch carry forward unchanged). Derived
+    // from the already-persisted DELTA, not a third pass over the
+    // packed increment (optimization r18, guide §1.2): the delta's
+    // per-(stratum, bin) n_tokens sums to the epoch's per-stratum
+    // total, and the carry base is the (broadcast) prior carry row —
+    // identical arithmetic to the old max(__carry) + sum(tokens) form
+    // because __carry is constant per stratum.
+    val deltaTotals = delta.groupBy(col("stratum"))
+      .agg(sum(col("n_tokens")).as("__add"))
+    val epochTotals = carry.fold(
+        deltaTotals.withColumn("__carry", lit(0L)))(c =>
+        deltaTotals.join(broadcast(c), Seq("stratum"), "left")
+          .withColumn("__carry", coalesce(col("__carry"), lit(0L))))
       .select(col("stratum"), (col("__carry") + col("__add")).as("cum_tokens"))
     val nextCarry = carry.fold(epochTotals)(c =>
       c.select(col("stratum"), col("__carry").as("cum_tokens"))
