@@ -327,6 +327,25 @@ object Bench {
         n -> math.max(1.0, h * hintSkipDecay)))
   }
 
+  /** Render the per-fixture build-cost map for the emitted JSON line
+    * (VERDICT r18 #6: fixture cost must be inspectable in the
+    * artifact, not land silently in elapsed − total): compact object,
+    * costliest first, ms precision — the same layout rules as the
+    * queries map. Pure so BenchSpec pins the field's shape.
+    */
+  private[graft] def fixturesJson(costs: Map[String, Double]): String =
+    costs.toSeq.sortBy { case (n, c) => (-c, n) }
+      .map { case (k, v) =>
+        "\"" + k.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => " "
+          case c => c.toString
+        } + "\":" + java.lang.String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }
+      .mkString("{", ",", "}")
+
   /** Best-effort write of this run's measured costs (sorted cheapest
     * first for human diffing); failure is non-fatal — the hints are an
     * ordering optimization, not data.
@@ -448,7 +467,14 @@ object Bench {
         // artifact as complete)
         val coverageLost = pending.nonEmpty || (expired && unmeasuredErr)
         val refineCut = expired && !coverageLost
-        println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","n_queries":${medians.size},"queries":$qs,"errors":$errJson,"skipped":$skipped,"contention":$contention,"budget_expired":$coverageLost,"refine_truncated":$refineCut,"elapsed":${r3(elapsedS)},"slowest":$slowJson}""")
+        // per-fixture build seconds (VERDICT r18 #6): the warmup cost
+        // that is deliberately NOT in any per-gate number, emitted so
+        // the artifact's elapsed − total is reconcilable. Costs are
+        // wall seconds of each build closure; a build that triggers a
+        // not-yet-built dependency includes it (prewarm builds in
+        // dependency order, so overlaps are rare in bench runs).
+        val fixJson = fixturesJson(Fixtures.buildCosts)
+        println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","n_queries":${medians.size},"queries":$qs,"errors":$errJson,"skipped":$skipped,"fixtures":$fixJson,"contention":$contention,"budget_expired":$coverageLost,"refine_truncated":$refineCut,"elapsed":${r3(elapsedS)},"slowest":$slowJson}""")
         System.out.flush()
         // feed the next run's ordering with this run's measured costs
         // (VERDICT r5 #3) — but ONLY from a quiet run: a contended
@@ -679,10 +705,15 @@ object Bench {
 
     // ---- phase 2: REFINE — spend what's left on repeat samples for
     // medians, round-robin so every query gets its 2nd sample before any
-    // gets its 3rd; within a round, cheapest-first by the query's OWN
-    // phase-1 median so a budget squeeze trims the expensive tail.
-    // A repeat is only attempted if the query's last sample fits the
-    // remaining budget (the "degrade n toward 1" rule from round 3).
+    // gets its 3rd; within a round, SLOWEST-first by the query's OWN
+    // phase-1 median (VERDICT r18 #1: under cheapest-first a budget
+    // squeeze left exactly the heavy tail — the gates where a single
+    // cold/contended sample distorts the artifact most, d17's 21.4 s
+    // round-18 print being one sample — at n=1; the cheap tail's
+    // absolute error is bounded by its own sub-second scale, so it is
+    // the right thing to trim). A repeat is only attempted if the
+    // query's last sample fits the remaining budget (the "degrade n
+    // toward 1" rule from round 3).
     val failedInSweep = samples.synchronized { errors.keySet.toSet }
     var refineQuiet = true
     for (round <- 1 until runs if !expired && refineQuiet) {
@@ -692,7 +723,7 @@ object Bench {
       val byMeasured = samples.synchronized {
         samples.collect { case (n, ss) if ss.size == round && !failedInSweep(n) =>
           n -> ss.sorted.apply(ss.size / 2)
-        }.toSeq.sortBy { case (n, c) => (c, n) }
+        }.toSeq.sortBy { case (n, c) => (-c, n) }
       }
       for ((name, lastCost) <- byMeasured if !expired && refineQuiet) {
         if (remainingS <= 0) expired = true

@@ -75,7 +75,7 @@ object ExtensionQueries {
   /** d23's planted boilerplate sentence (11 words — four duplicated
     * 8-word windows per later carrier, so coverage-union is exercised).
     */
-  private val SpanSlogan =
+  private[graft] val SpanSlogan =
     "subscribe to our newsletter for the latest updates and exclusive offers"
 
   /** d31/d32/s16's planted benchmark leak phrase. */
@@ -84,7 +84,7 @@ object ExtensionQueries {
   /** The d31/d32/s16 benchmark frame (doc_id < 20 plus the planted
     * leak) — ONE builder so the three gates and the s16 fixture can
     * never drift apart. */
-  private def spanBenchFrame(s: org.apache.spark.sql.SparkSession,
+  private[graft] def spanBenchFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").filter(col("doc_id") < 20)
@@ -108,7 +108,7 @@ object ExtensionQueries {
 
   /** The t36/t38/p14/s18 BPE training frame (doc_id < 120 plus the
     * planted Sennrich corpus). */
-  private def bpeTrainFrame(s: org.apache.spark.sql.SparkSession,
+  private[graft] def bpeTrainFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").filter(col("doc_id") < 120)
@@ -124,10 +124,10 @@ object ExtensionQueries {
     Fixtures.docStats(s, dir)
     Fixtures.neardupPairs(s, dir)
     Fixtures.shardTree2Epoch(s, dir)
-    Fixtures.spanArchiveIndex(s, dir, SpanSlogan)
-    Fixtures.benchSpanIndex(s, dir, spanBenchFrame(s, dir))
+    Fixtures.spanArchiveIndex(s, dir)
+    Fixtures.benchSpanIndex(s, dir)
     Fixtures.lmModelPair(s, dir)
-    Fixtures.bpeModel8(s, dir, bpeTrainFrame(s, dir))
+    Fixtures.bpeModel8(s, dir)
     ()
   }
 
@@ -962,7 +962,7 @@ object ExtensionQueries {
       // clean only READS it, so no copy (optimization r18 — the
       // archive index BUILD is d23/writeCorpusSpanIndex's cost, the
       // verb here is the O(increment) clean)
-      val path = Fixtures.spanArchiveIndex(s, dir, SpanSlogan)
+      val path = Fixtures.spanArchiveIndex(s, dir)
       Dedup.removeRepeatedSpansIncremental(increment, col("doc_id"),
           col("text"), path)
         .orderBy(col("doc_id"))
@@ -2690,7 +2690,7 @@ object ExtensionQueries {
       // the benchmark span index is READ-ONLY for the per-batch sweep
       // (re-read each batch, never written) — a one-time fixture; the
       // input drops likewise (optimization r18)
-      val idx = Fixtures.benchSpanIndex(s, dir, bench)
+      val idx = Fixtures.benchSpanIndex(s, dir)
       val in = Fixtures.streamInput(s, dir, "s16")(
         (0 until 2).map(r => corpus.filter(col("doc_id") % 2 === r)))
       val stream = s.readStream.schema(corpus.schema)
@@ -2772,7 +2772,7 @@ object ExtensionQueries {
       // GROWS it (epoch deltas), so each sample runs on a copy
       // (copy-on-mutate — optimization r18). Input drops are fixtures.
       val idx = Fixtures.copyTree(s,
-        Fixtures.spanArchiveIndex(s, dir, SpanSlogan), dir, "s19_spanidx")
+        Fixtures.spanArchiveIndex(s, dir), dir, "s19_spanidx")
       val in = Fixtures.streamInput(s, dir, "s19")(
         Seq(incLow, incHigh).map(_.orderBy(col("doc_id"))))
       val stream = s.readStream.schema(incHigh.schema)
@@ -2897,10 +2897,7 @@ object ExtensionQueries {
       // each batch — the stale-frames rule — but never written): a
       // one-time fixture; training is t36/t38's verb, not s18's
       // (optimization r18). Input drops likewise.
-      val model = Fixtures.bpeModel8(s, dir,
-        t(s, dir, "documents").filter(col("doc_id") < 120)
-          .select(col("text"))
-          .unionByName(BpePlanted.toDF("text")))
+      val model = Fixtures.bpeModel8(s, dir)
       val probes = t(s, dir, "documents").filter(col("doc_id") < 60)
         .select(col("doc_id"), col("text"))
         .unionByName(Seq(

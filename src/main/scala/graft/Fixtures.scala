@@ -20,8 +20,32 @@ import graft.functions.{Curation, Dedup, Similarity, TextFunctions}
   *
   * On-disk fixtures live under [[Scratch]] paths: pid-suffixed (two
   * JVMs never collide) and deleted at JVM exit.
+  *
+  * FIXTURE CHARTER (VERDICT r18 #6 — the accounting rule every entry
+  * here must satisfy): a fixture may be (a) deterministic raw INPUT
+  * data a gate consumes (file drops, planted corpora, sizing memos),
+  * or (b) ANOTHER gate's verb artifact (an index/model whose build IS
+  * some other gate's timed verb, e.g. [[lmModelPair]] for s20 where
+  * training is t33/t40's verb) — NEVER the consuming gate's own
+  * dominant declared stage. A gate whose verb is "build X" keeps
+  * building X inside its sample. Per-fixture build seconds are
+  * recorded in [[buildCosts]] and emitted by [[Bench]] as the
+  * `"fixtures"` map, so the warmup cost that moved out of per-gate
+  * numbers stays visible in the artifact instead of landing silently
+  * in elapsed − total.
   */
 object Fixtures {
+
+  /** Wall seconds of every fixture build that has run in this JVM,
+    * keyed by the fixture's short name (memo key minus the session /
+    * dir prefix). Read by [[Bench]] at emit time. */
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  def buildCosts: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap
+  }
 
   /** One memoized fixture slot. The builder runs inside the cell's
     * `lazy val` (synchronized on the cell, built at most once), NOT
@@ -48,7 +72,16 @@ object Fixtures {
     val cell = memo.get(key) match {
       case existing: Cell => existing
       case null =>
-        val fresh = new Cell(() => build)
+        val fresh = new Cell(() => {
+          // time the one real build for the emitted "fixtures" cost
+          // map; the short name is the memo key minus its session/dir
+          // prefix (stable across runs where the full key is not)
+          val t0 = System.nanoTime()
+          val v = build
+          buildSecs.put(key.substring(key.lastIndexOf('#') + 1),
+            (System.nanoTime() - t0) / 1e9)
+          v
+        })
         val prior = memo.putIfAbsent(key, fresh)
         if (prior == null) fresh else prior
     }
@@ -351,7 +384,25 @@ object Fixtures {
     of(s"$dir#in_$name") {
       val p = Scratch.path(dir, s"fx_in_$name")
       Scratch.reset(p)
-      drops.foreach(_.coalesce(1).write.mode("append").parquet(p))
+      // ENFORCE the strictly-increasing mod-time contract instead of
+      // asserting it (ADVICE r18: sequential appends can land within
+      // the filesystem's mtime granularity, and FileStreamSource
+      // orders drops by mtime — a tie could reorder an
+      // order-sensitive stream like s13's out-of-order-then-repair):
+      // after each drop's write, its new data files are stamped with
+      // the drop's own strictly increasing timestamp.
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      val seen = scala.collection.mutable.Set.empty[String]
+      drops.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.mode("append").parquet(p)
+        fs.listStatus(root).foreach { f =>
+          val n = f.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".") && seen.add(n))
+            fs.setTimes(f.getPath, base + i * 1000L, -1)
+        }
+      }
       p
     }
 
@@ -381,15 +432,19 @@ object Fixtures {
           concat(col("text"), lit(" " + slogan)))
         .otherwise(col("text")).as("text"))
 
-  /** The d33/s19 archive span index (planted lower-half corpus,
-    * k = 8), built once. d33 READS it in place
-    * (removeRepeatedSpansIncremental never writes); s19's stream GROWS
-    * it, so that gate runs on a [[copyTree]]. */
-  def spanArchiveIndex(s: SparkSession, dir: String,
-      slogan: String): String =
+  /** The d33/s19 archive span index (planted lower-half corpus at the
+    * shared [[ExtensionQueries.SpanSlogan]], k = 8), built once. d33
+    * READS it in place (removeRepeatedSpansIncremental never writes);
+    * s19's stream GROWS it, so that gate runs on a [[copyTree]].
+    * Parameter-free on purpose (ADVICE r18: a memo key that omits a
+    * builder parameter silently hands the first caller's artifact to
+    * every later caller — so the shared frame builders are called
+    * INTERNALLY instead of being passed in). */
+  def spanArchiveIndex(s: SparkSession, dir: String): String =
     of(s"$dir#span_archive_idx") {
       val (maxId, _) = docStats(s, dir)
-      val archive = spanPlanted(Tables.df(s, dir, "documents"), slogan)
+      val archive = spanPlanted(Tables.df(s, dir, "documents"),
+          ExtensionQueries.SpanSlogan)
         .filter(col("doc_id") <= maxId / 2)
       val p = Scratch.path(dir, "fx_spanidx_archive")
       Scratch.reset(p)
@@ -398,15 +453,16 @@ object Fixtures {
       p
     }
 
-  /** The d31/d32/s16 benchmark span index (doc_id < 20 plus the
-    * planted leak, k = 5) — READ-ONLY for s16's per-batch
-    * decontamination sweep. */
-  def benchSpanIndex(s: SparkSession, dir: String,
-      bench: => DataFrame): String =
+  /** The d31/d32/s16 benchmark span index (the shared
+    * [[ExtensionQueries.spanBenchFrame]], k = 5) — READ-ONLY for
+    * s16's per-batch decontamination sweep. Parameter-free (see
+    * [[spanArchiveIndex]]). */
+  def benchSpanIndex(s: SparkSession, dir: String): String =
     of(s"$dir#span_bench_idx") {
       val p = Scratch.path(dir, "fx_spanidx_bench")
       Scratch.reset(p)
-      Dedup.writeSpanIndex(bench, col("text"), p, k = 5)
+      Dedup.writeSpanIndex(ExtensionQueries.spanBenchFrame(s, dir),
+        col("text"), p, k = 5)
       p
     }
 
@@ -443,16 +499,17 @@ object Fixtures {
     s.read.parquet(p)
   }
 
-  /** The s18 BPE model artifact (8 merges over the t36 training
-    * corpus) — READ-ONLY for the per-batch encode (the artifact
-    * ROUND-TRIP gates t38/p14 keep building theirs inline: there the
-    * write is part of the verb). */
-  def bpeModel8(s: SparkSession, dir: String,
-      train: => DataFrame): String =
+  /** The s18 BPE model artifact (8 merges over the shared
+    * [[ExtensionQueries.bpeTrainFrame]] t36 training corpus) —
+    * READ-ONLY for the per-batch encode (the artifact ROUND-TRIP
+    * gates t38/p14 keep building theirs inline: there the write is
+    * part of the verb). Parameter-free (see [[spanArchiveIndex]]). */
+  def bpeModel8(s: SparkSession, dir: String): String =
     of(s"$dir#bpe_model8") {
       val p = Scratch.path(dir, "fx_bpe_model8")
       Scratch.reset(p)
-      TextFunctions.writeBpeModel(train, col("text"), p, numMerges = 8)
+      TextFunctions.writeBpeModel(ExtensionQueries.bpeTrainFrame(s, dir),
+        col("text"), p, numMerges = 8)
       p
     }
 }

@@ -11,6 +11,20 @@ object LocalSession {
   def build(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
+    // AQE partition coalescing sized by BYTES, not by core count
+    // (guide §2.2 "fewer, larger reduce partitions"): the default
+    // parallelismFirst=true pins every post-shuffle stage at
+    // ~defaultParallelism partitions regardless of volume, so the
+    // suite's many small-shuffle stages ran 32 near-empty tasks each
+    // (measured: t39 10.2→2.2 s, p03 21.9→3.6 s, d17 14.1→5.5 s,
+    // p13 13.5→3.0 s cold-sample A/B at sf0.1/local[32]; the
+    // well-parallel gates p16/t32/e12/s18/e15 moved ±10% — noise).
+    // Scale-adaptive by construction: a production-sized shuffle
+    // (>> advisory bytes) still fans out to thousands of partitions,
+    // exactly what Spark's own tuning guide recommends on busy
+    // clusters.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     .config("spark.sql.session.timeZone", "UTC")
     // many short queries in one long-lived session: materialized
     // indexes (localCheckpoint blocks) are only reclaimed by the

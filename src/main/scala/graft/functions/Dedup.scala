@@ -981,6 +981,7 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
+    var edgeCount = edges.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -1002,17 +1003,26 @@ object Dedup {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct())
-      // symmetric-difference count in ONE job (optimization r18,
-      // guide §1.2: the old two-sided except() pair cost two full
-      // shuffle+dedup jobs per round — both sides are already
-      // distinct, so a signed union-groupBy computes |AΔB| exactly)
-      val changed = small.withColumn("__side", lit(1))
-        .unionByName(edges.withColumn("__side", lit(-1)))
-        .groupBy(col("u"), col("v"))
-        .agg(sum(col("__side")).as("__d"))
-        .filter(col("__d") =!= 0)
-        .count()
+      // convergence test, cheapest-first (optimization r19, guide
+      // §1.2): both edge sets are DISTINCT, so unequal cardinality
+      // already proves A ≠ B with one narrow count over the
+      // just-materialized blocks (the previous round's count is
+      // carried over, so this is one count job per round) — the
+      // contraction shrinks the edge set almost every round, so the
+      // exact |AΔB| shuffle job (one signed union → groupBy,
+      // optimization r18) only runs for the final same-size rounds
+      // where it is the proof of fixpoint.
+      val smallCount = small.count()
+      val changed =
+        if (smallCount != edgeCount) 1L
+        else small.withColumn("__side", lit(1))
+          .unionByName(edges.withColumn("__side", lit(-1)))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("__side")).as("__d"))
+          .filter(col("__d") =!= 0)
+          .count()
       edges = small
+      edgeCount = smallCount
       converged = changed == 0
       it += 1
     }

@@ -868,8 +868,13 @@ object Similarity {
     minus(growthLab.fold(baseLab)(baseLab.unionByName))
       .coalesce(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$staged/labels")
-    spark.read.parquet(s"$path/centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$staged/centroids")
+    // centroids are UNCHANGED by a rewrite — carry the files over as a
+    // byte copy instead of a Spark read→coalesce→write round-trip
+    // (optimization r19, guide §1.2: two jobs of pure re-encoding for
+    // bit-identical bytes)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$path/centroids"), fs,
+      new org.apache.hadoop.fs.Path(s"$staged/centroids"), false, conf)
     writeSemDedupMeta(fs, staged, threshold, maxClusterSize)
     // prior absorb markers carry over; this absorb's epochs add to
     // them, SCOPED to the stream lineage that grew them (read from

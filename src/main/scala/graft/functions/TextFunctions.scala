@@ -370,9 +370,10 @@ object TextFunctions {
     * `c1` (total continuations of the n-gram's first n−1 words), so
     * the exact-integer Σc2/Σc1 scoring contract carries over from the
     * bigram form unchanged. The context key is the shingle minus its
-    * last word (`regexp_replace(s, " [^ ]*$", "")` — Java∩RE2, so the
-    * oracle replays it verbatim); for order = 2 that IS the first
-    * word, which is why [[lmTrainBigrams]] is this with order = 2.
+    * last word (`substring_index(s, ' ', order − 1)` — equal to the
+    * oracle's `regexp_replace(s, ' [^ ]*$', '')` because an order-n
+    * shingle contains exactly n−1 spaces); for order = 2 that IS the
+    * first word, which is why [[lmTrainBigrams]] is this with order = 2.
     * Same pruning contract: `c1` is computed BEFORE the `minCount`
     * filter, so a pruned model still conditions on true context mass.
     */
@@ -384,11 +385,20 @@ object TextFunctions {
     val shingled = corpus.select(words(text).as("__w"))
       .select(explode(wordShingles(col("__w"), order)).as("s"))
     val big = shingled.groupBy(col("s")).agg(count(lit(1)).as("c2"))
-    val ctxOf = (c: Column) => regexp_replace(c, " [^ ]*$", "")
-    val ctx = big.groupBy(ctxOf(col("s")).as("__ctx"))
-      .agg(sum(col("c2")).as("c1"))
-    big.filter(col("c2") >= minCount)
-      .join(ctx, ctxOf(big("s")) === ctx("__ctx"))
+    // c1 = Σc2 over the n-gram's context (s minus its last word) as a
+    // whole-partition window instead of the groupBy(ctx)+self-join it
+    // replaced (optimization r19, guide §2.4): the join re-exchanged
+    // BOTH sides on the context key where the window pays that
+    // exchange once, and the context key itself drops the per-row
+    // regex for substring_index — a shingle of order n is exactly
+    // n−1 single spaces between whitespace-free tokens, so "prefix
+    // before the last space" ≡ "prefix before the (n−1)th space".
+    // c1 is still computed BEFORE the minCount filter (the pruning
+    // contract above); values are bit-identical (exact integer sums).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("s"), " ", order - 1))
+    big.withColumn("c1", sum(col("c2")).over(w))
+      .filter(col("c2") >= minCount)
       .select(col("s"), col("c2"), col("c1"))
   }
 
@@ -532,15 +542,21 @@ object TextFunctions {
       .select(col("s"), col("c2").as("__c2t"), col("c1").as("__c1t"))
     val mR = modelRaw
       .select(col("s"), col("c2").as("__c2r"), col("c1").as("__c1r"))
-    val bt = if (broadcastModels) broadcast(mT) else mT
-    val br = if (broadcastModels) broadcast(mR) else mR
+    // ONE merged model probe instead of two sequential left joins
+    // (optimization r19, guide §3/§2.3): each model keys `s` uniquely
+    // (groupBy(s) upstream), so a full-outer merge on `s` carries both
+    // count pairs on one row and a single left join reproduces exactly
+    // the rows the two-join chain produced — the corpus-sized exploded
+    // frame crosses ONE join instead of two, and only one broadcast is
+    // built. The merge itself is vocabulary-bounded.
+    val m = mT.join(mR, Seq("s"), "full_outer")
+    val bm = if (broadcastModels) broadcast(m) else m
     val famT = col("__sc2t").cast(DoubleType) / col("__sc1t")
     val famR = col("__sc2r").cast(DoubleType) / col("__sc1r")
     corpus.select(id.as("doc_id"), words(text).as("__w"))
       .select(col("doc_id"),
         explode_outer(wordShingles(col("__w"), order)).as("s"))
-      .join(bt, Seq("s"), "left")
-      .join(br, Seq("s"), "left")
+      .join(bm, Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("s")).as("n_ngrams"),
         count(col("__c2t")).as("n_known_target"),
