@@ -739,10 +739,19 @@ object Dedup {
     // if you already maintain one).
     val newSh0 = shingleRows(newDf, id, text, n)
     val newSh = if (materialize) Materialize(newSh0) else newSh0
-    val dupOfOld = crossJaccardPairs(
+    // the drop list is BOUNDED BY THE BATCH and read by multiple
+    // actions: both anti-join sides of the final plan share one
+    // broadcast, but under the Auto strategy the stage-2 resolver also
+    // runs a count() ACTION over stage1 — a separate action rebuilds
+    // the whole cross-corpus chain just to size the batch
+    // (optimization r19, guide §5: materialize what separate actions
+    // re-derive). One checkpoint of the tiny id list caps the
+    // cross-Jaccard chain at exactly one evaluation.
+    val dupOfOld0 = crossJaccardPairs(
         newSh, shingleRows(existing, id, text, n),
         threshold, maxShingleDocFreq)
       .select(col("doc_id").as("__drop_id")).distinct()
+    val dupOfOld = if (materialize) Materialize(dupOfOld0) else dupOfOld0
     val stage1 = newDf.join(broadcast(dupOfOld),
       id === col("__drop_id"), "left_anti")
     // stage-2 shingles = the batch index already built for stage 1,
@@ -862,10 +871,22 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(maskFor(width))).as("chunk"))
     }
+    // EXPANDING self-join: the bucket frame is a few bytes per row but
+    // the join emits Θ(Σ_bucket n_c²) candidate pairs, so AQE's
+    // byte-sized coalescing (LocalSession, optimization r19) would
+    // collapse the post-shuffle stage to one near-empty-input partition
+    // and run the quadratic verify single-threaded (measured: d07's
+    // join stage 4.1 s serial). An explicit count on the repartition
+    // pins the exchange (user-specified counts are AQE-exempt) at the
+    // session's configured shuffle width — scale-parameterized, not a
+    // local constant — and both join sides reuse the ONE exchange.
     val buckets = sigs
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      .repartition(
+        sigs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("chunk"))
     val a = buckets.as("a")
     val b = buckets.as("b")
     // first-matching-band dedup: a pair sharing several bands is emitted
@@ -932,16 +953,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val next0 = labels
+      // the fixpoint test rides the round's own projection: old and
+      // new label are both in scope here, so a __chg flag on the
+      // materialized frame replaces the next⋈labels shuffle join the
+      // old test ran per round (optimization r19, guide §1.2) — the
+      // count over the just-materialized blocks is a narrow job
+      val next = Materialize(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val next = Materialize(next0)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
-      labels = next
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__chg")))
+      val changed = next.filter(col("__chg")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       it += 1
     }
@@ -1738,7 +1761,15 @@ object Dedup {
       rows.groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxBlockSize)
         .select(col("__blk")))
+    // EXPANDING self-join with per-pair Levenshtein verify (the d07
+    // rule, optimization r19): block rows are tiny but the join does
+    // Θ(Σ m_b²) edit-distance evaluations, so byte-sized AQE
+    // coalescing would run them on one near-empty-input partition.
+    // The explicit count pins the exchange (AQE-exempt) at the
+    // session's configured shuffle width; both sides reuse it.
     val guarded = rows.join(hot, Seq("__blk"), "left_anti")
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__blk"))
     guarded.as("a")
       .join(guarded.as("b"),
         col("a.__blk") === col("b.__blk") &&
