@@ -107,11 +107,8 @@ object Fixtures {
       destTag: String): String = {
     val dest = Scratch.path(dir, destTag)
     Scratch.reset(dest)
-    val conf = s.sparkContext.hadoopConfiguration
-    val srcP = new org.apache.hadoop.fs.Path(src)
-    val fs = srcP.getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, srcP, fs, new org.apache.hadoop.fs.Path(dest), false, conf)
+    require(TreeCopy.copy(s, src, dest),
+      s"copyTree: fixture source $src is missing")
     dest
   }
 

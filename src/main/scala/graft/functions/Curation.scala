@@ -1287,14 +1287,8 @@ object Curation {
     * used by [[compactShardEpochs]] to carry the manifest/checkpoint
     * state into the staged tree verbatim. */
   private def copyTree(spark: SparkSession, src: String, dst: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val srcP = new org.apache.hadoop.fs.Path(src)
-    val fs = srcP.getFileSystem(conf)
-    if (fs.exists(srcP)) {
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, srcP, fs, new org.apache.hadoop.fs.Path(dst), false, conf)
-      ()
-    }
+    graft.TreeCopy.copy(spark, src, dst)
+    ()
   }
 
   /** Crash-safe directory swap: rename the live `dest` ASIDE to

@@ -872,9 +872,7 @@ object Similarity {
     // byte copy instead of a Spark read→coalesce→write round-trip
     // (optimization r19, guide §1.2: two jobs of pure re-encoding for
     // bit-identical bytes)
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(s"$path/centroids"), fs,
-      new org.apache.hadoop.fs.Path(s"$staged/centroids"), false, conf)
+    graft.TreeCopy.copy(spark, s"$path/centroids", s"$staged/centroids")
     writeSemDedupMeta(fs, staged, threshold, maxClusterSize)
     // prior absorb markers carry over; this absorb's epochs add to
     // them, SCOPED to the stream lineage that grew them (read from
@@ -883,9 +881,8 @@ object Similarity {
     val priorMarkers = new org.apache.hadoop.fs.Path(
       s"$path/_growth_absorbed")
     if (fs.exists(priorMarkers))
-      org.apache.hadoop.fs.FileUtil.copy(fs, priorMarkers, fs,
-        new org.apache.hadoop.fs.Path(s"$staged/_growth_absorbed"),
-        false, spark.sparkContext.hadoopConfiguration)
+      graft.TreeCopy.copy(spark, priorMarkers.toString,
+        s"$staged/_growth_absorbed")
     val lineageP = new org.apache.hadoop.fs.Path(
       s"$path/_stream_lineage")
     val lineage =
