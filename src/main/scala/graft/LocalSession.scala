@@ -26,6 +26,23 @@ object LocalSession {
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     .config("spark.sql.session.timeZone", "UTC")
+    // Local FS WITHOUT the Hadoop checksum wrapper (guide §6 file-layout
+    // overhead, same finding as TreeCopy): LocalFileSystem routes every
+    // open/create/rename through ChecksumFileSystem — a .crc sidecar
+    // read-verify/regenerate plus extra metadata calls PER FILE — which
+    // taxes every write-commit rename, streaming offset/commit-log
+    // entry, and state-store snapshot at milliseconds apiece. Parquet
+    // carries its own page/footer CRCs, so the sidecar layer is
+    // redundant for the engine's data; raw local FS is the same
+    // FileSystem minus the wrapper. Scheme-scoped by construction: on a
+    // production cluster data lives on hdfs://|s3://|abfs:// and this
+    // binding never engages. Both bindings needed — FileSystem for
+    // batch/parquet/manifests, AbstractFileSystem for the FileContext
+    // the streaming checkpoint manager uses.
+    .config("spark.hadoop.fs.file.impl",
+      "org.apache.hadoop.fs.RawLocalFileSystem")
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      "org.apache.hadoop.fs.local.RawLocalFs")
     // many short queries in one long-lived session: materialized
     // indexes (localCheckpoint blocks) are only reclaimed by the
     // ContextCleaner after a driver GC, and a large heap may not GC

@@ -37,7 +37,11 @@ private[graft] object TreeCopy {
     val fs = srcP.getFileSystem(conf)
     if (!fs.exists(srcP)) return false
     val dstP = new Path(dst)
-    if (isLocal(srcP) && isLocal(dstP) && fs.getScheme == "file") {
+    // instance check, not fs.getScheme: RawLocalFileSystem (the
+    // engine's local binding) does not implement getScheme
+    val localFs = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    if (isLocal(srcP) && isLocal(dstP) && localFs) {
       val from = Paths.get(srcP.toUri.getPath)
       val to0 = Paths.get(dstP.toUri.getPath)
       val to =
