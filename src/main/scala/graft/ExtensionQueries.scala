@@ -3385,8 +3385,8 @@ object ExtensionQueries {
       val queries = emb.filter(col("vec_id") < 10)
       val cfg = Similarity.autoIvfPqConfig(500L, dims = 64, k = 5,
         targetRecall = 1.0)
-      val cents = Similarity.ivfTrain(corpus, cfg.kCoarse)
-      val cb = Similarity.pqTrain(corpus, m = cfg.m, k = 8, dims = 64)
+      val (cents, cb) = Similarity.trainIvfPq(corpus, cfg.kCoarse,
+        m = cfg.m, k = 8, dims = 64)
       val index = Similarity.ivfPqIndex(corpus, cents, cb, m = cfg.m,
         dims = 64)
       Similarity.knnIvfPq(index, cents, cb, queries, corpus, k = 5,

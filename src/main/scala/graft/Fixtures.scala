@@ -129,8 +129,7 @@ object Fixtures {
   def ivfPqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     of(skey(s, dir, "ivfpq_model")) {
       val (corpus, _) = embSplit(s, dir)
-      (Similarity.ivfTrain(corpus, k = 8),
-        Similarity.pqTrain(corpus, m = 4, k = 8, dims = 64))
+      Similarity.trainIvfPq(corpus, kCoarse = 8, m = 4, k = 8, dims = 64)
     }
 
   /** Canonical e11 tree (full corpus, one-shot build) — READ-ONLY:
@@ -184,8 +183,8 @@ object Fixtures {
     of(s"$dir#tree_stale") {
       val (corpus, _) = embSplit(s, dir)
       val stale = corpus.filter(col("vec_id") % 2 === 0)
-      val cents0 = Similarity.ivfTrain(stale, k = 8)
-      val cb0 = Similarity.pqTrain(stale, m = 4, k = 8, dims = 64)
+      val (cents0, cb0) = Similarity.trainIvfPq(stale, kCoarse = 8,
+        m = 4, k = 8, dims = 64)
       val p = Scratch.path(dir, "fx_ivfpq_stale")
       Scratch.reset(p)
       Similarity.writeIvfPqIndex(

@@ -1639,6 +1639,37 @@ object Similarity {
     cents
   }
 
+  /** Train the coarse quantizer ([[ivfTrain]]) and the PQ codebooks
+    * ([[pqTrain]]) CONCURRENTLY (optimization r19, guide §1.2/§5): the
+    * two trainings are independent — different models over the same
+    * corpus — but each is a serial chain of per-sweep collect jobs, so
+    * running them back-to-back paid both latency chains in sequence.
+    * One extra submission thread overlaps them; Spark schedules jobs
+    * from both freely. Each training's own sweep sequence (and so its
+    * result) is bit-identical to the sequential form — determinism
+    * lives inside each chain, not between them.
+    *
+    * A FRESH thread, not a pooled executor: Spark's job group /
+    * description are inheritable-thread-locals snapshotted at thread
+    * CREATION, so a pooled thread would tag (and leak cancellation
+    * scope for) whichever gate first built the pool.
+    */
+  def trainIvfPq(corpus: DataFrame, kCoarse: Int, m: Int, k: Int,
+      dims: Int, iters: Int = 3): (DataFrame, DataFrame) = {
+    @volatile var cb: DataFrame = null
+    @volatile var err: Throwable = null
+    val worker = new Thread(() => {
+      try cb = pqTrain(corpus, m, k, dims, iters)
+      catch { case e: Throwable => err = e }
+    }, "pq-train")
+    worker.start()
+    val cents =
+      try ivfTrain(corpus, kCoarse, iters)
+      finally worker.join()
+    if (err != null) throw err
+    (cents, cb)
+  }
+
   /** Collected codebook: subspace → centroids ordered by centroid_id,
     * each subspace validated contiguous 0..k-1 (the
     * [[collectContiguousCentroids]] rule — codes index the literal
@@ -2080,8 +2111,7 @@ object Similarity {
   def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, corpus: DataFrame, kCoarse: Int = 8, m: Int = 4,
       k: Int = 8, dims: Int = 64, iters: Int = 3): (DataFrame, DataFrame) = {
-    val cents = ivfTrain(corpus, kCoarse, iters)
-    val cb = pqTrain(corpus, m, k, dims, iters)
+    val (cents, cb) = trainIvfPq(corpus, kCoarse, m, k, dims, iters)
     val staged = s"$path-compacting"
     val stagedP = new org.apache.hadoop.fs.Path(staged)
     val fs = stagedP.getFileSystem(spark.sparkContext.hadoopConfiguration)

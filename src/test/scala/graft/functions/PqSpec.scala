@@ -471,4 +471,17 @@ class PqSpec extends SparkSpec {
       assert(cells.size == 1, s"nprobe=1 must confine neighbors to one cell: $cells")
     }
   }
+
+  test("trainIvfPq (concurrent) is bit-identical to the sequential pair") {
+    // the r19 overlap: one extra submission thread runs pqTrain while
+    // ivfTrain runs on the caller — each chain's sweep sequence (and so
+    // its integer-exact result) must be untouched by the scheduling
+    val (cents, cb) = Similarity.trainIvfPq(emb, kCoarse = 2, m = 2,
+      k = 3, dims = dims)
+    val seqCents = Similarity.ivfTrain(emb, k = 2).collect().toSet
+    val seqCb = Similarity.pqTrain(emb, m = 2, k = 3, dims = dims)
+      .collect().toSet
+    assert(cents.collect().toSet === seqCents)
+    assert(cb.collect().toSet === seqCb)
+  }
 }
